@@ -1,0 +1,136 @@
+package graft.core
+
+import java.net.URI
+
+/**
+ * Cluster metadata the planner needs from the target Cassandra cluster.
+ * The reference fetches this live from a seed node at plan time
+ * (/root/reference/src/main/java/com/spotify/hdfs2cass/cassandra/utils/
+ * CassandraClusterInfo.java:61-109). Abstracted behind a trait so tests and
+ * offline runs can plan without a cluster (risk item #4 in SURVEY.md §7.4).
+ */
+trait ClusterInfo extends Serializable {
+  def partitionerClass: String
+  def numClusterNodes: Int
+  def allColumnNames: Seq[String]
+  def partitionKeyIndexes: Array[Int]
+}
+
+/** Offline/static stand-in for a live metadata fetch. */
+final case class StaticClusterInfo(
+    partitionerClass: String = CassandraParams.Murmur3Partitioner,
+    numClusterNodes: Int = 3,
+    allColumnNames: Seq[String] = Nil,
+    partitionKeyIndexes: Array[Int] = Array(0)
+) extends ClusterInfo
+
+/**
+ * Target-URI grammar of the reference CLI, e.g.
+ *   cql://host:9160/keyspace/table?reducers=8&distributerandomly&streamthrottlembits=100
+ * Grammar studied from /root/reference/src/main/java/com/spotify/hdfs2cass/
+ * cassandra/utils/CassandraParams.java:60-155 and README.md:80-96.
+ */
+final case class CassandraParams(
+    scheme: String,
+    seedNodeHost: String,
+    seedNodePort: Int,
+    keyspace: String,
+    columnFamily: String,
+    columnNames: Option[Seq[String]],
+    reducers: Int,
+    distributeRandomly: Boolean,
+    streamThrottleMBits: Option[Int],
+    compressionClass: Option[String],
+    rpcPort: Option[Int],
+    clusterInfo: ClusterInfo
+) {
+  def buildInsertStatement(cols: Seq[String]): String = {
+    val qs = cols.map(_ => "?").mkString(", ")
+    s"INSERT INTO $keyspace.$columnFamily (${cols.mkString(", ")}) " +
+      s"VALUES ($qs) USING TIMESTAMP ? AND TTL ?"
+  }
+}
+
+object CassandraParams {
+  val Murmur3Partitioner = "org.apache.cassandra.dht.Murmur3Partitioner"
+  val RandomPartitioner = "org.apache.cassandra.dht.RandomPartitioner"
+
+  /**
+   * Query-string parse: `k=v&flag` -> map, a bare key means "true", empty
+   * pairs are skipped, the value may itself contain '='.
+   */
+  def parseQuery(query: String): Map[String, String] = {
+    if (query == null || query.isEmpty) return Map.empty
+    query.split("&").iterator.filter(_.nonEmpty).map { pair =>
+      val idx = pair.indexOf('=')
+      if (idx > -1) pair.substring(0, idx) -> pair.substring(idx + 1)
+      else pair -> "true"
+    }.toMap
+  }
+
+  /** Parse a target URI; `clusterInfo` supplies what a live fetch would. */
+  def parse(uri: String, clusterInfo: ClusterInfo = StaticClusterInfo()): CassandraParams = {
+    val u = new URI(uri)
+    val q = parseQuery(Option(u.getQuery).getOrElse(""))
+    val path = Option(u.getPath).getOrElse("").split("/")
+    require(path.length >= 3, s"target URI path must be /<keyspace>/<table>: $uri")
+    CassandraParams(
+      scheme = u.getScheme,
+      seedNodeHost = u.getHost,
+      seedNodePort = u.getPort,
+      keyspace = path(1),
+      columnFamily = path(2),
+      columnNames = q.get("columnnames").map(_.split(",").toSeq),
+      reducers = q.get("reducers").map(_.toInt).getOrElse(clusterInfo.numClusterNodes),
+      distributeRandomly = q.get("distributerandomly").exists(_.toBoolean),
+      streamThrottleMBits = q.get("streamthrottlembits").map(_.toInt),
+      compressionClass = q.get("compressionclass"),
+      rpcPort = q.get("rpcport").map(_.toInt),
+      clusterInfo = clusterInfo
+    )
+  }
+}
+
+/**
+ * Legacy TSV line, the reference's original input format:
+ *   HdfsToCassandra\t<version>\t<rowkey>\t<colname>\t[<ts>]\t[<ttl>]\t<value>
+ * version 1 = no ts/ttl, 2 = ts only, 3 = both. Malformed lines fail the job
+ * with a descriptive error. Semantics studied from /root/reference/src/main/
+ * java/com/spotify/hdfs2cass/LegacyInputFormat.java:57-129.
+ */
+final case class LegacyLine(rowkey: String, colname: String, value: String, timestamp: Long, ttl: Long)
+
+object LegacyLine {
+  val Prefix = "HdfsToCassandra"
+
+  def parse(row: String, defaultTimestampMillis: Long): LegacyLine = {
+    val parts = row.split("\t")
+    if (parts.length < 4 || parts(0) != Prefix)
+      throw new IllegalArgumentException(
+        s"Found malformed row. The rows must start with '$Prefix'")
+    val version =
+      try parts(1).toInt
+      catch { case _: NumberFormatException => throw new IllegalArgumentException("Unknown format version") }
+    version match {
+      case 1 =>
+        checkArity(parts, 5)
+        LegacyLine(parts(2), parts(3), parts(4), defaultTimestampMillis, 0L)
+      case 2 =>
+        checkArity(parts, 6)
+        LegacyLine(parts(2), parts(3), parts(5), num(parts(4)), 0L)
+      case 3 =>
+        checkArity(parts, 7)
+        LegacyLine(parts(2), parts(3), parts(6), num(parts(4)), num(parts(5)))
+      case _ =>
+        throw new IllegalArgumentException("Unknown format version")
+    }
+  }
+
+  private def checkArity(parts: Array[String], n: Int): Unit =
+    if (parts.length != n)
+      throw new IllegalArgumentException("Found malformed row. Check correct row format.")
+
+  private def num(s: String): Long =
+    try s.toInt.toLong
+    catch { case e: NumberFormatException => throw new IllegalArgumentException(e) }
+}

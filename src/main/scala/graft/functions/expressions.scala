@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+import graft.core.{CassandraTokens, CqlValueCodec}
+
+/**
+ * Native Catalyst expressions for the Cassandra-specific kernels. All of
+ * them codegen to a static call into graft.core (no virtual dispatch, no
+ * boxing beyond the byte arrays themselves), so they stay inside
+ * whole-stage codegen spans.
+ */
+
+/** Murmur3Partitioner token of partition-key bytes. */
+case class CassandraTokenExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"cassandra_token expects binary, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cassandra_token"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CassandraTokens.token(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.CassandraTokens.token($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Contiguous ring bucket (0..n-1) of a token; n fixed at plan time. */
+case class TokenBucketExpr(child: Expression, numBuckets: Int) extends UnaryExpression {
+  require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_bucket expects long, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CassandraTokens.bucketOfToken(input.asInstanceOf[Long], numBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.CassandraTokens.bucketOfToken($c, $numBuckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Serialize a single typed value to Cassandra wire bytes (the F1 kernel as
+ * a plan-visible expression; null -> empty buffer, so never null out).
+ */
+case class CqlSerializeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cql_serialize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | IntegerType | LongType | ShortType | FloatType | DoubleType |
+          BooleanType | BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"cql_serialize does not support type $other (use sink-side codec for collections)")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) CqlValueCodec.Empty
+    else child.dataType match {
+      case StringType  => CqlValueCodec.serializeString(v.toString)
+      case IntegerType => CqlValueCodec.serializeInt(v.asInstanceOf[Int])
+      case LongType    => CqlValueCodec.serializeLong(v.asInstanceOf[Long])
+      case ShortType   => CqlValueCodec.serializeShort(v.asInstanceOf[Short])
+      case FloatType   => CqlValueCodec.serializeFloat(v.asInstanceOf[Float])
+      case DoubleType  => CqlValueCodec.serializeDouble(v.asInstanceOf[Double])
+      case BooleanType => CqlValueCodec.serializeBoolean(v.asInstanceOf[Boolean])
+      case BinaryType  => v.asInstanceOf[Array[Byte]]
+      case other       => throw new IllegalStateException(s"unreachable: $other")
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val serCall: String => String = child.dataType match {
+      case StringType  => c => s"graft.core.CqlValueCodec.serializeString($c.toString())"
+      case IntegerType => c => s"graft.core.CqlValueCodec.serializeInt($c)"
+      case LongType    => c => s"graft.core.CqlValueCodec.serializeLong($c)"
+      case ShortType   => c => s"graft.core.CqlValueCodec.serializeShort($c)"
+      case FloatType   => c => s"graft.core.CqlValueCodec.serializeFloat($c)"
+      case DoubleType  => c => s"graft.core.CqlValueCodec.serializeDouble($c)"
+      case BooleanType => c => s"graft.core.CqlValueCodec.serializeBoolean($c)"
+      case BinaryType  => c => c
+      case other       => throw new IllegalStateException(s"unreachable: $other")
+    }
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+         |${childGen.code}
+         |byte[] ${ev.value};
+         |if (${childGen.isNull}) {
+         |  ${ev.value} = graft.core.CqlValueCodec.Empty();
+         |} else {
+         |  ${ev.value} = ${serCall(childGen.value.toString)};
+         |}
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(resultCode)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * CompositeType partition-key encoding over 2+ pre-serialized components
+ * (2-byte BE length + bytes + 0x00 terminator per component).
+ */
+case class CompositeKeyExpr(children: Seq[Expression]) extends Expression {
+  require(children.nonEmpty, "composite key needs at least one component")
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.find(_.dataType != BinaryType) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"composite_key expects binary components, got ${c.dataType}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "composite_key"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val comps = new Array[Array[Byte]](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      comps(i) = if (v == null) CqlValueCodec.Empty else v.asInstanceOf[Array[Byte]]
+      i += 1
+    }
+    CqlValueCodec.composite(comps)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("comps")
+    val assigns = gens.zipWithIndex.map { case (g, i) =>
+      s"""
+         |${g.code}
+         |$arr[$i] = ${g.isNull} ? graft.core.CqlValueCodec.Empty() : ${g.value};
+       """.stripMargin
+    }.mkString("\n")
+    val resultCode =
+      s"""
+         |byte[][] $arr = new byte[${children.length}][];
+         |$assigns
+         |byte[] ${ev.value} = graft.core.CqlValueCodec.composite($arr);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(resultCode)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Bridge
+
+/**
+ * Column-level API over the custom Catalyst expressions, mirroring
+ * org.apache.spark.sql.functions style.
+ */
+package object functions {
+
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Bridge.column(e)
+
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    Bridge.expression(c)
+
+  /** Murmur3Partitioner token of partition-key bytes (binary -> long). */
+  def cassandra_token(key: Column): Column = col(CassandraTokenExpr(expr(key)))
+
+  /** Contiguous ring bucket 0..n-1 of a token (long -> int). */
+  def token_bucket(token: Column, numBuckets: Int): Column =
+    col(TokenBucketExpr(expr(token), numBuckets))
+
+  /** Serialize a scalar value to Cassandra wire bytes (null -> empty). */
+  def cql_serialize(value: Column): Column = col(CqlSerializeExpr(expr(value)))
+
+  /** CompositeType encoding of 2+ pre-serialized key components. */
+  def composite_key(components: Column*): Column =
+    col(CompositeKeyExpr(components.map(expr)))
+
+  /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
+  def partition_key(keyCols: Column*): Column = {
+    require(keyCols.nonEmpty, "partition_key needs at least one column")
+    if (keyCols.length == 1) cql_serialize(keyCols.head)
+    else composite_key(keyCols.map(cql_serialize): _*)
+  }
+}

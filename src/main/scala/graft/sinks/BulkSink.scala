@@ -1,0 +1,200 @@
+package graft.sinks
+
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.core.{CassandraTokens, CqlValueCodec}
+
+/**
+ * Bulk-load sink, directory mode: the Spark rebuild of the reference's
+ * sorted-SSTable write path (CrunchCqlBulkRecordWriter.java:59-181 /
+ * CrunchBulkRecordWriter.java:65-251 — behavior only). Each output
+ * partition owns one contiguous token range of the ring; rows arrive
+ * pre-sorted in decorated-key order and are appended to a local sorted
+ * run ("Data.db" analog) plus a sparse index, exactly the contract a
+ * CQLSSTableWriter in .sorted() mode needs. Network streaming to a live
+ * cluster (SSTableLoader) is out of scope offline; the manifest records
+ * everything a loader needs (token range, file, count, bytes).
+ *
+ * Scale design: the shuffle is RDD repartitionAndSortWithinPartitions —
+ * ONE exchange, sort happens in the shuffle (Tungsten sort-spill), writer
+ * is append-only and streams row-at-a-time: no buffering of a partition in
+ * memory, so a 100 TB load is bounded by disk, not heap. Speculative
+ * execution must stay off (Spark default) so no partition is written twice.
+ */
+object BulkSink {
+
+  /** Identity partitioner over ring buckets: bucket i -> partition i. */
+  final class RingPartitioner(n: Int) extends Partitioner {
+    require(n > 0)
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key match {
+      case (token: Long, _) => CassandraTokens.bucketOfToken(token, n)
+      case token: Long      => CassandraTokens.bucketOfToken(token, n)
+      case other            => throw new IllegalArgumentException(s"bad key: $other")
+    }
+  }
+
+  /** Decorated-key order: token, then unsigned key bytes (G3 semantics). */
+  implicit val decoratedOrdering: Ordering[(Long, Array[Byte])] =
+    (a: (Long, Array[Byte]), b: (Long, Array[Byte])) =>
+      CassandraTokens.compareDecorated(a._1, a._2, b._1, b._2)
+
+  final case class PartitionManifest(
+      partition: Int, rows: Long, bytes: Long, minToken: Long, maxToken: Long,
+      sorted: Boolean, dataFile: String, indexFile: String)
+
+  /**
+   * Write `df` as sorted per-token-range runs under `outDir`.
+   * `keyCols` form the partition key (composite if 2+). Every column is
+   * serialized with the CQL wire codec. Returns per-partition manifests
+   * (also persisted as _MANIFEST.json).
+   */
+  def writeSorted(df: DataFrame, keyCols: Seq[String], numBuckets: Int,
+      outDir: String, indexInterval: Int = 128): Seq[PartitionManifest] = {
+    require(keyCols.nonEmpty)
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val serializers: Array[Row => Array[Byte]] =
+      schema.fields.map(f => rowSerializer(f, schema.fieldIndex(f.name)))
+
+    Files.createDirectories(Paths.get(outDir))
+
+    val keyed = df.rdd.map { row =>
+      val comps = keyIdx.map(i => serializers(i)(row))
+      val pk = if (comps.length == 1) comps(0) else CqlValueCodec.composite(comps)
+      val token = CassandraTokens.token(pk)
+      val value = encodeRow(row, serializers)
+      ((token, pk), value)
+    }
+
+    val aligned = keyed.repartitionAndSortWithinPartitions(new RingPartitioner(numBuckets))
+
+    val manifests = aligned.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(writePartition(outDir, pid, it, indexInterval))
+    }.collect().toSeq
+
+    val json = manifests.map { m =>
+      s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
+        s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":${m.sorted},""" +
+        s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}"}"""
+    }.mkString("[", ",", "]")
+    Files.write(Paths.get(outDir, "_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
+    manifests
+  }
+
+  /** Append-only sorted-run writer; enforces the sorted-input contract. */
+  private def writePartition(outDir: String, pid: Int,
+      it: Iterator[((Long, Array[Byte]), Array[Byte])],
+      indexInterval: Int): PartitionManifest = {
+    val dataName = f"graft-$pid%05d-Data.db"
+    val indexName = f"graft-$pid%05d-Index.db"
+    val dataFile = new File(outDir, dataName)
+    val indexFile = new File(outDir, indexName)
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(dataFile), 1 << 16))
+    val idx = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(indexFile), 1 << 14))
+    var rows = 0L
+    var offset = 0L
+    var minToken = Long.MaxValue
+    var maxToken = Long.MinValue
+    var prevToken = Long.MinValue
+    var prevKey: Array[Byte] = null
+    try {
+      while (it.hasNext) {
+        val ((token, key), value) = it.next()
+        // sorted-input contract (the .sorted() writer requirement): fail fast
+        // like the reference's newRow-on-key-change would corrupt otherwise.
+        if (prevKey != null &&
+            CassandraTokens.compareDecorated(prevToken, prevKey, token, key) > 0)
+          throw new IllegalStateException(
+            s"partition $pid input not in decorated-key order at row $rows")
+        if (rows % indexInterval == 0) {
+          idx.writeLong(token); idx.writeLong(offset)
+        }
+        out.writeShort(key.length)
+        out.write(key)
+        out.writeInt(value.length)
+        out.write(value)
+        offset += 2 + key.length + 4 + value.length
+        if (token < minToken) minToken = token
+        if (token > maxToken) maxToken = token
+        prevToken = token; prevKey = key
+        rows += 1
+      }
+    } finally { out.close(); idx.close() }
+    PartitionManifest(pid, rows, offset, minToken, maxToken, sorted = true,
+      dataName, indexName)
+  }
+
+  /** Length-prefixed concatenation of all serialized column values. */
+  private def encodeRow(row: Row, serializers: Array[Row => Array[Byte]]): Array[Byte] = {
+    var total = 0
+    val parts = new Array[Array[Byte]](serializers.length)
+    var i = 0
+    while (i < serializers.length) {
+      parts(i) = serializers(i)(row)
+      total += 4 + parts(i).length
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(total)
+    i = 0
+    while (i < serializers.length) {
+      bb.putInt(parts(i).length); bb.put(parts(i)); i += 1
+    }
+    bb.array()
+  }
+
+  /** Per-field wire serializer (F1/F2 semantics, null -> empty buffer). */
+  private def rowSerializer(f: StructField, i: Int): Row => Array[Byte] = f.dataType match {
+    case StringType  => r => if (r.isNullAt(i)) CqlValueCodec.Empty else CqlValueCodec.serializeString(r.getString(i))
+    case LongType    => r => if (r.isNullAt(i)) CqlValueCodec.Empty else CqlValueCodec.serializeLong(r.getLong(i))
+    case IntegerType => r => if (r.isNullAt(i)) CqlValueCodec.Empty else CqlValueCodec.serializeInt(r.getInt(i))
+    case ShortType   => r => if (r.isNullAt(i)) CqlValueCodec.Empty else CqlValueCodec.serializeShort(r.getShort(i))
+    case DoubleType  => r => if (r.isNullAt(i)) CqlValueCodec.Empty else CqlValueCodec.serializeDouble(r.getDouble(i))
+    case FloatType   => r => if (r.isNullAt(i)) CqlValueCodec.Empty else CqlValueCodec.serializeFloat(r.getFloat(i))
+    case BooleanType => r => if (r.isNullAt(i)) CqlValueCodec.Empty else CqlValueCodec.serializeBoolean(r.getBoolean(i))
+    case BinaryType  => r => if (r.isNullAt(i)) CqlValueCodec.Empty else r.getAs[Array[Byte]](i)
+    case TimestampType => r => if (r.isNullAt(i)) CqlValueCodec.Empty
+      else CqlValueCodec.serializeLong(r.getAs[java.sql.Timestamp](i).getTime)
+    case TimestampNTZType => r => if (r.isNullAt(i)) CqlValueCodec.Empty
+      else CqlValueCodec.serializeLong(
+        r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    case DateType => r => if (r.isNullAt(i)) CqlValueCodec.Empty
+      else CqlValueCodec.serializeInt(r.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+    case ArrayType(el, _) => r => if (r.isNullAt(i)) CqlValueCodec.Empty else {
+      val seq = r.getSeq[Any](i)
+      CqlValueCodec.serializeCollection(seq.map(serializeAny(el, _)))
+    }
+    case MapType(kt, vt, _) => r => if (r.isNullAt(i)) CqlValueCodec.Empty else {
+      val m = r.getMap[Any, Any](i)
+      CqlValueCodec.serializeMap(m.toSeq.map { case (k, v) =>
+        (serializeAny(kt, k), serializeAny(vt, v)) })
+    }
+    case st: StructType => r => if (r.isNullAt(i)) CqlValueCodec.Empty else {
+      val nested = r.getStruct(i)
+      CqlValueCodec.composite(st.fields.zipWithIndex.map { case (nf, ni) =>
+        if (nested.isNullAt(ni)) CqlValueCodec.Empty else serializeAny(nf.dataType, nested.get(ni))
+      })
+    }
+    case other => throw new IllegalArgumentException(
+      s"cannot serialize column ${f.name} of type $other to Cassandra wire bytes")
+  }
+
+  private def serializeAny(dt: DataType, v: Any): Array[Byte] =
+    if (v == null) CqlValueCodec.Empty
+    else dt match {
+      case StringType  => CqlValueCodec.serializeString(v.toString)
+      case LongType    => CqlValueCodec.serializeLong(v.asInstanceOf[Long])
+      case IntegerType => CqlValueCodec.serializeInt(v.asInstanceOf[Int])
+      case DoubleType  => CqlValueCodec.serializeDouble(v.asInstanceOf[Double])
+      case FloatType   => CqlValueCodec.serializeFloat(v.asInstanceOf[Float])
+      case BooleanType => CqlValueCodec.serializeBoolean(v.asInstanceOf[Boolean])
+      case BinaryType  => v.asInstanceOf[Array[Byte]]
+      case other => throw new IllegalArgumentException(s"collection element type $other unsupported")
+    }
+}

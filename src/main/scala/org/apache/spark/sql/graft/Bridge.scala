@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Column <-> Expression bridge. Spark 4 made the converters
+ * (classic.ExpressionUtils) private[sql], so this one-file shim lives in the
+ * org.apache.spark.sql namespace to re-export them for the graft library.
+ * No Spark internals are modified.
+ */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

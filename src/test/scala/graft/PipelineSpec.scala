@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{CassandraTokens, CqlValueCodec}
+import graft.functions.{cassandra_token, cql_serialize, partition_key, token_bucket}
+import graft.operators.CqlPipeline
+import graft.operators.CqlPipeline.Projection
+import graft.sinks.BulkSink
+
+object SparkSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("expressions agree with the pure kernel (interpreted + codegen)") {
+    val df = Seq("foo", "bar", "baz", "").toDF("k")
+      .select(col("k"), cassandra_token(cql_serialize(col("k"))).as("tok"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("foo") === -2129773440516405919L)
+    assert(got("bar") === -7911037993560119804L)
+    assert(got("baz") === 8295379539955784970L)
+    assert(got("") === Long.MinValue)
+  }
+
+  test("token_bucket expression matches kernel across range") {
+    val df = spark.range(1000).select(
+      cql_serialize(concat(lit("key-"), col("id").cast("string"))).as("pk"))
+      .select(cassandra_token(col("pk")).as("tok"), col("pk"))
+      .select(col("tok"), token_bucket(col("tok"), 8).as("b"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) === CassandraTokens.bucketOfToken(r.getLong(0), 8))
+    }
+  }
+
+  test("composite partition_key expression matches kernel composite layout") {
+    val df = Seq(("k1", 7L)).toDF("a", "b")
+      .select(hex(partition_key(col("a"), col("b"))).as("h"))
+    val expected = CqlValueCodec.toHex(CqlValueCodec.composite(Array(
+      CqlValueCodec.serializeString("k1"), CqlValueCodec.serializeLong(7L))))
+    assert(df.head().getString(0) === expected)
+  }
+
+  test("toCql honors rowkey/timestamp/ttl/ignore flags") {
+    val df = Seq((1L, "u1", 42L, 9, "drop-me")).toDF("id", "user", "ts", "ttl", "junk")
+    val out = CqlPipeline.toCql(df, Projection(
+      rowkey = Some("user"), timestampField = Some("ts"), ttlField = Some("ttl"),
+      ignore = Seq("junk"), defaultTimestampMicros = 5L))
+    assert(out.columns.toSeq === Seq("rowkey", "id", "user", "writetime", "ttl"))
+    val r = out.head()
+    assert(r.getString(0) === "u1" && r.getLong(1) === 1L)
+    assert(r.getLong(3) === 42L && r.getInt(4) === 9)
+  }
+
+  test("toCql null timestamp falls back to plan-time default") {
+    val df = Seq((1L, Some(42L)), (2L, None)).toDF("id", "ts")
+    val out = CqlPipeline.toCql(df, Projection(
+      timestampField = Some("ts"), defaultTimestampMicros = 777L))
+    val rows = out.orderBy("rowkey").collect()
+    assert(rows(0).getLong(rows(0).fieldIndex("writetime")) === 42L)
+    assert(rows(1).getLong(rows(1).fieldIndex("writetime")) === 777L)
+  }
+
+  test("parseLegacy rejects malformed rows like the reference") {
+    def parseOne(line: String): Unit =
+      CqlPipeline.parseLegacy(Seq(line).toDF("value")).collect()
+    parseOne("HdfsToCassandra\t1\trk\tcn\tv") // fine
+    val e1 = intercept[Exception](parseOne("WrongPrefix\t1\trk\tcn\tv"))
+    assert(e1.getMessage.contains("HdfsToCassandra"))
+    val e2 = intercept[Exception](parseOne("HdfsToCassandra\t1\trk\tcn\tv\textra"))
+    assert(e2.getMessage.contains("row format"))
+    val e3 = intercept[Exception](parseOne("HdfsToCassandra\t9\trk\tcn\tv"))
+    assert(e3.getMessage.contains("version"))
+  }
+
+  test("alignToRing: every partition's rows arrive non-decreasing in decorated key") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val projected = CqlPipeline.toCql(orders, Projection(defaultTimestampMicros = 1L))
+    val aligned = CqlPipeline.alignToRing(projected, Seq("rowkey"), numBuckets = 4)
+    val perPart = aligned.select(col("_token"), col("_pk"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        var prev: (Long, Array[Byte]) = null
+        var sorted = true
+        var n = 0
+        it.foreach { r =>
+          val cur = (r.getLong(0), r.getAs[Array[Byte]](1))
+          if (prev != null && CassandraTokens.compareDecorated(prev._1, prev._2, cur._1, cur._2) > 0)
+            sorted = false
+          prev = cur; n += 1
+        }
+        Iterator.single((pid, sorted, n))
+      }.collect()
+    assert(perPart.forall(_._2), s"unsorted partitions: ${perPart.filterNot(_._2).mkString(",")}")
+    assert(perPart.map(_._3).sum === orders.count())
+  }
+
+  test("BulkSink.writeSorted produces sorted runs with full manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val projected = CqlPipeline.toCql(orders, Projection(defaultTimestampMicros = 1L))
+    val manifests = BulkSink.writeSorted(projected, Seq("rowkey"), numBuckets = 4, dir)
+    assert(manifests.length === 4)
+    assert(manifests.map(_.rows).sum === orders.count())
+    assert(manifests.forall(_.sorted))
+    // ring alignment: partition i's tokens all fall inside bucket i's range
+    manifests.filter(_.rows > 0).foreach { m =>
+      assert(CassandraTokens.bucketOfToken(m.minToken, 4) === m.partition)
+      assert(CassandraTokens.bucketOfToken(m.maxToken, 4) === m.partition)
+    }
+    assert(new java.io.File(dir, "_MANIFEST.json").exists())
+    // data files parse back: short keylen + key + int vallen + val
+    val m0 = manifests.find(_.rows > 0).get
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(new java.io.File(dir, m0.dataFile))))
+    var rows = 0L
+    var prevTok = Long.MinValue
+    try {
+      while (in.available() > 0) {
+        val klen = in.readUnsignedShort()
+        val key = new Array[Byte](klen); in.readFully(key)
+        val vlen = in.readInt()
+        in.skipBytes(vlen)
+        val tok = CassandraTokens.token(key)
+        assert(tok >= prevTok); prevTok = tok
+        rows += 1
+      }
+    } finally in.close()
+    assert(rows === m0.rows)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries execute at sf0.001 and return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+}

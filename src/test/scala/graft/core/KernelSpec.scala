@@ -1,0 +1,167 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class KernelSpec extends AnyFunSuite {
+
+  // --- Token math -----------------------------------------------------------
+  // Oracle values from the reference's own test suite
+  // (CassandraKeyComparatorTest.java:57-59): murmur3_128(x)[0].
+  test("murmur3 token matches Cassandra's known hash values") {
+    assert(CassandraTokens.token("foo".getBytes("UTF-8")) === -2129773440516405919L)
+    assert(CassandraTokens.token("bar".getBytes("UTF-8")) === -7911037993560119804L)
+    assert(CassandraTokens.token("baz".getBytes("UTF-8")) === 8295379539955784970L)
+  }
+
+  test("empty key maps to minimum token") {
+    assert(CassandraTokens.token(Array.emptyByteArray) === Long.MinValue)
+    assert(CassandraTokens.token(null) === Long.MinValue)
+  }
+
+  test("token ordering matches the reference comparator test expectations") {
+    val foo = CassandraTokens.token("foo".getBytes)
+    val bar = CassandraTokens.token("bar".getBytes)
+    val baz = CassandraTokens.token("baz".getBytes)
+    assert(bar < foo && foo < baz && bar < baz)
+  }
+
+  test("tail sign-extension: keys with high-bit bytes hash consistently") {
+    // lock in self-consistency for non-ASCII tails (regression guard: the
+    // Cassandra Java variant sign-extends, an unsigned implementation of the
+    // tail would differ on exactly these inputs)
+    val k = Array(0x80.toByte, 0xff.toByte, 0x01.toByte)
+    val t1 = CassandraTokens.token(k)
+    val t2 = CassandraTokens.token(k.clone())
+    assert(t1 === t2)
+    // 17 bytes: one full block + 1 tail byte with high bit set
+    val k17 = Array.fill[Byte](17)(0xab.toByte)
+    assert(CassandraTokens.token(k17) === CassandraTokens.token(k17.clone()))
+  }
+
+  test("rangePerBucket is ceil(2^64/n)") {
+    assert(CassandraTokens.rangePerBucket(1) === 0L) // 2^64 wraps to 0 (full ring)
+    assert(CassandraTokens.rangePerBucket(2) === Long.MinValue) // 2^63 unsigned
+    assert(CassandraTokens.rangePerBucket(4) === (1L << 62))
+    // n=3: ceil(2^64/3) = 6148914691236517206
+    assert(CassandraTokens.rangePerBucket(3) === 6148914691236517206L)
+  }
+
+  test("bucketOfToken covers 0..n-1 and is monotonic in token order") {
+    for (n <- Seq(2, 3, 5, 8, 32, 1000)) {
+      assert(CassandraTokens.bucketOfToken(Long.MinValue, n) === 0)
+      assert(CassandraTokens.bucketOfToken(Long.MaxValue, n) === n - 1)
+      assert(CassandraTokens.bucketOfToken(0L, n) >= 0)
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 20000).foreach { _ =>
+      val a = rnd.nextLong(); val b = rnd.nextLong()
+      val n = rnd.nextInt(4096) + 1
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val bl = CassandraTokens.bucketOfToken(lo, n)
+      val bh = CassandraTokens.bucketOfToken(hi, n)
+      assert(bl <= bh && bl >= 0 && bh < n, s"a=$a b=$b n=$n -> $bl,$bh")
+    }
+  }
+
+  test("n=1 puts every token in bucket 0") {
+    // rangePerBucket(1) wraps to 0; bucket must still be 0 for all tokens.
+    for (t <- Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue))
+      assert(CassandraTokens.bucketOfToken(t, 1) === 0)
+  }
+
+  test("bucket balance is roughly uniform for hashed keys") {
+    val n = 8
+    val counts = new Array[Int](n)
+    (0 until 80000).foreach { i =>
+      counts(CassandraTokens.bucket(s"key-$i".getBytes, n)) += 1
+    }
+    val expected = 80000 / n
+    counts.foreach(c => assert(math.abs(c - expected) < expected * 0.2,
+      s"unbalanced buckets: ${counts.mkString(",")}"))
+  }
+
+  // --- Serialization kernel -------------------------------------------------
+  test("scalar serialization: fixed-width big-endian wire format") {
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeLong(1L)) === "0000000000000001")
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeLong(-1L)) === "FFFFFFFFFFFFFFFF")
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeInt(258)) === "00000102")
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeString("abc")) === "616263")
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeDouble(1.0)) === "3FF0000000000000")
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeBoolean(true)) === "01")
+    assert(CqlValueCodec.serializeString(null).length === 0)
+  }
+
+  test("uuid serialization is 16 bytes msb-first") {
+    val u = java.util.UUID.fromString("00112233-4455-6677-8899-aabbccddeeff")
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeUuid(u)) ===
+      "00112233445566778899AABBCCDDEEFF")
+  }
+
+  test("collection serialization: protocol-v2 ushort-prefixed layout") {
+    val l = CqlValueCodec.serializeCollection(Seq("a".getBytes, "bc".getBytes))
+    assert(CqlValueCodec.toHex(l) === "00020001" + "61" + "0002" + "6263")
+    val empty = CqlValueCodec.serializeCollection(Nil)
+    assert(CqlValueCodec.toHex(empty) === "0000")
+  }
+
+  test("map serialization: ushort count + klen/k/vlen/v") {
+    val m = CqlValueCodec.serializeMap(Seq(("k".getBytes, "v1".getBytes)))
+    assert(CqlValueCodec.toHex(m) === "0001" + "0001" + "6B" + "0002" + "7631")
+  }
+
+  test("composite key layout: 2-byte len + bytes + 0x00 per component") {
+    val c = CqlValueCodec.composite(Array("ab".getBytes, "c".getBytes))
+    assert(CqlValueCodec.toHex(c) === "0002" + "6162" + "00" + "0001" + "63" + "00")
+  }
+
+  test("partitionKey: single index passes through raw, multi composes") {
+    val values = IndexedSeq("k1".getBytes, "k2".getBytes, "v".getBytes)
+    assert(CqlValueCodec.partitionKey(values, Array(0)) eq values(0))
+    val comp = CqlValueCodec.partitionKey(values, Array(0, 1))
+    assert(CqlValueCodec.toHex(comp) === "0002" + "6B31" + "00" + "0002" + "6B32" + "00")
+  }
+
+  // --- Legacy TSV parse -----------------------------------------------------
+  // Example/exception semantics mirror LegacyInputFormatTest.java:26-85.
+  test("legacy v1/v2/v3 lines parse") {
+    val v1 = LegacyLine.parse("HdfsToCassandra\t1\trk\tcn\tval", 999L)
+    assert(v1 === LegacyLine("rk", "cn", "val", 999L, 0L))
+    val v2 = LegacyLine.parse("HdfsToCassandra\t2\trk\tcn\t12345\tval", 999L)
+    assert(v2 === LegacyLine("rk", "cn", "val", 12345L, 0L))
+    val v3 = LegacyLine.parse("HdfsToCassandra\t3\trk\tcn\t12345\t600\tval", 999L)
+    assert(v3 === LegacyLine("rk", "cn", "val", 12345L, 600L))
+  }
+
+  test("legacy malformed rows throw with descriptive messages") {
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](LegacyLine.parse(s, 0L)).getMessage
+    assert(bad("WrongPrefix\t1\trk\tcn\tval").contains("HdfsToCassandra"))
+    assert(bad("HdfsToCassandra\t1\trk\tcn\tts\textra").contains("row format"))
+    assert(bad("HdfsToCassandra\t9\trk\tcn\tval").contains("version"))
+    intercept[IllegalArgumentException](LegacyLine.parse("HdfsToCassandra\t2\trk\tcn\tNaN\tval", 0L))
+  }
+
+  // --- Params ---------------------------------------------------------------
+  test("target URI grammar parses with defaults from cluster info") {
+    val info = StaticClusterInfo(numClusterNodes = 5)
+    val p = CassandraParams.parse(
+      "cql://seed.example.com:9042/ks/table?reducers=8&distributerandomly=true&streamthrottlembits=100",
+      info)
+    assert(p.keyspace === "ks" && p.columnFamily === "table")
+    assert(p.reducers === 8 && p.distributeRandomly)
+    assert(p.streamThrottleMBits === Some(100))
+    val defaulted = CassandraParams.parse("cql://h/ks/t", info)
+    assert(defaulted.reducers === 5) // defaults to cluster node count
+  }
+
+  test("query-string parse: bare key means true, '=' in value preserved") {
+    val q = CassandraParams.parseQuery("a=1&flag&b=x=y&")
+    assert(q === Map("a" -> "1", "flag" -> "true", "b" -> "x=y"))
+  }
+
+  test("insert statement synthesis") {
+    val p = CassandraParams.parse("cql://h/ks/t", StaticClusterInfo())
+    assert(p.buildInsertStatement(Seq("a", "b")) ===
+      "INSERT INTO ks.t (a, b) VALUES (?, ?) USING TIMESTAMP ? AND TTL ?")
+  }
+}
