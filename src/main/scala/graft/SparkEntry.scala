@@ -153,6 +153,103 @@ object SparkEntry {
       val o = s.read.parquet(t(dir, "orders")).filter(col("o_totalprice") > 300000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Events: hourly windowed aggregation (batch shape of the streaming
+    // ingest; ns timestamps read as long via the legacy conf)
+    "q9_events_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(t(dir, "events"))
+        .withColumn("hour_epoch", expr("ts div 3600000000000") * 3600)
+        .groupBy(col("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // P9 + G1/G2: partition-key bytes, token, ring bucket (no SQL oracle —
+    // token math is validated against Cassandra's known hashes in tests)
+    "p9_partition_key" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      o.select(col("o_orderkey"),
+        hex(cql_serialize(col("o_orderkey"))).as("pk_hex"),
+        cassandra_token(cql_serialize(col("o_orderkey"))).as("token"),
+        token_bucket(cassandra_token(cql_serialize(col("o_orderkey"))), 8).as("bucket"))
+    }),
+
+    // G1-G3: ring-aligned repartition + decorated-key sort (shape check:
+    // per-bucket row counts and token ranges; sortedness proven in tests)
+    "g1_ring_align" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val projected = CqlPipeline.toCql(o,
+        Projection(defaultTimestampMicros = DefaultWritetimeMicros))
+      CqlPipeline.alignToRing(projected, Seq("rowkey"), numBuckets = 8)
+        .groupBy(col("_bucket")).agg(count(lit(1)).as("n"),
+          min(col("_token")).as("min_token"), max(col("_token")).as("max_token"))
+    }),
+
+    // ------------------- LLM-data-pipeline operators -------------------
+
+    // Token counting + document fingerprinting
+    "text_tokens" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // Quality scoring (length/alpha/stopword priors)
+    "text_quality" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.TextAnalysis.withQuality(d, "text")
+        .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
+          col("stopword_ratio"), col("quality"))
+    }),
+
+    // Language ID heuristic
+    "text_langid" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.TextAnalysis.withLangId(d, "text")
+        .select(col("doc_id"), col("predicted_lang"), col("en_hits"), col("de_hits"))
+    }),
+
+    // Exact dedup: hash-groupBy on the content fingerprint over a doubled
+    // corpus (map-side combine collapses duplicates before the shuffle)
+    "dedup_exact" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Dedup.exactDupGroups(d.unionByName(d), "doc_id", "text")
+    }),
+
+    // MinHash + LSH near-dup pairs with exact-Jaccard verification
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, threshold = 0.8)
+    }),
+
+    // Blocked n-gram Jaccard pairs (blocking key = source)
+    "dedup_ngram" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", 0.5)
+    }),
+
+    // SimHash signatures
+    "dedup_simhash" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Dedup.withSimhash16(d, "doc_id", "text")
+    }),
+
+    // Brute-force cosine top-k similarity search (query side broadcast)
+    "embed_knn" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // Multimodal stub-decode features over an opaque binary column
+    "mm_features" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .withColumn("payload", col("text").cast(BinaryType))
+      graft.operators.Multimodal.stubFeatures(d, "doc_id", "payload")
     })
   )
 
@@ -272,6 +369,150 @@ object SparkEntry {
     "q8_not_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+
+    "q9_events_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(len(text), 1), 4) AS alpha_ratio,
+        |  round(len([x for x in string_split_regex(trim(text), '\s+')
+        |             if x in ('the','a','of','and','is','to','in')])
+        |        / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stopword_ratio,
+        |  round(least(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0) * 0.5
+        |        + (len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(len(text), 1)) * 0.3
+        |        + (len([x for x in string_split_regex(trim(text), '\s+')
+        |                if x in ('the','a','of','and','is','to','in')])
+        |           / greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 0.2, 4) AS quality
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh_chars,
+        |    len([x for x in string_split_regex(trim(text), '\s+')
+        |         if x in ('the','a','of','and','is','to','in')]) AS en,
+        |    len([x for x in string_split_regex(trim(text), '\s+')
+        |         if x in ('der','die','das','und','ist','nicht','ein')]) AS de,
+        |    len([x for x in string_split_regex(trim(text), '\s+')
+        |         if x in ('le','la','les','et','est','un','une')]) AS fr,
+        |    len([x for x in string_split_regex(trim(text), '\s+')
+        |         if x in ('el','los','las','es','y','una','para')]) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN zh_chars > 0 THEN 'zh'
+        |       WHEN de > en AND de >= fr AND de >= es THEN 'de'
+        |       WHEN fr > en AND fr >= es THEN 'fr'
+        |       WHEN es > en THEN 'es'
+        |       ELSE 'en' END AS predicted_lang,
+        |  CAST(en AS BIGINT) AS en_hits, CAST(de AS BIGINT) AS de_hits
+        |FROM f""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id, text FROM documents)
+        |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |       min(doc_id) AS survivor_id, count(*) AS n_copies
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val perms = (0 until 8).map(i =>
+        s"list_min([(${graft.operators.Dedup.MinhashA(i)}*h + " +
+          s"${graft.operators.Dedup.MinhashB(i)}) % ${graft.operators.Dedup.MinhashP} for h in hs])")
+        .mkString("[", ", ", "]")
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+        |    ELSE [] END AS shingles
+        |  FROM toks
+        |), mh AS (
+        |  SELECT doc_id, $perms AS sig
+        |  FROM (SELECT doc_id,
+        |          [CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) for s in shingles] AS hs
+        |        FROM sh WHERE len(shingles) > 0)
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    CAST(sig[CAST(2*b+1 AS INTEGER)] AS VARCHAR) || '_' ||
+        |    CAST(sig[CAST(2*b+2 AS INTEGER)] AS VARCHAR) AS band_sig
+        |  FROM mh, range(0, 4) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jac
+        |FROM cand
+        |JOIN sh sa ON sa.doc_id = doc_a
+        |JOIN sh sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8""".stripMargin
+    },
+
+    "dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)])
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jac
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) AS h FROM toks
+        |), votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(0, 16) t(b) GROUP BY doc_id, b
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash16
+        |FROM votes GROUP BY doc_id""".stripMargin,
+
+    "embed_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |         round(list_dot_product(q_vec, c_vec) /
+        |               (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))), 4) AS sim
+        |  FROM c, q
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS byte_len,
+        |       sha256(text) AS sha256,
+        |       CAST(64 + strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1 AS INTEGER) AS width,
+        |       CAST(64 + strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1 AS INTEGER) AS height,
+        |       CAST(1 + CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) % 16 AS INTEGER) AS frames
+        |FROM documents""".stripMargin
   )
 }

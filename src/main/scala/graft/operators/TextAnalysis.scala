@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, document fingerprinting, quality scoring, language ID. All are
+ * pure Catalyst column expressions — codegen'd, no UDFs, no shuffle — so a
+ * 100 TB corpus pays only the scan plus per-row compute.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the BPE-ish regex split baseline). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /**
+   * Document fingerprint: md5 of the whitespace-normalized, lower-cased
+   * text. Deterministic, engine-independent — the exact-dedup key.
+   */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** English-ish stopwords shared by quality scoring and language ID. */
+  val EnStopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+  val DeStopwords = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val FrStopwords = Seq("le", "la", "les", "et", "est", "un", "une")
+  val EsStopwords = Seq("el", "los", "las", "es", "y", "una", "para")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isin(words.map(lit): _*)))
+
+  /**
+   * Quality features + a composite score in [0,1]:
+   *   0.5 * min(1, n_tokens/100) + 0.3 * alpha_ratio + 0.2 * stopword_ratio
+   * (length prior, alphabetic-character ratio, stopword-density prior —
+   * the standard cheap heuristics a pretraining filter runs first.)
+   */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val alphaRatio = length(regexp_replace(text, "[^A-Za-z]", "")) /
+      greatest(length(text), lit(1))
+    val stopRatio = hits(toks, EnStopwords) / greatest(nTokens, lit(1))
+    df.withColumn("n_tokens", nTokens.cast(LongType))
+      .withColumn("alpha_ratio", round(alphaRatio, 4))
+      .withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn("quality",
+        round(least(lit(1.0), nTokens / lit(100.0)) * 0.5 +
+          alphaRatio * 0.3 + stopRatio * 0.2, 4))
+  }
+
+  /**
+   * Language ID: CJK character presence, then per-language stopword-hit
+   * majority with a fixed precedence (zh > de > fr > es > en). A simple
+   * n-gram/stopword heuristic — cheap enough to run on every document of
+   * a 100 TB corpus in the scan stage.
+   */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val zhChars = length(regexp_replace(text, "[^一-鿿]", ""))
+    val en = hits(toks, EnStopwords)
+    val de = hits(toks, DeStopwords)
+    val fr = hits(toks, FrStopwords)
+    val es = hits(toks, EsStopwords)
+    df.withColumn("predicted_lang",
+      when(zhChars > 0, "zh")
+        .when(de > en && de >= fr && de >= es, "de")
+        .when(fr > en && fr >= es, "fr")
+        .when(es > en, "es")
+        .otherwise("en"))
+      .withColumn("en_hits", en.cast(LongType))
+      .withColumn("de_hits", de.cast(LongType))
+  }
+}
