@@ -1,0 +1,100 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{CassandraParams, ClusterInfo, StaticClusterInfo}
+import graft.operators.CqlPipeline
+import graft.operators.CqlPipeline.Projection
+import graft.sinks.BulkSink
+import graft.sources.AvroSource
+
+/**
+ * CLI with the reference's flag + target-URI grammar
+ * (Hdfs2Cass.java:67-94, README.md:54-96):
+ *
+ *   Hdfs2CassSpark --input PATH [--input PATH ...]
+ *                  --output cql://host:port/keyspace/table?reducers=N&...
+ *                  [--rowkey FIELD] [--timestamp FIELD] [--ttl FIELD]
+ *                  [--ignore FIELD ...]
+ *                  [--format avro|parquet] [--sink-dir LOCALDIR]
+ *
+ * Offline, the sink writes sorted SSTable-style runs under --sink-dir
+ * (directory mode); a live SSTableLoader-equivalent would hang off the same
+ * manifests. `--format parquet` is the Spark-native extension (the
+ * reference is Avro-only).
+ */
+object Hdfs2CassSpark {
+
+  final case class Args(
+      inputs: Seq[String] = Nil,
+      output: String = "",
+      rowkey: Option[String] = None,
+      timestamp: Option[String] = None,
+      ttl: Option[String] = None,
+      ignore: Seq[String] = Nil,
+      format: String = "parquet",
+      sinkDir: String = "")
+
+  def parseArgs(argv: Seq[String]): Args = {
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--input" :: v :: t     => loop(t, acc.copy(inputs = acc.inputs :+ v))
+      case "--output" :: v :: t    => loop(t, acc.copy(output = v))
+      case "--rowkey" :: v :: t    => loop(t, acc.copy(rowkey = Some(v)))
+      case "--timestamp" :: v :: t => loop(t, acc.copy(timestamp = Some(v)))
+      case "--ttl" :: v :: t       => loop(t, acc.copy(ttl = Some(v)))
+      case "--ignore" :: v :: t    => loop(t, acc.copy(ignore = acc.ignore :+ v))
+      case "--format" :: v :: t    => loop(t, acc.copy(format = v))
+      case "--sink-dir" :: v :: t  => loop(t, acc.copy(sinkDir = v))
+      case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val a = loop(argv.toList, Args())
+    require(a.inputs.nonEmpty, "--input is required")
+    require(a.output.nonEmpty, "--output is required")
+    require(a.sinkDir.nonEmpty, "--sink-dir is required in offline directory mode")
+    a
+  }
+
+  def run(spark: SparkSession, args: Args,
+      clusterInfo: ClusterInfo = StaticClusterInfo()): Seq[BulkSink.PartitionManifest] = {
+    val params = CassandraParams.parse(args.output, clusterInfo)
+    val input: DataFrame = args.format match {
+      case "avro"    => AvroSource.read(spark, args.inputs)
+      case "parquet" => spark.read.parquet(args.inputs: _*)
+      case other     => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+    val projected = CqlPipeline.toCql(input, Projection(
+      rowkey = args.rowkey,
+      timestampField = args.timestamp,
+      ttlField = args.ttl,
+      ignore = args.ignore,
+      defaultTimestampMicros = System.currentTimeMillis() * 1000L))
+    if (params.distributeRandomly) {
+      // escape hatch: random balance, unsorted runs are rejected by the
+      // sorted writer, so route through a plain parquet spill instead
+      CqlPipeline.distributeRandomly(projected, params.reducers)
+        .write.mode("overwrite").parquet(s"${args.sinkDir}/random")
+      Nil
+    } else {
+      BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir)
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toSeq)
+    val builder = SparkSession.builder()
+      .appName("Hdfs2CassSpark")
+      .config("spark.sql.session.timeZone", "UTC")
+    // under spark-submit the master comes from the launcher; standalone
+    // invocations (tests, local runs) fall back to all local cores
+    val spark = sys.props.get("spark.master")
+      .orElse(sys.env.get("SPARK_MASTER"))
+      .map(_ => builder).getOrElse(builder.master("local[*]"))
+      .getOrCreate()
+    try {
+      val manifests = run(spark, args)
+      println(s"bulk load complete: ${manifests.map(_.rows).sum} rows in " +
+        s"${manifests.length} token-range partitions under ${args.sinkDir}")
+    } finally spark.stop()
+  }
+}

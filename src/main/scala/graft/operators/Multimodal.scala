@@ -36,7 +36,7 @@ object Multimodal {
    * A real decoder replaces exactly this class.
    */
   final class StubDecoder extends MediaDecoder {
-    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    @transient private lazy val md = java.security.MessageDigest.getInstance("SHA-256")
     override def decode(payload: Array[Byte]): MediaMeta = {
       md.reset()
       val dig = md.digest(payload)

@@ -1,0 +1,98 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.GenericRecord
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.AvroKeyInputFormat
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Avro container-file scan (the reference's S1 input path,
+ * Hdfs2Cass.java:107-108,135-144) built on avro-mapred's
+ * AvroKeyInputFormat — no spark-avro connector needed. Multiple paths are
+ * read as one collection (U1 union semantics; schemas must match).
+ *
+ * Scale notes: AvroKeyInputFormat splits on container-file sync markers,
+ * so large files parallelize across executors like any Hadoop input. The
+ * GenericRecord -> Row conversion is per-partition streaming (no
+ * collect); for analytics-heavy pipelines convert to parquet once and let
+ * the vectorized reader take over — this scan is the ingest edge.
+ */
+object AvroSource {
+
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "at least one input path required")
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      paths.mkString(","),
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable])
+    // schema from the first record (the reference resolves positions from
+    // the first record seen too, AvroToCQL.java:58-60)
+    val firstSchema = rdd.map(_._1.datum().getSchema.toString).first()
+    val structType = toStructType(new Schema.Parser().parse(firstSchema))
+    val rows = rdd.mapPartitions { it =>
+      it.map { case (k, _) => toRow(k.datum()) }
+    }
+    spark.createDataFrame(rows, structType)
+  }
+
+  /** Avro schema -> Spark StructType (the §1.3 type table). */
+  def toStructType(schema: Schema): StructType =
+    StructType(schema.getFields.asScala.map { f =>
+      StructField(f.name(), toDataType(f.schema()), nullable = true)
+    }.toSeq)
+
+  def toDataType(s: Schema): DataType = s.getType match {
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.ARRAY   => ArrayType(toDataType(s.getElementType))
+    case Schema.Type.MAP     => MapType(StringType, toDataType(s.getValueType))
+    case Schema.Type.RECORD  => StructType(s.getFields.asScala.map(f =>
+      StructField(f.name(), toDataType(f.schema()), nullable = true)).toSeq)
+    case Schema.Type.UNION =>
+      // nullable union [null, T] -> T; anything else unsupported
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"unsupported union: $s")
+      toDataType(nonNull.head)
+    case Schema.Type.ENUM    => StringType
+    case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
+  }
+
+  private[sources] def toRow(rec: GenericRecord): Row = {
+    val schema = rec.getSchema
+    Row.fromSeq(schema.getFields.asScala.map(f =>
+      convert(rec.get(f.pos()), f.schema())).toSeq)
+  }
+
+  private def convert(v: Any, s: Schema): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case r: GenericRecord => toRow(r)
+    case a: java.util.Collection[_] =>
+      val elem = nonNullSchema(s).getElementType
+      a.asScala.map(convert(_, elem)).toSeq
+    case m: java.util.Map[_, _] =>
+      val vs = nonNullSchema(s).getValueType
+      m.asScala.map { case (k, value) => k.toString -> convert(value, vs) }.toMap
+    case bb: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+    case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+    case other => other // primitives pass through
+  }
+
+  private def nonNullSchema(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.CqlPipeline
+import graft.operators.CqlPipeline.Projection
+import graft.sinks.BulkSink
+
+/**
+ * Structured-Streaming ingest: the reference is batch-only (its "streaming"
+ * is SSTable file transfer, CrunchCqlBulkRecordWriter.java:153-181); this is
+ * the north-star extension — a continuous ingest of the `events` table into
+ * the same ring-aligned bulk-load spine.
+ *
+ * Dataflow: readStream(parquet) -> watermarked tumbling-window aggregation
+ * -> foreachBatch -> CQL projection -> BulkSink.writeSorted. Each
+ * micro-batch becomes one sorted bulk load — exactly how a real cluster
+ * ingests a firehose without write-path compaction pressure. State is
+ * bounded by the watermark; the bulk-load stage is stateless per batch.
+ */
+object EventsIngest {
+
+  /** Schema of the events stream (ts kept as epoch-nanos long — the
+    * testdata parquet carries TIMESTAMP(NANOS), which Spark reads as long
+    * under the legacy conf; a production source would be Kafka/json). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Windowed per-type aggregation with a watermark for bounded state. */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val withTime = events.withColumn("event_time",
+      timestamp_micros(expr("ts div 1000")))
+    withTime
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /**
+   * Run the full ingest over a parquet directory as a bounded stream
+   * (Trigger.AvailableNow): every micro-batch of aggregates is bulk-loaded
+   * as sorted runs under `outDir/batch=<id>`. Returns the finished query.
+   */
+  def ingestOnce(spark: SparkSession, eventsDir: String, outDir: String,
+      numBuckets: Int = 4): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val agg = windowedCounts(stream)
+    // "complete" so a bounded AvailableNow run emits every window (append
+    // would hold back windows the watermark never passes before the stream
+    // ends); a 24/7 ingest would use update/append with the same dataflow.
+    val query = agg.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val keyed = batch.withColumn("rowkey",
+            concat_ws("|", col("event_type"), col("window_start").cast(StringType)))
+          val projected = CqlPipeline.toCql(keyed, Projection(
+            rowkey = Some("rowkey"),
+            defaultTimestampMicros = batchId)) // batch id as writetime: idempotent re-loads
+          BulkSink.writeSorted(projected, Seq("rowkey"), numBuckets,
+            s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    query
+  }
+}

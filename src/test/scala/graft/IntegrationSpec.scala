@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.StaticClusterInfo
+import graft.cli.Hdfs2CassSpark
+import graft.sources.AvroSource
+import graft.streaming.EventsIngest
+
+/** End-to-end specs: Avro scan, CLI, streaming ingest, DSL. */
+class IntegrationSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("AvroSource reads container files written with avro core") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // the README example schema (SongStream)
+    val schema: Schema = SchemaBuilder.record("SongStream").fields()
+      .requiredString("user_id").requiredInt("timestamp").requiredInt("song_id")
+      .endRecord()
+    val dir = Files.createTempDirectory("graft-avro").toFile
+    val f = new java.io.File(dir, "part-0.avro")
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, f)
+    (0 until 100).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("user_id", s"user-${i % 10}")
+      r.put("timestamp", 1000 + i)
+      r.put("song_id", i)
+      writer.append(r)
+    }
+    writer.close()
+
+    val df = AvroSource.read(spark, Seq(f.getAbsolutePath))
+    assert(df.schema.fieldNames.toSeq === Seq("user_id", "timestamp", "song_id"))
+    assert(df.count() === 100)
+    assert(df.filter(col("user_id") === "user-3").count() === 10)
+    // multi-path union semantics (U1)
+    val both = AvroSource.read(spark, Seq(f.getAbsolutePath, f.getAbsolutePath))
+    assert(both.count() === 200)
+  }
+
+  test("CLI end-to-end: parquet input to sorted directory-mode bulk load") {
+    val out = Files.createTempDirectory("graft-cli").toString
+    val args = Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://localhost/ks/orders?reducers=4",
+      "--rowkey", "o_orderkey",
+      "--ignore", "o_orderpriority",
+      "--sink-dir", out))
+    val manifests = Hdfs2CassSpark.run(spark, args, StaticClusterInfo())
+    assert(manifests.length === 4)
+    assert(manifests.map(_.rows).sum === 1500)
+    assert(new java.io.File(out, "_MANIFEST.json").exists())
+  }
+
+  test("CLI arg validation") {
+    intercept[IllegalArgumentException](Hdfs2CassSpark.parseArgs(Seq("--input", "x")))
+    intercept[IllegalArgumentException](
+      Hdfs2CassSpark.parseArgs(Seq("--bogus", "x")))
+  }
+
+  test("streaming ingest: events stream to per-batch sorted bulk loads") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    // the streaming file source wants a directory of files
+    val inDir = Files.createTempDirectory("graft-stream-in")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"))
+    EventsIngest.ingestOnce(spark, inDir.toString, out)
+    val batches = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch="))
+    assert(batches.nonEmpty, "no micro-batch output written")
+    val manifest = new java.io.File(batches.head, "_MANIFEST.json")
+    assert(manifest.exists())
+    val json = new String(Files.readAllBytes(manifest.toPath))
+    assert(json.contains("\"sorted\":true"))
+  }
+
+  test("DSL extension methods compose the pipeline") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cql = df.toCqlByFieldNames("o_orderkey", ignore = Seq("o_orderdate"))
+    assert(cql.columns.head === "rowkey")
+    val aligned = df.toCqlByConvention.alignToRing(Seq("rowkey"), 4)
+    assert(aligned.rdd.getNumPartitions === 4)
+    val out = Files.createTempDirectory("graft-dsl").toString
+    val manifests = cql.bulkLoadSorted(Seq("rowkey"), 2, out)
+    assert(manifests.map(_.rows).sum === 1500)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavior specs for the LLM-pipeline operators on planted fixtures. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("exact dedup groups identical normalized texts") {
+    val df = docs(
+      1L -> "Hello  world   foo", 2L -> "hello world foo", 3L -> "different text here")
+    val groups = Dedup.exactDupGroups(df, "doc_id", "text").collect()
+    assert(groups.length === 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("survivor_id") === 1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips distinct docs") {
+    val nearDup = base.replace("delta", "DELTA") // 3 shingles differ out of 18
+    val unrelated = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // exact duplicate pair (1,4) must surface with jac 1.0
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 4 && p._3 == 1.0))
+    // near-dup (1,2): jaccard = 12/24 = 0.5 (3-shingle window around one
+    // changed token out of 20 kills 3 shingles each side)
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2))
+    // unrelated doc never pairs
+    assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
+  }
+
+  test("LSH candidates match brute-force pairs at high threshold") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs (no blocking) at the same threshold
+    val withSh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val bf = withSh.alias("a").join(withSh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("jac", col("inter").cast("double") / (col("a.n") + col("b.n") - col("inter")))
+      .filter(col("jac") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 4 bands x 2 rows has >99.9% recall at jac >= 0.9; on this
+    // corpus it must find every brute-force pair (and no false positives
+    // survive verification)
+    assert(lsh === bf, s"lsh=$lsh bf=$bf")
+  }
+
+  test("simhash: near-identical docs collide, unrelated docs differ") {
+    val df = docs(
+      1L -> base, 2L -> base,
+      3L -> "one two three four five six seven eight nine ten")
+    val sig = Dedup.withSimhash16(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+    assert(sig.values.forall(s => s >= 0 && s < 65536))
+  }
+
+  test("ngram jaccard pairs respect the blocking column") {
+    val df = Seq(
+      (1L, base, "s1"), (2L, base, "s1"),   // same block, dup
+      (3L, base, "s2")                      // dup but different block
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("brute-force knn returns k ranked neighbors; self excluded by id split") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val knn = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 3),
+      "vec_id", "embedding", k = 4).collect()
+    assert(knn.length === 12)
+    knn.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sorted.reverse.toSeq === sims.toSeq) // rank order = sim desc
+    }
+  }
+
+  test("lsh topk candidates are a subset of brute-force with decent recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    val lsh = Similarity.lshTopK(q, c, "vec_id", "embedding", dim = 64, k = 1, planes = 4)
+      .collect()
+    // every query lands in some bucket; with 4 planes most buckets non-empty
+    assert(lsh.length >= 10, s"got ${lsh.length} of 20 queries answered")
+    // returned sims must match the exact cosine of that pair
+    val bf = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      assert(bf((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+  }
+
+  test("language ID spots real multilingual text") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and it is a cat"),
+      (2L, "der Hund und die Katze ist ein Tier nicht das"),
+      (3L, "le chat et la maison est un endroit les arbres"),
+      (4L, "el perro y los gatos es una casa para todos"),
+      (5L, "这是一个中文句子 with some latin")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
+  }
+
+  test("quality score rewards long alphabetic stopword-bearing text") {
+    val df = Seq(
+      (1L, ("the quick brown fox of a lazy dog and it is fine " * 10).trim),
+      (2L, "@@@@ #### 1234 $$$$")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.withQuality(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) > 0.7 && q(2L) < 0.2)
+  }
+
+  test("multimodal decode: mapPartitions stub agrees with the expression path") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("payload", col("text").cast("binary"))
+    val viaPartitions = Multimodal.decodeAssets(df, "doc_id", "payload")
+      .collect().map(d => d.id -> d.meta).toMap
+    val viaExpr = Multimodal.stubFeatures(df, "doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("byte_len"), r.getAs[String]("sha256"),
+          r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("frames")))).toMap
+    assert(viaPartitions.size === viaExpr.size)
+    viaPartitions.foreach { case (id, m) =>
+      val (len, sha, w, h, f) = viaExpr(id)
+      assert(m.byteLen === len && m.sha256 === sha)
+      assert(m.width === w && m.height === h && m.frames === f)
+    }
+  }
+}
