@@ -250,6 +250,43 @@ object SparkEntry {
       val d = s.read.parquet(t(dir, "documents"))
         .withColumn("payload", col("text").cast(BinaryType))
       graft.operators.Multimodal.stubFeatures(d, "doc_id", "payload")
+    }),
+
+    // Set op: INTERSECT (distinct semantics)
+    "q10_intersect" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 250000).select(col("o_custkey"))
+      val c = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      o.intersect(c)
+    }),
+
+    // Set op: EXCEPT (distinct semantics)
+    "q11_except" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders")).select(col("o_custkey"))
+      val c = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      o.except(c)
+    }),
+
+    // LSH-bucketed ANN (scale path; recall < 1 by construction, so no SQL
+    // oracle — exactness of returned sims is proven against brute force in
+    // OperatorsSpec)
+    "embed_lsh_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      graft.operators.Similarity.lshTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
+    // mapPartitions batched decode path (the real multimodal plumbing;
+    // equality with the expression path is proven in OperatorsSpec)
+    "mm_decode" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .withColumn("payload", col("text").cast(BinaryType))
+      graft.operators.Multimodal.decodeAssets(d, "doc_id", "payload")
+        .toDF().select(col("id"), col("meta.byteLen").as("byte_len"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
     })
   )
 
@@ -505,6 +542,16 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q10_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q11_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id,

@@ -89,10 +89,11 @@ object Dedup {
     val withSh = df
       .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("hs", shingleHashes(col("sh"))) // md5 once, cached
       .persist()
 
     val withSig = withSh
-      .withColumn("sig", minhashSignature(shingleHashes(col("sh")), k))
+      .withColumn("sig", minhashSignature(col("hs"), k))
 
     // bands carry ONLY (doc_id, band_id, band_sig) through the shuffle —
     // the shingle arrays would otherwise be duplicated `bands` times.

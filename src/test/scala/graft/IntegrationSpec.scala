@@ -80,6 +80,20 @@ class IntegrationSpec extends AnyFunSuite {
     assert(json.contains("\"sorted\":true"))
   }
 
+  test("LegacySource reads TSV line files") {
+    val dir = Files.createTempDirectory("graft-legacy")
+    Files.write(dir.resolve("part-0.txt"),
+      ("HdfsToCassandra\t1\trk1\tc1\tv1\n" +
+        "HdfsToCassandra\t2\trk2\tc2\t123\tv2\n" +
+        "HdfsToCassandra\t3\trk3\tc3\t456\t600\tv3\n").getBytes)
+    val df = graft.sources.LegacySource.read(spark, Seq(dir.toString), 999L)
+    val rows = df.orderBy("rowkey").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getString(0) === "rk1" && rows(0).getLong(3) === 999L)
+    assert(rows(1).getLong(3) === 123L && rows(1).getLong(4) === 0L)
+    assert(rows(2).getLong(4) === 600L)
+  }
+
   test("DSL extension methods compose the pipeline") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val cql = df.toCqlByFieldNames("o_orderkey", ignore = Seq("o_orderdate"))

@@ -1,0 +1,31 @@
+package graft
+import org.scalatest.funsuite.AnyFunSuite
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = "/root/testdata/sf0.01"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("s1: filter and projection pushed to parquet scan") {
+    val p = plan("s1_scan_project")
+    println(p.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema")).mkString("\n"))
+    assert(p.contains("PushedFilters: ["))
+    assert(!p.contains("PushedFilters: []"))
+  }
+  test("q3: dimension join is broadcast") {
+    val p = plan("q3_join_topk")
+    println(p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+  test("q1: partial aggregation before exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("Exchange"))
+  }
+  test("whole-stage codegen active in scan queries") {
+    val df = SparkEntry.queries("p1_cql_projection")(spark, sf)
+    df.count() // materialize AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
+  }
+}
