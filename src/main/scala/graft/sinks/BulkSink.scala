@@ -88,47 +88,20 @@ object BulkSink {
     manifests
   }
 
-  /** Append-only sorted-run writer; enforces the sorted-input contract. */
+  /** Append-only sorted-run writer; enforces the sorted-input contract
+    * (the .sorted() writer requirement — the reference's newRow-on-key-
+    * change would corrupt on unsorted input). */
   private def writePartition(outDir: String, pid: Int,
       it: Iterator[((Long, Array[Byte]), Array[Byte])],
       indexInterval: Int): PartitionManifest = {
-    val dataName = f"graft-$pid%05d-Data.db"
-    val indexName = f"graft-$pid%05d-Index.db"
-    val dataFile = new File(outDir, dataName)
-    val indexFile = new File(outDir, indexName)
-    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(dataFile), 1 << 16))
-    val idx = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(indexFile), 1 << 14))
-    var rows = 0L
-    var offset = 0L
-    var minToken = Long.MaxValue
-    var maxToken = Long.MinValue
-    var prevToken = Long.MinValue
-    var prevKey: Array[Byte] = null
+    val writer = new SortedRunWriter(outDir, pid, indexInterval)
     try {
       while (it.hasNext) {
         val ((token, key), value) = it.next()
-        // sorted-input contract (the .sorted() writer requirement): fail fast
-        // like the reference's newRow-on-key-change would corrupt otherwise.
-        if (prevKey != null &&
-            CassandraTokens.compareDecorated(prevToken, prevKey, token, key) > 0)
-          throw new IllegalStateException(
-            s"partition $pid input not in decorated-key order at row $rows")
-        if (rows % indexInterval == 0) {
-          idx.writeLong(token); idx.writeLong(offset)
-        }
-        out.writeShort(key.length)
-        out.write(key)
-        out.writeInt(value.length)
-        out.write(value)
-        offset += 2 + key.length + 4 + value.length
-        if (token < minToken) minToken = token
-        if (token > maxToken) maxToken = token
-        prevToken = token; prevKey = key
-        rows += 1
+        writer.add(token, key, value)
       }
-    } finally { out.close(); idx.close() }
-    PartitionManifest(pid, rows, offset, minToken, maxToken, sorted = true,
-      dataName, indexName)
+      writer.close()
+    } catch { case e: Throwable => writer.abort(); throw e }
   }
 
   /** Length-prefixed concatenation of all serialized column values. */

@@ -1,0 +1,180 @@
+package graft.sinks.v2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.CqlValueCodec
+import graft.sinks.{BulkSink, SortedRunWriter}
+
+/**
+ * DataSource V2 bulk sink ("graft-bulk"): the reference's shuffle+sort
+ * contract (G1-G3) expressed the idiomatic Spark way — the WRITER declares
+ * what it needs via RequiresDistributionAndOrdering (clustered on the ring
+ * bucket, ordered by decorated key) and Catalyst plans the exchange and
+ * sort; no caller-side repartition needed:
+ *
+ *   df.withColumn("_pk", partition_key(...))
+ *     .withColumn("_token", cassandra_token($"_pk"))
+ *     .withColumn("_bucket", token_bucket($"_token", n))
+ *     .write.format("graft-bulk")
+ *     .option("path", dir).option("buckets", n).save()
+ *
+ * Each task writes an append-only sorted run; commit() assembles the
+ * global _MANIFEST.json; abort()/failed tasks delete their partial files.
+ * Speculative-execution double-writes are prevented by the commit
+ * coordinator (useCommitCoordinator default true).
+ */
+class GraftBulkProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-bulk"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType() // write-only source: schema comes from the query
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftBulkTable(schema)
+}
+
+final class GraftBulkTable(writeSchema: StructType) extends Table with SupportsWrite {
+  override def name(): String = "graft-bulk"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftBulkWriteBuilder(info)
+}
+
+final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this // overwrite = rewrite the dir
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    private val options = info.options()
+    private val path = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft-bulk requires option 'path'"))
+    private val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
+    private val schema = info.schema()
+    require(schema.fieldNames.contains("_pk") && schema.fieldNames.contains("_token") &&
+      schema.fieldNames.contains("_bucket"),
+      "graft-bulk input needs _pk/_token/_bucket columns " +
+        "(use graft.functions.partition_key/cassandra_token/token_bucket)")
+
+    // G1/G2: cluster rows by ring bucket (each bucket fully inside one task)
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.column("_bucket")))
+    override def requiredNumPartitions(): Int = buckets
+    // G3: decorated-key order inside every task
+    override def requiredOrdering(): Array[SortOrder] = Array(
+      Expressions.sort(Expressions.column("_token"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("_pk"), SortDirection.ASCENDING))
+
+    override def toBatch: BatchWrite = new GraftBulkBatchWrite(path, schema)
+  }
+}
+
+final case class ManifestMessage(json: String) extends WriterCommitMessage
+
+final class GraftBulkBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    new GraftBulkWriterFactory(path, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val json = messages.collect { case ManifestMessage(j) if j.nonEmpty => j }
+      .mkString("[", ",", "]")
+    Files.write(Paths.get(path, "_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftBulkWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftBulkDataWriter(path, partitionId, schema)
+}
+
+/**
+ * Per-task sorted-run writer over InternalRow (no Row conversion — reads
+ * Tungsten values directly). Aux columns (_pk/_token/_bucket) route; all
+ * other columns serialize into the value payload with the CQL wire codec.
+ */
+final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType)
+    extends DataWriter[InternalRow] {
+
+  private val pkIdx = schema.fieldIndex("_pk")
+  private val tokenIdx = schema.fieldIndex("_token")
+  private val aux = Set(pkIdx, tokenIdx, schema.fieldIndex("_bucket"))
+  private val valueFields: Array[(Int, DataType)] = schema.fields.zipWithIndex
+    .collect { case (f, i) if !aux.contains(i) => (i, f.dataType) }
+
+  private val writer = new SortedRunWriter(path, pid)
+
+  override def write(row: InternalRow): Unit = {
+    val pk = row.getBinary(pkIdx)
+    val token = row.getLong(tokenIdx)
+    writer.add(token, pk, encodeValues(row))
+  }
+
+  private def encodeValues(row: InternalRow): Array[Byte] = {
+    val parts = new Array[Array[Byte]](valueFields.length)
+    var total = 0
+    var i = 0
+    while (i < valueFields.length) {
+      val (idx, dt) = valueFields(i)
+      parts(i) = if (row.isNullAt(idx)) CqlValueCodec.Empty else serialize(row, idx, dt)
+      total += 4 + parts(i).length
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(total)
+    i = 0
+    while (i < valueFields.length) { bb.putInt(parts(i).length); bb.put(parts(i)); i += 1 }
+    bb.array()
+  }
+
+  private def serialize(row: InternalRow, i: Int, dt: DataType): Array[Byte] = dt match {
+    case StringType    => CqlValueCodec.serializeString(row.getUTF8String(i).toString)
+    case LongType      => CqlValueCodec.serializeLong(row.getLong(i))
+    case IntegerType   => CqlValueCodec.serializeInt(row.getInt(i))
+    case ShortType     => CqlValueCodec.serializeShort(row.getShort(i))
+    case DoubleType    => CqlValueCodec.serializeDouble(row.getDouble(i))
+    case FloatType     => CqlValueCodec.serializeFloat(row.getFloat(i))
+    case BooleanType   => CqlValueCodec.serializeBoolean(row.getBoolean(i))
+    case BinaryType    => row.getBinary(i)
+    case TimestampType | TimestampNTZType =>
+      CqlValueCodec.serializeLong(row.getLong(i) / 1000L) // micros -> millis
+    case DateType      => CqlValueCodec.serializeInt(row.getInt(i))
+    case other => throw new IllegalArgumentException(
+      s"graft-bulk cannot serialize type $other (pre-serialize to binary)")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val m = writer.close()
+    if (m.rows == 0) {
+      // drop empty run files, keep the manifest clean
+      new java.io.File(path, m.dataFile).delete()
+      new java.io.File(path, m.indexFile).delete()
+      ManifestMessage("")
+    } else ManifestMessage(
+      s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
+        s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":true,""" +
+        s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}"}""")
+  }
+
+  override def abort(): Unit = writer.abort()
+  override def close(): Unit = ()
+}

@@ -147,4 +147,26 @@ class OperatorsSpec extends AnyFunSuite {
       assert(m.width === w && m.height === h && m.frames === f)
     }
   }
+
+  test("salted join matches plain join results") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = o.join(c, Seq("o_custkey")).select("o_orderkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = graft.operators.Skew.saltedJoin(o, c, "o_custkey", factor = 4)
+      .select("o_orderkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted === plain)
+  }
+
+  test("salted aggregation matches plain aggregation") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plain = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2)))).toSet
+    val salted = graft.operators.Skew.saltedCountSum(o, Seq("o_orderstatus"), "o_totalprice", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2)))).toSet
+    assert(salted === plain)
+  }
 }
