@@ -287,6 +287,39 @@ object SparkEntry {
       graft.operators.Multimodal.decodeAssets(d, "doc_id", "payload")
         .toDF().select(col("id"), col("meta.byteLen").as("byte_len"),
           col("meta.width").as("width"), col("meta.height").as("height"))
+    }),
+
+    // Semi-structured: JSON property extraction + aggregation
+    "q12_json_props" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(t(dir, "events"))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+    }),
+
+    // P1 with a per-record writetime override (the --timestamp flag path):
+    // field value wins, plan-time default fills nulls
+    "p1_ts_override" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+        .withColumn("event_micros",
+          when(col("o_orderkey") % 5 === 0, lit(null).cast(LongType))
+            .otherwise(unix_micros(col("o_orderdate").cast(TimestampType))))
+      CqlPipeline.toCql(o, Projection(
+        timestampField = Some("event_micros"),
+        ttlField = None,
+        ignore = Seq("o_orderstatus", "o_orderpriority"),
+        defaultTimestampMicros = DefaultWritetimeMicros))
+    }),
+
+    // approx_count_distinct (HLL++): sketch values are engine-specific, so
+    // no SQL oracle — the error bound vs exact is asserted in QuerySpec
+    "q13_approx_distinct" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
     })
   )
 
@@ -552,6 +585,20 @@ object SparkEntry {
       """SELECT o_custkey FROM orders
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q12_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "p1_ts_override" ->
+      s"""SELECT o_orderkey AS rowkey, o_orderkey, o_custkey, o_totalprice,
+         |       o_orderdate,
+         |       CASE WHEN o_orderkey % 5 = 0 THEN CAST($DefaultWritetimeMicros AS BIGINT)
+         |            ELSE epoch_us(o_orderdate) END AS writetime,
+         |       CAST(0 AS INTEGER) AS ttl
+         |FROM orders""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id,

@@ -54,10 +54,10 @@ object Similarity {
    */
   def signBucket(vec: Column, dim: Int, planes: Int = 8): Column = {
     val bits = (0 until planes).map { p =>
-      val s = (0 until dim).map { cIdx =>
-        val sign = if (planeComponent(p, cIdx) > 0) 1.0 else -1.0
-        element_at(vec, cIdx + 1).cast(DoubleType) * lit(sign)
-      }.reduce(_ + _)
+      val plane = (0 until dim).map(c => planeComponent(p, c).toDouble)
+      // one zip_with/aggregate pass per plane beats a dim-wide expression
+      // tree of element_at terms (O(dim) vs O(dim^2) positional lookups)
+      val s = dot(vec, typedlit(plane))
       when(s > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).cast(LongType)

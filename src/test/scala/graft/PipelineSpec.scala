@@ -151,6 +151,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct within HLL++ error of exact") {
+    val rows = SparkEntry.queries("q13_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx too far from exact $exact")
+    }
+  }
+
   test("oracle keys are a subset of query keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
