@@ -63,12 +63,22 @@ object Hdfs2CassSpark {
       case "parquet" => spark.read.parquet(args.inputs: _*)
       case other     => throw new IllegalArgumentException(s"unknown format: $other")
     }
-    val projected = CqlPipeline.toCql(input, Projection(
+    val base = CqlPipeline.toCql(input, Projection(
       rowkey = args.rowkey,
       timestampField = args.timestamp,
       ttlField = args.ttl,
       ignore = args.ignore,
       defaultTimestampMicros = System.currentTimeMillis() * 1000L))
+    // columnnames= URI param reorders the value list to match the target
+    // table's prepared statement (CassandraParams.java:88-94, README.md:89)
+    val projected = params.columnNames match {
+      case Some(names) =>
+        val missing = names.filterNot(base.columns.contains)
+        require(missing.isEmpty, s"columnnames not in input: ${missing.mkString(",")}")
+        base.select((("rowkey" +: names) :+ "writetime" :+ "ttl")
+          .distinct.map(org.apache.spark.sql.functions.col): _*)
+      case None => base
+    }
     if (params.distributeRandomly) {
       // escape hatch: random balance, unsorted runs are rejected by the
       // sorted writer, so route through a plain parquet spill instead

@@ -59,6 +59,16 @@ class IntegrationSpec extends AnyFunSuite {
     assert(new java.io.File(out, "_MANIFEST.json").exists())
   }
 
+  test("CLI honors columnnames= ordering from the target URI") {
+    val out = Files.createTempDirectory("graft-cli-cols").toString
+    val args = Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://localhost/ks/orders?reducers=2&columnnames=o_orderstatus,o_orderkey",
+      "--sink-dir", out))
+    val manifests = Hdfs2CassSpark.run(spark, args, StaticClusterInfo())
+    assert(manifests.map(_.rows).sum === 1500)
+  }
+
   test("CLI arg validation") {
     intercept[IllegalArgumentException](Hdfs2CassSpark.parseArgs(Seq("--input", "x")))
     intercept[IllegalArgumentException](
