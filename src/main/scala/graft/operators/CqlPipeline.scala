@@ -129,6 +129,47 @@ object CqlPipeline {
   }
 
   /**
+   * Permissive variant of [[parseLegacy]] (the improvement SURVEY §2.3
+   * flags): instead of failing the job, malformed lines carry a non-null
+   * `_error` column and null fields; route them to a dead-letter sink with
+   * `.filter($"_error".isNotNull)` and keep the rest. At 100 TB a single
+   * bad line must not kill a 10-hour load.
+   */
+  def parseLegacyPermissive(lines: DataFrame, lineCol: String = "value",
+      defaultTimestampMillis: Long = 0L): DataFrame = {
+    val parts = split(col(lineCol), "\t", -1)
+    val nparts = size(parts)
+    val version = element_at(parts, 2).cast(IntegerType)
+    val prefixOk = element_at(parts, 1) === lit(graft.core.LegacyLine.Prefix)
+    val arityOk = (version === 1 && nparts === 5) ||
+      (version === 2 && nparts === 6) || (version === 3 && nparts === 7)
+    val error =
+      when(!prefixOk, lit("bad prefix"))
+        .when(version.isNull || !version.isin(1, 2, 3), lit("unknown version"))
+        .when(!arityOk, lit("bad arity"))
+        .otherwise(lit(null).cast(StringType))
+
+    lines
+      .withColumn("_parts", parts)
+      .withColumn("_v", version)
+      .withColumn("_error", error)
+      .select(
+        when(col("_error").isNull, element_at(col("_parts"), 3)).as("rowkey"),
+        when(col("_error").isNull, element_at(col("_parts"), 4)).as("colname"),
+        when(col("_error").isNull,
+          when(col("_v") === 1, element_at(col("_parts"), 5))
+            .when(col("_v") === 2, element_at(col("_parts"), 6))
+            .otherwise(element_at(col("_parts"), 7))).as("value"),
+        when(col("_error").isNull,
+          when(col("_v") === 1, lit(defaultTimestampMillis))
+            .otherwise(element_at(col("_parts"), 5).cast(LongType))).as("writetime"),
+        when(col("_error").isNull,
+          when(col("_v") === 3, element_at(col("_parts"), 6).cast(LongType))
+            .otherwise(lit(0L))).as("ttl"),
+        col("_error"))
+  }
+
+  /**
    * P9 + G1-G3: compute partition-key bytes and token, route each row to the
    * ring bucket owning its token, and sort within each bucket in decorated-
    * key order — the shape the sorted SSTable writer requires. Catalyst path:

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -40,20 +41,27 @@ class GraftBulkProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-bulk"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType() // write-only source: schema comes from the query
+    GraftBulkRead.schema // read path; writes take the query's schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftBulkTable(schema)
+    new GraftBulkTable(schema, Option(properties.get("path")))
 }
 
-final class GraftBulkTable(writeSchema: StructType) extends Table with SupportsWrite {
+final class GraftBulkTable(tableSchema: StructType, path: Option[String])
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = "graft-bulk"
-  override def schema(): StructType = writeSchema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftBulkWriteBuilder(info)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftBulkScanBuilder(Option(options.get("path")).orElse(path)
+      .getOrElse(throw new IllegalArgumentException("graft-bulk read requires option 'path'")))
 }
 
 final class GraftBulkWriteBuilder(info: LogicalWriteInfo)

@@ -85,6 +85,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("version"))
   }
 
+  test("parseLegacyPermissive routes malformed lines to the error channel") {
+    val lines = Seq(
+      "HdfsToCassandra\t1\trk\tcn\tv",
+      "WrongPrefix\t1\trk\tcn\tv",
+      "HdfsToCassandra\t9\trk\tcn\tv",
+      "HdfsToCassandra\t2\trk\tcn\tv").toDF("value")
+    val parsed = CqlPipeline.parseLegacyPermissive(lines).collect()
+    assert(parsed.count(_.isNullAt(5)) === 1) // one good row
+    val errors = parsed.filter(!_.isNullAt(5)).map(_.getString(5)).sorted
+    assert(errors.toSeq === Seq("bad arity", "bad prefix", "unknown version"))
+  }
+
   test("alignToRing: every partition's rows arrive non-decreasing in decorated key") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val projected = CqlPipeline.toCql(orders, Projection(defaultTimestampMicros = 1L))

@@ -67,6 +67,22 @@ class V2SinkSpec extends AnyFunSuite {
     assert("""\"rows\":(\d+)""".r.findAllMatchIn(json).map(_.group(1).toLong).sum === 1500L)
   }
 
+  test("v2 round trip: written runs read back via spark.read") {
+    val out = Files.createTempDirectory("graft-v2-rt").toString
+    prepared(4).write.format("graft-bulk")
+      .option("path", out).option("buckets", "4").mode("append").save()
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.columns.toSeq === Seq("token", "pk", "value"))
+    assert(back.count() === 1500)
+    // tokens recompute from keys and every pk round-trips
+    val bad = back.filter(cassandra_token(col("pk")) =!= col("token")).count()
+    assert(bad === 0)
+    // distributed read parallelism = one split per non-empty run file
+    // (hash clustering may fold several ring buckets into one task)
+    val nFiles = new java.io.File(out).listFiles().count(_.getName.endsWith("Data.db"))
+    assert(nFiles >= 1 && back.rdd.getNumPartitions === nFiles)
+  }
+
   test("v2 sink rejects input without routing columns") {
     val out = Files.createTempDirectory("graft-v2-bad").toString
     val e = intercept[Exception] {
