@@ -139,6 +139,14 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Cube (full grouping-set lattice)
+    "q6b_cube" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+    }),
+
     // Semi join (EXISTS)
     "q7_exists" -> ((s, dir) => {
       val c = s.read.parquet(t(dir, "customer"))
@@ -457,6 +465,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q6b_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q7_exists" ->
       """SELECT c_custkey, c_name FROM customer c
