@@ -139,6 +139,23 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Multi-way join with join-reorder surface (TPC-H Q5 shape)
+    "q15_revenue_by_nation" -> ((s, dir) => {
+      val region = s.read.parquet(t(dir, "region")).filter(col("r_name") === "ASIA")
+      val nation = s.read.parquet(t(dir, "nation"))
+      val customer = s.read.parquet(t(dir, "customer"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val lineitem = s.read.parquet(t(dir, "lineitem"))
+      lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
     // Cube (full grouping-set lattice)
     "q6b_cube" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
@@ -465,6 +482,18 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q15_revenue_by_nation" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
 
     "q6b_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -50,6 +50,14 @@ object CqlValueCodec {
 
   def serializeBoolean(v: Boolean): Array[Byte] = Array(if (v) 1.toByte else 0.toByte)
 
+  /** Cassandra decimal layout: 4-byte BE scale + unscaled big-endian bytes. */
+  def serializeDecimal(d: java.math.BigDecimal): Array[Byte] = {
+    val unscaled = d.unscaledValue.toByteArray
+    val bb = ByteBuffer.allocate(4 + unscaled.length)
+    bb.putInt(d.scale).put(unscaled)
+    bb.array()
+  }
+
   def serializeUuid(u: java.util.UUID): Array[Byte] =
     ByteBuffer.allocate(16).putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits).array()
 

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions hook: registers the graft expressions for SQL so
+ * `spark.sql("SELECT cassandra_token(...)...")` works cluster-wide.
+ *
+ * Enable with either:
+ *   SparkSession.builder().withExtensions(new GraftExtensions)
+ * or the config (works with spark-submit, no code change):
+ *   spark.sql.extensions=graft.functions.GraftExtensions
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "cassandra_token", "Murmur3Partitioner token of partition-key bytes",
+      { case Seq(e) => CassandraTokenExpr(e) })
+    register(ext, "token_bucket", "contiguous ring bucket of a token",
+      { case Seq(e, n) => TokenBucketExpr(e, foldToInt(n, "token_bucket(expr, n)")) })
+    register(ext, "cql_serialize", "Cassandra wire bytes of a scalar value",
+      { case Seq(e) => CqlSerializeExpr(e) })
+    register(ext, "composite_key", "CompositeType encoding of key components",
+      { case es if es.nonEmpty => CompositeKeyExpr(es) })
+    register(ext, "minhash_agg", "k-min MinHash signature over shingle-hash arrays",
+      { case Seq(e, k) => MinHashAgg(e, foldToInt(k, "minhash_agg(expr, k)")) })
+  }
+
+  private def foldToInt(e: Expression, usage: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$usage needs an integer literal, got $other")
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String,
+      builder: PartialFunction[Seq[Expression], Expression]): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      (exprs: Seq[Expression]) => builder.applyOrElse(exprs,
+        (es: Seq[Expression]) => throw new IllegalArgumentException(
+          s"wrong argument count for $name: ${es.length}"))))
+    ()
+  }
+}

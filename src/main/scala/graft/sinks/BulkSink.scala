@@ -139,6 +139,8 @@ object BulkSink {
         r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
     case DateType => r => if (r.isNullAt(i)) CqlValueCodec.Empty
       else CqlValueCodec.serializeInt(r.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+    case _: DecimalType => r => if (r.isNullAt(i)) CqlValueCodec.Empty
+      else CqlValueCodec.serializeDecimal(r.getAs[java.math.BigDecimal](i))
     case ArrayType(el, _) => r => if (r.isNullAt(i)) CqlValueCodec.Empty else {
       val seq = r.getSeq[Any](i)
       CqlValueCodec.serializeCollection(seq.map(serializeAny(el, _)))

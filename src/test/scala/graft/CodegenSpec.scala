@@ -1,21 +1,41 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+
 import graft.functions._
 
-/** Prove the custom expressions survive strict codegen (no fallback). */
-class CodegenSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.codegen.fallback", "false")
-    .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-  import spark.implicits._
+/**
+ * Proves the custom expressions survive strict codegen (no fallback) and
+ * that GraftExtensions registers them for SQL. Sessions are built fresh —
+ * getOrCreate() would silently reuse another suite's session and drop
+ * both the strict-codegen confs and the extensions.
+ */
+class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private def freshSession(b: SparkSession.Builder => SparkSession.Builder): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    b(SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
 
   test("custom expressions compile under CODEGEN_ONLY") {
+    val spark = freshSession(_
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY"))
+    assert(spark.conf.get("spark.sql.codegen.factoryMode") === "CODEGEN_ONLY")
+    import spark.implicits._
     val df = Seq(("foo", 1L), ("bar", 2L), ("", 3L)).toDF("k", "v")
       .select(
         cassandra_token(cql_serialize(col("k"))).as("tok"),
@@ -26,5 +46,20 @@ class CodegenSpec extends AnyFunSuite {
     assert(rows.length === 3)
     assert(rows(0).getLong(0) === -2129773440516405919L)
     assert(rows(2).getLong(0) === Long.MinValue) // empty key
+  }
+
+  test("GraftExtensions registers the functions for SQL") {
+    val s = freshSession(_.withExtensions(new GraftExtensions))
+    assert(s.catalog.functionExists("cassandra_token"),
+      "extensions did not apply (stale session reused?)")
+    val r = s.sql(
+      """SELECT cassandra_token(cql_serialize('foo')) AS tok,
+        |       token_bucket(cassandra_token(cql_serialize('foo')), 8) AS b,
+        |       hex(composite_key(cql_serialize('a'), cql_serialize('b'))) AS ck
+        |""".stripMargin).head()
+    assert(r.getLong(0) === -2129773440516405919L)
+    assert(r.getInt(1) === graft.core.CassandraTokens.bucket(
+      graft.core.CqlValueCodec.serializeString("foo"), 8))
+    assert(r.getString(2) === "0001" + "61" + "00" + "0001" + "62" + "00")
   }
 }

@@ -91,6 +91,14 @@ class KernelSpec extends AnyFunSuite {
     assert(CqlValueCodec.serializeString(null).length === 0)
   }
 
+  test("decimal serialization: scale prefix + unscaled big-endian") {
+    // 1.2 = unscaled 12, scale 1 -> 00000001 0C (DecimalSerializer layout)
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeDecimal(
+      new java.math.BigDecimal("1.2"))) === "00000001" + "0C")
+    assert(CqlValueCodec.toHex(CqlValueCodec.serializeDecimal(
+      java.math.BigDecimal.ZERO)) === "00000000" + "00")
+  }
+
   test("uuid serialization is 16 bytes msb-first") {
     val u = java.util.UUID.fromString("00112233-4455-6677-8899-aabbccddeeff")
     assert(CqlValueCodec.toHex(CqlValueCodec.serializeUuid(u)) ===
