@@ -304,6 +304,15 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, k = 5)
     }),
 
+    // IVF ANN (k-means cells + nprobe search; recall < 1 by construction,
+    // so rows-only — recall vs brute force is asserted in OperatorsSpec)
+    "embed_ivf_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      graft.operators.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+    }),
+
     // mapPartitions batched decode path (the real multimodal plumbing;
     // equality with the expression path is proven in OperatorsSpec)
     "mm_decode" -> ((s, dir) => {

@@ -21,6 +21,7 @@ case class CassandraTokenExpr(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(s"cassandra_token expects binary, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = child.foldable // let Catalyst fold literal keys
   override def prettyName: String = "cassandra_token"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -41,6 +42,7 @@ case class TokenBucketExpr(child: Expression, numBuckets: Int) extends UnaryExpr
     else TypeCheckResult.TypeCheckFailure(s"token_bucket expects long, got ${child.dataType}")
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = child.foldable
   override def prettyName: String = "token_bucket"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -60,6 +62,7 @@ case class TokenBucketExpr(child: Expression, numBuckets: Int) extends UnaryExpr
 case class CqlSerializeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
+  override def foldable: Boolean = child.foldable
   override def prettyName: String = "cql_serialize"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -135,6 +138,7 @@ case class CompositeKeyExpr(children: Seq[Expression]) extends Expression {
     }
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "composite_key"
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {

@@ -71,6 +71,50 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: k-means partitions the corpus into nlist
+   * cells; each query probes only the nprobe nearest cells. The classic
+   * trade: train once (sampled at real scale), then every search touches
+   * ~nprobe/nlist of the corpus. Centroids ride to executors as literal
+   * arrays (nlist is small); assignment is one MLlib transform.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("features", array_to_vector(col("c_vec").cast("array<double>")))
+    // few iterations suffice: cells only gate the candidate set, exact
+    // cosine re-ranks inside them — centroid quality is not precision
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("bucket").fit(c)
+    val assigned = model.transform(c).select(col("c_id"), col("c_vec"), col("bucket"))
+
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    // per-query distances to every centroid -> nprobe nearest cells
+    def l2sq(a: Column, centroid: Seq[Double]): Column =
+      aggregate(zip_with(a, typedlit(centroid),
+        (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cellDists = array(centroids.zipWithIndex.map { case (cent, i) =>
+      struct(l2sq(col("q_vec"), cent).as("d"), lit(i).as("b"))
+    }: _*)
+    val probes = q
+      .withColumn("probe", explode(slice(array_sort(cellDists), 1, nprobe)))
+      .select(col("q_id"), col("q_vec"), col("probe.b").as("bucket"))
+
+    val scored = assigned.join(broadcast(probes), "bucket")
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
+  /**
    * LSH-bucketed ANN: group corpus by sign bucket, search each query only
    * in its own bucket. Recall < 1 by construction; the bucket join replaces
    * the cross join, so cost is O(corpus/2^planes) per query.

@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 

@@ -169,4 +169,22 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2)))).toSet
     assert(salted === plain)
   }
+
+  test("IVF topk: exact sims, recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    val ivf = Similarity.ivfTopK(q, c, "vec_id", "embedding", k = 1, nlist = 8, nprobe = 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getDouble(2)))).map(_.swap)
+    assert(ivf.length === 20, "every query must return a top-1")
+    val bfAll = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 1000)
+      .collect()
+    val bfSims = bfAll.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // returned sims are the exact cosine of the pair (no approximation in scoring)
+    ivf.foreach { case ((qid, sim), cid) => assert(bfSims((qid, cid)) === sim) }
+    // recall@1 with nprobe=3 of nlist=8 cells should recover most true tops
+    val trueTop = bfAll.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = ivf.count { case ((qid, _), cid) => trueTop(qid) == cid }
+    assert(hits >= 10, s"recall@1 too low: $hits/20")
+  }
 }
