@@ -304,6 +304,13 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, k = 5)
     }),
 
+    // Embedding-cosine near-dup pairs, blocked by label
+    "dedup_embedding" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      graft.operators.Similarity.cosineNearDupPairs(
+        e, "vec_id", "embedding", "label", threshold = 0.4)
+    }),
+
     // IVF ANN (k-means cells + nprobe search; recall < 1 by construction,
     // so rows-only — recall vs brute force is asserted in OperatorsSpec)
     "embed_ivf_topk" -> ((s, dir) => {
@@ -638,6 +645,17 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash16
         |FROM votes GROUP BY doc_id""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.embedding, b.embedding) /
+        |             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |              sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.embedding, b.embedding) /
+        |            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |             sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.4""".stripMargin,
 
     "embed_knn" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),

@@ -71,6 +71,25 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs within blocks: the dedup-flavored
+   * use of similarity — pairs above a cosine threshold, with a blocking
+   * column bounding the pair space (at 100 TB, block on a cheap partition
+   * key — cluster id, shard, label — then verify within blocks; the
+   * unblocked variant is lshTopK/ivfTopK candidate generation).
+   */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      col(vecCol).as("vec"))
+    val a = v.alias("a")
+    val b = v.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(cosine(col("a.vec"), col("b.vec")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
+  /**
    * IVF (inverted-file) ANN: k-means partitions the corpus into nlist
    * cells; each query probes only the nprobe nearest cells. The classic
    * trade: train once (sampled at real scale), then every search touches
