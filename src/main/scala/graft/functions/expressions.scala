@@ -125,6 +125,56 @@ case class CqlSerializeExpr(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * Double-precision dot product over two numeric arrays (float or double
+ * elements, independently per side). The hot kernel of every similarity
+ * operator: a tight codegen'd loop over ArrayData instead of the
+ * interpreted zip_with+aggregate chain (higher-order functions don't
+ * codegen). Accumulation order is identical, so results are bit-equal.
+ */
+case class VectorDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  private def elem(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elem(left), elem(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects array<float|double>, got ${left.dataType}, ${right.dataType}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def helper: String = (elem(left).get, elem(right).get) match {
+    case (FloatType, FloatType)   => "dotFF"
+    case (FloatType, DoubleType)  => "dotFD"
+    case (DoubleType, FloatType)  => "dotDF"
+    case (DoubleType, DoubleType) => "dotDD"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    helper match {
+      case "dotFF" => graft.core.VecMath.dotFF(ad, bd)
+      case "dotFD" => graft.core.VecMath.dotFD(ad, bd)
+      case "dotDF" => graft.core.VecMath.dotDF(ad, bd)
+      case "dotDD" => graft.core.VecMath.dotDD(ad, bd)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.VecMath.$helper($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * CompositeType partition-key encoding over 2+ pre-serialized components
  * (2-byte BE length + bytes + 0x00 terminator per component).
  */

@@ -29,6 +29,9 @@ package object functions {
   def composite_key(components: Column*): Column =
     col(CompositeKeyExpr(components.map(expr)))
 
+  /** Double-precision dot product of two numeric arrays (codegen'd). */
+  def vec_dot(a: Column, b: Column): Column = col(VectorDotExpr(expr(a), expr(b)))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

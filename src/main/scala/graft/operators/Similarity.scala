@@ -21,10 +21,9 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Sum of element products in double precision (sequential, stable order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sum of element products in double precision (sequential, stable
+    * order) — the codegen'd VectorDotExpr kernel. */
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -79,12 +78,16 @@ object Similarity {
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // norms once per vector, not once per pair (the pair space is the
+    // square of the block size — per-pair work must be one dot product)
     val v = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       col(vecCol).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
     val a = v.alias("a")
     val b = v.alias("b")
     a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(cosine(col("a.vec"), col("b.vec")), 4))
+      .withColumn("sim", round(
+        dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
