@@ -1,0 +1,68 @@
+package graft.core
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text-hashing kernels called from generated code. shingleHash32 equals
+ * `CAST(conv(substring(md5(s),1,8),16,10) AS BIGINT)` — the first four
+ * digest bytes read as an unsigned 32-bit big-endian integer — so values
+ * are identical to the SQL/DuckDB formulation, just without the
+ * hex-string detour.
+ */
+object TextHash {
+
+  /** MinHash permutation constants (see Dedup scaladoc for the rationale). */
+  val MinhashP = 4294967311L // prime > 2^32
+  val MinhashA: Array[Long] = Array(1073741827L, 998244353L, 805306457L,
+    754974721L, 536870923L, 469762049L, 268435459L, 167772161L)
+  val MinhashB: Array[Long] = Array(12345L, 67890L, 111213L, 141516L,
+    171819L, 202122L, 232425L, 262728L)
+
+  private val tl = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def shingleHash32(s: UTF8String): Long = {
+    val md = tl.get()
+    md.reset()
+    val dig = md.digest(s.getBytes)
+    ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+  }
+
+  /** array<string> shingles -> array<long> 32-bit hashes. */
+  def shingleHashes(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = shingleHash32(shingles.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k-min signature over 32-bit hashes with the permutation constants. */
+  def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
+    val as = MinhashA
+    val bs = MinhashB
+    val p = MinhashP
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < k) {
+        val m = (as(i) * h + bs(i)) % p
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+}

@@ -174,6 +174,52 @@ case class VectorDotExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** array<string> shingles -> array<long> 32-bit md5-derived hashes
+  * (codegen'd loop; values equal conv(substring(md5(s),1,8),16,10)). */
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.shingleHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.shingleHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> hashes -> array<long> k-min MinHash signature (codegen'd). */
+case class MinHashSignatureExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<long>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.minhashSignature(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.minhashSignature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /**
  * CompositeType partition-key encoding over 2+ pre-serialized components
  * (2-byte BE length + bytes + 0x00 terminator per component).

@@ -32,6 +32,13 @@ package object functions {
   /** Double-precision dot product of two numeric arrays (codegen'd). */
   def vec_dot(a: Column, b: Column): Column = col(VectorDotExpr(expr(a), expr(b)))
 
+  /** 32-bit md5-derived hash per shingle (codegen'd). */
+  def shingle_hashes(shingles: Column): Column = col(ShingleHashesExpr(expr(shingles)))
+
+  /** k-min MinHash signature over shingle hashes (codegen'd). */
+  def minhash_signature(hashes: Column, k: Int): Column =
+    col(MinHashSignatureExpr(expr(hashes), k))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

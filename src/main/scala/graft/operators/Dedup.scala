@@ -44,22 +44,20 @@ object Dedup {
    * of k md5 passes. A_i*h32 stays under 2^63 (A_i < 2^31, h32 < 2^32),
    * so the arithmetic is portable to any engine with strict int64.
    */
-  val MinhashP = 4294967311L // prime > 2^32
-  val MinhashA = Seq(1073741827L, 998244353L, 805306457L, 754974721L,
-    536870923L, 469762049L, 268435459L, 167772161L)
-  val MinhashB = Seq(12345L, 67890L, 111213L, 141516L,
-    171819L, 202122L, 232425L, 262728L)
+  val MinhashP: Long = graft.core.TextHash.MinhashP
+  val MinhashA: Seq[Long] = graft.core.TextHash.MinhashA.toSeq
+  val MinhashB: Seq[Long] = graft.core.TextHash.MinhashB.toSeq
 
-  /** 32-bit md5-derived hash of each shingle (engine-portable). */
+  /** 32-bit md5-derived hash of each shingle (engine-portable values,
+    * computed by the codegen'd kernel — equal to
+    * `conv(substring(md5(s),1,8),16,10)` without the hex detour). */
   def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol, s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+    graft.functions.shingle_hashes(shingleCol)
 
-  /** MinHash signature: array of k permutation minima over shingle hashes. */
+  /** MinHash signature: k permutation minima over shingle hashes. */
   def minhashSignature(hashCol: Column, k: Int = 8): Column = {
     require(k <= MinhashA.length, s"at most ${MinhashA.length} permutations configured")
-    array((0 until k).map(i =>
-      array_min(transform(hashCol, h =>
-        (lit(MinhashA(i)) * h + lit(MinhashB(i))) % lit(MinhashP)))): _*)
+    graft.functions.minhash_signature(hashCol, k)
   }
 
   /**
