@@ -156,6 +156,20 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    // Correlated scalar subquery (TPC-H Q17 shape — Catalyst decorrelates
+    // it into an aggregate+join; the reference had no optimizer at all)
+    "q16_correlated" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem")).createOrReplaceTempView("lineitem_v")
+      s.read.parquet(t(dir, "part")).createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+          |       count(*) AS n
+          |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+          |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                    FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
+          |GROUP BY p_brand""".stripMargin)
+    }),
+
     // Cube (full grouping-set lattice)
     "q6b_cube" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
@@ -510,6 +524,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "q16_correlated" ->
+      """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
 
     "q6b_cube" ->
       """SELECT l_returnflag, l_linestatus,
