@@ -264,6 +264,14 @@ object SparkEntry {
         bands = 4, rowsPerBand = 2, threshold = 0.8)
     }),
 
+    // Near-dup clusters: connected components over the LSH pair graph
+    "dedup_clusters" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val pairs = graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, threshold = 0.8)
+      graft.operators.Dedup.dupClusters(pairs)
+    }),
+
     // Blocked n-gram Jaccard pairs (blocking key = source)
     "dedup_ngram" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
@@ -424,6 +432,37 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — same column names, same semantics.
   // ---------------------------------------------------------------------
+
+  /** Shared CTE chain reconstructing the MinHash+LSH candidate pipeline
+    * (shingles -> permutation signature -> bands -> candidate pairs). */
+  private lazy val minhashCtes: String = {
+    val perms = (0 until 8).map(i =>
+      s"list_min([(${graft.operators.Dedup.MinhashA(i)}*h + " +
+        s"${graft.operators.Dedup.MinhashB(i)}) % ${graft.operators.Dedup.MinhashP} for h in hs])")
+      .mkString("[", ", ", "]")
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+      |    ELSE [] END AS shingles
+      |  FROM toks
+      |), mh AS (
+      |  SELECT doc_id, $perms AS sig
+      |  FROM (SELECT doc_id,
+      |          [CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) for s in shingles] AS hs
+      |        FROM sh WHERE len(shingles) > 0)
+      |), bands AS (
+      |  SELECT doc_id, b,
+      |    CAST(sig[CAST(2*b+1 AS INTEGER)] AS VARCHAR) || '_' ||
+      |    CAST(sig[CAST(2*b+2 AS INTEGER)] AS VARCHAR) AS band_sig
+      |  FROM mh, range(0, 4) t(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      |)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -602,33 +641,8 @@ object SparkEntry {
         |       min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM u GROUP BY 1""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val perms = (0 until 8).map(i =>
-        s"list_min([(${graft.operators.Dedup.MinhashA(i)}*h + " +
-          s"${graft.operators.Dedup.MinhashB(i)}) % ${graft.operators.Dedup.MinhashP} for h in hs])")
-        .mkString("[", ", ", "]")
-      s"""WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
-        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
-        |    ELSE [] END AS shingles
-        |  FROM toks
-        |), mh AS (
-        |  SELECT doc_id, $perms AS sig
-        |  FROM (SELECT doc_id,
-        |          [CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) for s in shingles] AS hs
-        |        FROM sh WHERE len(shingles) > 0)
-        |), bands AS (
-        |  SELECT doc_id, b,
-        |    CAST(sig[CAST(2*b+1 AS INTEGER)] AS VARCHAR) || '_' ||
-        |    CAST(sig[CAST(2*b+2 AS INTEGER)] AS VARCHAR) AS band_sig
-        |  FROM mh, range(0, 4) t(b)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-        |)
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashCtes
         |SELECT doc_a, doc_b,
         |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jac
@@ -636,8 +650,26 @@ object SparkEntry {
         |JOIN sh sa ON sa.doc_id = doc_a
         |JOIN sh sb ON sb.doc_id = doc_b
         |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8""".stripMargin
-    },
+        |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin,
 
     "dedup_ngram" ->
       """WITH sh AS (

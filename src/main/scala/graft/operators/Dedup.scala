@@ -154,6 +154,34 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair graph: every document in a
+   * pair gets the minimum doc id of its component as cluster_id (the
+   * survivor). Iterative min-label propagation — converges in
+   * O(component diameter) rounds, each one shuffle; near-dup components
+   * are tiny (bounded by true duplicate clusters), so 2-3 rounds.
+   * localCheckpoint truncates lineage between rounds.
+   */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val merged = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = merged.filter(col("next") < col("label")).count()
+      labels = merged.select(col("id"), col("next").as("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /**
    * 16-bit SimHash per document from md5-derived token hashes: bit b is
    * set when the (+1/-1) majority vote of that bit across all token
    * occurrences is positive. Equal signatures (or small Hamming distance

@@ -187,4 +187,20 @@ class OperatorsSpec extends AnyFunSuite {
     val hits = ivf.count { case ((qid, _), cid) => trueTop(qid) == cid }
     assert(hits >= 10, s"recall@1 too low: $hits/20")
   }
+
+  test("dupClusters: min-label connected components over planted pairs") {
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 0.9))
+      .toDF("doc_a", "doc_b", "jac")
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters converges on a long chain (diameter > 1 round)") {
+    val chain = (1L until 9L).map(i => (i, i + 1, 1.0)).toDF("doc_a", "doc_b", "jac")
+    val clusters = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet === Set(1L))
+    assert(clusters.keySet === (1L to 9L).toSet)
+  }
 }
