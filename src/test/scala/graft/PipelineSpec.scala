@@ -177,4 +177,28 @@ class PipelineSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
+
+  test("edge keys: null, empty, and unicode rowkeys flow through the sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    val df = Seq(
+      (Option("normal-key"), "v1"),
+      (Option(""), "v2"),          // empty key -> minimum token
+      (None: Option[String], "v3"), // null key -> empty buffer -> minimum token
+      (Option("ключ-日本語-🔑"), "v4") // multi-byte utf8
+    ).toDF("rowkey", "value")
+    val manifests = BulkSink.writeSorted(df, Seq("rowkey"), 4, dir)
+    assert(manifests.map(_.rows).sum === 4)
+    // empty/null keys land in bucket 0 (token = Long.MinValue)
+    val p0 = manifests.find(_.partition == 0).get
+    assert(p0.rows >= 2 && p0.minToken === Long.MinValue)
+  }
+
+  test("composite keys order by token then unsigned bytes in the sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-comp").toString
+    val df = (1 to 100).map(i => (s"part-${i % 10}", i.toLong, s"v$i"))
+      .toDF("k1", "k2", "value")
+    val manifests = BulkSink.writeSorted(df, Seq("k1", "k2"), 4, dir)
+    assert(manifests.map(_.rows).sum === 100)
+    assert(manifests.forall(_.sorted))
+  }
 }
