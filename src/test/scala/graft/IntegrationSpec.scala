@@ -114,4 +114,45 @@ class IntegrationSpec extends AnyFunSuite {
     val manifests = cql.bulkLoadSorted(Seq("rowkey"), 2, out)
     assert(manifests.map(_.rows).sum === 1500)
   }
+
+  test("streaming dedup drops duplicate fingerprints within the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("graft-sdedup")
+    // 6 events, 3 distinct texts (each duplicated once, close in time)
+    val batch = spark.createDataFrame(Seq(
+      (1L, "2024-01-01 10:00:00", "alpha beta gamma"),
+      (2L, "2024-01-01 10:00:10", "alpha  beta   gamma"), // dup after normalize
+      (3L, "2024-01-01 10:01:00", "delta epsilon zeta"),
+      (4L, "2024-01-01 10:01:30", "delta epsilon zeta"),
+      (5L, "2024-01-01 10:02:00", "eta theta iota"),
+      (6L, "2024-01-01 10:02:30", "eta theta iota")))
+      .toDF("id", "ts_s", "text")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    batch.write.mode("overwrite").parquet(inDir.toString + "/data")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(inDir.toString + "/data")
+    val deduped = graft.streaming.StreamingDedup.dedupStream(stream, "text", "ts")
+    val qname = "sdedup_" + System.nanoTime()
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table(qname).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 3, s"expected 3 survivors, got $ids")
+    assert(Set(1L, 3L, 5L).subsetOf(ids) || ids.size === 3) // one per fingerprint
+  }
+
+  test("curateCorpus composes filter -> dedup -> near-dup with plausible stats") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // double the corpus to plant exact dups
+    val (curated, stats) = graft.operators.Curate.curateCorpus(
+      d.unionByName(d), "doc_id", "text", minQuality = 0.1, langs = Set.empty)
+    assert(stats.input === 1000)
+    assert(stats.afterQuality === 1000) // synthetic docs all pass 0.1
+    assert(stats.afterExact === 500)    // doubles collapse
+    assert(stats.afterNearDup < 500)    // planted near-dups collapse further
+    assert(curated.count() === stats.afterNearDup)
+    // survivors are unique by fingerprint
+    val n = curated.select(graft.operators.TextAnalysis.fingerprint(col("text"))).distinct().count()
+    assert(n === stats.afterNearDup)
+  }
 }
