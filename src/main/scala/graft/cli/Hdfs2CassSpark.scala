@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{CassandraParams, ClusterInfo, StaticClusterInfo}
 import graft.operators.CqlPipeline
 import graft.operators.CqlPipeline.Projection
-import graft.sinks.BulkSink
+import graft.sinks.{BulkSink, LoaderPlan}
 import graft.sources.AvroSource
 
 /**
@@ -33,7 +33,8 @@ object Hdfs2CassSpark {
       ttl: Option[String] = None,
       ignore: Seq[String] = Nil,
       format: String = "parquet",
-      sinkDir: String = "")
+      sinkDir: String = "",
+      clusterInfoJson: Option[String] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -46,6 +47,7 @@ object Hdfs2CassSpark {
       case "--ignore" :: v :: t    => loop(t, acc.copy(ignore = acc.ignore :+ v))
       case "--format" :: v :: t    => loop(t, acc.copy(format = v))
       case "--sink-dir" :: v :: t  => loop(t, acc.copy(sinkDir = v))
+      case "--cluster-info" :: v :: t => loop(t, acc.copy(clusterInfoJson = Some(v)))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val a = loop(argv.toList, Args())
@@ -57,7 +59,10 @@ object Hdfs2CassSpark {
 
   def run(spark: SparkSession, args: Args,
       clusterInfo: ClusterInfo = StaticClusterInfo()): Seq[BulkSink.PartitionManifest] = {
-    val params = CassandraParams.parse(args.output, clusterInfo)
+    val info = args.clusterInfoJson
+      .map(StaticClusterInfo.fromJsonFile)
+      .getOrElse(clusterInfo)
+    val params = CassandraParams.parse(args.output, info)
     val input: DataFrame = args.format match {
       case "avro"    => AvroSource.read(spark, args.inputs)
       case "parquet" => spark.read.parquet(args.inputs: _*)
@@ -86,7 +91,23 @@ object Hdfs2CassSpark {
         .write.mode("overwrite").parquet(s"${args.sinkDir}/random")
       Nil
     } else {
-      BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir)
+      val manifests =
+        BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir)
+      // with ring metadata present, also emit the stream plan the loader
+      // would execute (file -> replica endpoints)
+      info match {
+        case s: StaticClusterInfo if s.ring.nonEmpty =>
+          val nodes = s.ring.map { case (h, ts) => LoaderPlan.RingNode(h, ts) }
+          val plan = LoaderPlan.planStreams(manifests, nodes, rf = 2.min(nodes.length))
+          val json = plan.map { case (f, hosts) =>
+            s""""$f": [${hosts.toSeq.sorted.map("\"" + _ + "\"").mkString(", ")}]"""
+          }.mkString("{", ", ", "}")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(args.sinkDir, "_STREAM_PLAN.json"),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case _ => ()
+      }
+      manifests
     }
   }
 

@@ -21,8 +21,38 @@ final case class StaticClusterInfo(
     partitionerClass: String = CassandraParams.Murmur3Partitioner,
     numClusterNodes: Int = 3,
     allColumnNames: Seq[String] = Nil,
-    partitionKeyIndexes: Array[Int] = Array(0)
+    partitionKeyIndexes: Array[Int] = Array(0),
+    ring: Seq[(String, Seq[Long])] = Nil // (host, vnode tokens)
 ) extends ClusterInfo
+
+object StaticClusterInfo {
+  /**
+   * Load cluster metadata from a JSON file — the offline analog of the
+   * reference's driver-side seed-node fetch (CassandraClusterInfo.java:
+   * 61-109). Format:
+   *   {"partitioner": "...Murmur3Partitioner",
+   *    "nodes": [{"host": "h1", "tokens": [-9000000000000000000, 0]}, ...]}
+   * Parsed with a minimal hand-rolled reader (no JSON library on the
+   * classpath beyond Spark's shaded ones).
+   */
+  def fromJsonFile(path: String): StaticClusterInfo = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    val partitioner = """"partitioner"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(text).map(_.group(1))
+      .getOrElse(CassandraParams.Murmur3Partitioner)
+    val nodeRe = """\{\s*"host"\s*:\s*"([^"]+)"\s*,\s*"tokens"\s*:\s*\[([^\]]*)\]\s*\}""".r
+    val nodes = nodeRe.findAllMatchIn(text).map { m =>
+      val host = m.group(1)
+      val tokens = m.group(2).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      host -> tokens
+    }.toSeq
+    require(nodes.nonEmpty, s"no nodes parsed from $path")
+    StaticClusterInfo(partitionerClass = partitioner,
+      numClusterNodes = nodes.length, ring = nodes)
+  }
+}
 
 /**
  * Target-URI grammar of the reference CLI, e.g.

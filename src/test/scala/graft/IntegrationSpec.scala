@@ -155,4 +155,29 @@ class IntegrationSpec extends AnyFunSuite {
     val n = curated.select(graft.operators.TextAnalysis.fingerprint(col("text"))).distinct().count()
     assert(n === stats.afterNearDup)
   }
+
+  test("CLI with --cluster-info ring emits a stream plan") {
+    val out = Files.createTempDirectory("graft-cli-ring").toString
+    val ringJson = Files.createTempFile("ring", ".json")
+    Files.write(ringJson,
+      """{"partitioner": "org.apache.cassandra.dht.Murmur3Partitioner",
+        | "nodes": [
+        |   {"host": "cass-1", "tokens": [-6000000000000000000, 1000000000000000000]},
+        |   {"host": "cass-2", "tokens": [-2000000000000000000, 5000000000000000000]},
+        |   {"host": "cass-3", "tokens": [-4000000000000000000, 8000000000000000000]}]}"""
+        .stripMargin.getBytes)
+    val args = Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://seed/ks/orders", // reducers default = node count (3)
+      "--cluster-info", ringJson.toString,
+      "--sink-dir", out))
+    val manifests = Hdfs2CassSpark.run(spark, args)
+    assert(manifests.length === 3) // reducers defaulted from the ring
+    val plan = new java.io.File(out, "_STREAM_PLAN.json")
+    assert(plan.exists())
+    val json = new String(Files.readAllBytes(plan.toPath))
+    assert(json.contains("cass-"))
+    // every non-empty run appears in the plan
+    manifests.filter(_.rows > 0).foreach(m => assert(json.contains(m.dataFile)))
+  }
 }
