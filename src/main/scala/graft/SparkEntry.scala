@@ -178,6 +178,15 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // HAVING (post-aggregation predicate)
+    "q17_having" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+        .filter(col("n_orders") >= 12)
+    }),
+
     // Semi join (EXISTS)
     "q7_exists" -> ((s, dir) => {
       val c = s.read.parquet(t(dir, "customer"))
@@ -576,6 +585,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q17_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12""".stripMargin,
 
     "q7_exists" ->
       """SELECT c_custkey, c_name FROM customer c

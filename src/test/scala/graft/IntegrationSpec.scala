@@ -180,4 +180,32 @@ class IntegrationSpec extends AnyFunSuite {
     // every non-empty run appears in the plan
     manifests.filter(_.rows > 0).foreach(m => assert(json.contains(m.dataFile)))
   }
+
+  test("reference README walkthrough: SongStream avro through the CLI") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("SongStream").fields()
+      .requiredString("user_id").requiredInt("timestamp").requiredInt("song_id")
+      .endRecord()
+    val dir = Files.createTempDirectory("graft-songstream").toFile
+    val f = new java.io.File(dir, "songs.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    (0 until 500).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("user_id", s"user-$i"); r.put("timestamp", i); r.put("song_id", i * 7)
+      w.append(r)
+    }
+    w.close()
+    val out = Files.createTempDirectory("graft-songstream-out").toString
+    val manifests = Hdfs2CassSpark.run(spark, Hdfs2CassSpark.parseArgs(Seq(
+      "--input", f.getAbsolutePath,
+      "--output", "cql://seed/example/songstreams?reducers=4",
+      "--rowkey", "user_id",
+      "--format", "avro",
+      "--sink-dir", out)))
+    assert(manifests.map(_.rows).sum === 500)
+    assert(manifests.forall(_.sorted))
+  }
 }
