@@ -46,7 +46,10 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            # check_dtype=True: the driver's hash is type-sensitive (a DuckDB
+            # HUGEINT vs Spark BIGINT diverges even with equal values), so the
+            # local gate must be too.
+            pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
             print(f"[ok] {name}: {len(g)} rows")
             n_pass += 1
         except AssertionError as ex:

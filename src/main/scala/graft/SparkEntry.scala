@@ -234,6 +234,20 @@ object SparkEntry {
           min(col("_token")).as("min_token"), max(col("_token")).as("max_token"))
     }),
 
+    // G2: same ring alignment under RandomPartitioner (MD5/BigIntegerToken
+    // path, CassandraPartitioner.java:46-47) — tokens ride as canonical
+    // 16-byte binary; min/max reported as hex for a stable shape check
+    "g2_random_ring_align" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val projected = CqlPipeline.toCql(o,
+        Projection(defaultTimestampMicros = DefaultWritetimeMicros))
+      CqlPipeline.alignToRing(projected, Seq("rowkey"), numBuckets = 8,
+          partitionerClass = graft.core.CassandraParams.RandomPartitioner)
+        .groupBy(col("_bucket")).agg(count(lit(1)).as("n"),
+          hex(min(col("_token"))).as("min_token_hex"),
+          hex(max(col("_token"))).as("max_token_hex"))
+    }),
+
     // ------------------- LLM-data-pipeline operators -------------------
 
     // Token counting + document fingerprinting
@@ -789,7 +803,7 @@ object SparkEntry {
 
     "q12_json_props" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 

@@ -137,4 +137,69 @@ object CassandraTokens {
     val c = java.lang.Long.compare(tokA, tokB)
     if (c != 0) c else compareUnsigned(keyA, keyB)
   }
+
+  // ---------------------------------------------------------------------
+  // RandomPartitioner (MD5 / BigIntegerToken) token math. Behavior studied
+  // from /root/reference/src/main/java/com/spotify/hdfs2cass/cassandra/
+  // utils/CassandraPartitioner.java:46-47,58-72 (BigIntegerToken.abs() /
+  // rangePerReducer bucket division) and CassandraParams.java:297-300
+  // (RandomPartitioner range [0, 2^127 - 1], ceil division): the token is
+  // abs(md5(key)) as a BigInteger, so it lies in [0, 2^127] and is carried
+  // through the engine as a CANONICAL 16-byte big-endian unsigned value —
+  // fixed width, so Spark's unsigned-lexicographic BinaryType ordering IS
+  // numeric token ordering and the same sort/shuffle machinery serves both
+  // partitioners.
+  // ---------------------------------------------------------------------
+
+  private final val RandomTokenBits = 127
+
+  /** RandomPartitioner token: abs(md5(key)) (empty key -> abs(-1) = 1,
+    * mirroring BigIntegerToken.abs() of RandomPartitioner.MINIMUM). */
+  def md5Token(key: Array[Byte]): java.math.BigInteger = {
+    if (key == null || key.length == 0) return java.math.BigInteger.ONE
+    val d = java.security.MessageDigest.getInstance("MD5").digest(key)
+    new java.math.BigInteger(d).abs()
+  }
+
+  /** Canonical 16-byte big-endian unsigned encoding of an md5 token. */
+  def md5TokenBytes(key: Array[Byte]): Array[Byte] = {
+    val t = md5Token(key)
+    val raw = t.toByteArray // two's complement BE, may have 0-17 bytes
+    val out = new Array[Byte](16)
+    if (raw.length <= 16) {
+      System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+    } else {
+      // abs() can reach 2^127 exactly -> 17-byte encoding with a leading 0x00
+      System.arraycopy(raw, raw.length - 16, out, 0, 16)
+    }
+    out
+  }
+
+  /** ceil(2^127 / n) — the reference's rangePerReducer for RandomPartitioner
+    * ([0, 2^127 - 1] inclusive, ceil division: CassandraParams.java:297-316). */
+  def randomRangePerBucket(n: Int): java.math.BigInteger = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    val span = java.math.BigInteger.ONE.shiftLeft(RandomTokenBits)
+    val qr = span.divideAndRemainder(java.math.BigInteger.valueOf(n.toLong))
+    if (qr(1).signum == 0) qr(0) else qr(0).add(java.math.BigInteger.ONE)
+  }
+
+  /** Ring bucket of a canonical 16-byte md5 token: token / rangePerBucket,
+    * clamped so the single maximal token 2^127 stays in the last bucket. */
+  def randomBucketOfTokenBytes(tok: Array[Byte], n: Int): Int = {
+    val t = new java.math.BigInteger(1, tok)
+    val b = t.divide(randomRangePerBucket(n)).intValue()
+    math.min(b, n - 1)
+  }
+
+  /** randomBucketOfTokenBytes composed with md5TokenBytes. */
+  def randomBucket(key: Array[Byte], n: Int): Int =
+    randomBucketOfTokenBytes(md5TokenBytes(key), n)
+
+  /** RandomPartitioner decorated-key comparison: md5 token order (canonical
+    * bytes compare unsigned = numeric), then unsigned key bytes. */
+  def compareRandomDecorated(keyA: Array[Byte], keyB: Array[Byte]): Int = {
+    val c = compareUnsigned(md5TokenBytes(keyA), md5TokenBytes(keyB))
+    if (c != 0) c else compareUnsigned(keyA, keyB)
+  }
 }

@@ -55,6 +55,49 @@ case class TokenBucketExpr(child: Expression, numBuckets: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** RandomPartitioner token of partition-key bytes: canonical 16-byte
+  * big-endian abs(md5(key)) — fixed width, so BinaryType's unsigned
+  * lexicographic ordering is numeric token ordering. */
+case class RandomTokenExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"cassandra_random_token expects binary, got ${child.dataType}")
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "cassandra_random_token"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CassandraTokens.md5TokenBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.CassandraTokens.md5TokenBytes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Ring bucket (0..n-1) of a canonical 16-byte RandomPartitioner token. */
+case class RandomTokenBucketExpr(child: Expression, numBuckets: Int) extends UnaryExpression {
+  require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"random_token_bucket expects binary, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "random_token_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CassandraTokens.randomBucketOfTokenBytes(input.asInstanceOf[Array[Byte]], numBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.CassandraTokens.randomBucketOfTokenBytes($c, $numBuckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /**
  * Serialize a single typed value to Cassandra wire bytes (the F1 kernel as
  * a plan-visible expression; null -> empty buffer, so never null out).

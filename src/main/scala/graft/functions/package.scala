@@ -22,6 +22,13 @@ package object functions {
   def token_bucket(token: Column, numBuckets: Int): Column =
     col(TokenBucketExpr(expr(token), numBuckets))
 
+  /** RandomPartitioner token of partition-key bytes (binary -> 16-byte binary). */
+  def cassandra_random_token(key: Column): Column = col(RandomTokenExpr(expr(key)))
+
+  /** Contiguous ring bucket 0..n-1 of a RandomPartitioner token. */
+  def random_token_bucket(token: Column, numBuckets: Int): Column =
+    col(RandomTokenBucketExpr(expr(token), numBuckets))
+
   /** Serialize a scalar value to Cassandra wire bytes (null -> empty). */
   def cql_serialize(value: Column): Column = col(CqlSerializeExpr(expr(value)))
 

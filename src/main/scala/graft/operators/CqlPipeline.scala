@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{cassandra_token, partition_key, token_bucket}
+import graft.functions.{cassandra_random_token, cassandra_token, partition_key, random_token_bucket, token_bucket}
 
 /**
  * The reference's dataflow re-expressed as Catalyst projections:
@@ -175,12 +175,30 @@ object CqlPipeline {
    * key order — the shape the sorted SSTable writer requires. Catalyst path:
    * repartition on the bucket column + sortWithinPartitions; with AQE
    * coalescing disabled for this exchange the bucket count is exact.
+   *
+   * `partitionerClass` selects the token kernel (reference: the partitioner
+   * is reflectively loaded and both LongToken and BigIntegerToken are
+   * bucketed, CassandraPartitioner.java:46-47,58-72): Murmur3 tokens are
+   * longs; RandomPartitioner (MD5) tokens ride as canonical 16-byte binary,
+   * whose unsigned-lexicographic BinaryType sort IS numeric token order —
+   * the same exchange+sort machinery serves both.
    */
-  def alignToRing(df: DataFrame, keyCols: Seq[String], numBuckets: Int): DataFrame = {
+  def alignToRing(df: DataFrame, keyCols: Seq[String], numBuckets: Int,
+      partitionerClass: String = graft.core.CassandraParams.Murmur3Partitioner): DataFrame = {
     val pk = partition_key(keyCols.map(col): _*)
-    df.withColumn("_pk", pk)
-      .withColumn("_token", cassandra_token(col("_pk")))
-      .withColumn("_bucket", token_bucket(col("_token"), numBuckets))
+    val withTok = partitionerClass match {
+      case graft.core.CassandraParams.Murmur3Partitioner =>
+        df.withColumn("_pk", pk)
+          .withColumn("_token", cassandra_token(col("_pk")))
+          .withColumn("_bucket", token_bucket(col("_token"), numBuckets))
+      case graft.core.CassandraParams.RandomPartitioner =>
+        df.withColumn("_pk", pk)
+          .withColumn("_token", cassandra_random_token(col("_pk")))
+          .withColumn("_bucket", random_token_bucket(col("_token"), numBuckets))
+      case other =>
+        throw new IllegalArgumentException(s"Unknown partitioner class: $other")
+    }
+    withTok
       .repartition(numBuckets, col("_bucket"))
       .sortWithinPartitions(col("_token"), col("_pk"))
   }

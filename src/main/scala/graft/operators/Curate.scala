@@ -26,40 +26,64 @@ object Curate {
   /**
    * Returns (curated corpus, stats). `langs` empty means keep all
    * languages.
+   *
+   * Bookkeeping is one pass, not one action per stage: the per-row verdicts
+   * (quality pass, language pass, fingerprint) are computed once into a
+   * persisted frame, and the first FOUR stats fall out of a single
+   * aggregation — `count_distinct` of fingerprints among keepers IS the
+   * exact-dedup survivor count, no second corpus scan needed. The near-dup
+   * stat is a subtraction (survivors minus cluster losers; loser ids are
+   * unique within the exact-deduped corpus). At 100 TB this is 2 corpus
+   * scans total (build + final consumption) instead of ~7.
    */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.3, langs: Set[String] = Set("en"),
       nearDupThreshold: Double = 0.8): (DataFrame, CurationStats) = {
-    val input = docs.count()
-
     val scored = TextAnalysis.withQuality(docs, textCol)
-      .filter(col("quality") >= minQuality)
-    val afterQuality = scored.count()
+    val enriched =
+      if (langs.isEmpty) scored else TextAnalysis.withLangId(scored, textCol)
+    val qPass = col("quality") >= minQuality
+    val langPass =
+      if (langs.isEmpty) lit(true)
+      else col("predicted_lang").isin(langs.toSeq: _*)
+    val base = enriched
+      .withColumn("__q_pass", qPass)
+      .withColumn("__keep", qPass && langPass)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .persist()
 
-    val langFiltered =
-      if (langs.isEmpty) scored
-      else TextAnalysis.withLangId(scored, textCol)
-        .filter(col("predicted_lang").isin(langs.toSeq: _*))
-    val afterLang = langFiltered.count()
+    val s = base.agg(
+      count(lit(1)).as("input"),
+      count_if(col("__q_pass")).as("after_quality"),
+      count_if(col("__keep")).as("after_lang"),
+      count_distinct(when(col("__keep"), col("__fp"))).as("after_exact")
+    ).head()
+    val (input, afterQuality, afterLang, afterExact) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
 
-    // exact dedup: keep the min-id doc per fingerprint
-    val withFp = langFiltered.withColumn("fingerprint",
-      TextAnalysis.fingerprint(col(textCol)))
-    val survivors = withFp.groupBy(col("fingerprint"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    // join keeps every copy of the surviving id — collapse to one row
-    val exact = withFp.join(survivors, idCol).dropDuplicates(idCol).drop("fingerprint")
-    val afterExact = exact.count()
+    // exact dedup: keep the min-id doc per fingerprint. min_by over the
+    // whole row is ONE aggregation (map-side combinable) — the join-back-
+    // on-survivor-ids alternative reads the corpus twice and shuffles it
+    // twice.
+    val filtered = base.filter(col("__keep"))
+    val keepCols = filtered.columns.filterNot(_.startsWith("__"))
+    val exact = filtered.groupBy(col("__fp"))
+      .agg(min_by(struct(keepCols.map(col).toIndexedSeq: _*), col(idCol)).as("__r"))
+      .select("__r.*")
 
-    // near-dup: drop every cluster member except the minimum id
+    // near-dup: drop every cluster member except the minimum id. The pair
+    // set is materialized inside minhashLshPairs, so the cluster iterations
+    // and the loser count run over a tiny checkpointed relation.
     val pairs = Dedup.minhashLshPairs(exact, idCol, textCol,
       threshold = nearDupThreshold)
     val clusters = Dedup.dupClusters(pairs)
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
+    val afterNearDup = afterExact - losers.count()
     val curated = exact.join(losers, Seq(idCol), "left_anti")
-    val afterNearDup = curated.count()
+    // release the cache — `curated` stays a valid lazy plan and recomputes
+    // one scan when the caller writes it out.
+    base.unpersist()
 
     (curated, CurationStats(input, afterQuality, afterLang, afterExact, afterNearDup))
   }

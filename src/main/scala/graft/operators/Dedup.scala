@@ -115,6 +115,48 @@ object Dedup {
     // |union| = na + nb - |intersect| avoids building the union array.
     val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val verified = candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    // Materialize the verified pairs (tiny relative to the corpus — bounded
+    // by true duplicate clusters) so the shingle cache can be released NOW
+    // instead of pinning executor storage for the app lifetime. Downstream
+    // consumers (clustering iterations, joins) also reuse the materialized
+    // pairs instead of re-running the LSH dataflow.
+    val out = verified.localCheckpoint()
+    withSh.unpersist()
+    out
+  }
+
+  /**
+   * Exact n-gram Jaccard over blocked pairs (blocking key bounds the pair
+   * count; at 100 TB you block on a cheap key — here `source` — then
+   * verify only within blocks).
+   *
+   * Candidate generation is an inverted-index join with a block-local
+   * document-frequency cap: a shingle occurring in more than `maxDf`
+   * documents of one block is a stopword-like shingle — it contributes
+   * O(df^2) candidate join rows while carrying almost no discriminative
+   * signal (one hot shingle in a block would otherwise produce a quadratic
+   * candidate blow-up). Capped shingles are dropped from the INDEX only;
+   * verification computes the exact Jaccard from the FULL shingle sets, so
+   * results are exact for every pair sharing at least one sub-cap shingle
+   * (at threshold >= 0.5 a true near-dup pair shares roughly half its
+   * shingles — the chance all of them are block-stopwords is negligible,
+   * and `maxDf` can be raised if blocks legitimately contain more than
+   * `maxDf` copies of a document).
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, maxDf: Int = 100): DataFrame = {
+    val withSh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+      shingles(col(textCol)).as("sh"))
+    val candidates = ngramCandidates(df, idCol, textCol, blockCol, maxDf)
+    // exact verification on the bounded candidate set, from full shingle sets
+    val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", round(col("inter").cast(DoubleType) /
@@ -124,33 +166,29 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard over blocked pairs (blocking key bounds the pair
-   * count; at 100 TB you block on a cheap key — here `source` — then
-   * verify only within blocks).
+   * Candidate (doc_a, doc_b) pairs for blocked n-gram Jaccard: inverted-
+   * index self-join on (block, shingle), restricted to shingles with
+   * block-local document frequency in (1, maxDf] — df==1 cannot form a
+   * pair, df&gt;maxDf would form O(df^2) of them. Exposed separately so the
+   * candidate bound is directly testable.
    */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    // Inverted-index join (PPJoin-lite): explode the distinct shingles,
-    // co-group by (block, shingle), count shared shingles per doc pair.
-    // |A∩B| falls out of a count aggregation — no array intersections, no
-    // O(docs^2) pair scan; the pair space is bounded by shingle collisions.
-    // Pairs sharing zero shingles never materialize (their jac < any t > 0).
-    val withSh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-      shingles(col(textCol)).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val ex = withSh.select(col("block"), col("doc_id"), col("n"),
-      explode(col("sh")).as("s"))
-    val a = ex.alias("a")
-    val b = ex.alias("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
+  def ngramCandidates(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxDf: Int): DataFrame = {
+    val ex = df.select(col(blockCol).as("block"), col(idCol).as("doc_id"),
+      explode(shingles(col(textCol))).as("s"))
+    // block-local df per shingle (map-side combinable), hot shingles dropped
+    val kept = ex.join(
+      ex.groupBy(col("block"), col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf && col("df") > 1)
+        .select(col("block"), col("s")),
+      Seq("block", "s"))
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    a.join(b,
+        col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter")), 4).as("jac"))
-      .filter(col("jac") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /**

@@ -30,20 +30,33 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Rank a scored (q_id, c_id, sim) relation down to k rows per query with
+   * the bounded-heap TopKAgg — NOT a row_number() window. The window form
+   * shuffles every scored row into #distinct(q_id) partitions (a 10-probe
+   * query set would funnel the whole corpus scan through 10 tasks); the
+   * aggregate reduces each input partition to ≤k entries per query before
+   * the exchange, so the shuffle is O(#partitions * #queries * k) no matter
+   * the corpus size. Same output contract: sim desc, ties by c_id asc,
+   * rank 1..k.
+   */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topk_agg(col("sim"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.c_id").as("c_id"), col("t.sim").as("sim"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+
+  /**
    * Brute-force top-k: for each query vector, the k nearest corpus vectors
    * by cosine (rounded for cross-engine determinism, tie-broken by id).
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /**
@@ -104,7 +117,6 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
 
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("features", array_to_vector(col("c_vec").cast("array<double>")))
@@ -130,10 +142,7 @@ object Similarity {
 
     val scored = assigned.join(broadcast(probes), "bucket")
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /**
@@ -143,16 +152,12 @@ object Similarity {
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       signBucket(col(vecCol), dim, planes).as("bucket"))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       signBucket(col(vecCol), dim, planes).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
 }

@@ -28,13 +28,39 @@ import graft.core.{CassandraTokens, CqlValueCodec}
  */
 object BulkSink {
 
-  /** Identity partitioner over ring buckets: bucket i -> partition i. */
-  final class RingPartitioner(n: Int) extends Partitioner {
+  /** Default seed for the bucket->partition permutation (any fixed value
+    * works; what matters is that driver and every task agree). */
+  val DefaultSlotSeed = 0x5eed5107L
+
+  /**
+   * Seeded Fisher-Yates permutation of 0..n-1. The reference shuffles the
+   * range->reducer assignment so ADJACENT token ranges (often co-hot: a
+   * freshly-written id range, a time-ordered key prefix) do not land on
+   * adjacent reducers of the same host (CassandraParams.java:319-328,
+   * Collections.shuffle over the reducer list). The reference's shuffle is
+   * unseeded-Random-per-job; here it is seeded so any task, retry, or
+   * re-run computes the identical bijection with no config channel.
+   */
+  def slotPermutation(n: Int, seed: Long = DefaultSlotSeed): Array[Int] = {
+    val perm = Array.tabulate(n)(identity)
+    val rnd = new java.util.Random(seed)
+    var i = n - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    perm
+  }
+
+  /** Ring-bucket partitioner: bucket b -> partition perm(b) (bijective). */
+  final class RingPartitioner(n: Int, seed: Long = DefaultSlotSeed) extends Partitioner {
     require(n > 0)
+    private val perm = slotPermutation(n, seed)
     override def numPartitions: Int = n
     override def getPartition(key: Any): Int = key match {
-      case (token: Long, _) => CassandraTokens.bucketOfToken(token, n)
-      case token: Long      => CassandraTokens.bucketOfToken(token, n)
+      case (token: Long, _) => perm(CassandraTokens.bucketOfToken(token, n))
+      case token: Long      => perm(CassandraTokens.bucketOfToken(token, n))
       case other            => throw new IllegalArgumentException(s"bad key: $other")
     }
   }

@@ -1,0 +1,216 @@
+package graft.sinks
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import graft.core.CassandraTokens
+
+/**
+ * Offline SSTable-streaming skeleton: the network boundary the reference
+ * crosses on task close (CrunchCqlBulkRecordWriter.java:153-181 — build
+ * SSTables, then `loader.stream(...)`, warn on partially-failed sessions,
+ * fail the task when streaming fails outright; behavior studied, not
+ * copied). A live Cassandra cluster is out of reach offline, so the
+ * receiving side is an in-process socket "cluster" that performs the
+ * checks a real node's stream-in path enforces: decorated-key order,
+ * declared row/byte counts, and per-replica fan-out.
+ *
+ * Framing (one session per (run file, replica)):
+ *   int32  magic 0x47524654 ("GRFT")
+ *   UTF    data file name
+ *   int64  rows declared   int64 bytes declared
+ *   <raw sorted-run bytes: per row uint16 keylen, key, int32 vallen, value>
+ *   reply: uint8 status (0 ok), UTF message, int64 rows received
+ *
+ * In a cluster deployment `streamRun` is invoked from each task's commit
+ * (the file is local to the task, like the reference's per-reducer close);
+ * the driver-side `stream` here walks the manifests of a directory-mode
+ * load, which is equivalent on local[*].
+ */
+object StreamLoader {
+
+  val Magic = 0x47524654
+
+  final case class SessionResult(dataFile: String, host: String,
+      ok: Boolean, message: String, rows: Long)
+
+  final case class StreamSummary(sessions: Seq[SessionResult]) {
+    def failed: Seq[SessionResult] = sessions.filterNot(_.ok)
+    def failedHosts: Set[String] = failed.map(_.host).toSet
+  }
+
+  /**
+   * Stream every non-empty run to all replicas in its plan. Mirrors the
+   * reference's failure contract: sessions that fail are collected and
+   * WARNed (StreamState.hasFailedSession branch); a run whose sessions ALL
+   * fail means the data is on no replica — job failure (the
+   * ExecutionException branch rethrown as CrunchRuntimeException).
+   */
+  def stream(outDir: String, plan: Map[String, Set[String]],
+      endpoints: Map[String, Int],
+      manifests: Seq[BulkSink.PartitionManifest]): StreamSummary = {
+    val byFile = manifests.map(m => m.dataFile -> m).toMap
+    val sessions = plan.toSeq.sortBy(_._1).flatMap { case (dataFile, hosts) =>
+      val man = byFile.getOrElse(dataFile,
+        throw new IllegalArgumentException(s"no manifest for $dataFile"))
+      val results = hosts.toSeq.sorted.map { host =>
+        val port = endpoints.getOrElse(host,
+          throw new IllegalArgumentException(s"no endpoint for replica $host"))
+        streamRun(new File(outDir, dataFile), man, host, port)
+      }
+      if (results.nonEmpty && results.forall(!_.ok))
+        throw new IllegalStateException(
+          s"Streaming to the following hosts failed: ${results.map(_.host).mkString(", ")}" +
+            s" — no replica holds $dataFile")
+      results
+    }
+    StreamSummary(sessions)
+  }
+
+  /** One (file, replica) session; connection/protocol errors become a
+    * failed session, not an exception (partial failures are survivable). */
+  def streamRun(file: File, man: BulkSink.PartitionManifest,
+      host: String, port: Int): SessionResult =
+    try {
+      val sock = new Socket()
+      try {
+        sock.connect(new InetSocketAddress("127.0.0.1", port), 2000)
+        val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+        out.writeInt(Magic)
+        out.writeUTF(man.dataFile)
+        out.writeLong(man.rows)
+        out.writeLong(man.bytes)
+        val in = new FileInputStream(file)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        out.flush()
+        sock.shutdownOutput()
+        val reply = new DataInputStream(sock.getInputStream)
+        val status = reply.readUnsignedByte()
+        val msg = reply.readUTF()
+        val rows = reply.readLong()
+        SessionResult(man.dataFile, host, status == 0, msg, rows)
+      } finally sock.close()
+    } catch {
+      case e: Exception =>
+        SessionResult(man.dataFile, host, ok = false, s"session failed: ${e.getMessage}", 0L)
+    }
+}
+
+/**
+ * In-process socket "cluster": one listener per logical node, each
+ * verifying incoming streams the way a receiving node would — rows must
+ * arrive in decorated-key order (token, then unsigned key bytes), and the
+ * declared row/byte counts must match what is read off the wire. Received
+ * streams are recorded per node so tests can assert replica fan-out.
+ */
+final class InProcessCluster(hosts: Seq[String]) {
+
+  final case class Received(host: String, dataFile: String, rows: Long,
+      bytes: Long, sortedOk: Boolean)
+
+  private val servers = new ConcurrentHashMap[String, ServerSocket]()
+  private val threads = new ConcurrentHashMap[String, Thread]()
+  private val received = new ConcurrentHashMap[String, Received]()
+
+  /** Start all listeners; returns host -> port. */
+  def start(): Map[String, Int] = hosts.map { host =>
+    val server = new ServerSocket(0, 16, java.net.InetAddress.getByName("127.0.0.1"))
+    servers.put(host, server)
+    val t = new Thread(() => acceptLoop(host, server), s"graft-node-$host")
+    t.setDaemon(true)
+    t.start()
+    threads.put(host, t)
+    host -> server.getLocalPort
+  }.toMap
+
+  /** Kill one node (tests inject replica failure with this). */
+  def stopNode(host: String): Unit =
+    Option(servers.remove(host)).foreach(s => try s.close() catch { case _: Exception => })
+
+  def stop(): Unit = hosts.foreach(stopNode)
+
+  /** Everything this cluster accepted, keyed (host, dataFile). */
+  def receivedStreams: Map[(String, String), Received] =
+    received.asScala.map { case (k, v) => (v.host, v.dataFile) -> v }.toMap
+
+  private def acceptLoop(host: String, server: ServerSocket): Unit =
+    try {
+      while (!server.isClosed) {
+        val sock = server.accept()
+        try handle(host, sock) finally sock.close()
+      }
+    } catch { case _: Exception => () } // closed socket ends the loop
+
+  private def handle(host: String, sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(sock.getOutputStream)
+    val magic = in.readInt()
+    if (magic != StreamLoader.Magic) { reply(out, 1, "bad magic", 0); return }
+    val dataFile = in.readUTF()
+    val declaredRows = in.readLong()
+    val declaredBytes = in.readLong()
+
+    var rows = 0L
+    var bytes = 0L
+    var sortedOk = true
+    var prevTok = Long.MinValue
+    var prevKey: Array[Byte] = null
+    try {
+      var eof = false
+      while (!eof) {
+        val first = in.read()
+        if (first < 0) eof = true
+        else {
+          val keylen = (first << 8) | in.readUnsignedByte()
+          val key = new Array[Byte](keylen)
+          in.readFully(key)
+          val vallen = in.readInt()
+          if (vallen < 0) throw new EOFException("negative value length")
+          in.skipBytes(vallen)
+          val tok = CassandraTokens.token(key)
+          if (prevKey != null &&
+              CassandraTokens.compareDecorated(prevTok, prevKey, tok, key) > 0)
+            sortedOk = false
+          prevTok = tok; prevKey = key
+          rows += 1
+          bytes += 2L + keylen + 4L + vallen
+        }
+      }
+    } catch {
+      case e: Exception => reply(out, 1, s"stream parse error: ${e.getMessage}", rows); return
+    }
+
+    if (!sortedOk) reply(out, 1, "rows not in decorated-key order", rows)
+    else if (rows != declaredRows) reply(out, 1, s"row count $rows != declared $declaredRows", rows)
+    else if (bytes != declaredBytes) reply(out, 1, s"byte count $bytes != declared $declaredBytes", rows)
+    else {
+      received.put(s"$host|$dataFile",
+        Received(host, dataFile, rows, bytes, sortedOk))
+      reply(out, 0, "ok", rows)
+    }
+  }
+
+  private def reply(out: DataOutputStream, status: Int, msg: String, rows: Long): Unit = {
+    out.writeByte(status); out.writeUTF(msg); out.writeLong(rows); out.flush()
+  }
+}
+
+object InProcessCluster {
+  /** Persist the plan next to the manifests (the `_STREAM_PLAN.json`
+    * contract the CLI writes; here for loader-side reuse). */
+  def writePlanJson(outDir: String, plan: Map[String, Set[String]]): Unit = {
+    val json = plan.toSeq.sortBy(_._1).map { case (f, hosts) =>
+      s""""$f": [${hosts.toSeq.sorted.map(h => s""""$h"""").mkString(", ")}]"""
+    }.mkString("{", ", ", "}")
+    Files.write(Paths.get(outDir, "_STREAM_PLAN.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

@@ -104,6 +104,34 @@ class IntegrationSpec extends AnyFunSuite {
     assert(rows(2).getLong(4) === 600L)
   }
 
+  test("LegacySource avro-bytes container is equivalent to the text path") {
+    // the reference's S2 wire format: an Avro container file whose records
+    // are primitive `bytes`, one legacy TSV line per record
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.GenericDatumWriter
+    val lines = Seq(
+      "HdfsToCassandra\t1\trk1\tc1\tv1",
+      "HdfsToCassandra\t2\trk2\tc2\t123\tv2",
+      "HdfsToCassandra\t3\trk3\tc3\t456\t600\tv3")
+    val dir = Files.createTempDirectory("graft-legacy-avro")
+    val schema = Schema.create(Schema.Type.BYTES)
+    val w = new DataFileWriter(new GenericDatumWriter[java.nio.ByteBuffer](schema))
+    w.create(schema, dir.resolve("part-0.avro").toFile)
+    lines.foreach(l => w.append(java.nio.ByteBuffer.wrap(l.getBytes("UTF-8"))))
+    w.close()
+
+    val txtDir = Files.createTempDirectory("graft-legacy-txt")
+    Files.write(txtDir.resolve("part-0.txt"), (lines.mkString("\n") + "\n").getBytes)
+
+    val viaAvro = graft.sources.LegacySource.readAvroBytes(spark, Seq(dir.toString), 999L)
+      .collect().map(_.toSeq).toSet
+    val viaText = graft.sources.LegacySource.read(spark, Seq(txtDir.toString), 999L)
+      .collect().map(_.toSeq).toSet
+    assert(viaAvro === viaText)
+    assert(viaAvro.size === 3)
+  }
+
   test("DSL extension methods compose the pipeline") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val cql = df.toCqlByFieldNames("o_orderkey", ignore = Seq("o_orderdate"))
@@ -154,6 +182,77 @@ class IntegrationSpec extends AnyFunSuite {
     // survivors are unique by fingerprint
     val n = curated.select(graft.operators.TextAnalysis.fingerprint(col("text"))).distinct().count()
     assert(n === stats.afterNearDup)
+  }
+
+  test("curateCorpus bookkeeping costs one corpus pass, not one per stage") {
+    // count every row read from the input by routing it through a counting
+    // RDD: the five stats must come out of ONE scan (persisted base +
+    // single aggregation), and consuming the curated output adds one more —
+    // the old shape (a count() action per stage) cost ~7 passes.
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = src.collect().toSeq
+    val n = rows.length.toLong
+    val acc = spark.sparkContext.longAccumulator("docReads")
+    val rdd = spark.sparkContext.parallelize(rows, 4).map { r => acc.add(1); r }
+    val df = spark.createDataFrame(rdd, src.schema)
+    val (curated, stats) = graft.operators.Curate.curateCorpus(
+      df, "doc_id", "text", minQuality = 0.1, langs = Set.empty)
+    assert(stats.input === n)
+    assert(acc.value <= (n * 1.2).toLong,
+      s"stats took ${acc.value} row-reads for $n input rows (must be ~1 pass)")
+    val curatedN = curated.count()
+    assert(curatedN === stats.afterNearDup)
+    assert(acc.value <= (n * 2.4).toLong,
+      s"stats + consumption took ${acc.value} row-reads for $n rows (must be ~2 passes)")
+  }
+
+  test("offline loader streams runs to planned replicas; all-sessions-fail fails the job") {
+    import graft.sinks.{BulkSink, InProcessCluster, LoaderPlan, StreamLoader}
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val projected = graft.operators.CqlPipeline.toCql(orders,
+      graft.operators.CqlPipeline.Projection(defaultTimestampMicros = 1L))
+    val manifests = BulkSink.writeSorted(projected, Seq("rowkey"), 4, dir)
+    val nodes = Seq(
+      LoaderPlan.RingNode("cass-1", Seq(-6000000000000000000L, 1000000000000000000L)),
+      LoaderPlan.RingNode("cass-2", Seq(-2000000000000000000L, 5000000000000000000L)),
+      LoaderPlan.RingNode("cass-3", Seq(-4000000000000000000L, 8000000000000000000L)))
+    val plan = LoaderPlan.planStreams(manifests, nodes, rf = 2)
+    InProcessCluster.writePlanJson(dir, plan)
+    assert(new java.io.File(dir, "_STREAM_PLAN.json").exists())
+
+    val cluster = new InProcessCluster(nodes.map(_.host))
+    val endpoints = cluster.start()
+    try {
+      val summary = StreamLoader.stream(dir, plan, endpoints, manifests)
+      assert(summary.failed.isEmpty, s"failed sessions: ${summary.failed}")
+      // replica fan-out: exactly the planned (host, file) sessions arrived
+      val got = cluster.receivedStreams
+      val planned = plan.toSeq.flatMap { case (f, hs) => hs.map(h => (h, f)) }.toSet
+      assert(got.keySet === planned)
+      // every received stream passed the order check and matches its manifest
+      val byFile = manifests.map(m => m.dataFile -> m).toMap
+      got.values.foreach { r =>
+        assert(r.sortedOk)
+        assert(r.rows === byFile(r.dataFile).rows)
+        assert(r.bytes === byFile(r.dataFile).bytes)
+      }
+
+      // one replica down: sessions to it fail, load survives (warn path)
+      cluster.stopNode("cass-2")
+      if (plan.values.exists(_.contains("cass-2"))) {
+        val partial = StreamLoader.stream(dir, plan, endpoints, manifests)
+        assert(partial.failed.nonEmpty)
+        assert(partial.failedHosts === Set("cass-2"))
+      }
+
+      // every replica down: no copy of a run lands anywhere -> job fail
+      cluster.stopNode("cass-1"); cluster.stopNode("cass-3")
+      intercept[IllegalStateException] {
+        StreamLoader.stream(dir, plan, endpoints, manifests)
+      }
+    } finally cluster.stop()
   }
 
   test("CLI with --cluster-info ring emits a stream plan") {

@@ -203,4 +203,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters.values.toSet === Set(1L))
     assert(clusters.keySet === (1L to 9L).toSet)
   }
+
+  test("topk aggregate matches window-ranking semantics (sim desc, id asc, rank 1..k)") {
+    // reference ranking computed independently with a window over the same
+    // scored relation — the heap aggregate must reproduce it exactly
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val got = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val qq = q.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cc = c.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    val want = cc.crossJoin(qq)
+      .withColumn("sim", round(Similarity.cosine(col("q_vec"), col("c_vec")), 4))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want)
+  }
+
+  test("ngram df-cap bounds candidates under a planted hot shingle") {
+    // 40 otherwise-unrelated docs all share one hot phrase; two docs are
+    // true near-duplicates of each other through RARE shingles.
+    val hot = "common header boilerplate notice"
+    val noise = (1L to 40L).map(i =>
+      (i, s"$hot unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e"))
+    val dupA = 100L -> s"$hot $base"
+    val dupB = 101L -> s"$hot ${base.replace("delta", "DELTA")}"
+    val df = (noise :+ dupA :+ dupB).toDF("doc_id", "text")
+      .withColumn("block", lit("b0"))
+    // uncapped: the hot shingles alone generate ~C(42,2) candidate pairs
+    val uncapped = Dedup.ngramCandidates(df, "doc_id", "text", "block", maxDf = 1000000).count()
+    assert(uncapped > 800, s"hot shingle should explode candidates, got $uncapped")
+    // capped: hot shingles (df=42 > 10) leave the index; only rare-shingle
+    // collisions remain -> exactly the true near-dup candidate pair
+    val capped = Dedup.ngramCandidates(df, "doc_id", "text", "block", maxDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet === Set((100L, 101L)), s"got ${capped.toSeq}")
+    // verified output is unchanged by the cap (exact jaccard from full sets)
+    val pc = Dedup.ngramJaccardPairs(df, "doc_id", "text", "block", 0.4, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pu = Dedup.ngramJaccardPairs(df, "doc_id", "text", "block", 0.4, maxDf = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pc === pu)
+    assert(pc.map(p => (p._1, p._2)) === Set((100L, 101L)))
+  }
+
+  test("minhashLshPairs releases its shingle cache before returning") {
+    import org.apache.spark.sql.graft.Bridge
+    val df = docs(1L -> base, 2L -> base.replace("delta", "DELTA"), 3L -> base)
+    (1 to 3).foreach { _ =>
+      val n = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5).count()
+      assert(n >= 2)
+    }
+    assert(Bridge.cacheIsEmpty(spark),
+      "shingle cache must be unpersisted before minhashLshPairs returns")
+  }
 }

@@ -126,10 +126,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(manifests.length === 4)
     assert(manifests.map(_.rows).sum === orders.count())
     assert(manifests.forall(_.sorted))
-    // ring alignment: partition i's tokens all fall inside bucket i's range
+    // ring alignment: each partition holds exactly one ring bucket, mapped
+    // through the seeded slot permutation (bucket b -> partition perm(b))
+    val perm = BulkSink.slotPermutation(4)
     manifests.filter(_.rows > 0).foreach { m =>
-      assert(CassandraTokens.bucketOfToken(m.minToken, 4) === m.partition)
-      assert(CassandraTokens.bucketOfToken(m.maxToken, 4) === m.partition)
+      val bucket = CassandraTokens.bucketOfToken(m.minToken, 4)
+      assert(CassandraTokens.bucketOfToken(m.maxToken, 4) === bucket)
+      assert(perm(bucket) === m.partition)
     }
     assert(new java.io.File(dir, "_MANIFEST.json").exists())
     // data files parse back: short keylen + key + int vallen + val
@@ -188,8 +191,9 @@ class PipelineSpec extends AnyFunSuite {
     ).toDF("rowkey", "value")
     val manifests = BulkSink.writeSorted(df, Seq("rowkey"), 4, dir)
     assert(manifests.map(_.rows).sum === 4)
-    // empty/null keys land in bucket 0 (token = Long.MinValue)
-    val p0 = manifests.find(_.partition == 0).get
+    // empty/null keys land in bucket 0 (token = Long.MinValue), which the
+    // slot permutation routes to partition perm(0)
+    val p0 = manifests.find(_.partition == BulkSink.slotPermutation(4)(0)).get
     assert(p0.rows >= 2 && p0.minToken === Long.MinValue)
   }
 

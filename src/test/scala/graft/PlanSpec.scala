@@ -22,6 +22,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert(p.contains("Exchange"))
   }
+  test("embed topk: bounded-heap aggregate with map-side partial, no window shuffle") {
+    // the row_number() window form would shuffle every scored row into
+    // #distinct(q_id) partitions; the TopKAgg form must show a partial
+    // ObjectHashAggregate BEFORE the exchange and no Window node at all
+    for (q <- Seq("embed_knn", "embed_lsh_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q still ranks via a window:\n${p.take(1500)}")
+      // partial-mode aggregate prints as partial_topk_agg — its presence
+      // (plus the exchange) proves map-side reduction to <=k rows per query
+      // happens before any shuffle
+      assert(p.contains("partial_topk_agg"),
+        s"$q has no partial topk aggregation:\n${p.take(2000)}")
+      assert(p.contains("ObjectHashAggregate") && p.contains("Exchange"),
+        s"$q plan shape unexpected:\n${p.take(2000)}")
+    }
+  }
   test("whole-stage codegen active in scan queries") {
     val df = SparkEntry.queries("p1_cql_projection")(spark, sf)
     df.count() // materialize AQE final plan

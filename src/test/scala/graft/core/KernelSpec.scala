@@ -174,6 +174,84 @@ class KernelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LegacyLine.parse("HdfsToCassandra\t2\trk\tcn\tNaN\tval", 0L))
   }
 
+  // --- RandomPartitioner (MD5 / BigIntegerToken) ----------------------------
+  // Mirrors the reference comparator contract (CassandraKeyComparatorTest.
+  // java:35-55: ordering under a non-Murmur3 partitioner is the decorated-
+  // key order of that partitioner) for the RandomPartitioner branch of
+  // CassandraPartitioner.java:46-47,63-64 (BigIntegerToken.token.abs()).
+  test("md5 token is abs(md5(key)); empty key maps to abs(MINIMUM) = 1") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (k <- Seq("foo", "bar", "baz", "", "abc1", "ключ-日本語")) {
+      val key = k.getBytes("UTF-8")
+      val expected =
+        if (key.isEmpty) java.math.BigInteger.ONE
+        else new java.math.BigInteger(md.digest(key)).abs()
+      assert(CassandraTokens.md5Token(key) === expected, s"key=$k")
+      md.reset()
+    }
+    assert(CassandraTokens.md5Token(null) === java.math.BigInteger.ONE)
+  }
+
+  test("canonical md5 token bytes: fixed width, unsigned order = numeric order") {
+    val keys = Seq("foo", "bar", "baz", "abc", "def", "1", "2", "abc1", "abc2", "")
+      .map(_.getBytes("UTF-8"))
+    for (a <- keys; b <- keys) {
+      val numeric = CassandraTokens.md5Token(a).compareTo(CassandraTokens.md5Token(b))
+      val bytes = CassandraTokens.compareUnsigned(
+        CassandraTokens.md5TokenBytes(a), CassandraTokens.md5TokenBytes(b))
+      assert(Integer.signum(bytes) === Integer.signum(numeric),
+        s"byte order diverges from numeric for ${new String(a)} vs ${new String(b)}")
+      assert(CassandraTokens.md5TokenBytes(a).length === 16)
+    }
+    // decorated comparison: token order first, key bytes break ties
+    assert(CassandraTokens.compareRandomDecorated("foo".getBytes, "foo".getBytes) === 0)
+  }
+
+  test("random bucket math: ceil range, full coverage, monotonic") {
+    // rangePerBucket(1) = 2^127 (whole ring, one bucket)
+    assert(CassandraTokens.randomRangePerBucket(1) ===
+      java.math.BigInteger.ONE.shiftLeft(127))
+    // n=3: ceil(2^127/3) — cross-checked with BigInteger arithmetic
+    val span = java.math.BigInteger.ONE.shiftLeft(127)
+    val three = java.math.BigInteger.valueOf(3)
+    assert(CassandraTokens.randomRangePerBucket(3) ===
+      span.add(three).subtract(java.math.BigInteger.ONE).divide(three))
+    for (n <- Seq(1, 2, 3, 5, 8, 32)) {
+      val buckets = (0 until 500).map(i =>
+        CassandraTokens.randomBucket(s"key-$i".getBytes("UTF-8"), n))
+      assert(buckets.forall(b => b >= 0 && b < n), s"n=$n out of range")
+      if (n <= 8) assert(buckets.distinct.size === n, s"n=$n not covered by 500 keys")
+      // monotonic in token order
+      val sortedByTok = (0 until 500).map(i => s"key-$i".getBytes("UTF-8"))
+        .sortWith((a, b) => CassandraTokens.compareRandomDecorated(a, b) < 0)
+      val bs = sortedByTok.map(CassandraTokens.randomBucket(_, n))
+      assert(bs === bs.sorted, s"n=$n buckets not monotonic in token order")
+    }
+    // the maximal token 2^127 stays in the last bucket (clamp)
+    val maxTok = java.math.BigInteger.ONE.shiftLeft(127).toByteArray.drop(1) // 16 bytes: 0x80 00...
+    assert(maxTok.length === 16)
+    assert(CassandraTokens.randomBucketOfTokenBytes(maxTok, 7) === 6)
+  }
+
+  // --- Reducer-slot permutation ---------------------------------------------
+  test("slot permutation: bijective, deterministic, scatters adjacent buckets") {
+    import graft.sinks.BulkSink
+    for (n <- Seq(4, 16, 32, 256)) {
+      val perm = BulkSink.slotPermutation(n)
+      assert(perm.sorted.toSeq === (0 until n), s"n=$n not a bijection")
+      assert(perm.toSeq === BulkSink.slotPermutation(n).toSeq, s"n=$n not deterministic")
+    }
+    // adjacent (co-hot) ring buckets must not stay adjacent wholesale: for a
+    // realistic partition count, most neighboring buckets land >1 apart
+    val n = 256
+    val perm = BulkSink.slotPermutation(n)
+    val adjacentKept = (0 until n - 1).count(b => math.abs(perm(b + 1) - perm(b)) <= 1)
+    assert(adjacentKept < n / 8,
+      s"$adjacentKept of ${n - 1} adjacent bucket pairs still adjacent after permutation")
+    // identity would fail the above by construction
+    assert(perm.toSeq !== (0 until n).toSeq)
+  }
+
   // --- Params ---------------------------------------------------------------
   test("target URI grammar parses with defaults from cluster info") {
     val info = StaticClusterInfo(numClusterNodes = 5)
