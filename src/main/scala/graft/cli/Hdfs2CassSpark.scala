@@ -59,9 +59,16 @@ object Hdfs2CassSpark {
 
   def run(spark: SparkSession, args: Args,
       clusterInfo: ClusterInfo = StaticClusterInfo()): Seq[BulkSink.PartitionManifest] = {
-    val info = args.clusterInfoJson
-      .map(StaticClusterInfo.fromJsonFile)
-      .getOrElse(clusterInfo)
+    // --cluster-info is either a JSON ring file or socket://host:port for
+    // a live plan-time metadata fetch (the reference fetches from the
+    // output URI's seed node the same way, CassandraClusterInfo.java:61-109)
+    val info = args.clusterInfoJson.map {
+      case s if s.startsWith("socket://") =>
+        val hp = s.stripPrefix("socket://").split(":", 2)
+        require(hp.length == 2, s"--cluster-info socket form must be socket://host:port, got $s")
+        StaticClusterInfo.fetch(hp(0), hp(1).toInt)
+      case path => StaticClusterInfo.fromJsonFile(path)
+    }.getOrElse(clusterInfo)
     val params = CassandraParams.parse(args.output, info)
     val input: DataFrame = args.format match {
       case "avro"    => AvroSource.read(spark, args.inputs)

@@ -31,13 +31,17 @@ object StaticClusterInfo {
    * reference's driver-side seed-node fetch (CassandraClusterInfo.java:
    * 61-109). Format:
    *   {"partitioner": "...Murmur3Partitioner",
-   *    "nodes": [{"host": "h1", "tokens": [-9000000000000000000, 0]}, ...]}
-   * Parsed with a minimal hand-rolled reader (no JSON library on the
-   * classpath beyond Spark's shaded ones).
+   *    "nodes": [{"host": "h1", "tokens": [-9000000000000000000, 0]}, ...],
+   *    "columns": ["rowkey", "c1"], "key_indexes": [0]}
+   * (columns/key_indexes optional — the reference fetches them from the
+   * table metadata the same way.) Parsed with a minimal hand-rolled reader
+   * (no JSON library on the classpath beyond Spark's shaded ones).
    */
-  def fromJsonFile(path: String): StaticClusterInfo = {
-    val text = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+  def fromJsonFile(path: String): StaticClusterInfo =
+    fromJsonString(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromJsonString(text: String): StaticClusterInfo = {
     val partitioner = """"partitioner"\s*:\s*"([^"]+)"""".r
       .findFirstMatchIn(text).map(_.group(1))
       .getOrElse(CassandraParams.Murmur3Partitioner)
@@ -48,9 +52,37 @@ object StaticClusterInfo {
         .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
       host -> tokens
     }.toSeq
-    require(nodes.nonEmpty, s"no nodes parsed from $path")
+    require(nodes.nonEmpty, "no nodes parsed from cluster metadata")
+    val columns = """"columns"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+      .map(_.group(1).split(",").iterator.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val keyIdx = """"key_indexes"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+      .map(_.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toArray)
+      .getOrElse(Array(0))
     StaticClusterInfo(partitionerClass = partitioner,
-      numClusterNodes = nodes.length, ring = nodes)
+      numClusterNodes = nodes.length, allColumnNames = columns,
+      partitionKeyIndexes = keyIdx, ring = nodes)
+  }
+
+  /**
+   * Live metadata fetch from a seed node at plan time — the reference's
+   * CassandraClusterInfo.init() boundary (connect to the seed host from
+   * the target URI, read partitioner / ring / table metadata). The wire
+   * peer offline is `graft.sinks.InProcessCluster`, which answers the
+   * same request; a real driver-based fetch plugs in behind the same
+   * `ClusterInfo` trait.
+   */
+  def fetch(host: String, port: Int): StaticClusterInfo = {
+    val sock = new java.net.Socket()
+    try {
+      sock.connect(new java.net.InetSocketAddress(host, port), 2000)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      out.writeInt(CassandraParams.MetadataMagic)
+      out.flush()
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      fromJsonString(in.readUTF())
+    } finally sock.close()
   }
 }
 
@@ -84,6 +116,9 @@ final case class CassandraParams(
 object CassandraParams {
   val Murmur3Partitioner = "org.apache.cassandra.dht.Murmur3Partitioner"
   val RandomPartitioner = "org.apache.cassandra.dht.RandomPartitioner"
+
+  /** Wire magic for a cluster-metadata request ("GRFM"). */
+  val MetadataMagic = 0x4752464d
 
   /**
    * Query-string parse: `k=v&flag` -> map, a bare key means "true", empty

@@ -151,18 +151,30 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, maxDf: Int = 100): DataFrame = {
+    // shingle extraction (the regex pass) runs ONCE: candidates, the df
+    // counts, and both verification sides all read the persisted frame
     val withSh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       shingles(col(textCol)).as("sh"))
-    val candidates = ngramCandidates(df, idCol, textCol, blockCol, maxDf)
+      .persist()
+    // the index shuffles 8-byte shingle HASHES, not the shingle strings —
+    // ~10x fewer shuffle bytes; a hash collision can only add a candidate
+    // pair (verification below is exact on the full string shingle sets)
+    val ex = withSh.select(col("block"), col("doc_id"),
+      explode(shingleHashes(col("sh"))).as("s"))
+    val candidates = candidatesFromIndex(ex, maxDf)
     // exact verification on the bounded candidate set, from full shingle sets
     val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
+    val verified = candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", round(col("inter").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+    // materialize (tiny, threshold-bounded) and release the shingle cache
+    val out = verified.localCheckpoint()
+    withSh.unpersist()
+    out
   }
 
   /**
@@ -173,9 +185,15 @@ object Dedup {
    * candidate bound is directly testable.
    */
   def ngramCandidates(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, maxDf: Int): DataFrame = {
-    val ex = df.select(col(blockCol).as("block"), col(idCol).as("doc_id"),
-      explode(shingles(col(textCol))).as("s"))
+      blockCol: String, maxDf: Int): DataFrame =
+    candidatesFromIndex(
+      df.select(col(blockCol).as("block"), col(idCol).as("doc_id"),
+        explode(shingles(col(textCol))).as("s")),
+      maxDf)
+
+  /** Inverted-index candidate join over an exploded (block, doc_id, s)
+    * relation with the block-local df cap applied. */
+  private def candidatesFromIndex(ex: DataFrame, maxDf: Int): DataFrame = {
     // block-local df per shingle (map-side combinable), hot shingles dropped
     val kept = ex.join(
       ex.groupBy(col("block"), col("s")).agg(count(lit(1)).as("df"))
@@ -200,23 +218,43 @@ object Dedup {
    * localCheckpoint truncates lineage between rounds.
    */
   def dupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val merged = labels.join(prop, labels("id") === prop("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
-        .localCheckpoint()
-      changed = merged.filter(col("next") < col("label")).count()
-      labels = merged.select(col("id"), col("next").as("label"))
-    }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // the pair graph is orders of magnitude smaller than the corpus
+    // (bounded by true duplicate clusters), so run the iterations at a
+    // partition count sized to the EDGE set, not the session default —
+    // at sf0.1 that turns ~100-task rounds over a few thousand edges into
+    // single-task rounds, and at real scale it grows back automatically.
+    val spark = pairs.sparkSession
+    // materialize the pair graph once up front (cheap re-scan when the
+    // caller already checkpointed, e.g. minhashLshPairs output) so the
+    // size probe and every loop round read blocks, not the pair dataflow
+    val p = pairs.localCheckpoint()
+    val nPairs = p.count()
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = math.max(1, math.min(defaultParts, (nPairs / 250000L).toInt + 1))
+    // every action of the loop runs inside this scope, so the temporary
+    // shuffle-partition setting never leaks to other queries; the returned
+    // frame reads a checkpointed RDD (no shuffle left in its plan).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct().localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        val merged = labels.join(prop, labels("id") === prop("src"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+          .localCheckpoint()
+        changed = merged.filter(col("next") < col("label")).count()
+        labels = merged.select(col("id"), col("next").as("label"))
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /**

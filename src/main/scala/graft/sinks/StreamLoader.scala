@@ -110,8 +110,17 @@ object StreamLoader {
  * arrive in decorated-key order (token, then unsigned key bytes), and the
  * declared row/byte counts must match what is read off the wire. Received
  * streams are recorded per node so tests can assert replica fan-out.
+ *
+ * Every node also answers cluster-METADATA requests
+ * (`CassandraParams.MetadataMagic`) with partitioner / ring / table
+ * metadata — the peer of `StaticClusterInfo.fetch`, standing in for the
+ * reference's seed-node metadata read (CassandraClusterInfo.java:61-109).
  */
-final class InProcessCluster(hosts: Seq[String]) {
+final class InProcessCluster(hosts: Seq[String],
+    ring: Map[String, Seq[Long]] = Map.empty,
+    partitioner: String = graft.core.CassandraParams.Murmur3Partitioner,
+    tableColumns: Seq[String] = Nil,
+    keyIndexes: Seq[Int] = Seq(0)) {
 
   final case class Received(host: String, dataFile: String, rows: Long,
       bytes: Long, sortedOk: Boolean)
@@ -153,6 +162,9 @@ final class InProcessCluster(hosts: Seq[String]) {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(sock.getOutputStream)
     val magic = in.readInt()
+    if (magic == graft.core.CassandraParams.MetadataMagic) {
+      out.writeUTF(metadataJson); out.flush(); return
+    }
     if (magic != StreamLoader.Magic) { reply(out, 1, "bad magic", 0); return }
     val dataFile = in.readUTF()
     val declaredRows = in.readLong()
@@ -200,6 +212,17 @@ final class InProcessCluster(hosts: Seq[String]) {
 
   private def reply(out: DataOutputStream, status: Int, msg: String, rows: Long): Unit = {
     out.writeByte(status); out.writeUTF(msg); out.writeLong(rows); out.flush()
+  }
+
+  /** The same JSON grammar `StaticClusterInfo.fromJsonString` parses. */
+  private def metadataJson: String = {
+    val nodesJson = hosts.map { h =>
+      val toks = ring.getOrElse(h, Nil).mkString(", ")
+      s"""{"host": "$h", "tokens": [$toks]}"""
+    }.mkString("[", ", ", "]")
+    val cols = tableColumns.map(c => s""""$c"""").mkString("[", ", ", "]")
+    s"""{"partitioner": "$partitioner", "nodes": $nodesJson, """ +
+      s""""columns": $cols, "key_indexes": [${keyIndexes.mkString(", ")}]}"""
   }
 }
 

@@ -31,14 +31,31 @@ object AvroSource {
       classOf[AvroKeyInputFormat[GenericRecord]],
       classOf[AvroKey[GenericRecord]],
       classOf[NullWritable])
-    // schema from the first record (the reference resolves positions from
-    // the first record seen too, AvroToCQL.java:58-60)
-    val firstSchema = rdd.map(_._1.datum().getSchema.toString).first()
-    val structType = toStructType(new Schema.Parser().parse(firstSchema))
+    // schema from the first container file's HEADER — a few KB of driver-
+    // side IO, not a Spark job (a first() here would schedule a task and
+    // decode a whole record just to learn what the header already says)
+    val structType = toStructType(headerSchema(paths.head))
     val rows = rdd.mapPartitions { it =>
       it.map { case (k, _) => toRow(k.datum()) }
     }
     spark.createDataFrame(rows, structType)
+  }
+
+  /** Writer schema from a container file's header (driver-side, no job).
+    * `path` may be a file or a directory of part files. */
+  private[sources] def headerSchema(path: String): Schema = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .sortBy(_.getName).headOption
+        .getOrElse(throw new IllegalArgumentException(s"no data files under $path"))
+    val reader = new org.apache.avro.file.DataFileStream(
+      fs.open(file), new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try reader.getSchema finally reader.close()
   }
 
   /** Avro schema -> Spark StructType (the §1.3 type table). */

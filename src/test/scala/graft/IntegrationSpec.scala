@@ -222,9 +222,20 @@ class IntegrationSpec extends AnyFunSuite {
     InProcessCluster.writePlanJson(dir, plan)
     assert(new java.io.File(dir, "_STREAM_PLAN.json").exists())
 
-    val cluster = new InProcessCluster(nodes.map(_.host))
+    val cluster = new InProcessCluster(nodes.map(_.host),
+      ring = nodes.map(n => n.host -> n.tokens).toMap,
+      tableColumns = Seq("rowkey", "o_custkey"), keyIndexes = Seq(0))
     val endpoints = cluster.start()
     try {
+      // plan-time metadata fetch from a seed node (CassandraClusterInfo
+      // semantics): partitioner, ring, table metadata over the same socket
+      val fetched = StaticClusterInfo.fetch("127.0.0.1", endpoints("cass-1"))
+      assert(fetched.numClusterNodes === 3)
+      assert(fetched.ring.toMap === nodes.map(n => n.host -> n.tokens).toMap)
+      assert(fetched.allColumnNames === Seq("rowkey", "o_custkey"))
+      assert(fetched.partitionKeyIndexes.toSeq === Seq(0))
+      assert(fetched.partitionerClass === graft.core.CassandraParams.Murmur3Partitioner)
+
       val summary = StreamLoader.stream(dir, plan, endpoints, manifests)
       assert(summary.failed.isEmpty, s"failed sessions: ${summary.failed}")
       // replica fan-out: exactly the planned (host, file) sessions arrived
@@ -252,6 +263,28 @@ class IntegrationSpec extends AnyFunSuite {
       intercept[IllegalStateException] {
         StreamLoader.stream(dir, plan, endpoints, manifests)
       }
+    } finally cluster.stop()
+  }
+
+  test("CLI --cluster-info socket://host:port fetches metadata live at plan time") {
+    import graft.sinks.InProcessCluster
+    val ring = Map(
+      "cass-1" -> Seq(-6000000000000000000L, 1000000000000000000L),
+      "cass-2" -> Seq(-2000000000000000000L, 5000000000000000000L))
+    val cluster = new InProcessCluster(Seq("cass-1", "cass-2"), ring = ring)
+    val endpoints = cluster.start()
+    try {
+      val out = Files.createTempDirectory("graft-cli-socket").toString
+      val args = Hdfs2CassSpark.parseArgs(Seq(
+        "--input", "/root/testdata/sf0.001/orders.parquet",
+        "--output", "cql://seed/ks/t?reducers=4",
+        "--rowkey", "o_orderkey",
+        "--sink-dir", out,
+        "--cluster-info", s"socket://127.0.0.1:${endpoints("cass-1")}"))
+      val manifests = Hdfs2CassSpark.run(spark, args)
+      assert(manifests.map(_.rows).sum === 1500)
+      // ring metadata arrived over the socket -> the stream plan was emitted
+      assert(new java.io.File(out, "_STREAM_PLAN.json").exists())
     } finally cluster.stop()
   }
 
