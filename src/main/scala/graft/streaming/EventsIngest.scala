@@ -52,15 +52,29 @@ object EventsIngest {
    * as sorted runs under `outDir/batch=<id>`. Returns the finished query.
    */
   def ingestOnce(spark: SparkSession, eventsDir: String, outDir: String,
-      numBuckets: Int = 4): StreamingQuery = {
+      numBuckets: Int = 4): StreamingQuery =
+    runIngest(spark, eventsDir, outDir, numBuckets, mode = "complete")
+
+  /**
+   * The 24/7 form: APPEND output with the watermark bounding state — a
+   * window's aggregate is emitted (and bulk-loaded) exactly once, when the
+   * watermark passes its end; state never grows beyond the watermark lag.
+   * Windows still open when a bounded run drains stay in the checkpoint
+   * and emit on the next run — restart-safe incremental loads.
+   * (`ingestOnce`'s complete mode re-emits everything each batch: right
+   * for a bounded demo run, unbounded state on a true firehose.)
+   */
+  def ingestAppend(spark: SparkSession, eventsDir: String, outDir: String,
+      numBuckets: Int = 4): StreamingQuery =
+    runIngest(spark, eventsDir, outDir, numBuckets, mode = "append")
+
+  private def runIngest(spark: SparkSession, eventsDir: String, outDir: String,
+      numBuckets: Int, mode: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
     val agg = windowedCounts(stream)
-    // "complete" so a bounded AvailableNow run emits every window (append
-    // would hold back windows the watermark never passes before the stream
-    // ends); a 24/7 ingest would use update/append with the same dataflow.
     val query = agg.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

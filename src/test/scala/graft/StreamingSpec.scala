@@ -53,4 +53,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(missing.forall(s => lastStart(s._1) === s._2),
       "a non-trailing session failed to close")
   }
+
+  test("append-mode ingest emits each window exactly once as the watermark passes") {
+    // three bounded runs over a growing directory = a restarting 24/7
+    // ingest; windows must flow to bulk loads exactly once, held until the
+    // watermark passes their end, surviving restarts via the checkpoint
+    val inDir = Files.createTempDirectory("graft-ingest-in").toString
+    val outDir = Files.createTempDirectory("graft-ingest-out").toString
+    val H = 3600L * 1000000000L // 1h in ns
+    def addEvents(rows: (Long, Long)*): Unit = // (event_id, ts_ns)
+      rows.toSeq.map { case (id, ts) => (id, ts, 1L, "a", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def allKeys: Seq[String] = {
+      val dirs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      dirs.flatMap(_.listFiles().filter(_.getName.endsWith("-Data.db")).flatMap { f =>
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f)))
+        val keys = scala.collection.mutable.Buffer[String]()
+        try while (in.available() > 0) {
+          val klen = in.readUnsignedShort()
+          val key = new Array[Byte](klen); in.readFully(key)
+          in.skipBytes(in.readInt())
+          keys += new String(key, "UTF-8")
+        } finally in.close()
+        keys
+      }).toSeq
+    }
+    def loadedKeys: Set[String] = {
+      val ks = allKeys
+      assert(ks.distinct.size === ks.size, s"window loaded twice: $ks") // exactly-once
+      ks.toSet
+    }
+
+    // run 1: events in windows [0,1) and [2,3); the trailing no-data batch
+    // advances the watermark to 1.5h -> [0,1) emits, [2,3) held in state
+    addEvents((1L, H / 2), (2L, H / 2 + 1), (3L, 2 * H + H / 2))
+    graft.streaming.EventsIngest.ingestAppend(spark, inDir, outDir)
+    assert(loadedKeys === Set("a|1970-01-01 00:00:00"))
+    // run 2 (restart): watermark advances to 4h -> [2,3) emits ONCE, [5,6) held
+    addEvents((4L, 5 * H))
+    graft.streaming.EventsIngest.ingestAppend(spark, inDir, outDir)
+    assert(loadedKeys === Set("a|1970-01-01 00:00:00", "a|1970-01-01 02:00:00"))
+    // run 3 (restart): watermark 6h -> [5,6) emits; earlier windows NOT re-emitted
+    addEvents((5L, 7 * H))
+    graft.streaming.EventsIngest.ingestAppend(spark, inDir, outDir)
+    assert(loadedKeys === Set("a|1970-01-01 00:00:00", "a|1970-01-01 02:00:00",
+      "a|1970-01-01 05:00:00"))
+  }
 }
