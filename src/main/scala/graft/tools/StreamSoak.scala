@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.CqlPipeline
+import graft.operators.CqlPipeline.Projection
+import graft.sinks.{BulkSink, InProcessCluster, LoaderPlan, StreamLoader}
+
+/**
+ * Streaming-boundary soak: N synthetic rows through the full load path
+ * INCLUDING the socket transfer — sorted bulk load, replica planning, then
+ * StreamLoader pushing every run to rf in-process "nodes" that re-verify
+ * decorated-key order and counts. Measures the transfer throughput the
+ * offline loader skeleton sustains (each byte crosses a real TCP socket
+ * rf times).
+ *
+ *   sbt "runMain graft.tools.StreamSoak 5000000 16 /tmp/graft-ssoak"
+ */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 5000000L
+    val buckets = if (args.length > 1) args(1).toInt else 16
+    val out = if (args.length > 2) args(2) else "/tmp/graft-ssoak"
+    val rf = 2
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", buckets)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df = spark.range(n).select(
+      concat(lit("user-"), col("id")).as("user_id"),
+      (col("id") % 97).cast("int").as("score"),
+      concat(lit("payload-"), col("id") % 1000).as("payload"))
+    val projected = CqlPipeline.toCql(df, Projection(defaultTimestampMicros = 1L))
+    val manifests = BulkSink.writeSorted(projected, Seq("rowkey"), buckets, out)
+
+    // 3-node ring, evenly spaced vnodes
+    val hosts = Seq("node-1", "node-2", "node-3")
+    val step = java.lang.Long.divideUnsigned(-1L, 6L)
+    val nodes = hosts.zipWithIndex.map { case (h, i) =>
+      LoaderPlan.RingNode(h, Seq(Long.MinValue + (2L * i + 1L) * step,
+        Long.MinValue + (2L * i + 2L) * step))
+    }
+    val plan = LoaderPlan.planStreams(manifests, nodes, rf)
+    val cluster = new InProcessCluster(hosts,
+      ring = nodes.map(nd => nd.host -> nd.tokens).toMap)
+    val endpoints = cluster.start()
+    try {
+      val t0 = System.nanoTime()
+      val summary = StreamLoader.stream(out, plan, endpoints, manifests)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(summary.failed.isEmpty, s"failed sessions: ${summary.failed}")
+      val rows = manifests.map(_.rows).sum
+      val fileBytes = manifests.map(_.bytes).sum
+      val wireBytes = plan.map { case (f, hs) =>
+        manifests.find(_.dataFile == f).map(_.bytes).getOrElse(0L) * hs.size
+      }.sum
+      val verified = cluster.receivedStreams.values.count(_.sortedOk)
+      println(f"""{"rows":$rows,"sessions":${summary.sessions.length},""" +
+        f""""verified_streams":$verified,"rf":$rf,"sec":$sec%.1f,""" +
+        f""""file_mb":${fileBytes / 1e6}%.0f,"wire_mb":${wireBytes / 1e6}%.0f,""" +
+        f""""wire_mb_per_sec":${wireBytes / 1e6 / sec}%.1f}""")
+    } finally cluster.stop()
+    spark.stop()
+  }
+}
