@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case es if es.nonEmpty => CompositeKeyExpr(es) })
     register(ext, "minhash_agg", "k-min MinHash signature over shingle-hash arrays",
       { case Seq(e, k) => MinHashAgg(e, foldToInt(k, "minhash_agg(expr, k)")) })
+    register(ext, "cassandra_random_token",
+      "RandomPartitioner (md5) token of partition-key bytes, canonical 16-byte form",
+      { case Seq(e) => RandomTokenExpr(e) })
+    register(ext, "random_token_bucket", "ring bucket of a RandomPartitioner token",
+      { case Seq(e, n) => RandomTokenBucketExpr(e, foldToInt(n, "random_token_bucket(expr, n)")) })
+    register(ext, "topk_agg", "bounded top-k (sim desc, id asc) aggregate",
+      { case Seq(sim, id, k) => TopKAgg(sim, id, foldToInt(k, "topk_agg(sim, id, k)")) })
   }
 
   private def foldToInt(e: Expression, usage: String): Int = e match {

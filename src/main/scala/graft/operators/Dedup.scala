@@ -94,11 +94,14 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("hs"), k))
 
     // bands carry ONLY (doc_id, band_id, band_sig) through the shuffle —
-    // the shingle arrays would otherwise be duplicated `bands` times.
+    // the shingle arrays would otherwise be duplicated `bands` times. The
+    // band signature is an 8-byte xxhash64 of the band's minima, not a
+    // concat string: ~5x fewer shuffle bytes, and a hash collision can
+    // only ADD a candidate pair, which exact-Jaccard verification drops.
     val banded = withSig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band_id"),
-          concat_ws("_", (0 until rowsPerBand).map(r =>
+          xxhash64((0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("band_sig"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
 

@@ -41,11 +41,18 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         cassandra_token(cql_serialize(col("k"))).as("tok"),
         token_bucket(cassandra_token(cql_serialize(col("k"))), 8).as("b"),
         hex(composite_key(cql_serialize(col("k")), cql_serialize(col("v")))).as("ck"),
-        hex(partition_key(col("k"), col("v"))).as("pk"))
+        hex(partition_key(col("k"), col("v"))).as("pk"),
+        cassandra_random_token(cql_serialize(col("k"))).as("rtok"),
+        random_token_bucket(cassandra_random_token(cql_serialize(col("k"))), 8).as("rb"))
     val rows = df.collect()
     assert(rows.length === 3)
     assert(rows(0).getLong(0) === -2129773440516405919L)
     assert(rows(2).getLong(0) === Long.MinValue) // empty key
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("rtok").length === 16)
+      val b = r.getInt(5)
+      assert(b >= 0 && b < 8)
+    }
   }
 
   test("GraftExtensions registers the functions for SQL") {
