@@ -21,8 +21,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JIT + parquet footer caches, not measured
+    // warm-up, not measured: parquet footer caches plus one full
+    // query through the noop sink so JIT/codegen startup is not billed to
+    // whichever query happens to sort first
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    try SparkEntry.queries("q1_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
