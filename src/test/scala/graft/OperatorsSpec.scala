@@ -251,6 +251,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pc.map(p => (p._1, p._2)) === Set((100L, 101L)))
   }
 
+  test("topk aggregate edges: k exceeding group size, exact ties, null sims") {
+    import graft.functions.TopKAgg.topk_agg
+    val df = Seq(
+      (1L, 10L, Option(0.5)), (1L, 11L, Option(0.9)), (1L, 12L, Option(0.9)),
+      (1L, 13L, None), // null sim must be ignored, not ranked
+      (2L, 20L, Option(0.1))
+    ).toDF("q_id", "c_id", "sim")
+    val got = df.groupBy(col("q_id"))
+      .agg(topk_agg(col("sim"), col("c_id"), 5).as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getLong(0), t.getDouble(1))))
+      .toMap
+    // k=5 > group size: all non-null entries, best first, ties by id asc
+    assert(got(1L) === Seq((11L, 0.9), (12L, 0.9), (10L, 0.5)))
+    assert(got(2L) === Seq((20L, 0.1)))
+  }
+
   test("minhashLshPairs releases its shingle cache before returning") {
     import org.apache.spark.sql.graft.Bridge
     val df = docs(1L -> base, 2L -> base.replace("delta", "DELTA"), 3L -> base)
