@@ -194,23 +194,20 @@ object Dedup {
         explode(shingles(col(textCol))).as("s")),
       maxDf)
 
-  /** Inverted-index candidate join over an exploded (block, doc_id, s)
-    * relation with the block-local df cap applied. */
-  private def candidatesFromIndex(ex: DataFrame, maxDf: Int): DataFrame = {
-    // block-local df per shingle (map-side combinable), hot shingles dropped
-    val kept = ex.join(
-      ex.groupBy(col("block"), col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf && col("df") > 1)
-        .select(col("block"), col("s")),
-      Seq("block", "s"))
-    val a = kept.alias("a")
-    val b = kept.alias("b")
-    a.join(b,
-        col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** Inverted-index candidates over an exploded (block, doc_id, s)
+    * relation with the block-local df cap applied. ONE aggregation builds
+    * the posting list per (block, shingle) — its size IS the document
+    * frequency, so the cap both filters and bounds the list — and pair
+    * expansion happens in-row (two explodes over a ≤maxDf array) instead
+    * of a second shuffle-heavy self-join of the full index. */
+  private def candidatesFromIndex(ex: DataFrame, maxDf: Int): DataFrame =
+    ex.groupBy(col("block"), col("s"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
-  }
 
   /**
    * Connected components over a near-dup pair graph: every document in a
