@@ -154,29 +154,64 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, maxDf: Int = 100): DataFrame = {
-    // shingle extraction (the regex pass) runs ONCE: candidates, the df
-    // counts, and both verification sides all read the persisted frame
+    // shingle extraction (the regex pass) runs ONCE into a persisted frame
     val withSh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       shingles(col(textCol)).as("sh"))
+      .withColumn("n", size(col("sh")))
       .persist()
-    // the index shuffles 8-byte shingle HASHES, not the shingle strings —
-    // ~10x fewer shuffle bytes; a hash collision can only add a candidate
-    // pair (verification below is exact on the full string shingle sets)
-    val ex = withSh.select(col("block"), col("doc_id"),
-      explode(shingleHashes(col("sh"))).as("s"))
-    val candidates = candidatesFromIndex(ex, maxDf)
-    // exact verification on the bounded candidate set, from full shingle sets
+    // ONE aggregation builds the posting list per (block, shingle); list
+    // size is the document frequency. Shingles must stay STRINGS here —
+    // the intersection counts below feed the final Jaccard, so hash
+    // collisions are not survivable in this variant.
+    val posts = withSh
+      .select(col("block"), col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("block"), col("s"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .persist()
+    // |A∩B| over the KEPT (sub-cap) index falls out of counting pair
+    // occurrences across posting lists — pairs expand in-row from ≤maxDf
+    // arrays, no self-join, no array shipping.
+    val interKept = posts
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_kept"))
+    // docs containing at least one over-cap shingle: only for THESE can
+    // the true intersection exceed inter_kept
+    val hotDocs = posts.filter(size(col("ds")) > maxDf)
+      .select(explode(col("ds")).as("doc_id")).distinct()
+      .withColumn("hot", lit(true))
+    val na = withSh.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val nb = withSh.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    val scored = interKept.join(na, "doc_a").join(nb, "doc_b")
+      .join(hotDocs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hot", "hot_a"),
+        Seq("doc_a"), "left")
+      .join(hotDocs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hot", "hot_b"),
+        Seq("doc_b"), "left")
+    // neither doc touches a hot shingle -> inter_kept IS the exact
+    // intersection; Jaccard from counts alone (the common case at scale)
+    val clean = scored.filter(col("hot_a").isNull && col("hot_b").isNull)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter_kept").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter_kept")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+    // hot-doc pairs (rare by construction): exact verify from full sets
+    val dirty = scored.filter(col("hot_a").isNotNull || col("hot_b").isNotNull)
+      .select(col("doc_a"), col("doc_b"))
     val sa = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val verified = candidates.join(sa, "doc_a").join(sb, "doc_b")
+    val verified = dirty.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", round(col("inter").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-    // materialize (tiny, threshold-bounded) and release the shingle cache
-    val out = verified.localCheckpoint()
+    // materialize (tiny, threshold-bounded) and release both caches
+    val out = clean.unionByName(verified).localCheckpoint()
     withSh.unpersist()
+    posts.unpersist()
     out
   }
 
