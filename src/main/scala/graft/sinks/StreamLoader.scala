@@ -186,7 +186,16 @@ final class InProcessCluster(hosts: Seq[String],
           in.readFully(key)
           val vallen = in.readInt()
           if (vallen < 0) throw new EOFException("negative value length")
-          in.skipBytes(vallen)
+          // skipBytes may skip fewer bytes than asked on a socket stream —
+          // loop, falling back to a blocking read() to distinguish "not
+          // yet available" from EOF
+          var toSkip = vallen
+          while (toSkip > 0) {
+            val k = in.skipBytes(toSkip)
+            if (k > 0) toSkip -= k
+            else if (in.read() >= 0) toSkip -= 1
+            else throw new EOFException(s"truncated value ($toSkip of $vallen bytes missing)")
+          }
           val tok = CassandraTokens.token(key)
           if (prevKey != null &&
               CassandraTokens.compareDecorated(prevTok, prevKey, tok, key) > 0)
