@@ -77,6 +77,7 @@ object StaticClusterInfo {
     val sock = new java.net.Socket()
     try {
       sock.connect(new java.net.InetSocketAddress(host, port), 2000)
+      sock.setSoTimeout(5000) // a wedged seed must fail the plan, not hang it
       val out = new java.io.DataOutputStream(sock.getOutputStream)
       out.writeInt(CassandraParams.MetadataMagic)
       out.flush()

@@ -153,12 +153,20 @@ object CassandraTokens {
 
   private final val RandomTokenBits = 127
 
+  // these run once per ROW in codegen'd paths: reuse the digest per thread
+  // and memoize the per-n range constant instead of re-deriving them
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val RangeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.math.BigInteger]()
+
   /** RandomPartitioner token: abs(md5(key)) (empty key -> abs(-1) = 1,
     * mirroring BigIntegerToken.abs() of RandomPartitioner.MINIMUM). */
   def md5Token(key: Array[Byte]): java.math.BigInteger = {
     if (key == null || key.length == 0) return java.math.BigInteger.ONE
-    val d = java.security.MessageDigest.getInstance("MD5").digest(key)
-    new java.math.BigInteger(d).abs()
+    val md = Md5.get()
+    md.reset()
+    new java.math.BigInteger(md.digest(key)).abs()
   }
 
   /** Canonical 16-byte big-endian unsigned encoding of an md5 token. */
@@ -176,12 +184,15 @@ object CassandraTokens {
   }
 
   /** ceil(2^127 / n) — the reference's rangePerReducer for RandomPartitioner
-    * ([0, 2^127 - 1] inclusive, ceil division: CassandraParams.java:297-316). */
+    * ([0, 2^127 - 1] inclusive, ceil division: CassandraParams.java:297-316).
+    * Memoized: callers hit this once per row. */
   def randomRangePerBucket(n: Int): java.math.BigInteger = {
     require(n > 0, s"bucket count must be positive, got $n")
-    val span = java.math.BigInteger.ONE.shiftLeft(RandomTokenBits)
-    val qr = span.divideAndRemainder(java.math.BigInteger.valueOf(n.toLong))
-    if (qr(1).signum == 0) qr(0) else qr(0).add(java.math.BigInteger.ONE)
+    RangeCache.computeIfAbsent(n, { n =>
+      val span = java.math.BigInteger.ONE.shiftLeft(RandomTokenBits)
+      val qr = span.divideAndRemainder(java.math.BigInteger.valueOf(n.toLong))
+      if (qr(1).signum == 0) qr(0) else qr(0).add(java.math.BigInteger.ONE)
+    })
   }
 
   /** Ring bucket of a canonical 16-byte md5 token: token / rangePerBucket,

@@ -33,13 +33,21 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with org.apache.spark.sql.graft.DoubleLongInputTypes {
 
   require(k > 0, "k must be positive")
 
-  // best first: higher sim wins, ties broken by lower id
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by { case (s, i) => (-s, i) }
+  // best first: higher sim wins, ties broken by lower id. Double.compare
+  // places NaN above +Inf, so a NaN sim ranks FIRST — identical to the
+  // `row_number() OVER (ORDER BY sim DESC)` window this aggregate replaces
+  // (an Ordering.by(-s) would negate NaN to NaN and rank it last).
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
 
   private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     if (buf.length > k) {

@@ -51,6 +51,7 @@ object Curate {
       .withColumn("__keep", qPass && langPass)
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .persist()
+    try {
 
     val s = base.agg(
       count(lit(1)).as("input"),
@@ -81,10 +82,10 @@ object Curate {
       .select(col("doc_id").as(idCol))
     val afterNearDup = afterExact - losers.count()
     val curated = exact.join(losers, Seq(idCol), "left_anti")
-    // release the cache — `curated` stays a valid lazy plan and recomputes
-    // one scan when the caller writes it out.
-    base.unpersist()
 
     (curated, CurationStats(input, afterQuality, afterLang, afterExact, afterNearDup))
+    // release the cache even on failure — `curated` stays a valid lazy
+    // plan and recomputes one scan when the caller writes it out.
+    } finally { base.unpersist(); () }
   }
 }

@@ -126,12 +126,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
     // Materialize the verified pairs (tiny relative to the corpus — bounded
     // by true duplicate clusters) so the shingle cache can be released NOW
-    // instead of pinning executor storage for the app lifetime. Downstream
-    // consumers (clustering iterations, joins) also reuse the materialized
-    // pairs instead of re-running the LSH dataflow.
-    val out = verified.localCheckpoint()
-    withSh.unpersist()
-    out
+    // instead of pinning executor storage for the app lifetime — also on
+    // failure. Downstream consumers (clustering iterations, joins) reuse
+    // the materialized pairs instead of re-running the LSH dataflow.
+    try verified.localCheckpoint()
+    finally { withSh.unpersist(); () }
   }
 
   /**
@@ -159,6 +158,13 @@ object Dedup {
       shingles(col(textCol)).as("sh"))
       .withColumn("n", size(col("sh")))
       .persist()
+    try {
+      ngramJaccardPairsImpl(withSh, threshold, maxDf)
+    } finally { withSh.unpersist(); () }
+  }
+
+  private def ngramJaccardPairsImpl(withSh: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
     // ONE aggregation builds the posting list per (block, shingle); list
     // size is the document frequency. Shingles must stay STRINGS here —
     // the intersection counts below feed the final Jaccard, so hash
@@ -168,6 +174,7 @@ object Dedup {
       .groupBy(col("block"), col("s"))
       .agg(collect_set(col("doc_id")).as("ds"))
       .persist()
+    try {
     // |A∩B| over the KEPT (sub-cap) index falls out of counting pair
     // occurrences across posting lists — pairs expand in-row from ≤maxDf
     // arrays, no self-join, no array shipping.
@@ -208,11 +215,31 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-    // materialize (tiny, threshold-bounded) and release both caches
-    val out = clean.unionByName(verified).localCheckpoint()
-    withSh.unpersist()
-    posts.unpersist()
-    out
+    // Mass-duplicate rescue: a document copied more than maxDf times per
+    // block has EVERY shingle over the cap, so such copies share no
+    // sub-cap shingle and would silently escape the index — yet they are
+    // the most common real dedup target. Identical shingle SETS are
+    // caught linearly: group hot docs by a set fingerprint and expand
+    // jac=1.0 pairs in-row (the pair count is inherent to the output
+    // contract; the INDEX stays bounded). Near-dup (jac < 1) pairs whose
+    // shared shingles are all hot remain out of reach by design — raise
+    // maxDf if a block legitimately holds that shape.
+    val hotExact = withSh.join(hotDocs.drop("hot"), "doc_id")
+      .withColumn("setfp", md5(to_json(sort_array(col("sh")))))
+      .groupBy(col("block"), col("setfp"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", lit(1.0))
+    // materialize (tiny, threshold-bounded); the caches are released in
+    // the enclosing finally blocks even when a stage throws.
+    // distinct: a hot exact-duplicate pair can also surface via `verified`
+    // when it shares a sub-cap shingle with a third doc's vocabulary.
+    clean.unionByName(verified).unionByName(hotExact)
+      .distinct().localCheckpoint()
+    } finally { posts.unpersist(); () }
   }
 
   /**
@@ -262,18 +289,19 @@ object Dedup {
     // materialize the pair graph once up front (cheap re-scan when the
     // caller already checkpointed, e.g. minhashLshPairs output) so the
     // size probe and every loop round read blocks, not the pair dataflow
-    val p = pairs.localCheckpoint()
-    val nPairs = p.count()
+    val p0 = pairs.localCheckpoint()
+    val nPairs = p0.count()
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val parts = math.max(1, math.min(defaultParts, (nPairs / 250000L).toInt + 1))
-    // every action of the loop runs inside this scope, so the temporary
-    // shuffle-partition setting never leaks to other queries; the returned
-    // frame reads a checkpointed RDD (no shuffle left in its plan).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // The loop runs in a CHILD session (shared SparkContext/cache, own
+    // SQLConf) so the edge-sized shuffle-partition setting cannot leak
+    // into queries other threads plan against the caller's session.
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    locally {
+      val pc = loopSession.createDataFrame(p0.rdd, p0.schema)
+      val edges = pc.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pc.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct().localCheckpoint()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")).localCheckpoint()
@@ -289,7 +317,7 @@ object Dedup {
         labels = merged.select(col("id"), col("next").as("label"))
       }
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /**

@@ -51,16 +51,16 @@ object StreamLoader {
    * ExecutionException branch rethrown as CrunchRuntimeException).
    */
   def stream(outDir: String, plan: Map[String, Set[String]],
-      endpoints: Map[String, Int],
+      endpoints: Map[String, (String, Int)],
       manifests: Seq[BulkSink.PartitionManifest]): StreamSummary = {
     val byFile = manifests.map(m => m.dataFile -> m).toMap
     val sessions = plan.toSeq.sortBy(_._1).flatMap { case (dataFile, hosts) =>
       val man = byFile.getOrElse(dataFile,
         throw new IllegalArgumentException(s"no manifest for $dataFile"))
       val results = hosts.toSeq.sorted.map { host =>
-        val port = endpoints.getOrElse(host,
+        val (addr, port) = endpoints.getOrElse(host,
           throw new IllegalArgumentException(s"no endpoint for replica $host"))
-        streamRun(new File(outDir, dataFile), man, host, port)
+        streamRun(new File(outDir, dataFile), man, host, addr, port)
       }
       if (results.nonEmpty && results.forall(!_.ok))
         throw new IllegalStateException(
@@ -72,13 +72,16 @@ object StreamLoader {
   }
 
   /** One (file, replica) session; connection/protocol errors become a
-    * failed session, not an exception (partial failures are survivable). */
+    * failed session, not an exception (partial failures are survivable).
+    * `host` is the logical replica name (reporting); `addr:port` is the
+    * wire address it listens on. */
   def streamRun(file: File, man: BulkSink.PartitionManifest,
-      host: String, port: Int): SessionResult =
+      host: String, addr: String, port: Int): SessionResult =
     try {
       val sock = new Socket()
       try {
-        sock.connect(new InetSocketAddress("127.0.0.1", port), 2000)
+        sock.connect(new InetSocketAddress(addr, port), 2000)
+        sock.setSoTimeout(30000) // a wedged replica fails the session, not the job
         val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
         out.writeInt(Magic)
         out.writeUTF(man.dataFile)
@@ -129,15 +132,15 @@ final class InProcessCluster(hosts: Seq[String],
   private val threads = new ConcurrentHashMap[String, Thread]()
   private val received = new ConcurrentHashMap[String, Received]()
 
-  /** Start all listeners; returns host -> port. */
-  def start(): Map[String, Int] = hosts.map { host =>
+  /** Start all listeners; returns host -> (address, port). */
+  def start(): Map[String, (String, Int)] = hosts.map { host =>
     val server = new ServerSocket(0, 16, java.net.InetAddress.getByName("127.0.0.1"))
     servers.put(host, server)
     val t = new Thread(() => acceptLoop(host, server), s"graft-node-$host")
     t.setDaemon(true)
     t.start()
     threads.put(host, t)
-    host -> server.getLocalPort
+    host -> ("127.0.0.1" -> server.getLocalPort)
   }.toMap
 
   /** Kill one node (tests inject replica failure with this). */

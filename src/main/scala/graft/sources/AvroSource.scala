@@ -34,7 +34,8 @@ object AvroSource {
     // schema from the first container file's HEADER — a few KB of driver-
     // side IO, not a Spark job (a first() here would schedule a task and
     // decode a whole record just to learn what the header already says)
-    val structType = toStructType(headerSchema(paths.head))
+    val structType = toStructType(
+      headerSchema(paths.head, spark.sparkContext.hadoopConfiguration))
     val rows = rdd.mapPartitions { it =>
       it.map { case (k, _) => toRow(k.datum()) }
     }
@@ -42,11 +43,14 @@ object AvroSource {
   }
 
   /** Writer schema from a container file's header (driver-side, no job).
-    * `path` may be a file or a directory of part files. */
-  private[sources] def headerSchema(path: String): Schema = {
+    * `path` may be a file or a directory of part files. Uses the session's
+    * Hadoop conf so credentials/filesystem settings apply to this read the
+    * same way they apply to the scan itself. */
+  private[sources] def headerSchema(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Schema = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val file =
       if (fs.getFileStatus(p).isFile) p
       else fs.listStatus(p).filter(_.isFile).map(_.getPath)

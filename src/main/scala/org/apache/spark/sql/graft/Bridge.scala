@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DoubleType, LongType}
 
 /**
  * Column <-> Expression bridge. Spark 4 made the converters
@@ -19,4 +20,11 @@ object Bridge {
   def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+}
+
+/** (double, long) implicit-cast input contract for expressions living
+  * outside the sql package (AbstractDataType is private[sql] in Spark 4, so
+  * the override must be declared from inside the namespace). */
+trait DoubleLongInputTypes extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
 }

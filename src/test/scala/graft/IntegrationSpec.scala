@@ -229,7 +229,8 @@ class IntegrationSpec extends AnyFunSuite {
     try {
       // plan-time metadata fetch from a seed node (CassandraClusterInfo
       // semantics): partitioner, ring, table metadata over the same socket
-      val fetched = StaticClusterInfo.fetch("127.0.0.1", endpoints("cass-1"))
+      val (seedAddr, seedPort) = endpoints("cass-1")
+      val fetched = StaticClusterInfo.fetch(seedAddr, seedPort)
       assert(fetched.numClusterNodes === 3)
       assert(fetched.ring.toMap === nodes.map(n => n.host -> n.tokens).toMap)
       assert(fetched.allColumnNames === Seq("rowkey", "o_custkey"))
@@ -280,7 +281,7 @@ class IntegrationSpec extends AnyFunSuite {
         "--output", "cql://seed/ks/t?reducers=4",
         "--rowkey", "o_orderkey",
         "--sink-dir", out,
-        "--cluster-info", s"socket://127.0.0.1:${endpoints("cass-1")}"))
+        "--cluster-info", s"socket://${endpoints("cass-1")._1}:${endpoints("cass-1")._2}"))
       val manifests = Hdfs2CassSpark.run(spark, args)
       assert(manifests.map(_.rows).sum === 1500)
       // ring metadata arrived over the socket -> the stream plan was emitted

@@ -251,6 +251,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pc.map(p => (p._1, p._2)) === Set((100L, 101L)))
   }
 
+  test("mass duplicates beyond the df cap still pair via the set-fingerprint rescue") {
+    // 15 identical copies: EVERY shingle has block df = 15 > maxDf = 10, so
+    // the capped index alone would silently produce zero pairs for the most
+    // common real dedup target — the rescue must emit all C(15,2) pairs
+    val df = (1L to 15L).map(i => (i, base)).toDF("doc_id", "text")
+      .withColumn("block", lit("b0"))
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "block", 0.9, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length === 15 * 14 / 2, s"got ${pairs.length} pairs")
+    assert(pairs.forall(_._3 === 1.0))
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      (for (a <- 1L to 15L; b <- (a + 1) to 15L) yield (a, b)).toSet)
+  }
+
   test("topk aggregate edges: k exceeding group size, exact ties, null sims") {
     import graft.functions.TopKAgg.topk_agg
     val df = Seq(
