@@ -168,31 +168,35 @@ object Dedup {
     // ONE aggregation builds the posting list per (block, shingle); list
     // size is the document frequency. Shingles must stay STRINGS here —
     // the intersection counts below feed the final Jaccard, so hash
-    // collisions are not survivable in this variant.
+    // collisions are not survivable in this variant. Each posting entry
+    // carries the doc's total shingle count so Jaccard denominators ride
+    // along with the expansion — no join back to the corpus for counts.
     val posts = withSh
-      .select(col("block"), col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("block"), struct(col("doc_id"), col("n")).as("d"),
+        explode(col("sh")).as("s"))
       .groupBy(col("block"), col("s"))
-      .agg(collect_set(col("doc_id")).as("ds"))
+      .agg(collect_set(col("d")).as("ds"))
       .persist()
     try {
     // |A∩B| over the KEPT (sub-cap) index falls out of counting pair
     // occurrences across posting lists — pairs expand in-row from ≤maxDf
-    // arrays, no self-join, no array shipping.
+    // arrays, no self-join, no array shipping. (n is functionally
+    // dependent on doc_id, so grouping by it adds no cardinality.)
     val interKept = posts
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter_kept"))
     // docs containing at least one over-cap shingle: only for THESE can
     // the true intersection exceed inter_kept
     val hotDocs = posts.filter(size(col("ds")) > maxDf)
-      .select(explode(col("ds")).as("doc_id")).distinct()
+      .select(explode(col("ds")).as("d"))
+      .select(col("d.doc_id").as("doc_id")).distinct()
       .withColumn("hot", lit(true))
-    val na = withSh.select(col("doc_id").as("doc_a"), col("n").as("na"))
-    val nb = withSh.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-    val scored = interKept.join(na, "doc_a").join(nb, "doc_b")
+    val scored = interKept
       .join(hotDocs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hot", "hot_a"),
         Seq("doc_a"), "left")
       .join(hotDocs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hot", "hot_b"),
