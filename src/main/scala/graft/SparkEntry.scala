@@ -258,6 +258,21 @@ object SparkEntry {
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // Rolling-hash document fingerprinting (winnowing over char 8-grams,
+    // window 4): per-doc fingerprint-set summary, codegen'd kernels
+    "text_winnow" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.winnowingFingerprints(
+            col("text"), k = 8, w = 4).as("fps"))
+        .filter(size(col("fps")) > 0)
+        .select(col("doc_id"),
+          size(col("fps")).cast(LongType).as("n_fp"),
+          element_at(col("fps"), 1).as("min_fp"),
+          element_at(col("fps"), -1).as("max_fp"),
+          aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("sum_fp"))
+    }),
+
     // Quality scoring (length/alpha/stopword priors)
     "text_quality" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
@@ -625,6 +640,27 @@ object SparkEntry {
         |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "text_winnow" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    [CAST('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 8)), 1, 8) AS BIGINT)
+        |     for i in range(1, len(t) - 8 + 2)] AS hs
+        |  FROM norm WHERE len(t) >= 8
+        |), fps AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    CASE WHEN len(hs) >= 4 THEN
+        |      [list_min(hs[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)])
+        |       for i in range(1, len(hs) - 4 + 2)]
+        |    ELSE [list_min(hs)] END)) AS f
+        |  FROM hs
+        |)
+        |SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
+        |       f[1] AS min_fp, f[len(f)] AS max_fp,
+        |       CAST(list_sum(f) AS BIGINT) AS sum_fp
+        |FROM fps WHERE len(f) > 0""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

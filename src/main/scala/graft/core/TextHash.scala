@@ -45,6 +45,45 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /**
+   * Winnowing (MOSS-style rolling-hash document fingerprinting): the
+   * minimum hash of every sliding window of `w` consecutive k-gram hashes,
+   * returned as sorted distinct values. Guarantee: any shared substring of
+   * length >= w+k-1 between two documents yields at least one shared
+   * fingerprint. O(n) via a monotonic deque. Fewer than w hashes collapse
+   * to a single window (the global minimum).
+   */
+  def winnow(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    if (n <= w) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) { val h = hashes.getLong(i); if (h < m) m = h; i += 1 }
+      mins.add(m)
+    } else {
+      // deque of indexes with increasing hash values; head = window min
+      val idx = new Array[Int](n)
+      var head = 0
+      var tail = 0 // exclusive
+      var i = 0
+      while (i < n) {
+        val h = hashes.getLong(i)
+        while (tail > head && hashes.getLong(idx(tail - 1)) >= h) tail -= 1
+        idx(tail) = i; tail += 1
+        if (idx(head) <= i - w) head += 1
+        if (i >= w - 1) mins.add(hashes.getLong(idx(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](mins.size())
+    val it = mins.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** k-min signature over 32-bit hashes with the permutation constants. */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
     val as = MinhashA

@@ -240,6 +240,30 @@ case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<long> k-gram hashes -> array<long> sorted distinct winnowing
+  * fingerprints (min per sliding window of w; codegen'd O(n) deque). */
+case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, "window must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow expects array<long>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.winnow(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.winnow($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** array<long> hashes -> array<long> k-min MinHash signature (codegen'd). */
 case class MinHashSignatureExpr(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, "k must be positive")

@@ -46,6 +46,9 @@ package object functions {
   def minhash_signature(hashes: Column, k: Int): Column =
     col(MinHashSignatureExpr(expr(hashes), k))
 
+  /** Sorted distinct winnowing fingerprints over k-gram hashes (codegen'd). */
+  def winnow(hashes: Column, w: Int): Column = col(WinnowExpr(expr(hashes), w))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

@@ -24,6 +24,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Overlapping character k-grams of the whitespace-normalized text
+    * (lookahead regex — matches overlap without consuming). */
+  def charGrams(text: Column, k: Int): Column =
+    regexp_extract_all(regexp_replace(trim(text), "\\s+", " "),
+      lit(s"(?=(.{$k}))"), lit(1))
+
+  /**
+   * Winnowing fingerprints (MOSS-style rolling-hash fingerprinting):
+   * 32-bit md5-derived hashes of overlapping character k-grams, reduced to
+   * the minimum per sliding window of `w` hashes (sorted distinct). Any
+   * shared substring of length >= w+k-1 between two documents produces at
+   * least one shared fingerprint, so matching fingerprints localize
+   * copied passages — not just whole-document duplicates. All codegen'd
+   * expressions; document size bounds memory.
+   */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.winnow(
+      graft.functions.shingle_hashes(charGrams(text, k)), w)
+
   /** English-ish stopwords shared by quality scoring and language ID. */
   val EnStopwords = Seq("the", "a", "of", "and", "is", "to", "in")
   val DeStopwords = Seq("der", "die", "das", "und", "ist", "nicht", "ein")

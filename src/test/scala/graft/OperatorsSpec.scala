@@ -251,6 +251,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pc.map(p => (p._1, p._2)) === Set((100L, 101L)))
   }
 
+  test("winnowing fingerprints localize shared passages") {
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    val d = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different beginning $shared and another tail"),
+      (3L, "nothing in common with the others at all zebra quux")).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: a shared substring of >= w+k-1 chars yields at
+    // least one shared fingerprint — docs 1 and 2 share a whole sentence
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // sharers overlap far more than unrelated docs
+    assert((fps(1L) & fps(2L)).size > (fps(1L) & fps(3L)).size)
+    // identical docs -> identical fingerprint sets (deterministic)
+    val d2 = Seq((10L, "identical text body here right now"),
+      (11L, "identical text body here right now")).toDF("doc_id", "text")
+    val f2 = d2.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f2(10L) === f2(11L) && f2(10L).nonEmpty)
+  }
+
   test("mass duplicates beyond the df cap still pair via the set-fingerprint rescue") {
     // 15 identical copies: EVERY shingle has block df = 15 > maxDf = 10, so
     // the capped index alone would silently produce zero pairs for the most

@@ -233,6 +233,22 @@ class KernelSpec extends AnyFunSuite {
     assert(CassandraTokens.randomBucketOfTokenBytes(maxTok, 7) === 6)
   }
 
+  test("winnow kernel equals naive sliding-window minima (sorted distinct)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 3, 4, 5, 20, 100); w <- Seq(1, 4, 7)) {
+      val hs = Array.fill(n)(rnd.nextLong() & 0xffffffffL)
+      val naive =
+        if (n == 0) Set.empty[Long]
+        else if (n <= w) Set(hs.min)
+        else (0 to n - w).map(i => hs.slice(i, i + w).min).toSet
+      val got = TextHash.winnow(new GenericArrayData(hs), w).toLongArray().toSeq
+      assert(got.toSet === naive, s"n=$n w=$w")
+      assert(got === got.sorted, s"n=$n w=$w not sorted")
+      assert(got.distinct === got, s"n=$n w=$w has duplicates")
+    }
+  }
+
   // --- Reducer-slot permutation ---------------------------------------------
   test("slot permutation: bijective, deterministic, scatters adjacent buckets") {
     import graft.sinks.BulkSink
