@@ -44,7 +44,9 @@ object StreamLoader {
   }
 
   /**
-   * Stream every non-empty run to all replicas in its plan. Mirrors the
+   * Stream every non-empty run to all replicas in its plan — a file's
+   * replica sessions run CONCURRENTLY (the reference's loader opens a
+   * stream session per endpoint at once), files sequentially. Mirrors the
    * reference's failure contract: sessions that fail are collected and
    * WARNed (StreamState.hasFailedSession branch); a run whose sessions ALL
    * fail means the data is on no replica — job failure (the
@@ -52,23 +54,31 @@ object StreamLoader {
    */
   def stream(outDir: String, plan: Map[String, Set[String]],
       endpoints: Map[String, (String, Int)],
-      manifests: Seq[BulkSink.PartitionManifest]): StreamSummary = {
+      manifests: Seq[BulkSink.PartitionManifest],
+      parallelism: Int = 4): StreamSummary = {
     val byFile = manifests.map(m => m.dataFile -> m).toMap
-    val sessions = plan.toSeq.sortBy(_._1).flatMap { case (dataFile, hosts) =>
-      val man = byFile.getOrElse(dataFile,
-        throw new IllegalArgumentException(s"no manifest for $dataFile"))
-      val results = hosts.toSeq.sorted.map { host =>
-        val (addr, port) = endpoints.getOrElse(host,
-          throw new IllegalArgumentException(s"no endpoint for replica $host"))
-        streamRun(new File(outDir, dataFile), man, host, addr, port)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+    try {
+      val sessions = plan.toSeq.sortBy(_._1).flatMap { case (dataFile, hosts) =>
+        val man = byFile.getOrElse(dataFile,
+          throw new IllegalArgumentException(s"no manifest for $dataFile"))
+        val futures = hosts.toSeq.sorted.map { host =>
+          val (addr, port) = endpoints.getOrElse(host,
+            throw new IllegalArgumentException(s"no endpoint for replica $host"))
+          pool.submit(new java.util.concurrent.Callable[SessionResult] {
+            override def call(): SessionResult =
+              streamRun(new File(outDir, dataFile), man, host, addr, port)
+          })
+        }
+        val results = futures.map(_.get())
+        if (results.nonEmpty && results.forall(!_.ok))
+          throw new IllegalStateException(
+            s"Streaming to the following hosts failed: ${results.map(_.host).mkString(", ")}" +
+              s" — no replica holds $dataFile")
+        results
       }
-      if (results.nonEmpty && results.forall(!_.ok))
-        throw new IllegalStateException(
-          s"Streaming to the following hosts failed: ${results.map(_.host).mkString(", ")}" +
-            s" — no replica holds $dataFile")
-      results
-    }
-    StreamSummary(sessions)
+      StreamSummary(sessions)
+    } finally { pool.shutdown(); () }
   }
 
   /** One (file, replica) session; connection/protocol errors become a
