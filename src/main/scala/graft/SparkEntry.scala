@@ -250,11 +250,12 @@ object SparkEntry {
 
     // ------------------- LLM-data-pipeline operators -------------------
 
-    // Token counting + document fingerprinting
+    // Token counting (whitespace + BPE-ish pre-tokenizer) + fingerprinting
     "text_tokens" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
       d.select(col("doc_id"),
         graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
@@ -636,10 +637,13 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "text_tokens" ->
-      """SELECT doc_id,
+      ("""SELECT doc_id,
         |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '""" +
+        graft.operators.TextAnalysis.BpePattern.replace("'", "''") +
+        """', 0)) AS BIGINT) AS n_bpe_tokens,
         |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents""".stripMargin,
+        |FROM documents""").stripMargin,
 
     "text_winnow" ->
       """WITH norm AS (

@@ -12,10 +12,23 @@ import org.apache.spark.sql.types._
  */
 object TextAnalysis {
 
-  /** Whitespace tokenization (the BPE-ish regex split baseline). */
+  /** Whitespace tokenization (the cheap baseline). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** GPT-2-style pre-tokenizer pattern, restricted to the RE2-compatible
+    * subset (no lookahead) so any engine tokenizes identically: common
+    * English contractions, optional-space letter runs, digit runs,
+    * punctuation runs, whitespace runs. */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: matches of the pre-tokenizer pattern, the unit a
+    * byte-pair encoder would merge within. A far better LLM-cost estimate
+    * than whitespace words (punctuation and contractions count). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast(LongType)
 
   /**
    * Document fingerprint: md5 of the whitespace-normalized, lower-cased

@@ -251,6 +251,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pc.map(p => (p._1, p._2)) === Set((100L, 101L)))
   }
 
+  test("BPE-ish token count: contractions and punctuation count, unlike whitespace") {
+    val d = Seq((1L, "don't stop, believing!"), (2L, "hello world")).toDF("doc_id", "text")
+    val counts = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "don't stop, believing!" -> don|'t|( stop)|,|( believing)|! = 6 bpe, 3 ws
+    assert(counts(1L) === ((3L, 6L)))
+    // plain words: one bpe token per word
+    assert(counts(2L) === ((2L, 2L)))
+  }
+
   test("winnowing fingerprints localize shared passages") {
     val shared = "the quick brown fox jumps over the lazy dog repeatedly"
     val d = Seq(
