@@ -391,6 +391,15 @@ object SparkEntry {
           col("meta.width").as("width"), col("meta.height").as("height"))
     }),
 
+    // Multimodal frame sampling: every 2nd frame of each stub-decoded
+    // asset, fanned out inside the partition (mapPartitions plumbing)
+    "mm_frame_sample" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .withColumn("payload", col("text").cast(BinaryType))
+      graft.operators.Multimodal.sampleFrames(d, "doc_id", "payload", everyN = 2)
+        .toDF().select(col("id").as("doc_id"), col("frame_idx"), col("frame_sha"))
+    }),
+
     // Semi-structured: JSON property extraction + aggregation
     "q12_json_props" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -854,6 +863,17 @@ object SparkEntry {
          |            ELSE epoch_us(o_orderdate) END AS writetime,
          |       CAST(0 AS INTEGER) AS ttl
          |FROM orders""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, sha256(text) AS sha,
+        |         CAST(1 + CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) % 16 AS INTEGER) AS frames
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |       sha256(sha || '-' || CAST(i AS VARCHAR)) AS frame_sha
+        |FROM m, range(0, 16) t(i)
+        |WHERE i < frames AND i % 2 = 0""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id,

@@ -67,6 +67,74 @@ object Multimodal {
       }
   }
 
+  case class ResizedAsset(id: Long, width: Int, height: Int, payload: Array[Byte])
+  case class SampledFrame(id: Long, frame_idx: Int, frame_sha: String)
+
+  /** Pluggable resize boundary (a real impl wraps an image library). */
+  trait MediaResizer extends Serializable {
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** Deterministic stub resizer: the "resized image" is the digest stream
+    * of the source payload cycled to exactly w*h/16 bytes — size-faithful
+    * (scales with target dims), deterministic, content-derived. A real
+    * decoder+scaler replaces exactly this class. */
+  final class StubResizer extends MediaResizer {
+    @transient private lazy val md = java.security.MessageDigest.getInstance("SHA-256")
+    override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      md.reset()
+      val dig = md.digest(payload)
+      val n = math.max(1, w * h / 16)
+      Array.tabulate[Byte](n)(i => dig(i % dig.length))
+    }
+  }
+
+  /**
+   * Batched resize over a binary column — blob in, blob out, inside ONE
+   * mapPartitions (no shuffle touches the payload; resize before any wide
+   * op so only the small output crosses the wire).
+   */
+  def resizeAssets(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int,
+      resizer: MediaResizer = new StubResizer): Dataset[ResizedAsset] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          ResizedAsset(id, targetW, targetH, resizer.resize(payload, targetW, targetH))
+        }
+      }
+  }
+
+  /**
+   * Video frame sampling: one output row per kept frame (every `everyN`th
+   * of the decoded frame count), fanned out INSIDE the partition — the
+   * source blob never crosses a shuffle, only the per-frame payloads do.
+   * Stub frame payload: utf8("<payload-sha256>-<frame idx>"); its sha256
+   * is the frame id — deterministic and SQL-reproducible for the oracle.
+   */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      everyN: Int, decoder: MediaDecoder = new StubDecoder): Dataset[SampledFrame] = {
+    require(everyN > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { case (id, payload) =>
+          val meta = decoder.decode(payload)
+          (0 until meta.frames by everyN).iterator.map { i =>
+            md.reset()
+            val frame = md.digest(s"${meta.sha256}-$i".getBytes("UTF-8"))
+            SampledFrame(id, i, frame.map(b => f"$b%02x").mkString)
+          }
+        }
+      }
+  }
+
   /**
    * The same stub-decode semantics as pure Catalyst expressions (for the
    * SQL-oracle cross-check): metadata from sha2 over the payload bytes.

@@ -251,6 +251,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pc.map(p => (p._1, p._2)) === Set((100L, 101L)))
   }
 
+  test("multimodal resize and frame-sample plumbing: batched, deterministic, size-faithful") {
+    val d = Seq((1L, "payload one"), (2L, "another payload body")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    // resize: output payload sized by target dims, stable across runs
+    val r1 = Multimodal.resizeAssets(d, "doc_id", "payload", 32, 32).collect()
+      .map(a => a.id -> a).toMap
+    assert(r1(1L).payload.length === 32 * 32 / 16)
+    val r2 = Multimodal.resizeAssets(d, "doc_id", "payload", 64, 32).collect()
+      .map(a => a.id -> a).toMap
+    assert(r2(1L).payload.length === 64 * 32 / 16)
+    assert(r1(1L).payload.toSeq === Multimodal.resizeAssets(d, "doc_id", "payload", 32, 32)
+      .collect().map(a => a.id -> a).toMap.apply(1L).payload.toSeq)
+    // frame sampling: every 2nd frame of the decoded frame count, per doc
+    val frames = Multimodal.decodeAssets(d, "doc_id", "payload").collect()
+      .map(a => a.id -> a.meta.frames).toMap
+    val sampled = Multimodal.sampleFrames(d, "doc_id", "payload", everyN = 2).collect()
+    sampled.groupBy(_.id).foreach { case (id, fs) =>
+      assert(fs.length === (frames(id) + 1) / 2, s"doc $id")
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until frames(id) by 2).toSeq)
+      fs.foreach(f => assert(f.frame_sha.length === 64))
+    }
+  }
+
   test("BPE-ish token count: contractions and punctuation count, unlike whitespace") {
     val d = Seq((1L, "don't stop, believing!"), (2L, "hello world")).toDF("doc_id", "text")
     val counts = d.select(col("doc_id"),
