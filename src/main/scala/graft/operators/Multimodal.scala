@@ -40,7 +40,7 @@ object Multimodal {
     override def decode(payload: Array[Byte]): MediaMeta = {
       md.reset()
       val dig = md.digest(payload)
-      val hex = dig.map(b => f"$b%02x").mkString
+      val hex = Multimodal.hexString(dig)
       MediaMeta(
         byteLen = payload.length.toLong,
         sha256 = hex,
@@ -60,7 +60,9 @@ object Multimodal {
       decoder: MediaDecoder = new StubDecoder): Dataset[DecodedAsset] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null payloads drop (the SQL paths' null-propagation does the same)
     df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(payloadCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) => DecodedAsset(id, decoder.decode(payload)) }
@@ -100,6 +102,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(payloadCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -121,6 +124,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(payloadCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -129,11 +133,16 @@ object Multimodal {
           (0 until meta.frames by everyN).iterator.map { i =>
             md.reset()
             val frame = md.digest(s"${meta.sha256}-$i".getBytes("UTF-8"))
-            SampledFrame(id, i, frame.map(b => f"$b%02x").mkString)
+            SampledFrame(id, i, hexString(frame))
           }
         }
       }
   }
+
+  /** Lowercase hex of a digest — the single encoding the oracle contract
+    * depends on (shared by the stub decoder and frame ids). */
+  private[operators] def hexString(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
 
   /**
    * The same stub-decode semantics as pure Catalyst expressions (for the

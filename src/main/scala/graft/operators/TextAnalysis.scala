@@ -38,10 +38,12 @@ object TextAnalysis {
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** Overlapping character k-grams of the whitespace-normalized text
-    * (lookahead regex — matches overlap without consuming). */
+    * (lookahead regex — matches overlap without consuming). (?s) so `.`
+    * also crosses U+2028/U+2029/U+0085, which Java excludes by default but
+    * a SQL substr() naturally includes — engines must agree per position. */
   def charGrams(text: Column, k: Int): Column =
     regexp_extract_all(regexp_replace(trim(text), "\\s+", " "),
-      lit(s"(?=(.{$k}))"), lit(1))
+      lit(s"(?s)(?=(.{$k}))"), lit(1))
 
   /**
    * Winnowing fingerprints (MOSS-style rolling-hash fingerprinting):

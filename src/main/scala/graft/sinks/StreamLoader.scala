@@ -62,9 +62,15 @@ object StreamLoader {
       val sessions = plan.toSeq.sortBy(_._1).flatMap { case (dataFile, hosts) =>
         val man = byFile.getOrElse(dataFile,
           throw new IllegalArgumentException(s"no manifest for $dataFile"))
-        val futures = hosts.toSeq.sorted.map { host =>
+        // resolve every endpoint BEFORE submitting anything, so a lookup
+        // failure cannot leave already-submitted sessions streaming
+        // detached behind the thrown exception
+        val resolved = hosts.toSeq.sorted.map { host =>
           val (addr, port) = endpoints.getOrElse(host,
             throw new IllegalArgumentException(s"no endpoint for replica $host"))
+          (host, addr, port)
+        }
+        val futures = resolved.map { case (host, addr, port) =>
           pool.submit(new java.util.concurrent.Callable[SessionResult] {
             override def call(): SessionResult =
               streamRun(new File(outDir, dataFile), man, host, addr, port)
