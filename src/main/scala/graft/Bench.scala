@@ -7,11 +7,30 @@ import org.apache.spark.sql.SparkSession
  * materialization of every row — a bare count() lets parquet metadata or
  * pruned projections short-circuit the work being measured). A small
  * warm-up query amortizes JVM/session startup out of the first measurement.
+ *
+ * Noise handling (this box shows 1.5-4x wall-time variance under external
+ * load): every query runs SPARK_GRAFT_BENCH_RUNS times (default 3) in
+ * round-robin PASSES — pass 1 runs all queries, then pass 2, then pass 3 —
+ * so a transient load spike cannot poison all attempts of one query. The
+ * reported time is the per-query MINIMUM. The JSON also carries:
+ *   - "sentinel": a fixed, code-stable query (q4_window) whose min time
+ *     calibrates the box; "queries_norm" divides every min by it, so a
+ *     judge can compare rounds in box-independent units.
+ *   - "noise": max/min spread of the sentinel across passes — >1.5 means
+ *     the box was loaded during the run and raw seconds are suspect.
+ *
+ * SPARK_GRAFT_BENCH_ONLY=<csv of names> restricts to a subset (local
+ * iteration); the sentinel always runs.
  */
 object Bench {
+  val SentinelQuery = "q4_window"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,18 +50,39 @@ object Bench {
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(s => s.contains(n) || n == SentinelQuery))
+      .sorted
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    def fmt(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
+    val mins = names.map(n => n -> times(n).min)
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = mins.map(_._2).sum
+    val sentinelRuns = times(SentinelQuery)
+    val sentinelMin = if (sentinelRuns.nonEmpty) sentinelRuns.min else Double.NaN
+    val noise =
+      if (sentinelRuns.size > 1 && sentinelRuns.min > 0) sentinelRuns.max / sentinelRuns.min
+      else 1.0
+    val norm = mins.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(if (sentinelMin > 0) v / sentinelMin else Double.NaN)
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","queries":$qs,"sf":"$sfDir","runs":$runs""" +
+      s""","sentinel":{"name":"$SentinelQuery","sec":${fmt(sentinelMin)}""" +
+      s""","passes":[${sentinelRuns.map(fmt).mkString(",")}]}""" +
+      s""","noise":${fmt(noise)},"queries_norm":$norm}"""
     // stdout (raw — build.sbt sets run/outputStrategy := StdoutOutput so the
     // forked JVM's output is not wrapped in sbt's "[info] " logger prefix)
     // plus a file copy so the caller can read it either way.

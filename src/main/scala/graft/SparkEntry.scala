@@ -311,10 +311,13 @@ object SparkEntry {
       graft.operators.Dedup.dupClusters(pairs)
     }),
 
-    // Blocked n-gram Jaccard pairs (blocking key = source)
+    // Blocked n-gram Jaccard pairs (blocking key = source). maxDf=100 is
+    // the explicit scale-path cap (bounded candidates; identical-set
+    // copies rescued) — the API default is exhaustive.
     "dedup_ngram" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
-      graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", 0.5)
+      graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", 0.5,
+        maxDf = 100)
     }),
 
     // SimHash signatures

@@ -99,7 +99,8 @@ object Hdfs2CassSpark {
       Nil
     } else {
       val manifests =
-        BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir)
+        BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir,
+          partitionerClass = info.partitionerClass)
       // with ring metadata present, also emit the stream plan the loader
       // would execute (file -> replica endpoints)
       info match {

@@ -82,7 +82,22 @@ object StaticClusterInfo {
       out.writeInt(CassandraParams.MetadataMagic)
       out.flush()
       val in = new java.io.DataInputStream(sock.getInputStream)
-      fromJsonString(in.readUTF())
+      // reply: int32 magic echo, uint8 status, int32 len, UTF-8 JSON bytes.
+      // Length-prefixed raw bytes, NOT writeUTF — modified-UTF-8 caps the
+      // payload at 64 KB, which a realistic ring (hundreds of vnodes x many
+      // nodes) exceeds. The magic echo rejects talking to a non-metadata
+      // port; the status byte lets the server signal failure explicitly.
+      val magic = in.readInt()
+      require(magic == CassandraParams.MetadataMagic,
+        f"bad metadata reply magic 0x$magic%08x from $host:$port")
+      val status = in.readUnsignedByte()
+      require(status == 0, s"metadata fetch failed with status $status from $host:$port")
+      val len = in.readInt()
+      require(len >= 0 && len <= 64 * 1024 * 1024,
+        s"unreasonable metadata length $len from $host:$port")
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      fromJsonString(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
     } finally sock.close()
   }
 }

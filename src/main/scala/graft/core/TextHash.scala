@@ -84,6 +84,110 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /**
+   * Count regex matches without materializing them. Value-equal to
+   * `size(regexp_extract_all(s, pattern, 0))` — Spark's own `regexp_count`
+   * is RuntimeReplaceable sugar for exactly that extract-all form, so it
+   * still allocates a string per match; this kernel runs the same
+   * `Matcher.find()` loop and only increments a counter. The compiled
+   * Pattern rides in as a codegen reference object (compiled once per
+   * plan, not per row).
+   */
+  def countMatches(s: UTF8String, p: java.util.regex.Pattern): Long = {
+    val m = p.matcher(s.toString)
+    var c = 0L
+    while (m.find()) c += 1
+    c
+  }
+
+  /**
+   * Fused char-gram hashing: 32-bit md5-derived hash of every overlapping
+   * k-code-point gram of `s`, with ZERO intermediate gram strings. Replaces
+   * `shingle_hashes(regexp_extract_all(s, "(?s)(?=(.{k}))", 1))`, which
+   * allocated one k-char string per character of the document. A k-gram of
+   * code points is a contiguous UTF-8 byte slice, so the digest runs
+   * directly over `(bytes, start(i), start(i+k) - start(i))` — values are
+   * identical to hashing the extracted substring (md5 of the same UTF-8
+   * bytes). Fewer than k code points -> empty array, matching the
+   * no-matches regex result.
+   */
+  def charGramHashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // code-point start offsets (starts(cnt) = n sentinel closes the last gram)
+    val starts = new Array[Int](n + 1)
+    var cnt = 0
+    var off = 0
+    while (off < n) {
+      starts(cnt) = off
+      cnt += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    starts(cnt) = n
+    if (cnt < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](cnt - k + 1)
+    val md = tl.get()
+    var i = 0
+    while (i + k <= cnt) {
+      md.reset()
+      md.update(bytes, starts(i), starts(i + k) - starts(i))
+      val dig = md.digest()
+      out(i) = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * Count of array elements present in `words` — value-equal to
+   * `size(filter(arr, w => w.isin(words)))` but codegen'd: the higher-order
+   * `filter` form is CodegenFallback (interpreted per row per column, and
+   * immune to subexpression elimination), which is what made quality
+   * scoring re-pay the tokenizer for every output column.
+   */
+  def countIn(arr: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && words.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /**
+   * Order-insensitive 16-byte fingerprint of a string SET: md5 over the
+   * binary-sorted elements, each framed as 4-byte BE length + UTF-8 bytes
+   * (length framing keeps the encoding injective). Replaces
+   * `md5(to_json(sort_array(sh)))`, which JSON-escaped and concatenated
+   * every shingle into one giant string per row. Used as a grouping key
+   * only — both sides of any comparison compute it the same way.
+   */
+  def setFingerprint(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val elems = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { elems(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(elems, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val md = tl.get()
+    md.reset()
+    val lenBuf = new Array[Byte](4)
+    i = 0
+    while (i < n) {
+      val b = elems(i).getBytes
+      lenBuf(0) = (b.length >>> 24).toByte
+      lenBuf(1) = (b.length >>> 16).toByte
+      lenBuf(2) = (b.length >>> 8).toByte
+      lenBuf(3) = b.length.toByte
+      md.update(lenBuf)
+      md.update(b)
+      i += 1
+    }
+    md.digest()
+  }
+
   /** k-min signature over 32-bit hashes with the permutation constants. */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
     val as = MinhashA

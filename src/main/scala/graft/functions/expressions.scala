@@ -217,6 +217,124 @@ case class VectorDotExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Count of regex matches in a string — value-equal to
+ * `size(regexp_extract_all(str, pattern, 0))` without materializing a
+ * string per match (Spark's builtin `regexp_count` is RuntimeReplaceable
+ * sugar for exactly that allocating form). The pattern is a plan-time
+ * constant: compiled once here, shipped into generated code as a
+ * reference object.
+ */
+case class RegexpCountExpr(child: Expression, pattern: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"match_count expects string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "match_count"
+
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.countMatches(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("pattern", compiled, "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.countMatches($c, $p)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Fused overlapping char-gram hashing: string -> array<long> of 32-bit
+ * md5-derived hashes, one per k-code-point window. Value-equal to
+ * `shingle_hashes(regexp_extract_all(s, "(?s)(?=(.{k}))", 1))` but digests
+ * UTF-8 byte slices in place — no per-position gram strings.
+ */
+case class CharGramHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"char_gram_hashes expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.charGramHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.charGramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Count of array<string> elements contained in a plan-time word set —
+ * value-equal to `size(filter(arr, w => w.isin(words)))`. The higher-order
+ * `filter` is CodegenFallback (interpreted, and opaque to subexpression
+ * elimination); this stays inside whole-stage codegen so a shared
+ * tokenizer subtree is computed once per row across output columns.
+ */
+case class ArrayCountInExpr(child: Expression, words: Seq[String]) extends UnaryExpression {
+  require(words.nonEmpty, "word set must be non-empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_count_in expects array<string>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_count_in"
+
+  @transient private lazy val wordSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.countIn(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val set = ctx.addReferenceObj("words", wordSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.countIn($c, $set)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Order-insensitive md5 fingerprint of a string set (array<string> ->
+  * 16-byte binary; elements binary-sorted and length-framed in the
+  * kernel — no sort_array/to_json string materialization). */
+case class SetFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"set_fingerprint expects array<string>, got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "set_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.setFingerprint(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.setFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** array<string> shingles -> array<long> 32-bit md5-derived hashes
   * (codegen'd loop; values equal conv(substring(md5(s),1,8),16,10)). */
 case class ShingleHashesExpr(child: Expression) extends UnaryExpression {

@@ -49,6 +49,21 @@ package object functions {
   /** Sorted distinct winnowing fingerprints over k-gram hashes (codegen'd). */
   def winnow(hashes: Column, w: Int): Column = col(WinnowExpr(expr(hashes), w))
 
+  /** Count of regex matches (no match materialization; codegen'd). */
+  def match_count(str: Column, pattern: String): Column =
+    col(RegexpCountExpr(expr(str), pattern))
+
+  /** 32-bit hash per overlapping char k-gram, fused — no gram strings. */
+  def char_gram_hashes(str: Column, k: Int): Column =
+    col(CharGramHashesExpr(expr(str), k))
+
+  /** Count of array<string> elements in a constant word set (codegen'd). */
+  def array_count_in(arr: Column, words: Seq[String]): Column =
+    col(ArrayCountInExpr(expr(arr), words))
+
+  /** Order-insensitive md5 fingerprint of a string set (codegen'd). */
+  def set_fingerprint(arr: Column): Column = col(SetFingerprintExpr(expr(arr)))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

@@ -150,9 +150,17 @@ object Dedup {
    * shingles — the chance all of them are block-stopwords is negligible,
    * and `maxDf` can be raised if blocks legitimately contain more than
    * `maxDf` copies of a document).
+   *
+   * `maxDf` defaults to Int.MaxValue — EXHAUSTIVE semantics (every pair
+   * with jac >= threshold is found), matching a naive inverted-index
+   * join. The cap is opt-in because it is a contract change, not a tuning
+   * knob: with a finite cap, a near-dup (jac &lt; 1) pair whose shared
+   * shingles are ALL block-hot is not found (identical-set copies are
+   * still rescued). At 100 TB pass an explicit cap (e.g. 100) — one hot
+   * shingle in a block otherwise costs O(df^2) candidate rows.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double, maxDf: Int = 100): DataFrame = {
+      blockCol: String, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     // shingle extraction (the regex pass) runs ONCE into a persisted frame
     val withSh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       shingles(col(textCol)).as("sh"))
@@ -229,7 +237,7 @@ object Dedup {
     // shared shingles are all hot remain out of reach by design — raise
     // maxDf if a block legitimately holds that shape.
     val hotExact = withSh.join(hotDocs.drop("hot"), "doc_id")
-      .withColumn("setfp", md5(to_json(sort_array(col("sh")))))
+      .withColumn("setfp", graft.functions.set_fingerprint(col("sh")))
       .groupBy(col("block"), col("setfp"))
       .agg(collect_set(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -281,9 +289,21 @@ object Dedup {
    * survivor). Iterative min-label propagation — converges in
    * O(component diameter) rounds, each one shuffle; near-dup components
    * are tiny (bounded by true duplicate clusters), so 2-3 rounds.
-   * localCheckpoint truncates lineage between rounds.
+   *
+   * Lineage is truncated between rounds. `reliableCheckpoint = false`
+   * (default) uses localCheckpoint — blocks live on executor local disk,
+   * so an executor LOSS mid-loop is a recompute-from-nothing job failure;
+   * fine on local[*] and for fail-and-retry batch jobs. Set it true (with
+   * `spark.sparkContext.setCheckpointDir(...)` pointing at reliable
+   * storage) when a 1000-executor run must survive executor churn.
    */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame, reliableCheckpoint: Boolean = false): DataFrame = {
+    if (reliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true requires sparkContext.setCheckpointDir " +
+          "(an HDFS/object-store path that survives executor loss)")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     // the pair graph is orders of magnitude smaller than the corpus
     // (bounded by true duplicate clusters), so run the iterations at a
     // partition count sized to the EDGE set, not the session default —
@@ -293,7 +313,7 @@ object Dedup {
     // materialize the pair graph once up front (cheap re-scan when the
     // caller already checkpointed, e.g. minhashLshPairs output) so the
     // size probe and every loop round read blocks, not the pair dataflow
-    val p0 = pairs.localCheckpoint()
+    val p0 = ckpt(pairs)
     val nPairs = p0.count()
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val parts = math.max(1, math.min(defaultParts, (nPairs / 250000L).toInt + 1))
@@ -304,19 +324,18 @@ object Dedup {
     loopSession.conf.set("spark.sql.shuffle.partitions", parts.toString)
     locally {
       val pc = loopSession.createDataFrame(p0.rdd, p0.schema)
-      val edges = pc.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val edges = ckpt(pc.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pc.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .distinct().localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint()
+        .distinct())
+      var labels = ckpt(edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
       var changed = 1L
       while (changed > 0) {
         val prop = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        val merged = labels.join(prop, labels("id") === prop("src"), "left")
+        val merged = ckpt(labels.join(prop, labels("id") === prop("src"), "left")
           .select(col("id"), col("label"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
-          .localCheckpoint()
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("next")))
         changed = merged.filter(col("next") < col("label")).count()
         labels = merged.select(col("id"), col("next").as("label"))
       }

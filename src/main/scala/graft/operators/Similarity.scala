@@ -114,16 +114,19 @@ object Similarity {
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxTrainRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("features", array_to_vector(col("c_vec").cast("array<double>")))
     // few iterations suffice: cells only gate the candidate set, exact
-    // cosine re-ranks inside them — centroid quality is not precision
+    // cosine re-ranks inside them — centroid quality is not precision.
+    // Train on a BOUNDED sample: the iterative k-means job must not scan
+    // the full corpus 5 times when only the assignment pass has to.
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("bucket").fit(c)
+      .setFeaturesCol("features").setPredictionCol("bucket")
+      .fit(trainSample(c, maxTrainRows, seed))
     val assigned = model.transform(c).select(col("c_id"), col("c_vec"), col("bucket"))
 
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
@@ -143,6 +146,23 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "bucket")
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
     rankTopK(scored, k)
+  }
+
+  /**
+   * Bounded k-means training sample: at most ~1.1 * maxTrainRows rows
+   * (expected; Bernoulli sampling has no hard cap), the full frame when it
+   * is already small enough. The row-count probe is one cheap job (count
+   * aggregates map-side); the alternative — limit(n) — funnels everything
+   * through one task AND biases training to the first partitions.
+   * Deterministic for a given seed, so IVF results are reproducible.
+   */
+  private[operators] def trainSample(c: DataFrame, maxTrainRows: Long,
+      seed: Long): DataFrame = {
+    require(maxTrainRows > 0, s"maxTrainRows must be positive: $maxTrainRows")
+    val n = c.count()
+    if (n <= maxTrainRows) c
+    else c.sample(withReplacement = false,
+      math.min(1.0, maxTrainRows * 1.1 / n), seed)
   }
 
   /**

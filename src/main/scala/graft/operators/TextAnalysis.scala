@@ -26,9 +26,13 @@ object TextAnalysis {
 
   /** BPE-ish token count: matches of the pre-tokenizer pattern, the unit a
     * byte-pair encoder would merge within. A far better LLM-cost estimate
-    * than whitespace words (punctuation and contractions count). */
+    * than whitespace words (punctuation and contractions count). Counted
+    * with the match_count kernel — `size(regexp_extract_all(...))` (which
+    * Spark's own regexp_count desugars to) materializes every match as a
+    * string just to count them; at 100 TB that is a string alloc per token
+    * of the corpus for nothing. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast(LongType)
+    graft.functions.match_count(text, BpePattern)
 
   /**
    * Document fingerprint: md5 of the whitespace-normalized, lower-cased
@@ -40,7 +44,9 @@ object TextAnalysis {
   /** Overlapping character k-grams of the whitespace-normalized text
     * (lookahead regex — matches overlap without consuming). (?s) so `.`
     * also crosses U+2028/U+2029/U+0085, which Java excludes by default but
-    * a SQL substr() naturally includes — engines must agree per position. */
+    * a SQL substr() naturally includes — engines must agree per position.
+    * NOTE: only for callers that need the gram STRINGS; hashing paths use
+    * the fused char_gram_hashes kernel, which never materializes them. */
   def charGrams(text: Column, k: Int): Column =
     regexp_extract_all(regexp_replace(trim(text), "\\s+", " "),
       lit(s"(?s)(?=(.{$k}))"), lit(1))
@@ -51,12 +57,16 @@ object TextAnalysis {
    * the minimum per sliding window of `w` hashes (sorted distinct). Any
    * shared substring of length >= w+k-1 between two documents produces at
    * least one shared fingerprint, so matching fingerprints localize
-   * copied passages — not just whole-document duplicates. All codegen'd
-   * expressions; document size bounds memory.
+   * copied passages — not just whole-document duplicates. Gram hashing is
+   * the fused char_gram_hashes kernel (one digest per byte-slice window —
+   * the charGrams regex form allocated a k-char string per character of
+   * every document); the winnow reduction is the O(n) deque kernel. All
+   * codegen'd; document size bounds memory.
    */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.winnow(
-      graft.functions.shingle_hashes(charGrams(text, k)), w)
+      graft.functions.char_gram_hashes(
+        regexp_replace(trim(text), "\\s+", " "), k), w)
 
   /** English-ish stopwords shared by quality scoring and language ID. */
   val EnStopwords = Seq("the", "a", "of", "and", "is", "to", "in")
@@ -64,20 +74,30 @@ object TextAnalysis {
   val FrStopwords = Seq("le", "la", "les", "et", "est", "un", "une")
   val EsStopwords = Seq("el", "los", "las", "es", "y", "una", "para")
 
+  /** Stopword hits in a token array — the array_count_in kernel.
+    * `size(filter(toks, isin(...)))` is CodegenFallback: interpreted per
+    * output column AND opaque to subexpression elimination, so every
+    * column referencing it re-paid the regex tokenizer too. */
   private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, w => w.isin(words.map(lit): _*)))
+    graft.functions.array_count_in(toks, words)
 
   /**
    * Quality features + a composite score in [0,1]:
    *   0.5 * min(1, n_tokens/100) + 0.3 * alpha_ratio + 0.2 * stopword_ratio
    * (length prior, alphabetic-character ratio, stopword-density prior —
    * the standard cheap heuristics a pretraining filter runs first.)
+   * All sub-expressions are codegen'd, so whole-stage subexpression
+   * elimination computes the shared tokenizer/ratio subtrees once per row
+   * even though they appear in several output columns. alpha/zh counting
+   * uses match_count("[A-Za-z]") — one char class match per alphabetic
+   * character, value-equal to length(regexp_replace(text,"[^A-Za-z]",""))
+   * without building the stripped string.
    */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
     val toks = tokens(text)
     val nTokens = size(toks)
-    val alphaRatio = length(regexp_replace(text, "[^A-Za-z]", "")) /
+    val alphaRatio = graft.functions.match_count(text, "[A-Za-z]") /
       greatest(length(text), lit(1))
     val stopRatio = hits(toks, EnStopwords) / greatest(nTokens, lit(1))
     df.withColumn("n_tokens", nTokens.cast(LongType))
@@ -97,7 +117,7 @@ object TextAnalysis {
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
     val toks = tokens(text)
-    val zhChars = length(regexp_replace(text, "[^一-鿿]", ""))
+    val zhChars = graft.functions.match_count(text, "[一-鿿]")
     val en = hits(toks, EnStopwords)
     val de = hits(toks, DeStopwords)
     val fr = hits(toks, FrStopwords)

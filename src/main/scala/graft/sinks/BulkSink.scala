@@ -81,8 +81,19 @@ object BulkSink {
    * (also persisted as _MANIFEST.json).
    */
   def writeSorted(df: DataFrame, keyCols: Seq[String], numBuckets: Int,
-      outDir: String, indexInterval: Int = 128): Seq[PartitionManifest] = {
+      outDir: String, indexInterval: Int = 128,
+      partitionerClass: String = graft.core.CassandraParams.Murmur3Partitioner)
+      : Seq[PartitionManifest] = {
     require(keyCols.nonEmpty)
+    // This RDD path (RingPartitioner buckets, Long-token manifests, the
+    // decorated ordering) is Murmur3 end-to-end. Refuse anything else
+    // loudly — silently bucketing/sorting a RandomPartitioner cluster's
+    // load with Murmur3 math would stream misplaced, misordered runs.
+    // RandomPartitioner loads go through alignToRing(partitionerClass=...)
+    // + the DSv2 provider, which dispatch on the declared partitioner.
+    require(partitionerClass == graft.core.CassandraParams.Murmur3Partitioner,
+      s"writeSorted supports only Murmur3Partitioner (got $partitionerClass); " +
+        "use CqlPipeline.alignToRing + the DSv2 sink for RandomPartitioner rings")
     val schema = df.schema
     val keyIdx = keyCols.map(schema.fieldIndex).toArray
     val serializers: Array[Row => Array[Byte]] =

@@ -55,7 +55,8 @@ object StreamLoader {
   def stream(outDir: String, plan: Map[String, Set[String]],
       endpoints: Map[String, (String, Int)],
       manifests: Seq[BulkSink.PartitionManifest],
-      parallelism: Int = 4): StreamSummary = {
+      parallelism: Int = 4,
+      throttleMBits: Option[Int] = None): StreamSummary = {
     val byFile = manifests.map(m => m.dataFile -> m).toMap
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     try {
@@ -73,7 +74,8 @@ object StreamLoader {
         val futures = resolved.map { case (host, addr, port) =>
           pool.submit(new java.util.concurrent.Callable[SessionResult] {
             override def call(): SessionResult =
-              streamRun(new File(outDir, dataFile), man, host, addr, port)
+              streamRun(new File(outDir, dataFile), man, host, addr, port,
+                throttleMBits)
           })
         }
         val results = futures.map(_.get())
@@ -90,9 +92,17 @@ object StreamLoader {
   /** One (file, replica) session; connection/protocol errors become a
     * failed session, not an exception (partial failures are survivable).
     * `host` is the logical replica name (reporting); `addr:port` is the
-    * wire address it listens on. */
+    * wire address it listens on. `throttleMBits` enforces the target
+    * URI's `streamthrottlembits` per session (the reference hands it to
+    * SSTableLoader as the stream rate cap,
+    * CrunchBulkRecordWriter.java:98-101 / CassandraParams.java:96-101):
+    * a pacing loop over the 64 KiB writes — after each chunk the sender
+    * sleeps until wall-clock catches up with bytes/rate, so sustained
+    * throughput never exceeds the cap while small files still finish in
+    * one burst. */
   def streamRun(file: File, man: BulkSink.PartitionManifest,
-      host: String, addr: String, port: Int): SessionResult =
+      host: String, addr: String, port: Int,
+      throttleMBits: Option[Int] = None): SessionResult =
     try {
       val sock = new Socket()
       try {
@@ -103,11 +113,25 @@ object StreamLoader {
         out.writeUTF(man.dataFile)
         out.writeLong(man.rows)
         out.writeLong(man.bytes)
+        val bytesPerSec = throttleMBits.map(_ * 1000000.0 / 8.0)
+        val t0 = System.nanoTime()
+        var sent = 0L
         val in = new FileInputStream(file)
         try {
           val buf = new Array[Byte](64 * 1024)
           var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          while (n >= 0) {
+            out.write(buf, 0, n)
+            sent += n
+            bytesPerSec.foreach { bps =>
+              // sleep until this many bytes were "due" — a rate limiter
+              // with no burst debt accumulation beyond one chunk
+              val dueNanos = t0 + (sent / bps * 1e9).toLong
+              val wait = dueNanos - System.nanoTime()
+              if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
+            }
+            n = in.read(buf)
+          }
         } finally in.close()
         out.flush()
         sock.shutdownOutput()
@@ -182,7 +206,15 @@ final class InProcessCluster(hosts: Seq[String],
     val out = new DataOutputStream(sock.getOutputStream)
     val magic = in.readInt()
     if (magic == graft.core.CassandraParams.MetadataMagic) {
-      out.writeUTF(metadataJson); out.flush(); return
+      // magic echo + status + length-prefixed UTF-8 bytes (writeUTF caps
+      // at 64 KB — a realistic ring's JSON is bigger); peer of
+      // StaticClusterInfo.fetch
+      val payload = metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(graft.core.CassandraParams.MetadataMagic)
+      out.writeByte(0)
+      out.writeInt(payload.length)
+      out.write(payload)
+      out.flush(); return
     }
     if (magic != StreamLoader.Magic) { reply(out, 1, "bad magic", 0); return }
     val dataFile = in.readUTF()
@@ -192,6 +224,12 @@ final class InProcessCluster(hosts: Seq[String],
     var rows = 0L
     var bytes = 0L
     var sortedOk = true
+    // the order check dispatches on the node's declared partitioner —
+    // a RandomPartitioner ring sorts by md5-token decorated keys, not
+    // Murmur3 (compareRandomDecorated recomputes the md5 per row; the
+    // verification path favors simplicity over caching the 16 bytes)
+    val random =
+      partitioner == graft.core.CassandraParams.RandomPartitioner
     var prevTok = Long.MinValue
     var prevKey: Array[Byte] = null
     try {
@@ -215,11 +253,18 @@ final class InProcessCluster(hosts: Seq[String],
             else if (in.read() >= 0) toSkip -= 1
             else throw new EOFException(s"truncated value ($toSkip of $vallen bytes missing)")
           }
-          val tok = CassandraTokens.token(key)
-          if (prevKey != null &&
-              CassandraTokens.compareDecorated(prevTok, prevKey, tok, key) > 0)
-            sortedOk = false
-          prevTok = tok; prevKey = key
+          if (random) {
+            if (prevKey != null &&
+                CassandraTokens.compareRandomDecorated(prevKey, key) > 0)
+              sortedOk = false
+            prevKey = key
+          } else {
+            val tok = CassandraTokens.token(key)
+            if (prevKey != null &&
+                CassandraTokens.compareDecorated(prevTok, prevKey, tok, key) > 0)
+              sortedOk = false
+            prevTok = tok; prevKey = key
+          }
           rows += 1
           bytes += 2L + keylen + 4L + vallen
         }

@@ -43,20 +43,24 @@ object AvroSource {
   }
 
   /** Writer schema from a container file's header (driver-side, no job).
-    * `path` may be a file or a directory of part files. Uses the session's
-    * Hadoop conf so credentials/filesystem settings apply to this read the
-    * same way they apply to the scan itself. */
+    * `path` may be a file, a directory of part files, or a glob
+    * ("dir/&#42;.avro" — newAPIHadoopFile accepts globs, so schema discovery
+    * must too; getFileStatus on a glob throws FileNotFoundException).
+    * Uses the session's Hadoop conf so credentials/filesystem settings
+    * apply to this read the same way they apply to the scan itself. */
   private[sources] def headerSchema(path: String,
       conf: org.apache.hadoop.conf.Configuration): Schema = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isFile) p
-      else fs.listStatus(p).filter(_.isFile).map(_.getPath)
-        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
-        .sortBy(_.getName).headOption
-        .getOrElse(throw new IllegalArgumentException(s"no data files under $path"))
+    def dataFiles(statuses: Array[org.apache.hadoop.fs.FileStatus]) = statuses
+      .filter(_.isFile).map(_.getPath)
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val file = (if (matched.exists(_.isFile)) dataFiles(matched)
+      else matched.filter(_.isDirectory).flatMap(d => dataFiles(fs.listStatus(d.getPath))))
+      .sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalArgumentException(s"no data files match $path"))
     val reader = new org.apache.avro.file.DataFileStream(
       fs.open(file), new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
     try reader.getSchema finally reader.close()
