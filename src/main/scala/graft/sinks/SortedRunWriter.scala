@@ -25,6 +25,12 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128) 
   private var prevToken = Long.MinValue
   private var prevKey: Array[Byte] = _
 
+  /** Running counters for live progress metrics (DSv2 CustomTaskMetric). */
+  def rowsSoFar: Long = rows
+  def bytesSoFar: Long = offset
+  def minTokenSoFar: Long = minToken
+  def maxTokenSoFar: Long = maxToken
+
   def add(token: Long, key: Array[Byte], value: Array[Byte]): Unit = {
     if (prevKey != null &&
         CassandraTokens.compareDecorated(prevToken, prevKey, token, key) > 0)

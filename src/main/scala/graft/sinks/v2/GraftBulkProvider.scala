@@ -89,6 +89,10 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
       Expressions.sort(Expressions.column("_pk"), SortDirection.ASCENDING))
 
     override def toBatch: BatchWrite = new GraftBulkBatchWrite(path, schema)
+
+    // K9/K10 replacement: progress as SQL-UI metrics, not heartbeat threads
+    override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      GraftWriteMetrics.all
   }
 }
 
@@ -185,4 +189,14 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType)
 
   override def abort(): Unit = writer.abort()
   override def close(): Unit = ()
+
+  /** Live per-task progress, polled by the executor heartbeat into the
+    * SQL UI (the reference kept a heartbeat thread for this; Spark's
+    * metric plumbing replaces it). */
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      new TaskMetric(GraftWriteMetrics.RowsName, writer.rowsSoFar),
+      new TaskMetric(GraftWriteMetrics.BytesName, writer.bytesSoFar),
+      new TaskMetric(GraftWriteMetrics.MinTokenName, writer.minTokenSoFar),
+      new TaskMetric(GraftWriteMetrics.MaxTokenName, writer.maxTokenSoFar))
 }
