@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
  * so a transient load spike cannot poison all attempts of one query. The
  * reported time is the per-query MINIMUM. The JSON also carries:
  *   - "sentinel": a fixed, code-stable query (q4_window) whose min time
- *     calibrates the box; "queries_norm" divides every min by it, so a
- *     judge can compare rounds in box-independent units.
+ *     calibrates the box; dividing any query's seconds by sentinel.sec
+ *     gives box-independent units (the file copy also carries the
+ *     pre-divided "queries_norm" map; the stdout line omits it to stay
+ *     inside the driver's 2000-char tail-capture window).
  *   - "noise": max/min spread of the sentinel across passes — >1.5 means
  *     the box was loaded during the run and raw seconds are suspect.
  *
@@ -65,31 +67,46 @@ object Bench {
       times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
     }
 
-    def fmt(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
+    // The driver parses the JSON line out of a 2000-char TAIL of this
+    // process's output (BENCH_r04 failed to parse because the r4 line,
+    // with a full-precision queries_norm map, outgrew that window). So the
+    // stdout line is kept COMPACT: ms precision, no per-query norm map (a
+    // reader divides by sentinel.sec). The full-precision form, norm map
+    // included, goes to the file copy instead.
+    def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def fmt6(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
     val mins = names.map(n => n -> times(n).min)
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val sentinelRuns = times(SentinelQuery)
     val sentinelMin = if (sentinelRuns.nonEmpty) sentinelRuns.min else Double.NaN
     val noise =
       if (sentinelRuns.size > 1 && sentinelRuns.min > 0) sentinelRuns.max / sentinelRuns.min
       else 1.0
-    val norm = mins.map { case (k, v) =>
-      "\"" + k + "\":" + fmt(if (sentinelMin > 0) v / sentinelMin else Double.NaN)
-    }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","queries":$qs,"sf":"$sfDir","runs":$runs""" +
-      s""","sentinel":{"name":"$SentinelQuery","sec":${fmt(sentinelMin)}""" +
-      s""","passes":[${sentinelRuns.map(fmt).mkString(",")}]}""" +
-      s""","noise":${fmt(noise)},"queries_norm":$norm}"""
+    def render(f: Double => String, withNorm: Boolean): String = {
+      val qs = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val norm =
+        if (!withNorm) ""
+        else mins.map { case (k, v) =>
+          "\"" + k + "\":" + f(if (sentinelMin > 0) v / sentinelMin else Double.NaN)
+        }.mkString(""","queries_norm":{""", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec"""" +
+        s""","queries":$qs,"sf":"$sfDir","runs":$runs""" +
+        s""","sentinel":{"name":"$SentinelQuery","sec":${f(sentinelMin)}""" +
+        s""","passes":[${sentinelRuns.map(f).mkString(",")}]}""" +
+        s""","noise":${f(noise)}$norm}"""
+    }
+    val line = render(fmt, withNorm = false)
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
+        "may outgrow the driver's 2000-char tail capture")
     // stdout (raw — build.sbt sets run/outputStrategy := StdoutOutput so the
     // forked JVM's output is not wrapped in sbt's "[info] " logger prefix)
     // plus a file copy so the caller can read it either way.
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (render(fmt6, withNorm = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

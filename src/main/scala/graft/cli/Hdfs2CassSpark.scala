@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{CassandraParams, ClusterInfo, StaticClusterInfo}
 import graft.operators.CqlPipeline
 import graft.operators.CqlPipeline.Projection
-import graft.sinks.{BulkSink, LoaderPlan}
+import graft.sinks.{BulkSink, LoaderPlan, StreamLoader}
 import graft.sources.AvroSource
 
 /**
@@ -17,11 +17,16 @@ import graft.sources.AvroSource
  *                  [--rowkey FIELD] [--timestamp FIELD] [--ttl FIELD]
  *                  [--ignore FIELD ...]
  *                  [--format avro|parquet] [--sink-dir LOCALDIR]
+ *                  [--stream-endpoints host=addr:port,host=addr:port,...]
  *
  * Offline, the sink writes sorted SSTable-style runs under --sink-dir
  * (directory mode); a live SSTableLoader-equivalent would hang off the same
  * manifests. `--format parquet` is the Spark-native extension (the
- * reference is Avro-only).
+ * reference is Avro-only). With `--stream-endpoints` the loader actually
+ * executes the emitted plan against those wire addresses (the offline peer
+ * is `InProcessCluster`), honoring the target URI's
+ * `streamthrottlembits=` cap — the reference's post-write
+ * `loader.stream(...)` boundary (CrunchBulkRecordWriter.java:163-178).
  */
 object Hdfs2CassSpark {
 
@@ -34,7 +39,8 @@ object Hdfs2CassSpark {
       ignore: Seq[String] = Nil,
       format: String = "parquet",
       sinkDir: String = "",
-      clusterInfoJson: Option[String] = None)
+      clusterInfoJson: Option[String] = None,
+      streamEndpoints: Option[String] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -48,6 +54,7 @@ object Hdfs2CassSpark {
       case "--format" :: v :: t    => loop(t, acc.copy(format = v))
       case "--sink-dir" :: v :: t  => loop(t, acc.copy(sinkDir = v))
       case "--cluster-info" :: v :: t => loop(t, acc.copy(clusterInfoJson = Some(v)))
+      case "--stream-endpoints" :: v :: t => loop(t, acc.copy(streamEndpoints = Some(v)))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val a = loop(argv.toList, Args())
@@ -103,7 +110,7 @@ object Hdfs2CassSpark {
           partitionerClass = info.partitionerClass)
       // with ring metadata present, also emit the stream plan the loader
       // would execute (file -> replica endpoints)
-      info match {
+      val planOpt = info match {
         case s: StaticClusterInfo if s.ring.nonEmpty =>
           val nodes = s.ring.map { case (h, ts) => LoaderPlan.RingNode(h, ts) }
           val plan = LoaderPlan.planStreams(manifests, nodes, rf = 2.min(nodes.length))
@@ -113,7 +120,27 @@ object Hdfs2CassSpark {
           java.nio.file.Files.write(
             java.nio.file.Paths.get(args.sinkDir, "_STREAM_PLAN.json"),
             json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        case _ => ()
+          Some(plan)
+        case _ => None
+      }
+      // execute the plan when wire addresses are given — the reference's
+      // post-write loader.stream(...) with the URI's stream rate cap
+      args.streamEndpoints.foreach { spec =>
+        val plan = planOpt.getOrElse(throw new IllegalArgumentException(
+          "--stream-endpoints needs ring metadata (--cluster-info) to plan replicas"))
+        val endpoints = spec.split(",").iterator.filter(_.nonEmpty).map { e =>
+          val eq = e.indexOf('=')
+          require(eq > 0, s"--stream-endpoints entry must be host=addr:port, got $e")
+          val ap = e.substring(eq + 1).split(":", 2)
+          require(ap.length == 2, s"--stream-endpoints entry must be host=addr:port, got $e")
+          e.substring(0, eq) -> (ap(0) -> ap(1).toInt)
+        }.toMap
+        val summary = StreamLoader.stream(args.sinkDir, plan, endpoints, manifests,
+          throttleMBits = params.streamThrottleMBits)
+        summary.failed.foreach(f => System.err.println(
+          s"WARN: stream session failed: ${f.dataFile} -> ${f.host}: ${f.message}"))
+        println(s"streamed ${summary.sessions.count(_.ok)}/${summary.sessions.length} " +
+          s"sessions${params.streamThrottleMBits.fold("")(m => s" (throttle ${m} Mbit/s)")}")
       }
       manifests
     }

@@ -41,6 +41,17 @@ object DriverClusterInfo {
   def fromSystemRows(partitioner: String, nodes: Seq[NodeRow],
       columns: Seq[ColumnRow]): StaticClusterInfo = {
     require(nodes.nonEmpty, "no nodes in system tables")
+    // Ring tokens are carried as Longs (Murmur3's token domain).
+    // RandomPartitioner tokens are md5 values up to 2^127-1 — they overflow
+    // Long, and every downstream ring consumer (LoaderPlan, writeSorted)
+    // speaks Murmur3 vnodes, so refuse explicitly rather than dying in
+    // toLong with an opaque NumberFormatException mid-parse.
+    if (!partitioner.endsWith("Murmur3Partitioner"))
+      throw new IllegalArgumentException(
+        s"unsupported partitioner for driver metadata fetch: $partitioner " +
+          "(ring tokens are Murmur3 longs; RandomPartitioner rings use " +
+          "2^127 md5 tokens — plan with alignToRing(partitionerClass=" +
+          "RandomPartitioner) instead, which needs no ring)")
     val ring = nodes.map(n => n.host -> n.tokens.map(_.trim.toLong))
     def kindRank(k: String): Int = k.toLowerCase match {
       case "partition_key" => 0
@@ -96,6 +107,17 @@ object DriverClusterInfo {
       }
       def str(row: AnyRef, col: String): String =
         call(row, "getString", Array(classOf[String]), col).asInstanceOf[String]
+      // inet-typed columns (system.local.broadcast_address, system.peers
+      // .peer): driver 4 has no inet<->String codec, so getString throws
+      // CodecNotFoundException. getObject returns the decoded
+      // java.net.InetAddress; getHostAddress avoids the "/1.2.3.4"
+      // InetAddress.toString form.
+      def inet(row: AnyRef, col: String): String =
+        call(row, "getObject", Array(classOf[String]), col) match {
+          case a: java.net.InetAddress => a.getHostAddress
+          case null => "null"
+          case other => String.valueOf(other)
+        }
       def int(row: AnyRef, col: String): Int =
         call(row, "getInt", Array(classOf[String]), col).asInstanceOf[java.lang.Integer].intValue()
       def strSet(row: AnyRef, col: String): Seq[String] = {
@@ -107,10 +129,10 @@ object DriverClusterInfo {
       }
       val local = rows("SELECT broadcast_address, partitioner, tokens FROM system.local").head
       val partitioner = str(local, "partitioner")
-      val localNode = NodeRow(String.valueOf(str(local, "broadcast_address")),
+      val localNode = NodeRow(inet(local, "broadcast_address"),
         strSet(local, "tokens"))
       val peers = rows("SELECT peer, tokens FROM system.peers").map { r =>
-        NodeRow(str(r, "peer"), strSet(r, "tokens"))
+        NodeRow(inet(r, "peer"), strSet(r, "tokens"))
       }
       val cols = rows(
         "SELECT column_name, kind, position FROM system_schema.columns " +

@@ -163,26 +163,33 @@ object TextHash {
    * (length framing keeps the encoding injective). Replaces
    * `md5(to_json(sort_array(sh)))`, which JSON-escaped and concatenated
    * every shingle into one giant string per row. Used as a grouping key
-   * only — both sides of any comparison compute it the same way.
+   * only — both sides of any comparison compute it the same way. Null
+   * elements (legal when the input array type has containsNull=true) sort
+   * first and frame as length -1 with no payload — distinct from every
+   * real element (length >= 0), so {null} and {""} fingerprint apart.
    */
   def setFingerprint(arr: ArrayData): Array[Byte] = {
     val n = arr.numElements()
     val elems = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { elems(i) = arr.getUTF8String(i); i += 1 }
-    java.util.Arrays.sort(elems, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    while (i < n) {
+      elems(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    java.util.Arrays.sort(elems, (a: UTF8String, b: UTF8String) =>
+      if (a eq b) 0 else if (a == null) -1 else if (b == null) 1 else a.compareTo(b))
     val md = tl.get()
     md.reset()
     val lenBuf = new Array[Byte](4)
     i = 0
     while (i < n) {
-      val b = elems(i).getBytes
-      lenBuf(0) = (b.length >>> 24).toByte
-      lenBuf(1) = (b.length >>> 16).toByte
-      lenBuf(2) = (b.length >>> 8).toByte
-      lenBuf(3) = b.length.toByte
+      val len = if (elems(i) == null) -1 else elems(i).numBytes()
+      lenBuf(0) = (len >>> 24).toByte
+      lenBuf(1) = (len >>> 16).toByte
+      lenBuf(2) = (len >>> 8).toByte
+      lenBuf(3) = len.toByte
       md.update(lenBuf)
-      md.update(b)
+      if (len >= 0) md.update(elems(i).getBytes)
       i += 1
     }
     md.digest()

@@ -15,13 +15,18 @@ import graft.sinks.{BulkSink, InProcessCluster, LoaderPlan, StreamLoader}
  * offline loader skeleton sustains (each byte crosses a real TCP socket
  * rf times).
  *
- *   sbt "runMain graft.tools.StreamSoak 5000000 16 /tmp/graft-ssoak"
+ *   sbt "runMain graft.tools.StreamSoak 5000000 16 /tmp/graft-ssoak [throttleMBits]"
+ *
+ * The 4th argument caps per-session throughput the way the target URI's
+ * `streamthrottlembits=` does (0 = unthrottled) — the soak's measured
+ * wire_mb_per_sec must come out <= cap * sessions / 8.
  */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 5000000L
     val buckets = if (args.length > 1) args(1).toInt else 16
     val out = if (args.length > 2) args(2) else "/tmp/graft-ssoak"
+    val throttleMBits = if (args.length > 3) Some(args(3).toInt).filter(_ > 0) else None
     val rf = 2
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -51,7 +56,8 @@ object StreamSoak {
     val endpoints = cluster.start()
     try {
       val t0 = System.nanoTime()
-      val summary = StreamLoader.stream(out, plan, endpoints, manifests)
+      val summary = StreamLoader.stream(out, plan, endpoints, manifests,
+        throttleMBits = throttleMBits)
       val sec = (System.nanoTime() - t0) / 1e9
       require(summary.failed.isEmpty, s"failed sessions: ${summary.failed}")
       val rows = manifests.map(_.rows).sum
@@ -63,7 +69,8 @@ object StreamSoak {
       println(f"""{"rows":$rows,"sessions":${summary.sessions.length},""" +
         f""""verified_streams":$verified,"rf":$rf,"sec":$sec%.1f,""" +
         f""""file_mb":${fileBytes / 1e6}%.0f,"wire_mb":${wireBytes / 1e6}%.0f,""" +
-        f""""wire_mb_per_sec":${wireBytes / 1e6 / sec}%.1f}""")
+        f""""wire_mb_per_sec":${wireBytes / 1e6 / sec}%.1f,""" +
+        f""""throttle_mbits":${throttleMBits.getOrElse(0)}}""")
     } finally cluster.stop()
     spark.stop()
   }

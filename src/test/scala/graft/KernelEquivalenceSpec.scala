@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/**
+ * Value-equivalence of the round-4 codegen'd kernels against the exact
+ * expression forms they replaced, on shared inputs — plus the null-element
+ * edge the replaced forms tolerated. Runs under CODEGEN_ONLY so the
+ * kernels are also proven to compile into whole-stage codegen (no
+ * interpreted fallback on the hot path).
+ */
+class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private def texts: DataFrame = {
+    import spark.implicits._
+    Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "", // empty
+      "a", // shorter than any k-gram
+      "Ça va? Привет мир — 你好世界 🙂🙂", // multi-byte code points
+      "  leading and   trailing   spaces  ",
+      "word", // exactly one token
+      "aaaaaaa", // overlapping self-similar grams
+      "line one\nline two\ttabbed, punctuated! (parens) [brackets] 42 3.14",
+      "ALLCAPS SHOUTING WITH 100% PUNCTUATION!!!",
+      "mixedCASE tokens don't align with word boundaries' apostrophes"
+    ).toDF("text")
+  }
+
+  private def assertColsEqual(df: DataFrame, a: String, b: String): Unit = {
+    val bad = df.filter(!(col(a) <=> col(b))).collect()
+    assert(bad.isEmpty, s"$a != $b on: ${bad.mkString("; ")}")
+  }
+
+  test("match_count == size(regexp_extract_all(_, p, 0)) — the replaced form") {
+    // the quality/token patterns actually used by TextAnalysis, plus edges
+    val patterns = Seq(
+      "\\p{L}+", // letter runs
+      "[\\p{Punct}]", // single punct chars
+      "\\d+(\\.\\d+)?", // numbers
+      "\\s+", // whitespace runs
+      "zz+" // never matches
+    )
+    patterns.foreach { p =>
+      val df = texts.select(
+        match_count(col("text"), p).as("kernel"),
+        size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long").as("spark"))
+      // size() returns -1 for null input but 0 for no matches; both sides
+      // see the same non-null strings here
+      assertColsEqual(df, "kernel", "spark")
+    }
+  }
+
+  test("match_count on null input is null (nullIntolerant, like the replaced form)") {
+    import spark.implicits._
+    val df = Seq(Some("ab ab"), None).toDF("text")
+      .select(match_count(col("text"), "ab").as("c"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      === Seq(2L, null))
+  }
+
+  test("char_gram_hashes == shingle_hashes(lookahead regexp grams) — the replaced form") {
+    for (k <- Seq(1, 3, 5, 9)) {
+      val df = texts.select(
+        char_gram_hashes(col("text"), k).as("kernel"),
+        shingle_hashes(
+          regexp_extract_all(col("text"), lit(s"(?s)(?=(.{$k}))"), lit(1))).as("spark"))
+      assertColsEqual(df, "kernel", "spark")
+    }
+  }
+
+  test("array_count_in == size(filter(_, isin)) — the replaced higher-order form") {
+    val words = Seq("the", "a", "and", "don't")
+    val df = texts
+      .select(split(col("text"), "\\s+").as("toks"))
+      .select(
+        array_count_in(col("toks"), words).as("kernel"),
+        size(filter(col("toks"), w => w.isin(words: _*))).as("spark"))
+    assertColsEqual(df, "kernel", "spark")
+  }
+
+  test("array_count_in skips null elements like the filter form") {
+    import spark.implicits._
+    val df = Seq(Seq(Some("the"), None, Some("fox"), Some("the")))
+      .toDF("toks")
+      .select(
+        array_count_in(col("toks"), Seq("the", "fox")).as("kernel"),
+        size(filter(col("toks"), w => w.isin("the", "fox"))).as("spark"))
+    val r = df.collect().head
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(0) === r.getInt(1))
+  }
+
+  test("set_fingerprint groups exactly like md5(to_json(sort_array(_))) — the replaced key") {
+    import spark.implicits._
+    // equivalence as a GROUPING KEY: fp(a) == fp(b) iff the replaced
+    // md5/json key matches — including near-miss pairs that must differ
+    val arrays: Seq[Seq[String]] = Seq(
+      Seq("b", "a", "c"), Seq("c", "b", "a"), // same set, different order
+      Seq("a", "bc"), Seq("ab", "c"), // concat-equal, set-different
+      Seq("a,b"), Seq("a", "b"), // separator injection
+      Seq("a\"b"), Seq("a\\\"b"), // json-escape near-miss
+      Seq(""), Seq("", ""), // empty strings, duplicate elements
+      Seq(), // empty set
+      Seq("你好", "🙂") // multi-byte
+    )
+    val df = arrays.toDF("arr").select(
+      hex(set_fingerprint(col("arr"))).as("kernel"),
+      md5(to_json(sort_array(col("arr")))).as("spark"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    for (i <- rows.indices; j <- rows.indices) {
+      assert((rows(i)._1 == rows(j)._1) === (rows(i)._2 == rows(j)._2),
+        s"grouping disagreement between ${arrays(i)} and ${arrays(j)}")
+    }
+  }
+
+  test("set_fingerprint tolerates null elements and keeps {null} != {\"\"}") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(Some("x"), None, Some("y"))),
+      (2, Seq(None)),
+      (3, Seq(Some(""))),
+      (4, Seq(None, Some("x"), Some("y"))) // same multiset as row 1
+    ).toDF("id", "arr").select(col("id"), hex(set_fingerprint(col("arr"))).as("fp"))
+    val fp = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(fp(1) === fp(4)) // order-insensitive with nulls present
+    assert(fp(2) !== fp(3)) // null sorts/frames apart from empty string
+  }
+}

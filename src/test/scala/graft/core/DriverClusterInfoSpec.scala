@@ -1,0 +1,72 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The pure row-to-ClusterInfo mapping behind the (reflection-only) live
+ * driver fetch — stub rows standing in for system.local / system.peers /
+ * system_schema.columns results, as the scaladoc promises.
+ */
+class DriverClusterInfoSpec extends AnyFunSuite {
+  import DriverClusterInfo.{ColumnRow, NodeRow}
+
+  private val m3 = CassandraParams.Murmur3Partitioner
+
+  test("fromSystemRows maps nodes and tokens to the ring") {
+    val info = DriverClusterInfo.fromSystemRows(m3,
+      Seq(NodeRow("10.0.0.1", Seq("-9000000000000000000", " 0 ", "42")),
+        NodeRow("10.0.0.2", Seq("100", "200"))),
+      columns = Nil)
+    assert(info.partitionerClass === m3)
+    assert(info.numClusterNodes === 2)
+    assert(info.ring === Seq(
+      "10.0.0.1" -> Seq(-9000000000000000000L, 0L, 42L),
+      "10.0.0.2" -> Seq(100L, 200L)))
+  }
+
+  test("columns order partition key first, then clustering, then regular") {
+    // deliberately shuffled input: regular column first, second key part
+    // before the first, clustering in the middle
+    val info = DriverClusterInfo.fromSystemRows(m3,
+      Seq(NodeRow("h", Seq("1"))),
+      Seq(ColumnRow("payload", "regular", -1),
+        ColumnRow("bucket", "partition_key", 1),
+        ColumnRow("ck", "clustering", 0),
+        ColumnRow("user_id", "partition_key", 0)))
+    assert(info.allColumnNames === Seq("user_id", "bucket", "ck", "payload"))
+    assert(info.partitionKeyIndexes.toSeq === Seq(0, 1))
+  }
+
+  test("no partition-key rows falls back to index 0") {
+    val info = DriverClusterInfo.fromSystemRows(m3,
+      Seq(NodeRow("h", Seq("1"))),
+      Seq(ColumnRow("a", "regular", -1), ColumnRow("b", "regular", -1)))
+    assert(info.partitionKeyIndexes.toSeq === Seq(0))
+  }
+
+  test("empty node list is rejected") {
+    intercept[IllegalArgumentException] {
+      DriverClusterInfo.fromSystemRows(m3, Nil, Nil)
+    }
+  }
+
+  test("RandomPartitioner rings fail explicitly, not with NumberFormatException") {
+    // md5 tokens reach 2^127-1 — far past Long — and every downstream ring
+    // consumer speaks Murmur3 vnodes; the fetch must say so up front
+    val e = intercept[IllegalArgumentException] {
+      DriverClusterInfo.fromSystemRows(CassandraParams.RandomPartitioner,
+        Seq(NodeRow("h", Seq("137530082342577569017132142693387977319"))),
+        Nil)
+    }
+    assert(e.getMessage.contains("unsupported partitioner"))
+    assert(e.getMessage.contains("RandomPartitioner"))
+  }
+
+  test("driver fetch without the driver jar raises guidance, not ClassNotFound") {
+    assume(!DriverClusterInfo.available) // offline build: jar absent
+    val e = intercept[UnsupportedOperationException] {
+      DriverClusterInfo.fetch("127.0.0.1", 9042, "ks", "tbl")
+    }
+    assert(e.getMessage.contains("socket://"))
+  }
+}
