@@ -16,12 +16,15 @@ import graft.functions._
  */
 class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
+  // lazy val (stable identifier) so `import spark.implicits._` compiles.
+  // Like CodegenSpec: a fresh session on the SHARED SparkContext — never
+  // stop() it (that kills the context under every later suite); afterAll
+  // only clears the active/default slots so the strict-codegen confs
+  // cannot leak into other suites.
+  private lazy val spark: SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    spark = SparkSession.builder()
+    SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "2")
@@ -31,8 +34,9 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
   }
 
+  override def beforeAll(): Unit = { spark; () }
+
   override def afterAll(): Unit = {
-    if (spark != null) spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
   }
@@ -43,7 +47,7 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the quick brown fox jumps over the lazy dog",
       "", // empty
       "a", // shorter than any k-gram
-      "Ça va? Привет мир — 你好世界 🙂🙂", // multi-byte code points
+      "Ça va? Привет мир — 你好世界", // multi-byte BMP code points
       "  leading and   trailing   spaces  ",
       "word", // exactly one token
       "aaaaaaa", // overlapping self-similar grams
@@ -86,6 +90,8 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("char_gram_hashes == shingle_hashes(lookahead regexp grams) — the replaced form") {
+    // Equivalence holds on BMP text. On supplementary characters the two
+    // forms INTENTIONALLY diverge — see the dedicated test below.
     for (k <- Seq(1, 3, 5, 9)) {
       val df = texts.select(
         char_gram_hashes(col("text"), k).as("kernel"),
@@ -93,6 +99,27 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
           regexp_extract_all(col("text"), lit(s"(?s)(?=(.{$k}))"), lit(1))).as("spark"))
       assertColsEqual(df, "kernel", "spark")
     }
+  }
+
+  test("char_gram_hashes treats supplementary chars as ONE gram position (regexp form did not)") {
+    import spark.implicits._
+    // java.util.regex advances one code UNIT after a zero-width match, so
+    // the replaced lookahead form emitted an extra gram starting inside
+    // each surrogate pair. The kernel grams over code points — the correct
+    // semantics — so "🙂🙂" (2 code points) has exactly 2 one-grams and
+    // 1 two-gram, and equal text yields equal hashes regardless of plane.
+    val df = Seq("🙂🙂").toDF("text").select(
+      size(char_gram_hashes(col("text"), 1)).as("k1"),
+      size(char_gram_hashes(col("text"), 2)).as("k2"),
+      size(regexp_extract_all(col("text"), lit("(?s)(?=(.{1}))"), lit(1))).as("regex1"))
+    val r = df.collect().head
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 4, "regexp form splits surrogate pairs (the bug the kernel fixes)")
+    // both one-grams hash identically (same code point)
+    val hs = Seq("🙂🙂").toDF("text")
+      .select(char_gram_hashes(col("text"), 1).as("h")).collect().head.getSeq[Long](0)
+    assert(hs.distinct.size === 1)
   }
 
   test("array_count_in == size(filter(_, isin)) — the replaced higher-order form") {
