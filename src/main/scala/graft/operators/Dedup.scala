@@ -330,13 +330,25 @@ object Dedup {
       var labels = ckpt(edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
       var changed = 1L
+      var round = 0
       while (changed > 0) {
+        // convergence is read via observe() from the SAME action that
+        // materializes the round's checkpoint — one job per round, not a
+        // propagation job plus a separate count() job (the per-round job
+        // overhead dominated when components are tiny and rounds are short)
+        val obs = org.apache.spark.sql.Observation(s"cc-round-$round")
+        round += 1
         val prop = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
         val merged = ckpt(labels.join(prop, labels("id") === prop("src"), "left")
           .select(col("id"), col("label"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("next")))
-        changed = merged.filter(col("next") < col("label")).count()
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+          .observe(obs, sum(when(col("next") < col("label"), 1L).otherwise(0L))
+            .as("changed")))
+        changed = obs.get.get("changed") match {
+          case Some(n: Long) => n
+          case _ => 0L // empty graph: sum over zero rows is null
+        }
         labels = merged.select(col("id"), col("next").as("label"))
       }
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
