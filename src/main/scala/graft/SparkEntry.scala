@@ -215,12 +215,17 @@ object SparkEntry {
 
     // P9 + G1/G2: partition-key bytes, token, ring bucket (no SQL oracle —
     // token math is validated against Cassandra's known hashes in tests)
+    // P9 partition-key extraction, hash-checked: single key serializes
+    // raw; 2- and 3-column keys get CompositeType framing (2-byte BE len +
+    // bytes + 0x00 per component) across bigint/int32/string components.
+    // Token/bucket values are pinned against reference hashes in
+    // KernelSpec/CodegenSpec (murmur3 is not DuckDB-reconstructable).
     "p9_partition_key" -> ((s, dir) => {
-      val o = s.read.parquet(t(dir, "orders"))
-      o.select(col("o_orderkey"),
-        hex(cql_serialize(col("o_orderkey"))).as("pk_hex"),
-        cassandra_token(cql_serialize(col("o_orderkey"))).as("token"),
-        token_bucket(cassandra_token(cql_serialize(col("o_orderkey"))), 8).as("bucket"))
+      val c = s.read.parquet(t(dir, "customer"))
+      c.select(col("c_custkey"),
+        hex(partition_key(col("c_custkey"))).as("pk_single_hex"),
+        hex(partition_key(col("c_custkey"), col("c_mktsegment"))).as("pk_comp2_hex"),
+        hex(partition_key(col("c_custkey"), col("c_nationkey"), col("c_name"))).as("pk_comp3_hex"))
     }),
 
     // G1-G3: ring-aligned repartition + decorated-key sort (shape check:
@@ -387,11 +392,17 @@ object SparkEntry {
     // mapPartitions batched decode path (the real multimodal plumbing;
     // equality with the expression path is proven in OperatorsSpec)
     "mm_decode" -> ((s, dir) => {
+      // the mapPartitions decode path, emitting the FULL stub metadata so
+      // the DuckDB oracle hash-checks it (same reconstruction as
+      // mm_features, which covers the pure-expression form)
       val d = s.read.parquet(t(dir, "documents"))
         .withColumn("payload", col("text").cast(BinaryType))
       graft.operators.Multimodal.decodeAssets(d, "doc_id", "payload")
-        .toDF().select(col("id"), col("meta.byteLen").as("byte_len"),
-          col("meta.width").as("width"), col("meta.height").as("height"))
+        .toDF().select(col("id"),
+          col("meta.byteLen").as("byte_len"),
+          col("meta.sha256").as("sha256"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.frames").as("frames"))
     }),
 
     // Multimodal frame sampling: every 2nd frame of each stub-decoded
@@ -564,6 +575,31 @@ object SparkEntry {
         |       lpad(hex(length(o_orderpriority)), 4, '0') || hex(o_orderpriority) || '00'
         |         AS composite_hex
         |FROM orders""".stripMargin,
+
+    // independent reconstruction of raw + CompositeType key framing over
+    // bigint / int32 / string components (same layout family as f1)
+    "p9_partition_key" ->
+      """SELECT c_custkey,
+        |       lpad(hex(c_custkey), 16, '0') AS pk_single_hex,
+        |       '0008' || lpad(hex(c_custkey), 16, '0') || '00' ||
+        |       lpad(hex(strlen(c_mktsegment)), 4, '0') || hex(c_mktsegment) || '00'
+        |         AS pk_comp2_hex,
+        |       '0008' || lpad(hex(c_custkey), 16, '0') || '00' ||
+        |       '0004' || lpad(hex(c_nationkey), 8, '0') || '00' ||
+        |       lpad(hex(strlen(c_name)), 4, '0') || hex(c_name) || '00'
+        |         AS pk_comp3_hex
+        |FROM customer""".stripMargin,
+
+    // same stub-metadata reconstruction as mm_features — this one checks
+    // the mapPartitions decode path end-to-end
+    "mm_decode" ->
+      """SELECT doc_id AS id,
+        |       CAST(strlen(text) AS BIGINT) AS byte_len,
+        |       sha256(text) AS sha256,
+        |       CAST(64 + strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1 AS INTEGER) AS width,
+        |       CAST(64 + strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1 AS INTEGER) AS height,
+        |       CAST(1 + CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) % 16 AS INTEGER) AS frames
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
