@@ -105,9 +105,16 @@ object Hdfs2CassSpark {
         .write.mode("overwrite").parquet(s"${args.sinkDir}/random")
       Nil
     } else {
+      // compressed runs cannot be socket-streamed (the receiver parses raw
+      // records to re-verify decorated order) — refuse the combination
+      // loudly rather than stream bytes the far side cannot check
+      require(params.compressionClass.isEmpty || args.streamEndpoints.isEmpty,
+        "compressionclass and --stream-endpoints are mutually exclusive: " +
+          "compressed runs are a directory-mode bulk format")
       val manifests =
         BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir,
-          partitionerClass = info.partitionerClass)
+          partitionerClass = info.partitionerClass,
+          compression = params.compressionClass)
       // with ring metadata present, also emit the stream plan the loader
       // would execute (file -> replica endpoints)
       val planOpt = info match {

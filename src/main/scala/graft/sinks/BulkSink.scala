@@ -72,7 +72,7 @@ object BulkSink {
 
   final case class PartitionManifest(
       partition: Int, rows: Long, bytes: Long, minToken: Long, maxToken: Long,
-      sorted: Boolean, dataFile: String, indexFile: String)
+      sorted: Boolean, dataFile: String, indexFile: String, codec: String = "none")
 
   /**
    * Write `df` as sorted per-token-range runs under `outDir`.
@@ -82,9 +82,13 @@ object BulkSink {
    */
   def writeSorted(df: DataFrame, keyCols: Seq[String], numBuckets: Int,
       outDir: String, indexInterval: Int = 128,
-      partitionerClass: String = graft.core.CassandraParams.Murmur3Partitioner)
+      partitionerClass: String = graft.core.CassandraParams.Murmur3Partitioner,
+      compression: Option[String] = None)
       : Seq[PartitionManifest] = {
     require(keyCols.nonEmpty)
+    // resolve the codec DRIVER-side so a typo'd compressionclass fails
+    // before the shuffle runs, not in task 0 of the write stage
+    val codec = compression.map(SortedRunWriter.normalizeCodec)
     // This RDD path (RingPartitioner buckets, Long-token manifests, the
     // decorated ordering) is Murmur3 end-to-end. Refuse anything else
     // loudly — silently bucketing/sorting a RandomPartitioner cluster's
@@ -112,13 +116,13 @@ object BulkSink {
     val aligned = keyed.repartitionAndSortWithinPartitions(new RingPartitioner(numBuckets))
 
     val manifests = aligned.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(writePartition(outDir, pid, it, indexInterval))
+      Iterator.single(writePartition(outDir, pid, it, indexInterval, codec))
     }.collect().toSeq
 
     val json = manifests.map { m =>
       s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
         s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":${m.sorted},""" +
-        s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}"}"""
+        s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}","codec":"${m.codec}"}"""
     }.mkString("[", ",", "]")
     Files.write(Paths.get(outDir, "_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
     manifests
@@ -129,8 +133,8 @@ object BulkSink {
     * change would corrupt on unsorted input). */
   private def writePartition(outDir: String, pid: Int,
       it: Iterator[((Long, Array[Byte]), Array[Byte])],
-      indexInterval: Int): PartitionManifest = {
-    val writer = new SortedRunWriter(outDir, pid, indexInterval)
+      indexInterval: Int, codec: Option[String]): PartitionManifest = {
+    val writer = new SortedRunWriter(outDir, pid, indexInterval, codec)
     try {
       while (it.hasNext) {
         val ((token, key), value) = it.next()

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream, InputStream, OutputStream}
 
 import graft.core.CassandraTokens
 
@@ -9,13 +9,26 @@ import graft.core.CassandraTokens
  * the DSv2 sink: `graft-<pid>-Data.db` (2-byte key len + key + 4-byte value
  * len + value) plus a sparse `Index.db` (token, offset every
  * `indexInterval` rows). Enforces the decorated-key sorted-input contract.
+ *
+ * `compression` takes the reference's `compressionclass` URI option
+ * (CassandraParams.java:103-105 — short or fully-qualified Cassandra
+ * compressor name) and compresses the DATA stream with the matching JVM
+ * codec. Index offsets stay LOGICAL (uncompressed) positions — the same
+ * contract as Cassandra, where Index.db positions are uncompressed and
+ * CompressionInfo.db maps them to chunks; here the manifest's codec field
+ * is what a reader needs to re-open the run.
  */
-final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128) {
+final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
+    compression: Option[String] = None) {
+  /** Normalized codec id ("none"/"deflate"/"lz4"/"snappy"); fails fast on
+    * an unknown compressionclass before any file is created. */
+  val codec: String = compression.map(SortedRunWriter.normalizeCodec).getOrElse("none")
   val dataName = f"graft-$pid%05d-Data.db"
   val indexName = f"graft-$pid%05d-Index.db"
   private val dataFile = new File(outDir, dataName)
   private val indexFile = new File(outDir, indexName)
-  private val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(dataFile), 1 << 16))
+  private val out = new DataOutputStream(new BufferedOutputStream(
+    SortedRunWriter.compress(codec, new FileOutputStream(dataFile)), 1 << 16))
   private val idx = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(indexFile), 1 << 14))
 
   private var rows = 0L
@@ -51,12 +64,48 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128) 
   def close(): BulkSink.PartitionManifest = {
     out.close(); idx.close()
     BulkSink.PartitionManifest(pid, rows, offset, minToken, maxToken,
-      sorted = true, dataName, indexName)
+      sorted = true, dataName, indexName, codec)
   }
 
   def abort(): Unit = {
     try { out.close(); idx.close() } catch { case _: Throwable => () }
     dataFile.delete(); indexFile.delete()
     ()
+  }
+}
+
+object SortedRunWriter {
+
+  /** Reference compressor names -> codec id; rejects anything else LOUDLY
+    * (a typo'd compressionclass must not silently write uncompressed). */
+  def normalizeCodec(name: String): String =
+    name.substring(name.lastIndexOf('.') + 1) match {
+      case "DeflateCompressor" | "deflate" => "deflate"
+      case "LZ4Compressor" | "lz4"         => "lz4"
+      case "SnappyCompressor" | "snappy"   => "snappy"
+      case "none"                          => "none"
+      case _ => throw new IllegalArgumentException(
+        s"unsupported compressionclass '$name' " +
+          "(supported: DeflateCompressor, LZ4Compressor, SnappyCompressor)")
+    }
+
+  /** Wrap a raw file stream in the codec's compressor (lz4/snappy ship in
+    * Spark's own jars; deflate is java.util.zip). */
+  def compress(codec: String, os: OutputStream): OutputStream = codec match {
+    case "none"    => os
+    case "deflate" => new java.util.zip.DeflaterOutputStream(
+      os, new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION), 1 << 16)
+    case "lz4"     => new net.jpountz.lz4.LZ4BlockOutputStream(os, 1 << 16)
+    case "snappy"  => new org.xerial.snappy.SnappyOutputStream(os, 1 << 16)
+    case other     => throw new IllegalArgumentException(s"unknown codec id '$other'")
+  }
+
+  /** Matching reader side, for run consumers and round-trip tests. */
+  def decompress(codec: String, is: InputStream): InputStream = codec match {
+    case "none"    => is
+    case "deflate" => new java.util.zip.InflaterInputStream(is)
+    case "lz4"     => new net.jpountz.lz4.LZ4BlockInputStream(is)
+    case "snappy"  => new org.xerial.snappy.SnappyInputStream(is)
+    case other     => throw new IllegalArgumentException(s"unknown codec id '$other'")
   }
 }

@@ -73,6 +73,10 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
     private val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("graft-bulk requires option 'path'"))
     private val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
+    // reference's compressionclass URI option; resolved at PLAN time so a
+    // typo fails the query before any executor work
+    private val codec = Option(options.get("compressionclass"))
+      .map(SortedRunWriter.normalizeCodec)
     private val schema = info.schema()
     require(schema.fieldNames.contains("_pk") && schema.fieldNames.contains("_token") &&
       schema.fieldNames.contains("_bucket"),
@@ -88,7 +92,7 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
       Expressions.sort(Expressions.column("_token"), SortDirection.ASCENDING),
       Expressions.sort(Expressions.column("_pk"), SortDirection.ASCENDING))
 
-    override def toBatch: BatchWrite = new GraftBulkBatchWrite(path, schema)
+    override def toBatch: BatchWrite = new GraftBulkBatchWrite(path, schema, codec)
 
     // K9/K10 replacement: progress as SQL-UI metrics, not heartbeat threads
     override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -98,10 +102,11 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
 
 final case class ManifestMessage(json: String) extends WriterCommitMessage
 
-final class GraftBulkBatchWrite(path: String, schema: StructType) extends BatchWrite {
+final class GraftBulkBatchWrite(path: String, schema: StructType,
+    codec: Option[String]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    new GraftBulkWriterFactory(path, schema)
+    new GraftBulkWriterFactory(path, schema, codec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -114,10 +119,10 @@ final class GraftBulkBatchWrite(path: String, schema: StructType) extends BatchW
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final class GraftBulkWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+final class GraftBulkWriterFactory(path: String, schema: StructType,
+    codec: Option[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftBulkDataWriter(path, partitionId, schema)
+    new GraftBulkDataWriter(path, partitionId, schema, codec)
 }
 
 /**
@@ -125,8 +130,8 @@ final class GraftBulkWriterFactory(path: String, schema: StructType)
  * Tungsten values directly). Aux columns (_pk/_token/_bucket) route; all
  * other columns serialize into the value payload with the CQL wire codec.
  */
-final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType)
-    extends DataWriter[InternalRow] {
+final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
+    codec: Option[String] = None) extends DataWriter[InternalRow] {
 
   private val pkIdx = schema.fieldIndex("_pk")
   private val tokenIdx = schema.fieldIndex("_token")
@@ -134,7 +139,7 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType)
   private val valueFields: Array[(Int, DataType)] = schema.fields.zipWithIndex
     .collect { case (f, i) if !aux.contains(i) => (i, f.dataType) }
 
-  private val writer = new SortedRunWriter(path, pid)
+  private val writer = new SortedRunWriter(path, pid, compression = codec)
 
   override def write(row: InternalRow): Unit = {
     val pk = row.getBinary(pkIdx)
@@ -184,7 +189,7 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType)
     } else ManifestMessage(
       s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
         s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":true,""" +
-        s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}"}""")
+        s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}","codec":"${m.codec}"}""")
   }
 
   override def abort(): Unit = writer.abort()

@@ -30,9 +30,22 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder {
 
     override def planInputPartitions(): Array[InputPartition] = {
       val dir = new File(path)
+      // per-file codec from the manifest the writer left (absent manifest
+      // or unlisted file -> uncompressed, the pre-codec format)
+      val codecs: Map[String, String] = {
+        val mf = new File(dir, "_MANIFEST.json")
+        if (!mf.exists()) Map.empty
+        else {
+          val json = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val re = """"dataFile":"([^"]+)"(?:,"indexFile":"[^"]*")?,"codec":"([^"]+)"""".r
+          re.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
+        }
+      }
       val files = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith("-Data.db")).sortBy(_.getName)
-      files.map(f => GraftBulkInputPartition(f.getAbsolutePath): InputPartition)
+      files.map(f => GraftBulkInputPartition(f.getAbsolutePath,
+        codecs.getOrElse(f.getName, "none")): InputPartition)
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -40,15 +53,19 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder {
   }
 }
 
-final case class GraftBulkInputPartition(file: String) extends InputPartition
+final case class GraftBulkInputPartition(file: String, codec: String) extends InputPartition
 
 final class GraftBulkReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftBulkPartitionReader(partition.asInstanceOf[GraftBulkInputPartition].file)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBulkInputPartition]
+    new GraftBulkPartitionReader(p.file, p.codec)
+  }
 }
 
-final class GraftBulkPartitionReader(file: String) extends PartitionReader[InternalRow] {
-  private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file), 1 << 16))
+final class GraftBulkPartitionReader(file: String, codec: String = "none")
+    extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(new BufferedInputStream(
+    graft.sinks.SortedRunWriter.decompress(codec, new FileInputStream(file)), 1 << 16))
   private var current: InternalRow = _
 
   override def next(): Boolean = {

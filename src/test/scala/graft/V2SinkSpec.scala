@@ -83,6 +83,58 @@ class V2SinkSpec extends AnyFunSuite {
     assert(nFiles >= 1 && back.rdd.getNumPartitions === nFiles)
   }
 
+  test("compressionclass round-trips through both sinks for every codec") {
+    import graft.sinks.{BulkSink, SortedRunWriter}
+    for (cls <- Seq("DeflateCompressor", "LZ4Compressor",
+        "org.apache.cassandra.io.compress.SnappyCompressor")) {
+      val codec = SortedRunWriter.normalizeCodec(cls)
+      // DSv2 path: option -> writer -> manifest -> spark.read decompresses
+      val out = Files.createTempDirectory(s"graft-v2-$codec").toString
+      prepared(4).write.format("graft-bulk")
+        .option("path", out).option("buckets", "4")
+        .option("compressionclass", cls).mode("append").save()
+      val json = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(out, "_MANIFEST.json")))
+      assert(json.contains(s""""codec":"$codec""""), s"manifest missing codec for $cls")
+      val back = spark.read.format("graft-bulk").option("path", out).load()
+      assert(back.count() === 1500)
+      assert(back.filter(cassandra_token(col("pk")) =!= col("token")).count() === 0)
+      // compressed Data.db must not parse as the raw record format
+      // (i.e. the bytes on disk really are codec bytes, not plaintext):
+      // logical bytes in the manifest exceed the physical deflate file
+      if (codec == "deflate") {
+        val logical = """"bytes":(\d+)""".r.findAllMatchIn(json).map(_.group(1).toLong).sum
+        val physical = new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith("Data.db")).map(_.length).sum
+        assert(physical < logical, s"deflate wrote $physical >= logical $logical")
+      }
+
+      // RDD path: writeSorted(compression=) produces the same manifest codec
+      val out2 = Files.createTempDirectory(s"graft-rdd-$codec").toString
+      val ms = BulkSink.writeSorted(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        Seq("o_orderkey"), 4, out2, compression = Some(cls))
+      assert(ms.forall(_.codec === codec))
+      val back2 = spark.read.format("graft-bulk").option("path", out2).load()
+      assert(back2.count() === 1500)
+    }
+  }
+
+  test("unknown compressionclass fails at plan time, loudly") {
+    val out = Files.createTempDirectory("graft-v2-badcodec").toString
+    val e = intercept[Exception] {
+      prepared(4).write.format("graft-bulk")
+        .option("path", out).option("buckets", "4")
+        .option("compressionclass", "ZstdCompressor").mode("append").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unsupported compressionclass")))
+    // nothing was written
+    assert(!new java.io.File(out, "_MANIFEST.json").exists())
+  }
+
   test("v2 sink rejects input without routing columns") {
     val out = Files.createTempDirectory("graft-v2-bad").toString
     val e = intercept[Exception] {
