@@ -49,10 +49,25 @@ object StaticClusterInfo {
     val nodes = nodeRe.findAllMatchIn(text).map { m =>
       val host = m.group(1)
       val tokens = m.group(2).split(",").iterator
-        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+        .map(_.trim).filter(_.nonEmpty).toSeq
       host -> tokens
     }.toSeq
     require(nodes.nonEmpty, "no nodes parsed from cluster metadata")
+    // Ring tokens are carried as Longs (Murmur3's domain). A
+    // RandomPartitioner ring's 2^127 md5 tokens overflow Long — refuse with
+    // the SAME guidance as DriverClusterInfo.fromSystemRows instead of
+    // dying in toLong mid-parse (this parser also backs the socket fetch,
+    // so one check covers both offline metadata paths). Ring-LESS
+    // RandomPartitioner metadata stays valid: alignToRing(
+    // partitionerClass=RandomPartitioner) plans evenly-split ranges and
+    // needs no ring.
+    if (!partitioner.endsWith("Murmur3Partitioner") && nodes.exists(_._2.nonEmpty))
+      throw new IllegalArgumentException(
+        s"unsupported partitioner for ring metadata: $partitioner " +
+          "(ring tokens are Murmur3 longs; RandomPartitioner rings use " +
+          "2^127 md5 tokens — plan with alignToRing(partitionerClass=" +
+          "RandomPartitioner) instead, which needs no ring)")
+    val ringNodes = nodes.map { case (h, ts) => h -> ts.map(_.toLong) }
     val columns = """"columns"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
       .map(_.group(1).split(",").iterator.map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty).toSeq)
@@ -62,7 +77,7 @@ object StaticClusterInfo {
       .getOrElse(Array(0))
     StaticClusterInfo(partitionerClass = partitioner,
       numClusterNodes = nodes.length, allColumnNames = columns,
-      partitionKeyIndexes = keyIdx, ring = nodes)
+      partitionKeyIndexes = keyIdx, ring = ringNodes)
   }
 
   /**

@@ -69,4 +69,45 @@ class DriverClusterInfoSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("socket://"))
   }
+
+  test("JSON/socket metadata path mirrors the RandomPartitioner ring refusal") {
+    // fromJsonString backs BOTH offline paths (ring file + socket fetch);
+    // md5 tokens overflow its Long parse exactly like the driver path's —
+    // same refusal, same guidance, instead of NumberFormatException
+    val e = intercept[IllegalArgumentException] {
+      StaticClusterInfo.fromJsonString(
+        """{"partitioner": "org.apache.cassandra.dht.RandomPartitioner",
+          | "nodes": [{"host": "h1",
+          |   "tokens": [137530082342577569017132142693387977319]}]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("unsupported partitioner"))
+    assert(e.getMessage.contains("alignToRing"))
+  }
+
+  test("ring-less RandomPartitioner metadata stays valid (alignToRing needs no ring)") {
+    val info = StaticClusterInfo.fromJsonString(
+      """{"partitioner": "org.apache.cassandra.dht.RandomPartitioner",
+        | "nodes": [{"host": "h1", "tokens": []}, {"host": "h2", "tokens": []}],
+        | "columns": ["rowkey", "v"], "key_indexes": [0]}""".stripMargin)
+    assert(info.partitionerClass === CassandraParams.RandomPartitioner)
+    assert(info.numClusterNodes === 2)
+    assert(info.ring.forall(_._2.isEmpty))
+  }
+
+  test("jar-gated: reflective builder chain resolves against a real driver jar") {
+    // Runs ONLY when the DataStax driver is on the classpath (canceled —
+    // visibly, not silently absent — on the offline build). No live
+    // cluster exists even then, so success criterion: the reflection chain
+    // (builder/addContactPoint/withLocalDatacenter/build) must resolve and
+    // fail at the CONNECTION layer, never with a reflective lookup error.
+    assume(DriverClusterInfo.available)
+    val e = intercept[Throwable] {
+      DriverClusterInfo.fetch("127.0.0.1", 1 /* nothing listens */, "ks", "tbl")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(!chain(e).exists(t => t.isInstanceOf[NoSuchMethodException] ||
+      t.isInstanceOf[ClassNotFoundException] || t.isInstanceOf[NoSuchMethodError]),
+      s"reflective lookup failed rather than the connection: $e")
+  }
 }
