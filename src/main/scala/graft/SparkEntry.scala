@@ -287,6 +287,14 @@ object SparkEntry {
           col("stopword_ratio"), col("quality"))
     }),
 
+    // Gopher-style repetition signals (dup-word / top-word fractions),
+    // scan-stage only: the top-word count is an in-row codegen'd kernel,
+    // not an explode + two-shuffle groupBy
+    "text_repetition" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.TextAnalysis.withRepetition(d, "doc_id", "text")
+    }),
+
     // Language ID heuristic
     "text_langid" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
@@ -713,6 +721,26 @@ object SparkEntry {
         |       f[1] AS min_fp, f[len(f)] AS max_fp,
         |       CAST(list_sum(f) AS BIGINT) AS sum_fp
         |FROM fps WHERE len(f) > 0""".stripMargin,
+
+    // repetition signals reconstructed via the explode/groupBy form the
+    // in-row kernel replaces (unnest + count per word + max, joined back)
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |    SELECT doc_id, w, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(t.toks)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - len(list_distinct(t.toks)) / greatest(len(t.toks), 1), 4)
+        |    AS dup_word_fraction,
+        |  CAST(c.top_cnt AS BIGINT) AS top_word_count,
+        |  round(c.top_cnt / greatest(len(t.toks), 1), 4) AS top_word_ratio
+        |FROM t JOIN c USING (doc_id)""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -158,6 +158,30 @@ object TextHash {
   }
 
   /**
+   * Occurrence count of the most frequent element of a string array —
+   * the Gopher-style "top word fraction" repetition signal, computed
+   * in-row (one hash map per row, no explode/groupBy shuffle). Value-equal
+   * to `max(count) OVER (GROUP BY doc, word)` of the exploded form; null
+   * elements are skipped (the tokenizer emits none); empty array -> 0.
+   */
+  def maxTokenCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val m = new java.util.HashMap[UTF8String, Integer](Math.min(n * 2, 1 << 10))
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val c = m.merge(arr.getUTF8String(i), Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+        if (c.intValue() > best) best = c.intValue()
+      }
+      i += 1
+    }
+    best
+  }
+
+  /**
    * Order-insensitive 16-byte fingerprint of a string SET: md5 over the
    * binary-sorted elements, each framed as 4-byte BE length + UTF-8 bytes
    * (length framing keeps the encoding injective). Replaces

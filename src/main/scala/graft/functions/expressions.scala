@@ -311,6 +311,31 @@ case class ArrayCountInExpr(child: Expression, words: Seq[String]) extends Unary
     copy(child = newChild)
 }
 
+/** Occurrence count of the most frequent element of array<string> — the
+  * top-word repetition signal computed IN-ROW (one hash map per row,
+  * codegen'd), replacing the explode + groupBy(doc, word) + max(count)
+  * two-shuffle form. Null elements skipped; empty array -> 0. */
+case class MaxTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"max_token_count expects array<string>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "max_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.maxTokenCount(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.maxTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Order-insensitive md5 fingerprint of a string set (array<string> ->
   * 16-byte binary; elements binary-sorted and length-framed in the
   * kernel — no sort_array/to_json string materialization). */

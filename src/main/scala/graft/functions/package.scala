@@ -64,6 +64,9 @@ package object functions {
   /** Order-insensitive md5 fingerprint of a string set (codegen'd). */
   def set_fingerprint(arr: Column): Column = col(SetFingerprintExpr(expr(arr)))
 
+  /** Count of the most frequent element of array<string> (codegen'd, in-row). */
+  def max_token_count(arr: Column): Column = col(MaxTokenCountExpr(expr(arr)))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

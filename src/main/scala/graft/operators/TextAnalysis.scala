@@ -109,6 +109,28 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style repetition signals, entirely in the scan stage: duplicate
+   * -word fraction (1 - distinct/total) and top-word fraction (occurrences
+   * of the most frequent word / total). The top-word count runs IN-ROW via
+   * the codegen'd max_token_count kernel — the textbook explode +
+   * groupBy(doc, word) + max(count) form costs two shuffles of every token
+   * of a 100 TB corpus; this costs zero. Filters like "drop documents
+   * whose top word exceeds 20% of tokens" become plain scan predicates.
+   */
+  def withRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val topCount = graft.functions.max_token_count(toks)
+    df.select(col(idCol),
+      nWords.cast(LongType).as("n_words"),
+      nDistinct.cast(LongType).as("n_distinct"),
+      round(lit(1.0) - nDistinct / greatest(nWords, lit(1)), 4).as("dup_word_fraction"),
+      topCount.cast(LongType).as("top_word_count"),
+      round(topCount / greatest(nWords, lit(1)), 4).as("top_word_ratio"))
+  }
+
+  /**
    * Language ID: CJK character presence, then per-language stopword-hit
    * majority with a fixed precedence (zh > de > fr > es > en). A simple
    * n-gram/stopword heuristic — cheap enough to run on every document of

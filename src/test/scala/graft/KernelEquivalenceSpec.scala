@@ -144,6 +144,30 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) === r.getInt(1))
   }
 
+  test("max_token_count == exploded groupBy/max(count) — the replaced two-shuffle form") {
+    import spark.implicits._
+    val toks = texts.withColumn("id", monotonically_increasing_id())
+      .select(col("id"), split(trim(col("text")), "\\s+").as("toks"))
+    val kernel = toks.select(col("id"), max_token_count(col("toks")).as("kernel"))
+    val exploded = toks.select(col("id"), explode(col("toks")).as("w"))
+      .groupBy(col("id"), col("w")).count()
+      .groupBy(col("id")).agg(max(col("count")).cast("int").as("spark"))
+    val joined = kernel.join(exploded, Seq("id"), "left")
+      // empty-array rows never explode: the kernel reports 0 there
+      .select(col("kernel"), coalesce(col("spark"), lit(0)).as("spark"))
+    assertColsEqual(joined, "kernel", "spark")
+    // null elements are skipped; null array is null; empty array is 0
+    val edge = Seq(
+      (1, Some(Seq(Some("a"), None, Some("a"), Some("b")))),
+      (2, Some(Seq.empty[Option[String]])),
+      (3, Option.empty[Seq[Option[String]]])
+    ).toDF("id", "arr").select(col("id"), max_token_count(col("arr")).as("c"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(edge(1) === 2)
+    assert(edge(2) === 0)
+    assert(edge(3) === null)
+  }
+
   test("set_fingerprint groups exactly like md5(to_json(sort_array(_))) — the replaced key") {
     import spark.implicits._
     // equivalence as a GROUPING KEY: fp(a) == fp(b) iff the replaced

@@ -38,6 +38,15 @@ class PlanSpec extends AnyFunSuite {
         s"$q plan shape unexpected:\n${p.take(2000)}")
     }
   }
+  test("text_repetition is scan-stage only: no exchange, fully codegen'd") {
+    // the top-word count comes from the in-row max_token_count kernel; the
+    // explode + groupBy(doc, word) + max form it replaces would show two
+    // Exchanges here. A shuffle appearing in this plan is a regression.
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"), s"repetition signals shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"explode crept back in:\n${p.take(2000)}")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
+  }
   test("whole-stage codegen active in scan queries") {
     val df = SparkEntry.queries("p1_cql_projection")(spark, sf)
     df.count() // materialize AQE final plan
