@@ -287,6 +287,28 @@ object SparkEntry {
           col("stopword_ratio"), col("quality"))
     }),
 
+    // Deterministic corpus split + per-source mixing: md5-bucket
+    // assignment reproducible on any engine (vs seeded sample()), so
+    // train/val/test membership survives re-runs and is hash-checkable
+    "corpus_split" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.withSplit(d, "doc_id")
+        .withColumn("kept", graft.operators.Curate.mixKeep(
+          "doc_id", "source",
+          Map("src0" -> 300, "src1" -> 300, "src2" -> 300), defaultPerMille = 800))
+        .select(col("doc_id"), col("source"), col("split"), col("kept"))
+    }),
+
+    // Benchmark decontamination: corpus docs sharing any word 3-gram with
+    // the eval set (doc_id <= 5 stands in for a benchmark); eval shingles
+    // broadcast, corpus side never shuffles text
+    "decontaminate" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.contaminationHits(
+        d.filter(col("doc_id") > 5), d.filter(col("doc_id") <= 5),
+        "doc_id", "text", n = 3)
+    }),
+
     // Gopher-style repetition signals (dup-word / top-word fractions),
     // scan-stage only: the top-word count is an in-row codegen'd kernel,
     // not an explode + two-shuffle groupBy
@@ -721,6 +743,34 @@ object SparkEntry {
         |       f[1] AS min_fp, f[len(f)] AS max_fp,
         |       CAST(list_sum(f) AS BIGINT) AS sum_fp
         |FROM fps WHERE len(f) > 0""".stripMargin,
+
+    // same md5-bucket arithmetic, reconstructed independently
+    "corpus_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 950 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+        |    < CASE WHEN source IN ('src0','src1','src2') THEN 300 ELSE 800 END AS kept
+        |FROM documents""".stripMargin,
+
+    // eval 3-gram set built with the same list comprehension as the
+    // dedup_ngram oracle; shared-shingle counts per corpus doc
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)])
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), ev AS (
+        |  SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id <= 5
+        |), corpus AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id > 5
+        |)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM corpus c JOIN ev USING (sh)
+        |GROUP BY c.doc_id""".stripMargin,
 
     // repetition signals reconstructed via the explode/groupBy form the
     // in-row kernel replaces (unnest + count per word + max, joined back)

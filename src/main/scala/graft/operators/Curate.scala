@@ -88,4 +88,63 @@ object Curate {
     // plan and recomputes one scan when the caller writes it out.
     } finally { base.unpersist(); () }
   }
+
+  /**
+   * Deterministic train/val/test assignment: md5(id) modulo 1000 buckets.
+   * What a seeded `sample()` cannot promise: the SAME document lands in
+   * the SAME split on any engine, any run, any cluster size — splits are
+   * reproducible across re-runs, resumable after partial failures, and
+   * auditable by any SQL engine with md5. Scan-stage only (no shuffle).
+   */
+  def withSplit(df: DataFrame, idCol: String,
+      trainPerMille: Int = 900, valPerMille: Int = 50): DataFrame = {
+    require(trainPerMille + valPerMille <= 1000, "split fractions exceed 1")
+    val bucket = splitBucket(idCol, "split")
+    df.withColumn("split",
+      when(bucket < trainPerMille, "train")
+        .when(bucket < trainPerMille + valPerMille, "val")
+        .otherwise("test"))
+  }
+
+  /**
+   * Deterministic per-source downsampling ("corpus mixing"): keep a row
+   * when its md5 bucket falls under the source's keep-rate (per mille).
+   * Uses a DIFFERENT salt than withSplit so mixing and splitting stay
+   * independent events. Rates compile to a plan-time when-chain — a scan
+   * predicate, not a join against a rates table.
+   */
+  def mixKeep(idCol: String, sourceCol: String,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int): org.apache.spark.sql.Column = {
+    val bucket = splitBucket(idCol, "mix")
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    bucket < rate
+  }
+
+  /** md5-derived bucket in [0, 1000): first 8 hex chars of
+    * md5(salt:id) as an integer, mod 1000 — portable to any engine. */
+  private def splitBucket(idCol: String, salt: String): org.apache.spark.sql.Column =
+    (conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000)
+
+  /**
+   * Benchmark decontamination: which corpus documents share any word
+   * n-gram with an evaluation set. The eval side (tiny vs the corpus)
+   * collapses to distinct shingles and BROADCASTS; the corpus side is
+   * scan-stage shingle explode -> broadcast hash join -> partial-agg
+   * count. No corpus-side shuffle of text — only (id, matched shingle)
+   * pairs reach the aggregation exchange.
+   */
+  def contaminationHits(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(Dedup.shingles(col(textCol), n)).as("sh")).distinct()
+    corpus
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      // shingles() is distinct-per-doc and evalSh is distinct, so
+      // (id, sh) rows are unique: count(*) IS the distinct shared count
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
 }

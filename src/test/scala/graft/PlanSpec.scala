@@ -47,6 +47,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"explode crept back in:\n${p.take(2000)}")
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
   }
+  test("corpus_split is scan-stage only: no exchange") {
+    // split + mix assignment are md5-bucket scan predicates; any Exchange
+    // here means someone turned them into a join or sample
+    val p = plan("corpus_split")
+    assert(!p.contains("Exchange"), s"split assignment shuffles:\n${p.take(2000)}")
+  }
+  test("decontaminate broadcasts the eval side; corpus text never shuffles") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n${p.take(2000)}")
+    // the only exchange allowed is the final count aggregation of
+    // (id, shingle) hits — the corpus relation itself must not round-trip
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n${p.take(2000)}")
+  }
   test("whole-stage codegen active in scan queries") {
     val df = SparkEntry.queries("p1_cql_projection")(spark, sf)
     df.count() // materialize AQE final plan
