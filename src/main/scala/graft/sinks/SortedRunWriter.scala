@@ -20,8 +20,8 @@ import graft.core.CassandraTokens
  */
 final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
     compression: Option[String] = None) {
-  /** Normalized codec id ("none"/"deflate"/"lz4"/"snappy"); fails fast on
-    * an unknown compressionclass before any file is created. */
+  /** Normalized codec id ("none"/"deflate"/"lz4"/"snappy"/"zstd"); fails
+    * fast on an unknown compressionclass before any file is created. */
   val codec: String = compression.map(SortedRunWriter.normalizeCodec).getOrElse("none")
   val dataName = f"graft-$pid%05d-Data.db"
   val indexName = f"graft-$pid%05d-Index.db"
@@ -83,20 +83,22 @@ object SortedRunWriter {
       case "DeflateCompressor" | "deflate" => "deflate"
       case "LZ4Compressor" | "lz4"         => "lz4"
       case "SnappyCompressor" | "snappy"   => "snappy"
+      case "ZstdCompressor" | "zstd"       => "zstd"
       case "none"                          => "none"
       case _ => throw new IllegalArgumentException(
-        s"unsupported compressionclass '$name' " +
-          "(supported: DeflateCompressor, LZ4Compressor, SnappyCompressor)")
+        s"unsupported compressionclass '$name' (supported: DeflateCompressor, " +
+          "LZ4Compressor, SnappyCompressor, ZstdCompressor)")
     }
 
-  /** Wrap a raw file stream in the codec's compressor (lz4/snappy ship in
-    * Spark's own jars; deflate is java.util.zip). */
+  /** Wrap a raw file stream in the codec's compressor (lz4/snappy/zstd
+    * ship in Spark's own jars; deflate is java.util.zip). */
   def compress(codec: String, os: OutputStream): OutputStream = codec match {
     case "none"    => os
     case "deflate" => new java.util.zip.DeflaterOutputStream(
       os, new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION), 1 << 16)
     case "lz4"     => new net.jpountz.lz4.LZ4BlockOutputStream(os, 1 << 16)
     case "snappy"  => new org.xerial.snappy.SnappyOutputStream(os, 1 << 16)
+    case "zstd"    => new com.github.luben.zstd.ZstdOutputStream(os)
     case other     => throw new IllegalArgumentException(s"unknown codec id '$other'")
   }
 
@@ -106,6 +108,7 @@ object SortedRunWriter {
     case "deflate" => new java.util.zip.InflaterInputStream(is)
     case "lz4"     => new net.jpountz.lz4.LZ4BlockInputStream(is)
     case "snappy"  => new org.xerial.snappy.SnappyInputStream(is)
+    case "zstd"    => new com.github.luben.zstd.ZstdInputStream(is)
     case other     => throw new IllegalArgumentException(s"unknown codec id '$other'")
   }
 }

@@ -85,7 +85,7 @@ class V2SinkSpec extends AnyFunSuite {
 
   test("compressionclass round-trips through both sinks for every codec") {
     import graft.sinks.{BulkSink, SortedRunWriter}
-    for (cls <- Seq("DeflateCompressor", "LZ4Compressor",
+    for (cls <- Seq("DeflateCompressor", "LZ4Compressor", "ZstdCompressor",
         "org.apache.cassandra.io.compress.SnappyCompressor")) {
       val codec = SortedRunWriter.normalizeCodec(cls)
       // DSv2 path: option -> writer -> manifest -> spark.read decompresses
@@ -126,7 +126,7 @@ class V2SinkSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       prepared(4).write.format("graft-bulk")
         .option("path", out).option("buckets", "4")
-        .option("compressionclass", "ZstdCompressor").mode("append").save()
+        .option("compressionclass", "BrotliCompressor").mode("append").save()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
