@@ -170,6 +170,12 @@ object CassandraParams {
     val q = parseQuery(Option(u.getQuery).getOrElse(""))
     val path = Option(u.getPath).getOrElse("").split("/")
     require(path.length >= 3, s"target URI path must be /<keyspace>/<table>: $uri")
+    // reference parity: copiers= is accepted but DEPRECATED-AND-IGNORED
+    // with a warning (CassandraParams.java:117-119 — shuffle copier count
+    // was an MR1 knob with no v2 meaning; Spark has no analog either)
+    if (q.contains("copiers"))
+      System.err.println(
+        "[graft] URI param 'copiers' is deprecated and ignored (reference parity)")
     CassandraParams(
       scheme = u.getScheme,
       seedNodeHost = u.getHost,
