@@ -59,6 +59,27 @@ class IntegrationSpec extends AnyFunSuite {
     assert(new java.io.File(out, "_MANIFEST.json").exists())
   }
 
+  test("CLI compressionclass= URI param reaches the sink and round-trips") {
+    val out = Files.createTempDirectory("graft-cli-codec").toString
+    val args = Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://localhost/ks/orders?reducers=2&compressionclass=LZ4Compressor",
+      "--rowkey", "o_orderkey",
+      "--sink-dir", out))
+    val manifests = Hdfs2CassSpark.run(spark, args, StaticClusterInfo())
+    assert(manifests.forall(_.codec === "lz4"), manifests.map(_.codec).mkString(","))
+    assert(manifests.map(_.rows).sum === 1500)
+    // the compressed runs read back through the manifest-aware read path
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.count() === 1500)
+    // streaming compressed runs is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Hdfs2CassSpark.run(spark, args.copy(streamEndpoints = Some("h=127.0.0.1:1")),
+        StaticClusterInfo())
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("CLI honors columnnames= ordering from the target URI") {
     val out = Files.createTempDirectory("graft-cli-cols").toString
     val args = Hdfs2CassSpark.parseArgs(Seq(
