@@ -350,4 +350,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bridge.cacheIsEmpty(spark),
       "shingle cache must be unpersisted before minhashLshPairs returns")
   }
+
+  test("withSplit is deterministic, partitions completely, and lands near the fractions") {
+    import graft.operators.Curate
+    val ids = spark.range(10000).toDF("id")
+    val s1 = Curate.withSplit(ids, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.keySet === Set("train", "val", "test")) // complete partition
+    assert(s1.values.sum === 10000)
+    // md5 buckets are uniform enough that 90/5/5 holds within a few percent
+    assert(math.abs(s1("train") - 9000) < 300, s1.toString)
+    assert(math.abs(s1("val") - 500) < 150, s1.toString)
+    // determinism: a second run assigns every id identically
+    val a = Curate.withSplit(ids, "id")
+    val b = Curate.withSplit(ids, "id").withColumnRenamed("split", "split2")
+    assert(a.join(b, "id").filter(col("split") =!= col("split2")).count() === 0)
+  }
+
+  test("mixKeep honors per-source rates and is independent of the split hash") {
+    import graft.operators.Curate
+    val docs = spark.range(4000)
+      .select(col("id"), when(col("id") % 2 === 0, "keep_none").otherwise("keep_all").as("src"))
+    val kept = docs.filter(Curate.mixKeep("id", "src",
+      Map("keep_none" -> 0, "keep_all" -> 1000), defaultPerMille = 500))
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("keep_none")) // rate 0 keeps nothing
+    assert(bySrc("keep_all") === 2000) // rate 1000 keeps everything
+    // independence: among kept docs of an all-kept source, the SPLIT hash
+    // still distributes (mixing didn't bias the split assignment)
+    val splits = Curate.withSplit(kept, "id").groupBy("split").count().count()
+    assert(splits === 3)
+  }
+
+  test("contaminationHits finds planted n-gram overlap and nothing else") {
+    import graft.operators.Curate
+    val evalDocs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "something about the quick brown fox appearing here"), // shares "the quick brown" + "quick brown fox"
+      (11L, "entirely unrelated words with no overlap whatsoever at all"),
+      (12L, "jumps over the lazy dog is a shared tail")) // shares 3-grams of the tail
+      .toDF("doc_id", "text")
+    val hits = Curate.contaminationHits(corpus, evalDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(10L, 12L)) // 11 is clean
+    assert(hits(10L) === 2) // "the quick brown", "quick brown fox"
+    assert(hits(12L) === 3) // "jumps over the", "over the lazy", "the lazy dog"
+  }
 }
