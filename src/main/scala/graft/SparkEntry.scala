@@ -287,6 +287,14 @@ object SparkEntry {
           col("stopword_ratio"), col("quality"))
     }),
 
+    // SimHash near-dup PAIRS via the exact banded Hamming join (pigeonhole
+    // over four 15-bit bands recovers every hamming<=3 pair with no
+    // all-pairs comparison; the oracle does the all-pairs form)
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Dedup.simhashBandPairs(d, "doc_id", "text", maxHamming = 3)
+    }),
+
     // Deterministic corpus split + per-source mixing: md5-bucket
     // assignment reproducible on any engine (vs seeded sample()), so
     // train/val/test membership survives re-runs and is hash-checkable
@@ -893,6 +901,26 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash16
         |FROM votes GROUP BY doc_id""".stripMargin,
+
+    // all-pairs reconstruction of the banded form (exact for hamming<=3)
+    "dedup_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM toks
+        |), votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b
+        |), sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS s
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

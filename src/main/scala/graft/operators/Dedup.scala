@@ -372,4 +372,61 @@ object Dedup {
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     voted.select(col("doc_id"), sim.cast(LongType).as("simhash16"))
   }
+
+  /**
+   * 60-bit SimHash (first 15 hex chars of md5 per token — 60 bits keeps
+   * the signature inside a SIGNED int64 on every engine, so the value is
+   * SQL-reproducible). Same majority-vote construction as
+   * [[withSimhash16]]; one explode + one aggregation, partial map-side.
+   */
+  def withSimhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
+    val bitVotes = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val voted = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    voted.select(col("doc_id"), sim.cast(LongType).as("simhash60"))
+  }
+
+  /**
+   * SimHash near-dup pairs via an EXACT banded Hamming join: the 60-bit
+   * signature splits into four 15-bit bands; by pigeonhole, any pair with
+   * Hamming distance <= 3 differs in at most 3 bands and therefore agrees
+   * on at least one — so candidates from the band-bucket self-join plus a
+   * bit_count verify recover EXACTLY the <=maxHamming pairs (maxHamming
+   * <= 3), with no all-pairs comparison anywhere.
+   *
+   * Scale contract: a band bucket holds corpus_size/2^15 docs on average
+   * and candidates grow with the square of bucket size — the same hot-key
+   * shape as ngram's posting lists. `maxBucket` (opt-in) drops over-cap
+   * buckets; a dropped bucket can only lose pairs whose EVERY agreeing
+   * band is hot, the exact analog of the ngram df-cap trade documented at
+   * `ngramJaccardPairsImpl`.
+   */
+  def simhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming <= 3, s"4 bands over 60 bits are exact only for hamming <= 3, got $maxHamming")
+    val sims = withSimhash60(df, idCol, textCol)
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftright(col("simhash60"), b * 15).bitwiseAND(lit(0x7FFFL)).as("v")))
+    val bands = sims.select(struct(col("doc_id"), col("simhash60")).as("d"),
+      explode(array(bandCols: _*)).as("bv"))
+      .select(col("d"), col("bv.band").as("band"), col("bv.v").as("v"))
+    val capped =
+      if (maxBucket == Int.MaxValue) bands
+      else bands.withColumn("n", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("v"))))
+        .filter(col("n") <= maxBucket).drop("n")
+    val left = capped.select(col("band"), col("v"), col("d").as("a"))
+    val right = capped.select(col("band"), col("v"), col("d").as("b"))
+    left.join(right, Seq("band", "v"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash60").bitwiseXOR(col("b.simhash60"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair can agree on several bands
+  }
 }

@@ -351,6 +351,29 @@ class OperatorsSpec extends AnyFunSuite {
       "shingle cache must be unpersisted before minhashLshPairs returns")
   }
 
+  test("simhash banded Hamming join equals the all-pairs form (pigeonhole exactness)") {
+    // near-identical docs (tiny hamming), a moderately-edited one, and
+    // unrelated ones: band candidates + verify must reproduce EXACTLY the
+    // all-pairs <=3 result
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // identical -> hamming 0
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // one word swapped
+      (4L, "totally different content with other words entirely here now"),
+      (5L, "more unrelated text that shares nothing with the first group")
+    ).toDF("doc_id", "text")
+    val banded = graft.operators.Dedup.simhashBandPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sims = graft.operators.Dedup.withSimhash60(docs, "doc_id", "text")
+    val all = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash60").bitwiseXOR(col("b.simhash60"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === all)
+    assert(banded.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
   test("withSplit is deterministic, partitions completely, and lands near the fractions") {
     import graft.operators.Curate
     val ids = spark.range(10000).toDF("id")
