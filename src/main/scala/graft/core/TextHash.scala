@@ -158,6 +158,53 @@ object TextHash {
   }
 
   /**
+   * SimHash over a token array, IN-ROW: per token, the first `bits` bits
+   * of md5 (big-endian hex order, so bit values equal the SQL form
+   * `conv(substring(md5(w),1,bits/4),16,10)`); each bit votes +1/-1 and
+   * the majority sets the signature bit. SimHash is a pure per-document
+   * function — the explode + groupBy(doc) 60-column vote aggregation this
+   * replaces paid an exchange for what one row-local loop computes.
+   * Null elements are skipped; empty array -> all-negative votes -> 0L.
+   */
+  def simhashFromTokens(arr: ArrayData, bits: Int): Long = {
+    require(bits > 0 && bits <= 60 && bits % 4 == 0,
+      s"bits must be a positive multiple of 4, <= 60 (signed-int64-safe), got $bits")
+    val votes = new Array[Int](bits)
+    val md = tl.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val dig = md.digest(arr.getUTF8String(i).getBytes)
+        // first bits/4 hex chars as an unsigned big-endian value
+        var h = 0L
+        var j = 0
+        val nibbles = bits / 4
+        while (j < nibbles) {
+          val b = dig(j / 2) & 0xff
+          val nib = if (j % 2 == 0) b >>> 4 else b & 0xf
+          h = (h << 4) | nib
+          j += 1
+        }
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  /**
    * Occurrence count of the most frequent element of a string array —
    * the Gopher-style "top word fraction" repetition signal, computed
    * in-row (one hash map per row, no explode/groupBy shuffle). Value-equal

@@ -336,6 +336,33 @@ case class MaxTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** In-row SimHash over array<string> tokens (codegen'd): per-token md5
+  * bit votes -> majority signature. Replaces the explode +
+  * groupBy(doc) + N-column vote aggregation (SimHash is per-document;
+  * the exchange bought nothing). */
+case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 60 && bits % 4 == 0,
+    s"bits must be a positive multiple of 4, <= 60, got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_tokens expects array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.simhashFromTokens(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.simhashFromTokens($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Order-insensitive md5 fingerprint of a string set (array<string> ->
   * 16-byte binary; elements binary-sorted and length-framed in the
   * kernel — no sort_array/to_json string materialization). */

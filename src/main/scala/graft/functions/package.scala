@@ -67,6 +67,9 @@ package object functions {
   /** Count of the most frequent element of array<string> (codegen'd, in-row). */
   def max_token_count(arr: Column): Column = col(MaxTokenCountExpr(expr(arr)))
 
+  /** In-row SimHash signature of array<string> tokens (codegen'd). */
+  def simhash_tokens(arr: Column, bits: Int): Column = col(SimhashExpr(expr(arr), bits))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

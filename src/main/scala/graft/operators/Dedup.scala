@@ -361,35 +361,20 @@ object Dedup {
    * occurrences is positive. Equal signatures (or small Hamming distance
    * via bit_count(xor)) mark near-duplicates.
    */
-  def withSimhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast(IntegerType))
-    val bitVotes = (0 until 16).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val voted = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 16).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    voted.select(col("doc_id"), sim.cast(LongType).as("simhash16"))
-  }
+  def withSimhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.simhash_tokens(TextAnalysis.tokens(col(textCol)), 16)
+        .as("simhash16"))
 
   /**
    * 60-bit SimHash (first 15 hex chars of md5 per token — 60 bits keeps
    * the signature inside a SIGNED int64 on every engine, so the value is
-   * SQL-reproducible). Same majority-vote construction as
-   * [[withSimhash16]]; one explode + one aggregation, partial map-side.
+   * SQL-reproducible). Same kernel as [[withSimhash16]], scan-stage only.
    */
-  def withSimhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
-    val bitVotes = (0 until 60).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val voted = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 60).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    voted.select(col("doc_id"), sim.cast(LongType).as("simhash60"))
-  }
+  def withSimhash60(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.simhash_tokens(TextAnalysis.tokens(col(textCol)), 60)
+        .as("simhash60"))
 
   /**
    * SimHash near-dup pairs via an EXACT banded Hamming join: the 60-bit

@@ -168,6 +168,39 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge(3) === null)
   }
 
+  test("simhash_tokens == exploded md5 bit-vote aggregation — the replaced form") {
+    import spark.implicits._
+    for (bits <- Seq(16, 60)) {
+      val toks = texts.withColumn("id", monotonically_increasing_id())
+        .select(col("id"), split(trim(col("text")), "\\s+").as("toks"))
+      val kernel = toks.select(col("id"),
+        simhash_tokens(col("toks"), bits).as("kernel"))
+      val h = conv(substring(md5(col("w")), 1, bits / 4), 16, 10).cast("long")
+      val votes = (0 until bits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val sig = (0 until bits).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      val exploded = toks.select(col("id"), explode(col("toks")).as("w"))
+        .withColumn("h", h)
+        .groupBy(col("id")).agg(votes.head, votes.tail: _*)
+        .select(col("id"), sig.cast("long").as("spark"))
+      val joined = kernel.join(exploded, Seq("id")).select(col("kernel"), col("spark"))
+      assertColsEqual(joined, "kernel", "spark")
+    }
+    // null tokens are skipped; empty array votes all-negative -> 0
+    val edge = Seq(
+      (1, Some(Seq(Some("a"), None, Some("b")))),
+      (2, Some(Seq.empty[Option[String]])),
+      (3, Option.empty[Seq[Option[String]]])
+    ).toDF("id", "arr").select(col("id"), simhash_tokens(col("arr"), 16).as("s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val noNull = Seq(Seq("a", "b")).toDF("arr")
+      .select(simhash_tokens(col("arr"), 16)).collect().head.getLong(0)
+    assert(edge(1) === noNull)
+    assert(edge(2) === 0L)
+    assert(edge(3) === null)
+  }
+
   test("set_fingerprint groups exactly like md5(to_json(sort_array(_))) — the replaced key") {
     import spark.implicits._
     // equivalence as a GROUPING KEY: fp(a) == fp(b) iff the replaced
