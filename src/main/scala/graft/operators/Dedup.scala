@@ -204,6 +204,18 @@ object Dedup {
       .select(explode(col("ds")).as("d"))
       .select(col("d.doc_id").as("doc_id")).distinct()
       .withColumn("hot", lit(true))
+    // common case at sane caps: NO hot docs. One cheap probe over the
+    // cached index then skips the hot-flag joins, the dirty verify, and
+    // the set-fingerprint rescue outright — inter_kept is exact for every
+    // pair and the groupBy already emits unique pairs (no distinct).
+    if (hotDocs.isEmpty) {
+      return interKept
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter_kept").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter_kept")), 4).as("jac"))
+        .filter(col("jac") >= threshold)
+        .localCheckpoint()
+    }
     val scored = interKept
       .join(hotDocs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hot", "hot_a"),
         Seq("doc_a"), "left")
