@@ -59,6 +59,20 @@ class LoaderPlanSpec extends AnyFunSuite {
     assert(plan2.values.forall(_.size >= 2))
   }
 
+  test("planStreams refuses compressed runs at plan time with guidance") {
+    val compressed = Seq(BulkSink.PartitionManifest(0, 10, 100,
+      -5500000000000000000L, -4500000000000000000L, sorted = true,
+      "f0", "i0", codec = "lz4"))
+    val e = intercept[IllegalArgumentException] {
+      LoaderPlan.planStreams(compressed, nodes, rf = 1)
+    }
+    assert(e.getMessage.contains("compressed"))
+    // empty compressed runs are fine (they never stream anyway)
+    val empty = Seq(BulkSink.PartitionManifest(1, 0, 0, Long.MaxValue,
+      Long.MinValue, sorted = true, "f1", "i1", codec = "zstd"))
+    assert(LoaderPlan.planStreams(empty, nodes, rf = 1).isEmpty)
+  }
+
   test("end-to-end: manifests from a real bulk load map to ring endpoints") {
     val spark = SparkSuite.spark
     val dir = java.nio.file.Files.createTempDirectory("graft-loader").toString
