@@ -307,6 +307,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("split"), col("kept"))
     }),
 
+    // Sequence packing: global token offsets + fixed-budget block ids via
+    // the distributed two-phase prefix sum (the window-over-global-order
+    // form the oracle uses would be a one-partition bottleneck at scale)
+    "corpus_pack" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.packBlocks(d, "doc_id", "text", blockTokens = 512L)
+    }),
+
     // Benchmark decontamination: corpus docs sharing any word 3-gram with
     // the eval set (doc_id <= 5 stands in for a benchmark); eval shingles
     // broadcast, corpus side never shuffles text
@@ -761,6 +769,20 @@ object SparkEntry {
         |  CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
         |    < CASE WHEN source IN ('src0','src1','src2') THEN 300 ELSE 800 END AS kept
         |FROM documents""".stripMargin,
+
+    // the naive global-window form IS the oracle — the point of the
+    // distributed prefix sum is producing identical numbers without it
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset,
+        |  CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS block_id
+        |FROM t""".stripMargin,
 
     // eval 3-gram set built with the same list comprehension as the
     // dedup_ngram oracle; shared-shingle counts per corpus doc

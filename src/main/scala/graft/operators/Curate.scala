@@ -129,6 +129,54 @@ object Curate {
       .cast("long") % 1000)
 
   /**
+   * Sequence packing: assign every document (in `idCol` order) its global
+   * token offset and fixed-budget training-block id — the "pack documents
+   * into ~blockTokens-token shards" step of an LLM pretraining pipeline.
+   *
+   * The naive form is a running-sum window over a GLOBAL ordering — a
+   * single-partition bottleneck at corpus scale. This is the distributed
+   * two-phase prefix sum instead: range-partition by id (each partition
+   * owns a contiguous id span), per-partition token totals to the driver
+   * (one tiny row per partition), prefix those into base offsets, then a
+   * second per-partition pass assigns exact offsets imperatively. Offsets
+   * depend only on (ordering, counts) — the result is partition-count
+   * invariant, and blocks are reproducible across runs and cluster sizes.
+   */
+  def packBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Long): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = df.select(col(idCol).cast("long"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .as[(Long, Long)]
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .persist()
+    try {
+      // phase 1: one (partitionIndex, tokenTotal) row per partition
+      val totals = ranged.rdd
+        .mapPartitionsWithIndex { case (i, it) =>
+          var s = 0L; it.foreach(s += _._2); Iterator.single(i -> s)
+        }.collect().sortBy(_._1).map(_._2)
+      val bases = totals.scanLeft(0L)(_ + _) // bases(i) = tokens before partition i
+      // phase 2: exact running offsets within each partition
+      val packed = ranged.rdd.mapPartitionsWithIndex { case (i, it) =>
+        var off = bases(i)
+        it.map { case (id, n) =>
+          val o = off; off += n; (id, n, o, o / blockTokens)
+        }
+      }
+      // materialize before unpersist: the result must not re-depend on
+      // the cached two-pass lineage after this method returns
+      spark.createDataset(packed)
+        .toDF(idCol, "n_tokens", "token_offset", "block_id")
+        .localCheckpoint()
+    } finally { ranged.unpersist(); () }
+  }
+
+  /**
    * Benchmark decontamination: which corpus documents share any word
    * n-gram with an evaluation set. The eval side (tiny vs the corpus)
    * collapses to distinct shingles and BROADCASTS; the corpus side is

@@ -406,6 +406,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(splits === 3)
   }
 
+  test("packBlocks offsets are exact, contiguous, and partition-count invariant") {
+    import graft.operators.Curate
+    val docs = spark.range(1, 201)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (1 to 7).map(i => concat(lit(s"w$i"), col("id"))): _*).as("text"))
+    // every doc tokenizes to exactly 7 tokens -> offsets are 7*(id-1)
+    val packed = Curate.packBlocks(docs, "doc_id", "text", blockTokens = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length === 200)
+    packed.foreach { case (id, n, off, blk) =>
+      assert(n === 7L)
+      assert(off === 7L * (id - 1), s"doc $id offset $off")
+      assert(blk === off / 50L)
+    }
+    // partition-count invariance: a child session with a different
+    // shuffle-partition setting produces the identical assignment
+    val other = spark.newSession()
+    other.conf.set("spark.sql.shuffle.partitions", "3")
+    val docs2 = other.createDataFrame(docs.rdd, docs.schema)
+    val packed2 = Curate.packBlocks(docs2, "doc_id", "text", blockTokens = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed2.sortBy(_._1).toSeq === packed.sortBy(_._1).toSeq)
+  }
+
   test("contaminationHits finds planted n-gram overlap and nothing else") {
     import graft.operators.Curate
     val evalDocs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
