@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{cassandra_token, cql_serialize, partition_key, token_bucket}
+import graft.functions.{array_sum_long, cassandra_token, cql_serialize, partition_key, token_bucket}
 import graft.operators.CqlPipeline
 import graft.operators.CqlPipeline.Projection
 
@@ -276,7 +276,10 @@ object SparkEntry {
           size(col("fps")).cast(LongType).as("n_fp"),
           element_at(col("fps"), 1).as("min_fp"),
           element_at(col("fps"), -1).as("max_fp"),
-          aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("sum_fp"))
+          // codegen'd sum keeps the projection in whole-stage codegen —
+          // the higher-order aggregate() fell back to interpreted eval
+          // and re-paid the winnow kernel for each sibling column
+          array_sum_long(col("fps")).as("sum_fp"))
     }),
 
     // Quality scoring (length/alpha/stopword priors)

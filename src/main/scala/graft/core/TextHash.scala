@@ -157,6 +157,21 @@ object TextHash {
     c
   }
 
+  /** Sum of an array<long> (null elements skipped) — value-equal to
+    * `aggregate(arr, 0L, (acc, x) -> acc + x)`, whose higher-order form
+    * is CodegenFallback and defeats subexpression elimination for every
+    * sibling column sharing the array subtree. */
+  def arraySumLong(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) s += arr.getLong(i)
+      i += 1
+    }
+    s
+  }
+
   /**
    * SimHash over a token array, IN-ROW: per token, the first `bits` bits
    * of md5 (big-endian hex order, so bit values equal the SQL form

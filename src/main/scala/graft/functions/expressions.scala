@@ -336,6 +336,30 @@ case class MaxTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sum of array<long> (codegen'd; null elements skipped) — keeps the
+  * whole projection inside whole-stage codegen where the higher-order
+  * `aggregate` form would fall back and re-pay shared subtrees. */
+case class ArraySumLongExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_sum_long expects array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_sum_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.arraySumLong(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.arraySumLong($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** In-row SimHash over array<string> tokens (codegen'd): per-token md5
   * bit votes -> majority signature. Replaces the explode +
   * groupBy(doc) + N-column vote aggregation (SimHash is per-document;

@@ -70,6 +70,9 @@ package object functions {
   /** In-row SimHash signature of array<string> tokens (codegen'd). */
   def simhash_tokens(arr: Column, bits: Int): Column = col(SimhashExpr(expr(arr), bits))
 
+  /** Sum of array<bigint> (codegen'd; null elements skipped). */
+  def array_sum_long(arr: Column): Column = col(ArraySumLongExpr(expr(arr)))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

@@ -168,6 +168,25 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge(3) === null)
   }
 
+  test("array_sum_long == aggregate(_, 0L, +) — the replaced higher-order form") {
+    import spark.implicits._
+    val df = texts.select(shingle_hashes(
+        regexp_extract_all(col("text"), lit("(?s)(?=(.{3}))"), lit(1))).as("hs"))
+      .select(
+        array_sum_long(col("hs")).as("kernel"),
+        aggregate(col("hs"), lit(0L), (acc, x) => acc + x).as("spark"))
+    assertColsEqual(df, "kernel", "spark")
+    val edge = Seq(
+      (1, Some(Seq(Some(1L), None, Some(41L)))),
+      (2, Some(Seq.empty[Option[Long]])),
+      (3, Option.empty[Seq[Option[Long]]])
+    ).toDF("id", "arr").select(col("id"), array_sum_long(col("arr")).as("s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(edge(1) === 42L) // null elements skipped
+    assert(edge(2) === 0L)
+    assert(edge(3) === null)
+  }
+
   test("simhash_tokens == exploded md5 bit-vote aggregation — the replaced form") {
     import spark.implicits._
     for (bits <- Seq(16, 60)) {
