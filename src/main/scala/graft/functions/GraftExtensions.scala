@@ -33,6 +33,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e, n) => RandomTokenBucketExpr(e, foldToInt(n, "random_token_bucket(expr, n)")) })
     register(ext, "topk_agg", "bounded top-k (sim desc, id asc) aggregate",
       { case Seq(sim, id, k) => TopKAgg(sim, id, foldToInt(k, "topk_agg(sim, id, k)")) })
+    // text/dedup kernels (same expressions the Scala API builds)
+    register(ext, "match_count", "count of non-overlapping regex matches",
+      { case Seq(e, p) => RegexpCountExpr(e, foldToString(p, "match_count(expr, pattern)")) })
+    register(ext, "char_gram_hashes", "32-bit hashes of overlapping k-code-point grams",
+      { case Seq(e, k) => CharGramHashesExpr(e, foldToInt(k, "char_gram_hashes(expr, k)")) })
+    register(ext, "shingle_hashes", "32-bit md5-derived hash per array element",
+      { case Seq(e) => ShingleHashesExpr(e) })
+    register(ext, "set_fingerprint", "order-insensitive md5 fingerprint of a string set",
+      { case Seq(e) => SetFingerprintExpr(e) })
+    register(ext, "max_token_count", "occurrences of the most frequent array element",
+      { case Seq(e) => MaxTokenCountExpr(e) })
+    register(ext, "array_sum_long", "sum of array<bigint> elements",
+      { case Seq(e) => ArraySumLongExpr(e) })
+    register(ext, "simhash_tokens", "in-row SimHash signature of a token array",
+      { case Seq(e, bits) => SimhashExpr(e, foldToInt(bits, "simhash_tokens(expr, bits)")) })
+  }
+
+  private def foldToString(e: Expression, usage: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$usage needs a string literal, got $other")
   }
 
   private def foldToInt(e: Expression, usage: String): Int = e match {

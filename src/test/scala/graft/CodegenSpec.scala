@@ -68,5 +68,22 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(1) === graft.core.CassandraTokens.bucket(
       graft.core.CqlValueCodec.serializeString("foo"), 8))
     assert(r.getString(2) === "0001" + "61" + "00" + "0001" + "62" + "00")
+    // text/dedup kernels reachable from SQL with the same values as the
+    // Scala API (spot-check one scalar and one array kernel + literal args)
+    val t = s.sql(
+      """SELECT match_count('a b a', 'a') AS mc,
+        |       max_token_count(array('x','y','x')) AS mtc,
+        |       array_sum_long(array(1L, 41L)) AS asl,
+        |       simhash_tokens(array('alpha','beta'), 16) AS sh
+        |""".stripMargin).head()
+    assert(t.getLong(0) === 2L)
+    assert(t.getInt(1) === 2)
+    assert(t.getLong(2) === 42L)
+    val viaApi = locally {
+      import s.implicits._
+      Seq(Seq("alpha", "beta")).toDF("a")
+        .select(graft.functions.simhash_tokens(col("a"), 16)).collect().head.getLong(0)
+    }
+    assert(t.getLong(3) === viaApi)
   }
 }
