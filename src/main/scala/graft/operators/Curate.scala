@@ -148,21 +148,26 @@ object Curate {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // ONE RDD instance serves both phases: range-partition boundaries come
+    // from sampling, so a second `.rdd` materialization could draw
+    // DIFFERENT boundaries than the ones the base offsets were computed
+    // for (e.g. after cache eviction forces a recompute). A single RDD
+    // lineage re-executes with the same partitioner no matter what.
     val ranged = df.select(col(idCol).cast("long"),
         size(TextAnalysis.tokens(col(textCol))).cast("long"))
       .as[(Long, Long)]
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(col(idCol))
-      .persist()
+      .rdd.persist()
     try {
       // phase 1: one (partitionIndex, tokenTotal) row per partition
-      val totals = ranged.rdd
+      val totals = ranged
         .mapPartitionsWithIndex { case (i, it) =>
           var s = 0L; it.foreach(s += _._2); Iterator.single(i -> s)
         }.collect().sortBy(_._1).map(_._2)
       val bases = totals.scanLeft(0L)(_ + _) // bases(i) = tokens before partition i
       // phase 2: exact running offsets within each partition
-      val packed = ranged.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val packed = ranged.mapPartitionsWithIndex { case (i, it) =>
         var off = bases(i)
         it.map { case (id, n) =>
           val o = off; off += n; (id, n, o, o / blockTokens)
