@@ -157,6 +157,61 @@ object TextHash {
     c
   }
 
+  /**
+   * DISTINCT overlapping word n-grams (single-space joined, first-
+   * occurrence order) — value-equal to
+   * `array_distinct(regexp_extract_all(regexp_replace(trim(s), "\\s+", " "),
+   * "(?<![^ ])(?=(tok( tok){n-1}))", 1))` with ASCII-whitespace
+   * separators (java.util.regex \s without UNICODE_CHARACTER_CLASS), but
+   * one byte-level pass with no regex engine and no normalized
+   * intermediate string. ASCII whitespace bytes never occur inside UTF-8
+   * multi-byte sequences, so the byte scan is code-point safe.
+   */
+  def wordGrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    // token spans
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nTok = starts.size()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var t = 0
+    while (t + n <= nTok) {
+      var size = n - 1 // joining spaces
+      var j = 0
+      while (j < n) { size += ends.get(t + j) - starts.get(t + j); j += 1 }
+      val out = new Array[Byte](size)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { out(pos) = ' '; pos += 1 }
+        val l = ends.get(t + j) - starts.get(t + j)
+        System.arraycopy(bytes, starts.get(t + j), out, pos, l)
+        pos += l
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      t += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Sum of an array<long> (null elements skipped) — value-equal to
     * `aggregate(arr, 0L, (acc, x) -> acc + x)`, whose higher-order form
     * is CodegenFallback and defeats subexpression elimination for every

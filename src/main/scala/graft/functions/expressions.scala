@@ -336,6 +336,30 @@ case class MaxTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** DISTINCT overlapping word n-grams of a string (codegen'd byte-level
+  * pass) — replaces the array_distinct(regexp_extract_all(lookahead))
+  * form that ran the regex engine per character position. */
+case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_grams expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.wordGrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.wordGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sum of array<long> (codegen'd; null elements skipped) — keeps the
   * whole projection inside whole-stage codegen where the higher-order
   * `aggregate` form would fall back and re-pay shared subtrees. */

@@ -73,6 +73,9 @@ package object functions {
   /** Sum of array<bigint> (codegen'd; null elements skipped). */
   def array_sum_long(arr: Column): Column = col(ArraySumLongExpr(expr(arr)))
 
+  /** Distinct overlapping word n-grams (codegen'd byte-level pass). */
+  def word_grams(s: Column, n: Int): Column = col(WordGramsExpr(expr(s), n))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

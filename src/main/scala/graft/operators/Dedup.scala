@@ -24,18 +24,14 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /**
-   * Word n-gram shingles (distinct). One native regex pass: normalize
-   * whitespace, then extract overlapping n-grams with a token-anchored
-   * lookahead — `(?<![^ ])` pins each match to a token start, the
-   * lookahead group captures without consuming so matches overlap.
-   * ~3x faster than the equivalent transform/element_at chain (higher-
-   * order functions don't codegen) and yields the identical shingle set.
+   * Word n-gram shingles (distinct, first-occurrence order). One
+   * codegen'd byte-level kernel pass — replaces the token-anchored
+   * regexp_extract_all lookahead form, which ran the regex engine at
+   * every character position and materialized a normalized copy of the
+   * text first. Identical shingle sets (KernelEquivalenceSpec).
    */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val norm = regexp_replace(trim(text), "\\s+", " ")
-    val gram = Seq.fill(n)("[^ ]+").mkString(" ")
-    array_distinct(regexp_extract_all(norm, lit(s"(?<![^ ])(?=($gram))"), lit(1)))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.word_grams(text, n)
 
   /**
    * MinHash permutation constants: h32 = first 32 bits of md5(shingle),

@@ -168,6 +168,23 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge(3) === null)
   }
 
+  test("word_grams == array_distinct(regexp_extract_all(lookahead)) — the replaced form") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+      val gram = Seq.fill(n)("[^ ]+").mkString(" ")
+      val df = texts.select(
+        word_grams(col("text"), n).as("kernel"),
+        array_distinct(regexp_extract_all(norm, lit(s"(?<![^ ])(?=($gram))"), lit(1)))
+          .as("spark"))
+      assertColsEqual(df, "kernel", "spark")
+    }
+    // supplementary-plane text: the byte scan is code-point safe
+    import spark.implicits._
+    val emoji = Seq("🙂 a\t🙂 a  b").toDF("text")
+      .select(word_grams(col("text"), 2).as("g")).collect().head.getSeq[String](0)
+    assert(emoji === Seq("🙂 a", "a 🙂", "a b"))
+  }
+
   test("array_sum_long == aggregate(_, 0L, +) — the replaced higher-order form") {
     import spark.implicits._
     val df = texts.select(shingle_hashes(
