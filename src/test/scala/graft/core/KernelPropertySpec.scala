@@ -71,6 +71,22 @@ object KernelPropertySpec extends Properties("TextHash") {
       TextHash.setFingerprint(arr(scala.util.Random.shuffle(xs))))
   }
 
+  property("wordGrams == sliding-window distinct reference") = {
+    val text: Gen[String] = Gen.listOf(Gen.oneOf(
+      token, Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  "))).map(_.mkString)
+    Prop.forAll(text, Gen.choose(1, 4)) { (s, n) =>
+      val toks = s.split("[ \t\n\f\r]+").filter(_.nonEmpty).toList
+      val expected =
+        if (toks.length < n) Nil
+        else toks.sliding(n).map(_.mkString(" ")).toList.distinct
+      val got = {
+        val a = TextHash.wordGrams(UTF8String.fromString(s), n)
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toList
+      }
+      got == expected
+    }
+  }
+
   property("countIn == manual membership count") =
     Prop.forAll(tokensWithNulls, Gen.listOf(token)) { (xs, words) =>
       val set = new java.util.HashSet[UTF8String]()
