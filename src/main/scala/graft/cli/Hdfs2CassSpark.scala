@@ -116,9 +116,12 @@ object Hdfs2CassSpark {
           partitionerClass = info.partitionerClass,
           compression = params.compressionClass)
       // with ring metadata present, also emit the stream plan the loader
-      // would execute (file -> replica endpoints)
+      // would execute (file -> replica endpoints). Compressed runs are a
+      // directory-mode-only format (planStreams refuses them), so a
+      // compressed write with a ring file simply skips plan emission —
+      // the require above already bars --stream-endpoints in that case.
       val planOpt = info match {
-        case s: StaticClusterInfo if s.ring.nonEmpty =>
+        case s: StaticClusterInfo if s.ring.nonEmpty && params.compressionClass.isEmpty =>
           val nodes = s.ring.map { case (h, ts) => LoaderPlan.RingNode(h, ts) }
           val plan = LoaderPlan.planStreams(manifests, nodes, rf = 2.min(nodes.length))
           val json = plan.map { case (f, hosts) =>

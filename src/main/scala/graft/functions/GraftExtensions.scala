@@ -48,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e) => ArraySumLongExpr(e) })
     register(ext, "simhash_tokens", "in-row SimHash signature of a token array",
       { case Seq(e, bits) => SimhashExpr(e, foldToInt(bits, "simhash_tokens(expr, bits)")) })
+    register(ext, "word_grams", "overlapping n-word shingles of whitespace-split text",
+      { case Seq(e, n) => WordGramsExpr(e, foldToInt(n, "word_grams(expr, n)")) })
   }
 
   private def foldToString(e: Expression, usage: String): String = e match {

@@ -85,5 +85,14 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(graft.functions.simhash_tokens(col("a"), 16)).collect().head.getLong(0)
     }
     assert(t.getLong(3) === viaApi)
+    // word_grams: SQL form matches the Scala API on the same input
+    val wg = s.sql("SELECT word_grams(' the quick  brown fox ', 2) AS g").head()
+    val wgApi = locally {
+      import s.implicits._
+      Seq(" the quick  brown fox ").toDF("t")
+        .select(graft.functions.word_grams(col("t"), 2)).collect().head.getSeq[String](0)
+    }
+    assert(wg.getSeq[String](0) === wgApi)
+    assert(wgApi === Seq("the quick", "quick brown", "brown fox"))
   }
 }

@@ -80,6 +80,34 @@ class IntegrationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mutually exclusive"))
   }
 
+  test("CLI compressed bulk write with ring metadata completes and skips the stream plan") {
+    // regression: planStreams refuses compressed manifests, so a compressed
+    // directory-mode write must not attempt plan emission just because a
+    // ring file was supplied — it used to crash AFTER the full write
+    val out = Files.createTempDirectory("graft-cli-codec-ring").toString
+    val ringJson = Files.createTempFile("ring-codec", ".json")
+    Files.write(ringJson,
+      """{"partitioner": "org.apache.cassandra.dht.Murmur3Partitioner",
+        | "nodes": [
+        |   {"host": "cass-1", "tokens": [-6000000000000000000, 1000000000000000000]},
+        |   {"host": "cass-2", "tokens": [-2000000000000000000, 5000000000000000000]}]}"""
+        .stripMargin.getBytes)
+    val args = Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://seed/ks/orders?reducers=2&compressionclass=LZ4Compressor",
+      "--rowkey", "o_orderkey",
+      "--cluster-info", ringJson.toString,
+      "--sink-dir", out))
+    val manifests = Hdfs2CassSpark.run(spark, args)
+    assert(manifests.forall(_.codec === "lz4"))
+    assert(manifests.map(_.rows).sum === 1500)
+    // no stream plan for a compressed (directory-mode-only) write
+    assert(!new java.io.File(out, "_STREAM_PLAN.json").exists())
+    // the write itself round-trips
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.count() === 1500)
+  }
+
   test("CLI honors columnnames= ordering from the target URI") {
     val out = Files.createTempDirectory("graft-cli-cols").toString
     val args = Hdfs2CassSpark.parseArgs(Seq(
