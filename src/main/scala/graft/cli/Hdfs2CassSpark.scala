@@ -98,23 +98,23 @@ object Hdfs2CassSpark {
           .distinct.map(org.apache.spark.sql.functions.col): _*)
       case None => base
     }
-    if (params.distributeRandomly) {
-      // escape hatch: random balance, unsorted runs are rejected by the
-      // sorted writer, so route through a plain parquet spill instead
-      CqlPipeline.distributeRandomly(projected, params.reducers)
-        .write.mode("overwrite").parquet(s"${args.sinkDir}/random")
-      Nil
-    } else {
+    {
       // compressed runs cannot be socket-streamed (the receiver parses raw
       // records to re-verify decorated order) — refuse the combination
       // loudly rather than stream bytes the far side cannot check
       require(params.compressionClass.isEmpty || args.streamEndpoints.isEmpty,
         "compressionclass and --stream-endpoints are mutually exclusive: " +
           "compressed runs are a directory-mode bulk format")
+      // distributerandomly changes only the row->partition routing: the
+      // reference keeps the within-reducer decorated-key sort either way
+      // (CassandraPartitioner.java:58-60 + CassandraParams.java:291-293),
+      // so both modes emit the same sorted-run format — random runs just
+      // span the full token range and stream to all replicas
       val manifests =
         BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir,
           partitionerClass = info.partitionerClass,
-          compression = params.compressionClass)
+          compression = params.compressionClass,
+          distributeRandomly = params.distributeRandomly)
       // with ring metadata present, also emit the stream plan the loader
       // would execute (file -> replica endpoints). Compressed runs are a
       // directory-mode-only format (planStreams refuses them), so a

@@ -203,10 +203,4 @@ object CqlPipeline {
       .sortWithinPartitions(col("_token"), col("_pk"))
   }
 
-  /**
-   * Random-distribution escape hatch (distributerandomly=true): round-robin
-   * balance, sacrificing token alignment (CassandraPartitioner.java:58-60).
-   */
-  def distributeRandomly(df: DataFrame, numPartitions: Int): DataFrame =
-    df.repartition(numPartitions)
 }

@@ -65,6 +65,29 @@ object BulkSink {
     }
   }
 
+  /**
+   * `distributerandomly` partitioner: spreads rows over partitions with no
+   * correlation to ring position, the reference's load-balance escape hatch
+   * (CassandraPartitioner.java:58-60 assigns a random reducer). Crucially
+   * the reference KEEPS the within-reducer decorated-key sort — the sort
+   * comparator applies regardless of routing (CassandraParams.java:291-293)
+   * — so the output is still valid sorted runs, just not ring-aligned.
+   * The reference draws Random.nextInt per record, safe under MR because
+   * map output materializes exactly once; Spark recomputes map tasks on
+   * fetch failure, so the assignment must be a pure function of the key:
+   * a seeded hash of the partition-key bytes (uncorrelated with the
+   * Murmur3 ring token, which keys the sort, not the routing).
+   */
+  final class RandomSpreadPartitioner(n: Int) extends Partitioner {
+    require(n > 0)
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key match {
+      case (_, pk: Array[Byte]) =>
+        scala.math.floorMod(scala.util.hashing.MurmurHash3.bytesHash(pk, 0x5eed5107), n)
+      case other => throw new IllegalArgumentException(s"bad key: $other")
+    }
+  }
+
   /** Decorated-key order: token, then unsigned key bytes (G3 semantics). */
   implicit val decoratedOrdering: Ordering[(Long, Array[Byte])] =
     (a: (Long, Array[Byte]), b: (Long, Array[Byte])) =>
@@ -83,7 +106,8 @@ object BulkSink {
   def writeSorted(df: DataFrame, keyCols: Seq[String], numBuckets: Int,
       outDir: String, indexInterval: Int = 128,
       partitionerClass: String = graft.core.CassandraParams.Murmur3Partitioner,
-      compression: Option[String] = None)
+      compression: Option[String] = None,
+      distributeRandomly: Boolean = false)
       : Seq[PartitionManifest] = {
     require(keyCols.nonEmpty)
     // resolve the codec DRIVER-side so a typo'd compressionclass fails
@@ -113,7 +137,14 @@ object BulkSink {
       ((token, pk), value)
     }
 
-    val aligned = keyed.repartitionAndSortWithinPartitions(new RingPartitioner(numBuckets))
+    // distributerandomly changes ONLY the routing; the shuffle still sorts
+    // every partition in decorated-key order, so both paths emit valid
+    // sorted runs — random ones just span the full token range (their
+    // manifests say so, and the stream plan fans them to all replicas)
+    val partitioner: Partitioner =
+      if (distributeRandomly) new RandomSpreadPartitioner(numBuckets)
+      else new RingPartitioner(numBuckets)
+    val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
 
     val manifests = aligned.mapPartitionsWithIndex { (pid, it) =>
       Iterator.single(writePartition(outDir, pid, it, indexInterval, codec))

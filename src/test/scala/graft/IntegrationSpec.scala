@@ -108,6 +108,52 @@ class IntegrationSpec extends AnyFunSuite {
     assert(back.count() === 1500)
   }
 
+  test("CLI distributerandomly emits sorted runs that span the ring, not parquet") {
+    // reference semantics: random routing changes ONLY the reducer
+    // assignment (CassandraPartitioner.java:58-60); the sort comparator
+    // still applies (CassandraParams.java:291-293), so the job emits valid
+    // sorted runs — they just each cover the full token range
+    val out = Files.createTempDirectory("graft-cli-random").toString
+    val ringJson = Files.createTempFile("ring-random", ".json")
+    Files.write(ringJson,
+      """{"partitioner": "org.apache.cassandra.dht.Murmur3Partitioner",
+        | "nodes": [
+        |   {"host": "cass-1", "tokens": [-6000000000000000000, 1000000000000000000]},
+        |   {"host": "cass-2", "tokens": [-2000000000000000000, 5000000000000000000]}]}"""
+        .stripMargin.getBytes)
+    val args = Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://seed/ks/orders?reducers=4&distributerandomly=true",
+      "--rowkey", "o_orderkey",
+      "--cluster-info", ringJson.toString,
+      "--sink-dir", out))
+    val manifests = Hdfs2CassSpark.run(spark, args)
+    // same output contract as the aligned path: sorted runs + manifest
+    assert(manifests.length === 4)
+    assert(manifests.map(_.rows).sum === 1500)
+    assert(manifests.forall(_.sorted))
+    assert(!new java.io.File(out, "random").exists(), "parquet spill must be gone")
+    // random routing balances but does not ring-align: every non-trivial
+    // run spans most of the token range instead of one contiguous slice
+    val span = BigInt(Long.MaxValue) - BigInt(Long.MinValue)
+    manifests.filter(_.rows > 100).foreach { m =>
+      assert(BigInt(m.maxToken) - BigInt(m.minToken) > span / 2,
+        s"partition ${m.partition} looks ring-aligned: [${m.minToken}, ${m.maxToken}]")
+    }
+    // runs re-read through the bulk reader (order re-verified by the writer
+    // contract at write time; the reader parses every record)
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.count() === 1500)
+    // the stream plan fans each full-span run to every replica
+    val planFile = new java.io.File(out, "_STREAM_PLAN.json")
+    assert(planFile.exists())
+    val planJson = new String(Files.readAllBytes(planFile.toPath))
+    manifests.filter(_.rows > 0).foreach { m =>
+      assert(planJson.contains(m.dataFile))
+    }
+    assert(planJson.contains("cass-1") && planJson.contains("cass-2"))
+  }
+
   test("CLI honors columnnames= ordering from the target URI") {
     val out = Files.createTempDirectory("graft-cli-cols").toString
     val args = Hdfs2CassSpark.parseArgs(Seq(
