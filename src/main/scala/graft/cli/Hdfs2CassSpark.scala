@@ -131,6 +131,13 @@ object Hdfs2CassSpark {
             java.nio.file.Paths.get(args.sinkDir, "_STREAM_PLAN.json"),
             json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           Some(plan)
+        case s: StaticClusterInfo if s.ring.nonEmpty =>
+          // ring metadata + compressionclass: the write itself is fine, but
+          // say out loud that the plan was dropped — a silent skip reads as
+          // "my load is ready to stream" when it is not
+          System.err.println("[graft] compressed runs are directory-mode only; " +
+            "skipping _STREAM_PLAN.json emission (write uncompressed runs to stream them)")
+          None
         case _ => None
       }
       // execute the plan when wire addresses are given — the reference's

@@ -93,9 +93,14 @@ object BulkSink {
     (a: (Long, Array[Byte]), b: (Long, Array[Byte])) =>
       CassandraTokens.compareDecorated(a._1, a._2, b._1, b._2)
 
+  /** `bytes` is the LOGICAL record-stream size (what a re-parse yields);
+    * `physicalBytes` is the on-disk size (what a transfer costs) — they
+    * differ only for compressed runs, whose `indexFile` is empty
+    * (sequential-only format, ADR 0001). -1 = written by a pre-r8 job. */
   final case class PartitionManifest(
       partition: Int, rows: Long, bytes: Long, minToken: Long, maxToken: Long,
-      sorted: Boolean, dataFile: String, indexFile: String, codec: String = "none")
+      sorted: Boolean, dataFile: String, indexFile: String, codec: String = "none",
+      physicalBytes: Long = -1L)
 
   /**
    * Write `df` as sorted per-token-range runs under `outDir`.
@@ -150,13 +155,37 @@ object BulkSink {
       Iterator.single(writePartition(outDir, pid, it, indexInterval, codec))
     }.collect().toSeq
 
-    val json = manifests.map { m =>
-      s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
-        s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":${m.sorted},""" +
-        s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}","codec":"${m.codec}"}"""
-    }.mkString("[", ",", "]")
+    val json = manifests.map(manifestJson).mkString("[", ",", "]")
     Files.write(Paths.get(outDir, "_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
     manifests
+  }
+
+  /** One manifest entry as JSON (shared by the RDD and DSv2 sinks). */
+  def manifestJson(m: PartitionManifest): String =
+    s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
+      s""""physicalBytes":${m.physicalBytes},""" +
+      s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":${m.sorted},""" +
+      s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}","codec":"${m.codec}"}"""
+
+  private val ManifestEntryRe =
+    ("""\{"partition":(-?\d+),"rows":(\d+),"bytes":(\d+),(?:"physicalBytes":(-?\d+),)?""" +
+      """"minToken":(-?\d+),"maxToken":(-?\d+),"sorted":(true|false),""" +
+      """"dataFile":"([^"]+)","indexFile":"([^"]*)","codec":"([^"]+)"\}""").r
+
+  /** Parse a _MANIFEST.json written by either sink (the physicalBytes
+    * field is absent in pre-r8 manifests). Empty if the file is missing. */
+  def readManifests(dir: java.io.File): Seq[PartitionManifest] = {
+    val mf = new java.io.File(dir, "_MANIFEST.json")
+    if (!mf.exists()) Nil
+    else {
+      val json = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+      ManifestEntryRe.findAllMatchIn(json).map { g =>
+        PartitionManifest(g.group(1).toInt, g.group(2).toLong, g.group(3).toLong,
+          g.group(5).toLong, g.group(6).toLong, g.group(7).toBoolean,
+          g.group(8), g.group(9), g.group(10),
+          physicalBytes = Option(g.group(4)).map(_.toLong).getOrElse(-1L))
+      }.toSeq
+    }
   }
 
   /** Append-only sorted-run writer; enforces the sorted-input contract

@@ -13,10 +13,13 @@ import graft.core.CassandraTokens
  * `compression` takes the reference's `compressionclass` URI option
  * (CassandraParams.java:103-105 — short or fully-qualified Cassandra
  * compressor name) and compresses the DATA stream with the matching JVM
- * codec. Index offsets stay LOGICAL (uncompressed) positions — the same
- * contract as Cassandra, where Index.db positions are uncompressed and
- * CompressionInfo.db maps them to chunks; here the manifest's codec field
- * is what a reader needs to re-open the run.
+ * codec. Compressed runs get NO Index.db: index offsets are logical
+ * (uncompressed) positions, and without a chunk map (Cassandra's
+ * CompressionInfo.db) they cannot seek into compressed bytes — emitting
+ * one would be a trap for consumers. Compressed runs are a sequential-
+ * only format (ADR 0001); the manifest records both logical `bytes`
+ * (record stream size, what a re-parse produces) and `physicalBytes`
+ * (on-disk size, what a transfer costs).
  */
 final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
     compression: Option[String] = None) {
@@ -24,12 +27,15 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
     * fast on an unknown compressionclass before any file is created. */
   val codec: String = compression.map(SortedRunWriter.normalizeCodec).getOrElse("none")
   val dataName = f"graft-$pid%05d-Data.db"
-  val indexName = f"graft-$pid%05d-Index.db"
+  /** Empty for compressed runs — logical offsets cannot seek into
+    * compressed bytes, so no index file is written at all. */
+  val indexName: String = if (codec == "none") f"graft-$pid%05d-Index.db" else ""
   private val dataFile = new File(outDir, dataName)
-  private val indexFile = new File(outDir, indexName)
+  private val indexFile = if (indexName.nonEmpty) new File(outDir, indexName) else null
   private val out = new DataOutputStream(new BufferedOutputStream(
     SortedRunWriter.compress(codec, new FileOutputStream(dataFile)), 1 << 16))
-  private val idx = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(indexFile), 1 << 14))
+  private val idx = if (indexFile == null) null
+    else new DataOutputStream(new BufferedOutputStream(new FileOutputStream(indexFile), 1 << 14))
 
   private var rows = 0L
   private var offset = 0L
@@ -49,7 +55,7 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
         CassandraTokens.compareDecorated(prevToken, prevKey, token, key) > 0)
       throw new IllegalStateException(
         s"partition $pid input not in decorated-key order at row $rows")
-    if (rows % indexInterval == 0) { idx.writeLong(token); idx.writeLong(offset) }
+    if (idx != null && rows % indexInterval == 0) { idx.writeLong(token); idx.writeLong(offset) }
     out.writeShort(key.length)
     out.write(key)
     out.writeInt(value.length)
@@ -62,14 +68,15 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
   }
 
   def close(): BulkSink.PartitionManifest = {
-    out.close(); idx.close()
+    out.close(); if (idx != null) idx.close()
     BulkSink.PartitionManifest(pid, rows, offset, minToken, maxToken,
-      sorted = true, dataName, indexName, codec)
+      sorted = true, dataName, indexName, codec,
+      physicalBytes = dataFile.length())
   }
 
   def abort(): Unit = {
-    try { out.close(); idx.close() } catch { case _: Throwable => () }
-    dataFile.delete(); indexFile.delete()
+    try { out.close(); if (idx != null) idx.close() } catch { case _: Throwable => () }
+    dataFile.delete(); if (indexFile != null) indexFile.delete()
     ()
   }
 }

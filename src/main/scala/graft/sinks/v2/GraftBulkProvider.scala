@@ -182,14 +182,12 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
   override def commit(): WriterCommitMessage = {
     val m = writer.close()
     if (m.rows == 0) {
-      // drop empty run files, keep the manifest clean
+      // drop empty run files, keep the manifest clean (compressed runs
+      // have no index file — the name is empty)
       new java.io.File(path, m.dataFile).delete()
-      new java.io.File(path, m.indexFile).delete()
+      if (m.indexFile.nonEmpty) new java.io.File(path, m.indexFile).delete()
       ManifestMessage("")
-    } else ManifestMessage(
-      s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
-        s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":true,""" +
-        s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}","codec":"${m.codec}"}""")
+    } else ManifestMessage(BulkSink.manifestJson(m))
   }
 
   override def abort(): Unit = writer.abort()

@@ -5,67 +5,155 @@ import java.io.{BufferedInputStream, DataInputStream, EOFException, File, FileIn
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
 import graft.core.CassandraTokens
+import graft.sinks.BulkSink
 
 /**
  * Read path for the graft-bulk sorted-run format: each Data.db file is one
  * InputPartition (files are independent sorted runs, so parallelism =
- * partition count of the original load) streaming (token, pk, value)
- * rows. Lets a distributed verification or repair job re-scan a bulk load
+ * partition count of the original load) streaming (token, pk, value) rows.
+ * Lets a distributed verification or repair job re-scan a bulk load
  * without any driver-side file handling.
+ *
+ * Token predicates PUSH DOWN, the per-range read the reference's loader
+ * does with per-range file sections (ExternalSSTableLoaderClient.java:
+ * 57-137 supplies ranges; streamSSTables sends only matching sections):
+ *  - the manifest's [minToken, maxToken] prunes whole runs;
+ *  - the sparse Index.db seeks past the leading bytes of an uncompressed
+ *    run (offset of the last entry strictly below the bound);
+ *  - runs are token-sorted, so every reader early-stops past the upper
+ *    bound (compressed runs too — they just can't seek, ADR 0001).
+ * Filters stay residual: Spark re-evaluates them, pruning is best-effort.
  */
 object GraftBulkRead {
   val schema: StructType = StructType(Seq(
     StructField("token", LongType, nullable = false),
     StructField("pk", BinaryType, nullable = false),
     StructField("value", BinaryType, nullable = false)))
+
+  /** One planned file read: start at `startOffset` (0 unless an index
+    * seek applies), stop after the first token above `hiBound`. */
+  final case class PlannedSplit(file: String, codec: String,
+      startOffset: Long, hiBound: Long)
+
+  /** Plan the splits a scan needs given an optional token range [lo, hi],
+    * both inclusive. Files without a manifest entry (pre-manifest dirs)
+    * full-scan uncompressed. */
+  def planSplits(dir: File, lo: Option[Long], hi: Option[Long]): Seq[PlannedSplit] = {
+    val manifests = BulkSink.readManifests(dir).map(m => m.dataFile -> m).toMap
+    val hiBound = hi.getOrElse(Long.MaxValue)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith("-Data.db")).sortBy(_.getName)
+    files.iterator.flatMap { f =>
+      manifests.get(f.getName) match {
+        case Some(m) =>
+          if (m.rows == 0 || lo.exists(_ > m.maxToken) || hi.exists(_ < m.minToken)) None
+          else {
+            val start = lo match {
+              case Some(l) if m.codec == "none" && m.indexFile.nonEmpty =>
+                indexSeek(new File(dir, m.indexFile), l)
+              case _ => 0L
+            }
+            Some(PlannedSplit(f.getAbsolutePath, m.codec, start, hiBound))
+          }
+        case None => Some(PlannedSplit(f.getAbsolutePath, "none", 0L, hiBound))
+      }
+    }.toSeq
+  }
+
+  /**
+   * Offset of the LAST sparse-index entry with token strictly below `lo`.
+   * Rows before that entry all have token <= its token < lo, so starting
+   * there cannot drop a match; strictness matters because rows equal to
+   * an entry's token can precede the entry.
+   */
+  private def indexSeek(idxFile: File, lo: Long): Long = {
+    if (!idxFile.exists()) return 0L
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(idxFile), 1 << 14))
+    try {
+      var best = 0L
+      var done = false
+      while (!done) {
+        try {
+          val tok = in.readLong()
+          val off = in.readLong()
+          if (tok < lo) best = off else done = true
+        } catch { case _: EOFException => done = true }
+      }
+      best
+    } finally in.close()
+  }
 }
 
-final class GraftBulkScanBuilder(path: String) extends ScanBuilder {
+final class GraftBulkScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters {
+
+  private var lo: Option[Long] = None // inclusive
+  private var hi: Option[Long] = None // inclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  private def raiseLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+  private def lowerHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.filter {
+      case GreaterThan("token", _: Long) | GreaterThanOrEqual("token", _: Long) |
+           LessThan("token", _: Long) | LessThanOrEqual("token", _: Long) |
+           EqualTo("token", _: Long) => true
+      case _ => false
+    }
+    usable.foreach {
+      // saturate at the extremes instead of overflowing; the (weaker)
+      // bound is still safe because filters stay residual
+      case GreaterThan("token", v: Long) =>
+        raiseLo(if (v == Long.MaxValue) v else v + 1)
+      case GreaterThanOrEqual("token", v: Long) => raiseLo(v)
+      case LessThan("token", v: Long) =>
+        lowerHi(if (v == Long.MinValue) v else v - 1)
+      case LessThanOrEqual("token", v: Long) => lowerHi(v)
+      case EqualTo("token", v: Long)         => raiseLo(v); lowerHi(v)
+      case _                                 => ()
+    }
+    pushed = usable
+    filters // all residual — Spark re-applies every filter after the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = GraftBulkRead.schema
     override def toBatch: Batch = this
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val dir = new File(path)
-      // per-file codec from the manifest the writer left (absent manifest
-      // or unlisted file -> uncompressed, the pre-codec format)
-      val codecs: Map[String, String] = {
-        val mf = new File(dir, "_MANIFEST.json")
-        if (!mf.exists()) Map.empty
-        else {
-          val json = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val re = """"dataFile":"([^"]+)"(?:,"indexFile":"[^"]*")?,"codec":"([^"]+)"""".r
-          re.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
-        }
-      }
-      val files = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith("-Data.db")).sortBy(_.getName)
-      files.map(f => GraftBulkInputPartition(f.getAbsolutePath,
-        codecs.getOrElse(f.getName, "none")): InputPartition)
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftBulkRead.planSplits(new File(path), lo, hi)
+        .map(s => GraftBulkInputPartition(s.file, s.codec, s.startOffset,
+          s.hiBound): InputPartition)
+        .toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftBulkReaderFactory
   }
 }
 
-final case class GraftBulkInputPartition(file: String, codec: String) extends InputPartition
+final case class GraftBulkInputPartition(file: String, codec: String,
+    startOffset: Long = 0L, hiBound: Long = Long.MaxValue) extends InputPartition
 
 final class GraftBulkReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBulkInputPartition]
-    new GraftBulkPartitionReader(p.file, p.codec)
+    new GraftBulkPartitionReader(p.file, p.codec, p.startOffset, p.hiBound)
   }
 }
 
-final class GraftBulkPartitionReader(file: String, codec: String = "none")
+final class GraftBulkPartitionReader(file: String, codec: String = "none",
+    startOffset: Long = 0L, hiBound: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new BufferedInputStream(
     graft.sinks.SortedRunWriter.decompress(codec, new FileInputStream(file)), 1 << 16))
+  if (startOffset > 0) in.skipNBytes(startOffset) // logical offsets: uncompressed runs only
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -74,8 +162,13 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none")
       val key = new Array[Byte](klen); in.readFully(key)
       val vlen = in.readInt()
       val value = new Array[Byte](vlen); in.readFully(value)
-      current = new GenericInternalRow(Array[Any](CassandraTokens.token(key), key, value))
-      true
+      val token = CassandraTokens.token(key)
+      // runs are token-sorted: past the upper bound nothing else matches
+      if (token > hiBound) false
+      else {
+        current = new GenericInternalRow(Array[Any](token, key, value))
+        true
+      }
     } catch { case _: EOFException => false }
   }
 

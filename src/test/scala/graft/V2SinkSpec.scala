@@ -121,6 +121,80 @@ class V2SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("compressed runs carry physical bytes and no Index.db; uncompressed stay seekable") {
+    import graft.sinks.BulkSink
+    val out = Files.createTempDirectory("graft-v2-cmeta").toString
+    prepared(4).write.format("graft-bulk")
+      .option("path", out).option("buckets", "4")
+      .option("compressionclass", "DeflateCompressor").mode("append").save()
+    val dir = new java.io.File(out)
+    // sequential-only format (ADR 0001): a logical-offset index into
+    // compressed bytes would be a trap, so none may exist on disk
+    assert(dir.listFiles().count(_.getName.endsWith("Index.db")) === 0)
+    val ms = BulkSink.readManifests(dir).filter(_.rows > 0)
+    assert(ms.nonEmpty)
+    ms.foreach { m =>
+      assert(m.indexFile.isEmpty, s"${m.dataFile} manifests an index it must not have")
+      assert(m.physicalBytes === new java.io.File(dir, m.dataFile).length)
+      assert(m.physicalBytes < m.bytes,
+        s"${m.dataFile}: physical ${m.physicalBytes} not below logical ${m.bytes}")
+    }
+    // uncompressed runs: physical == logical, index present and on disk
+    val out2 = Files.createTempDirectory("graft-v2-umeta").toString
+    prepared(4).write.format("graft-bulk")
+      .option("path", out2).option("buckets", "4").mode("append").save()
+    val ms2 = BulkSink.readManifests(new java.io.File(out2)).filter(_.rows > 0)
+    assert(ms2.nonEmpty)
+    ms2.foreach { m =>
+      assert(m.physicalBytes === m.bytes)
+      assert(m.indexFile.nonEmpty)
+      assert(new java.io.File(out2, m.indexFile).exists())
+    }
+  }
+
+  test("token predicates prune runs and index-seek past leading bytes") {
+    import graft.sinks.BulkSink
+    import graft.sinks.v2.GraftBulkRead
+    val out = Files.createTempDirectory("graft-v2-prune").toString
+    val ms = BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("o_orderkey"), 4, out, indexInterval = 16)
+    val dir = new java.io.File(out)
+    val nonEmpty = ms.count(_.rows > 0)
+    val full = spark.read.format("graft-bulk").option("path", out).load()
+      .select("token").as[Long].collect().sorted
+    val lo = full((full.length * 0.7).toInt)
+    val hi = full((full.length * 0.3).toInt)
+
+    // manifest [minToken, maxToken] prunes whole runs on either bound
+    val loSplits = GraftBulkRead.planSplits(dir, Some(lo), None)
+    assert(loSplits.length < nonEmpty, s"lower bound pruned nothing ($nonEmpty splits)")
+    assert(GraftBulkRead.planSplits(dir, None, Some(hi)).length < nonEmpty)
+
+    // the run containing lo starts mid-file via its sparse index
+    val containing = ms.filter(m => m.rows > 0 && m.minToken < lo && lo <= m.maxToken)
+    assert(containing.nonEmpty)
+    containing.foreach { m =>
+      val s = loSplits.find(_.file.endsWith(m.dataFile)).get
+      assert(s.startOffset > 0, s"no index seek into ${m.dataFile}")
+      assert(s.startOffset < m.bytes)
+    }
+
+    // e2e: the pushed filter reads fewer splits and stays exact
+    def scan() = spark.read.format("graft-bulk").option("path", out).load()
+    val lower = scan().filter(col("token") >= lo)
+    assert(lower.rdd.getNumPartitions < nonEmpty)
+    assert(lower.count() === full.count(_ >= lo))
+    val ranged = scan().filter(col("token") >= hi && col("token") <= lo)
+    assert(ranged.count() === full.count(t => t >= hi && t <= lo))
+    val point = scan().filter(col("token") === lo)
+    assert(point.count() === full.count(_ == lo))
+    // a filter outside every run's range reads zero splits
+    assert(GraftBulkRead.planSplits(dir, Some(Long.MaxValue), None)
+      .isEmpty || full.max == Long.MaxValue)
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {
