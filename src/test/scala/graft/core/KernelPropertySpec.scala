@@ -72,10 +72,14 @@ object KernelPropertySpec extends Properties("TextHash") {
   }
 
   property("wordGrams == sliding-window distinct reference") = {
+    // generator and reference splitter cover all six separator bytes the
+    // kernel claims — vertical tab spelled , not a raw 0x0B byte,
+    // so the coverage is visible to a reader (two review rounds read the
+    // invisible raw byte as a coverage hole)
     val text: Gen[String] = Gen.listOf(Gen.oneOf(
-      token, Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  "))).map(_.mkString)
+      token, Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "  "))).map(_.mkString)
     Prop.forAll(text, Gen.choose(1, 4)) { (s, n) =>
-      val toks = s.split("[ \t\n\f\r]+").filter(_.nonEmpty).toList
+      val toks = s.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty).toList
       val expected =
         if (toks.length < n) Nil
         else toks.sliding(n).map(_.mkString(" ")).toList.distinct
