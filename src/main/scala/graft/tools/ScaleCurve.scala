@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Dedup, Similarity}
+
+/**
+ * Empirical scale curve for the five headline dedup/pack/ANN queries: run
+ * each at a base size and at `factor`× the base, report wall seconds and
+ * the scaling exponent log(t_big/t_base)/log(factor). Linear operators
+ * read ~1.0; anything structurally super-linear shows up immediately.
+ *
+ * The corpora keep DENSITY constant while size grows (the property a real
+ * 100 TB corpus has): the DedupSoak document generator plants one near-dup
+ * per 50 docs from a fixed vocabulary, and the AnnSoak embedding generator
+ * draws from 1000 cluster centers — so pair/candidate OUTPUT grows
+ * linearly with input, never quadratically.
+ *
+ *   sbt "runMain graft.tools.ScaleCurve 50000 10"
+ */
+object ScaleCurve {
+
+  /** DedupSoak's corpus (80 words/doc, near-dup every 50th) plus the
+    * `source` blocking column the dedup_ngram query uses. */
+  private def docs(spark: SparkSession, n: Long): DataFrame = {
+    val docSeed = when(col("id") % 50 === 0 && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+    val words = transform(sequence(lit(0), lit(79)), i =>
+      concat(lit("w"), pmod(xxhash64(docSeed * 128 + i), lit(1000))))
+    val firstWord = when(col("id") % 50 === 0 && col("id") > 0,
+      concat(lit("CHANGED"), col("id"))).otherwise(element_at(words, 1))
+    // block assignment must keep each planted pair (id-1, id) in ONE
+    // block — (id+1)/50 maps both sides of a pair to the same value
+    spark.range(n).select(col("id").as("doc_id"),
+      pmod(floor((col("id") + 1) / 50), lit(20)).cast("string").as("source"),
+      concat_ws(" ", array_prepend(slice(words, 2, 79), firstWord)).as("text"))
+  }
+
+  /** AnnSoak's clustered 64-dim vectors (1000 centers + per-vector noise). */
+  private def vecs(spark: SparkSession, n: Long): DataFrame = {
+    val cluster = pmod(col("id"), lit(1000))
+    val vec = transform(sequence(lit(0), lit(63)), i =>
+      ((pmod(xxhash64(cluster * 64 + i), lit(1000)).cast("double") / 1000.0 - 0.5) +
+        pmod(xxhash64(col("id") * 64 + i), lit(100)).cast("double") / 2000.0)
+        .cast("float"))
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
+
+  private def time(body: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = body
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0).toLong else 50000L
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // identical shapes to the SparkEntry bench queries, corpus swapped
+    val queries: Seq[(String, Long => Long)] = Seq(
+      "dedup_minhash_lsh" -> { n =>
+        Dedup.minhashLshPairs(docs(spark, n), "doc_id", "text",
+          bands = 4, rowsPerBand = 2, threshold = 0.8).count()
+      },
+      "dedup_ngram" -> { n =>
+        Dedup.ngramJaccardPairs(docs(spark, n), "doc_id", "text", "source",
+          0.5, maxDf = 100).count()
+      },
+      "dedup_clusters" -> { n =>
+        // isolate the clustering: pairs are precomputed and pinned so the
+        // measured time is label propagation, not the LSH front half
+        val pairs = Dedup.minhashLshPairs(docs(spark, n), "doc_id", "text",
+          bands = 4, rowsPerBand = 2, threshold = 0.8).localCheckpoint()
+        Dedup.dupClusters(pairs).count()
+      },
+      "corpus_pack" -> { n =>
+        Curate.packBlocks(docs(spark, n), "doc_id", "text",
+          blockTokens = 2048L).count()
+      },
+      "embed_ivf_topk" -> { n =>
+        val e = vecs(spark, n * 4) // embeddings outnumber docs in the testdata
+        Similarity.ivfTopK(e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10), "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 3).count()
+      })
+
+    // warm codegen/broadcast/shuffle machinery off the clock
+    queries.foreach { case (_, run) => run(2000L) }
+
+    val results = queries.map { case (name, run) =>
+      val (tBase, rowsBase) = time(run(base))
+      val (tBig, rowsBig) = time(run(base * factor))
+      val exp = math.log(tBig / tBase) / math.log(factor.toDouble)
+      System.err.println(f"[scale] $name: $tBase%.1fs @ $base -> $tBig%.1fs " +
+        f"@ ${base * factor} (exp $exp%.2f, rows $rowsBase -> $rowsBig)")
+      f""""$name":{"base_sec":$tBase%.2f,"big_sec":$tBig%.2f,""" +
+        f""""exponent":$exp%.2f,"base_rows":$rowsBase,"big_rows":$rowsBig}"""
+    }
+    println(s"""{"base":$base,"factor":$factor,"queries":{${results.mkString(",")}}}""")
+    spark.stop()
+  }
+}
