@@ -135,7 +135,7 @@ object Hdfs2CassSpark {
           // ring metadata + compressionclass: the write itself is fine, but
           // say out loud that the plan was dropped — a silent skip reads as
           // "my load is ready to stream" when it is not
-          System.err.println("[graft] compressed runs are directory-mode only; " +
+          Console.err.println("[graft] compressed runs are directory-mode only; " +
             "skipping _STREAM_PLAN.json emission (write uncompressed runs to stream them)")
           None
         case _ => None

@@ -39,9 +39,26 @@ object Soak {
     val rows = manifests.map(_.rows).sum
     val bytes = manifests.map(_.bytes).sum
     val skew = manifests.map(_.rows).max.toDouble / (rows.toDouble / manifests.length)
+
+    // read-side pruning at the same scale: a narrow token predicate must
+    // cost a fraction of the full re-scan (manifest range pruning + sparse
+    // index seek + sorted early-stop)
+    def scan() = spark.read.format("graft-bulk").option("path", out).load()
+    val tFull0 = System.nanoTime()
+    val fullRows = scan().count()
+    val fullSec = (System.nanoTime() - tFull0) / 1e9
+    val width = Long.MaxValue / 64 // ~1/32 of the ring, signed span
+    val (lo, hi) = (-width, width)
+    val tPr0 = System.nanoTime()
+    val prunedRows = scan().filter(col("token") >= lo && col("token") <= hi).count()
+    val prunedSec = (System.nanoTime() - tPr0) / 1e9
+
     println(f"""{"rows":$rows,"buckets":${manifests.length},"sec":$sec%.1f,""" +
       f""""rows_per_sec":${(rows / sec).toLong},"mb":${bytes / 1e6}%.0f,""" +
-      f""""mb_per_sec":${bytes / 1e6 / sec}%.1f,"max_bucket_skew":$skew%.3f}""")
+      f""""mb_per_sec":${bytes / 1e6 / sec}%.1f,"max_bucket_skew":$skew%.3f,""" +
+      f""""full_scan_sec":$fullSec%.1f,"full_scan_rows":$fullRows,""" +
+      f""""pruned_scan_sec":$prunedSec%.1f,"pruned_scan_rows":$prunedRows,""" +
+      f""""pruned_speedup":${fullSec / prunedSec}%.1f}""")
     spark.stop()
   }
 }

@@ -98,11 +98,18 @@ class IntegrationSpec extends AnyFunSuite {
       "--rowkey", "o_orderkey",
       "--cluster-info", ringJson.toString,
       "--sink-dir", out))
-    val manifests = Hdfs2CassSpark.run(spark, args)
+    // the skip must be LOUD: a user supplying ring metadata expects a
+    // stream plan, so dropping it silently would misread as "ready"
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val manifests = Console.withErr(new java.io.PrintStream(errBuf)) {
+      Hdfs2CassSpark.run(spark, args)
+    }
     assert(manifests.forall(_.codec === "lz4"))
     assert(manifests.map(_.rows).sum === 1500)
     // no stream plan for a compressed (directory-mode-only) write
     assert(!new java.io.File(out, "_STREAM_PLAN.json").exists())
+    assert(errBuf.toString.contains("skipping _STREAM_PLAN.json"),
+      s"expected a stderr warning about the dropped stream plan, got: $errBuf")
     // the write itself round-trips
     val back = spark.read.format("graft-bulk").option("path", out).load()
     assert(back.count() === 1500)
