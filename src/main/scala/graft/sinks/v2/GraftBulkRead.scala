@@ -27,6 +27,10 @@ import graft.sinks.BulkSink
  *  - runs are token-sorted, so every reader early-stops past the upper
  *    bound (compressed runs too — they just can't seek, ADR 0001).
  * Filters stay residual: Spark re-evaluates them, pruning is best-effort.
+ *
+ * Columns PRUNE too: value payloads (the bulk of every record) are skipped
+ * in the stream, never allocated, when the query does not read `value` —
+ * a count or token histogram over a bulk directory touches only framing.
  */
 object GraftBulkRead {
   val schema: StructType = StructType(Seq(
@@ -89,11 +93,18 @@ object GraftBulkRead {
 }
 
 final class GraftBulkScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo: Option[Long] = None // inclusive
   private var hi: Option[Long] = None // inclusive
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GraftBulkRead.schema
+
+  // column pruning: a count or token histogram over a bulk directory must
+  // not materialize the value payloads (the bulk of every record's bytes —
+  // the reader SKIPS them instead of allocating + copying)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   private def raiseLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
   private def lowerHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
@@ -124,7 +135,7 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = GraftBulkRead.schema
+    override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
     override def planInputPartitions(): Array[InputPartition] =
@@ -134,26 +145,32 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder
         .toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftBulkReaderFactory
+      new GraftBulkReaderFactory(required.fieldNames)
   }
 }
 
 final case class GraftBulkInputPartition(file: String, codec: String,
     startOffset: Long = 0L, hiBound: Long = Long.MaxValue) extends InputPartition
 
-final class GraftBulkReaderFactory extends PartitionReaderFactory {
+final class GraftBulkReaderFactory(columns: Array[String] = GraftBulkRead.schema.fieldNames)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBulkInputPartition]
-    new GraftBulkPartitionReader(p.file, p.codec, p.startOffset, p.hiBound)
+    new GraftBulkPartitionReader(p.file, p.codec, p.startOffset, p.hiBound, columns)
   }
 }
 
 final class GraftBulkPartitionReader(file: String, codec: String = "none",
-    startOffset: Long = 0L, hiBound: Long = Long.MaxValue)
+    startOffset: Long = 0L, hiBound: Long = Long.MaxValue,
+    columns: Array[String] = GraftBulkRead.schema.fieldNames)
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new BufferedInputStream(
     graft.sinks.SortedRunWriter.decompress(codec, new FileInputStream(file)), 1 << 16))
   if (startOffset > 0) in.skipNBytes(startOffset) // logical offsets: uncompressed runs only
+  // the value payload is the bulk of a record's bytes; when pruned away it
+  // is SKIPPED in the stream, never allocated (the key must always be read
+  // to advance the frame, and it feeds the early-stop token anyway)
+  private val needValue = columns.contains("value")
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -161,12 +178,18 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
       val klen = in.readUnsignedShort()
       val key = new Array[Byte](klen); in.readFully(key)
       val vlen = in.readInt()
-      val value = new Array[Byte](vlen); in.readFully(value)
+      val value = if (needValue) {
+        val v = new Array[Byte](vlen); in.readFully(v); v
+      } else { in.skipNBytes(vlen.toLong); null }
       val token = CassandraTokens.token(key)
       // runs are token-sorted: past the upper bound nothing else matches
       if (token > hiBound) false
       else {
-        current = new GenericInternalRow(Array[Any](token, key, value))
+        current = new GenericInternalRow(columns.map[Any] {
+          case "token" => token
+          case "pk"    => key
+          case "value" => value
+        })
         true
       }
     } catch { case _: EOFException => false }

@@ -195,6 +195,33 @@ class V2SinkSpec extends AnyFunSuite {
       .isEmpty || full.max == Long.MaxValue)
   }
 
+  test("column pruning reaches the scan; value payloads skip, results exact") {
+    val out = Files.createTempDirectory("graft-v2-colprune").toString
+    prepared(4).write.format("graft-bulk")
+      .option("path", out).option("buckets", "4").mode("append").save()
+    def scan() = spark.read.format("graft-bulk").option("path", out).load()
+
+    // the leaf scan's output shrinks to the projected columns (Catalyst
+    // pushed the projection into the source, not a post-scan Project)
+    val tokensOnly = scan().select("token")
+    val leafOut = tokensOnly.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name)
+    assert(leafOut === Seq("token"), s"scan still reads $leafOut")
+
+    // projected values match the full read in every combination
+    val full = scan().collect().map(r => (r.getLong(0),
+      r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq))
+    assert(tokensOnly.as[Long].collect().sorted.toSeq ===
+      full.map(_._1).sorted.toSeq)
+    val pks = scan().select("pk").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(pks.sortBy(_.toString) === full.map(_._2).sortBy(_.toString))
+    assert(scan().count() === full.length) // no columns at all (count*)
+    // pruning composes with the token-range pushdown
+    val mid = full.map(_._1).sorted.apply(full.length / 2)
+    assert(scan().filter(col("token") >= mid).select("pk").count() ===
+      full.count(_._1 >= mid))
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {

@@ -268,6 +268,21 @@ class KernelSpec extends AnyFunSuite {
     assert(perm.toSeq !== (0 until n).toSeq)
   }
 
+  test("RandomSpreadPartitioner balances, ignores the token, stays deterministic") {
+    import graft.sinks.BulkSink
+    val p = new BulkSink.RandomSpreadPartitioner(16)
+    val counts = new Array[Int](16)
+    (0 until 16000).foreach { i =>
+      counts(p.getPartition((0L, s"key-$i".getBytes("UTF-8")))) += 1
+    }
+    // hash spread: every partition near 1000 ± 30%
+    assert(counts.min > 700 && counts.max < 1300, counts.mkString(","))
+    // pure function of the KEY (shuffle-retry safety) — the token must not
+    // matter, because the ring position is exactly what random routing drops
+    val k = "key-7".getBytes("UTF-8")
+    assert(p.getPartition((123L, k)) === p.getPartition((-456L, k)))
+  }
+
   // --- Params ---------------------------------------------------------------
   test("target URI grammar parses with defaults from cluster info") {
     val info = StaticClusterInfo(numClusterNodes = 5)
