@@ -82,21 +82,32 @@ object Hdfs2CassSpark {
       case "parquet" => spark.read.parquet(args.inputs: _*)
       case other     => throw new IllegalArgumentException(s"unknown format: $other")
     }
-    val base = CqlPipeline.toCql(input, Projection(
+    val proj = Projection(
       rowkey = args.rowkey,
       timestampField = args.timestamp,
       ttlField = args.ttl,
       ignore = args.ignore,
-      defaultTimestampMicros = System.currentTimeMillis() * 1000L))
-    // columnnames= URI param reorders the value list to match the target
-    // table's prepared statement (CassandraParams.java:88-94, README.md:89)
-    val projected = params.columnNames match {
-      case Some(names) =>
-        val missing = names.filterNot(base.columns.contains)
-        require(missing.isEmpty, s"columnnames not in input: ${missing.mkString(",")}")
-        base.select((("rowkey" +: names) :+ "writetime" :+ "ttl")
-          .distinct.map(org.apache.spark.sql.functions.col): _*)
-      case None => base
+      defaultTimestampMicros = System.currentTimeMillis() * 1000L)
+    // the target scheme selects the record shape, the reference's dispatch
+    // (Hdfs2Cass.java:110-127): cql:// wide rows, thrift:// cell-per-row.
+    // An unknown scheme fails loudly — the reference silently writes
+    // NOTHING for one (no branch matches), which is a trap, not a contract.
+    val projected = params.scheme.toLowerCase match {
+      case "cql" =>
+        val base = CqlPipeline.toCql(input, proj)
+        // columnnames= URI param reorders the value list to match the target
+        // table's prepared statement (CassandraParams.java:88-94, README.md:89)
+        params.columnNames match {
+          case Some(names) =>
+            val missing = names.filterNot(base.columns.contains)
+            require(missing.isEmpty, s"columnnames not in input: ${missing.mkString(",")}")
+            base.select((("rowkey" +: names) :+ "writetime" :+ "ttl")
+              .distinct.map(org.apache.spark.sql.functions.col): _*)
+          case None => base
+        }
+      case "thrift" => CqlPipeline.toCells(input, proj)
+      case other => throw new IllegalArgumentException(
+        s"unknown target scheme '$other' (use cql:// or thrift://)")
     }
     {
       // compressed runs cannot be socket-streamed (the receiver parses raw

@@ -170,12 +170,17 @@ object CassandraParams {
     val q = parseQuery(Option(u.getQuery).getOrElse(""))
     val path = Option(u.getPath).getOrElse("").split("/")
     require(path.length >= 3, s"target URI path must be /<keyspace>/<table>: $uri")
-    // reference parity: copiers= is accepted but DEPRECATED-AND-IGNORED
-    // with a warning (CassandraParams.java:117-119 — shuffle copier count
-    // was an MR1 knob with no v2 meaning; Spark has no analog either)
-    if (q.contains("copiers"))
+    // reference parity: copiers= and mappers= are accepted but DEPRECATED-
+    // AND-IGNORED with a warning (CassandraParams.java:107-109,117-119 —
+    // MR1 shuffle/map-task knobs with no v2 meaning; Spark has no analog)
+    for (knob <- Seq("copiers", "mappers") if q.contains(knob))
       System.err.println(
-        "[graft] URI param 'copiers' is deprecated and ignored (reference parity)")
+        s"[graft] URI param '$knob' is deprecated and ignored (reference parity)")
+    // reference parity: thrift targets still work but warn at parse time
+    // (CassandraParams.java:129-131)
+    if ("thrift".equalsIgnoreCase(u.getScheme))
+      Console.err.println(
+        "[graft] Thrift support is deprecated, please use CQL instead")
     CassandraParams(
       scheme = u.getScheme,
       seedNodeHost = u.getHost,

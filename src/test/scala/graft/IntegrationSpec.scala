@@ -171,6 +171,28 @@ class IntegrationSpec extends AnyFunSuite {
     assert(manifests.map(_.rows).sum === 1500)
   }
 
+  test("CLI thrift:// scheme routes through the cell-per-row projection") {
+    // reference dispatch (Hdfs2Cass.java:110-127): thrift targets get
+    // AvroToThrift cells; same sorted sink contract downstream
+    val out = Files.createTempDirectory("graft-cli-thrift").toString
+    val args = Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "thrift://localhost/ks/orders?reducers=2",
+      "--rowkey", "o_orderkey",
+      "--ignore", "o_orderpriority",
+      "--sink-dir", out))
+    val manifests = Hdfs2CassSpark.run(spark, args, StaticClusterInfo())
+    // orders has 6 columns; rowkey + 1 ignored -> 4 cells per input row
+    assert(manifests.map(_.rows).sum === 1500L * 4)
+    assert(manifests.forall(_.sorted))
+    // unknown schemes fail loudly (the reference silently writes nothing)
+    val bad = args.copy(output = "cql3://localhost/ks/orders")
+    val e = intercept[IllegalArgumentException] {
+      Hdfs2CassSpark.run(spark, bad, StaticClusterInfo())
+    }
+    assert(e.getMessage.contains("unknown target scheme"))
+  }
+
   test("CLI arg validation") {
     intercept[IllegalArgumentException](Hdfs2CassSpark.parseArgs(Seq("--input", "x")))
     intercept[IllegalArgumentException](

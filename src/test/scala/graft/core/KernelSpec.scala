@@ -294,9 +294,10 @@ class KernelSpec extends AnyFunSuite {
     assert(p.streamThrottleMBits === Some(100))
     val defaulted = CassandraParams.parse("cql://h/ks/t", info)
     assert(defaulted.reducers === 5) // defaults to cluster node count
-    // reference parity: deprecated copiers= accepted and ignored
-    // (CassandraParams.java:117-119), not rejected
-    val withCopiers = CassandraParams.parse("cql://h/ks/t?copiers=5&reducers=3", info)
+    // reference parity: deprecated copiers=/mappers= accepted and ignored
+    // (CassandraParams.java:107-109,117-119), not rejected
+    val withCopiers = CassandraParams.parse(
+      "cql://h/ks/t?copiers=5&mappers=9&reducers=3", info)
     assert(withCopiers.reducers === 3)
   }
 
