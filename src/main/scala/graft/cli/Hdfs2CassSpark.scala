@@ -75,7 +75,16 @@ object Hdfs2CassSpark {
         require(hp.length == 2, s"--cluster-info socket form must be socket://host:port, got $s")
         StaticClusterInfo.fetch(hp(0), hp(1).toInt)
       case path => StaticClusterInfo.fromJsonFile(path)
-    }.getOrElse(clusterInfo)
+    }.getOrElse {
+      // no --cluster-info: an rpcport= URI param means "fetch metadata from
+      // the seed node in the output URI" — the reference's plan-time flow
+      // (CassandraClusterInfo.java:61-109 connects to the seed's rpc port,
+      // which is distinct from the URI's own port)
+      val u = new java.net.URI(args.output)
+      CassandraParams.parseQuery(Option(u.getQuery).getOrElse("")).get("rpcport")
+        .map(p => StaticClusterInfo.fetch(u.getHost, p.toInt))
+        .getOrElse(clusterInfo)
+    }
     val params = CassandraParams.parse(args.output, info)
     val input: DataFrame = args.format match {
       case "avro"    => AvroSource.read(spark, args.inputs)

@@ -413,6 +413,31 @@ class IntegrationSpec extends AnyFunSuite {
     } finally cluster.stop()
   }
 
+  test("CLI rpcport= URI param fetches metadata from the seed node, no flag needed") {
+    // the reference's plan-time flow: cluster info comes from the output
+    // URI's seed host over its rpc port (CassandraClusterInfo.java:61-109)
+    import graft.sinks.InProcessCluster
+    val ring = Map(
+      "cass-1" -> Seq(-6000000000000000000L, 1000000000000000000L),
+      "cass-2" -> Seq(-2000000000000000000L, 5000000000000000000L))
+    val cluster = new InProcessCluster(Seq("cass-1", "cass-2"), ring = ring)
+    val endpoints = cluster.start()
+    try {
+      val (addr, port) = endpoints("cass-1")
+      val out = Files.createTempDirectory("graft-cli-rpcport").toString
+      val args = Hdfs2CassSpark.parseArgs(Seq(
+        "--input", "/root/testdata/sf0.001/orders.parquet",
+        "--output", s"cql://$addr/ks/t?rpcport=$port",
+        "--rowkey", "o_orderkey",
+        "--sink-dir", out))
+      val manifests = Hdfs2CassSpark.run(spark, args)
+      assert(manifests.length === 2) // reducers defaulted from the fetched ring
+      assert(manifests.map(_.rows).sum === 1500)
+      // the fetched ring produced a stream plan without any --cluster-info
+      assert(new java.io.File(out, "_STREAM_PLAN.json").exists())
+    } finally cluster.stop()
+  }
+
   test("CLI with --cluster-info ring emits a stream plan") {
     val out = Files.createTempDirectory("graft-cli-ring").toString
     val ringJson = Files.createTempFile("ring", ".json")
