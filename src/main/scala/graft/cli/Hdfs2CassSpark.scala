@@ -16,7 +16,7 @@ import graft.sources.AvroSource
  *                  --output cql://host:port/keyspace/table?reducers=N&...
  *                  [--rowkey FIELD] [--timestamp FIELD] [--ttl FIELD]
  *                  [--ignore FIELD ...]
- *                  [--format avro|parquet] [--sink-dir LOCALDIR]
+ *                  [--format avro|parquet|legacy|legacy-avro] [--sink-dir LOCALDIR]
  *                  [--stream-endpoints host=addr:port,host=addr:port,...]
  *
  * Offline, the sink writes sorted SSTable-style runs under --sink-dir
@@ -89,6 +89,11 @@ object Hdfs2CassSpark {
     val input: DataFrame = args.format match {
       case "avro"    => AvroSource.read(spark, args.inputs)
       case "parquet" => spark.read.parquet(args.inputs: _*)
+      // the reference's second CLI (LegacyHdfs2Cass.java:61-109): TSV lines
+      // already carrying (rowkey, colname, value, ts, ttl); `legacy-avro`
+      // is its actual wire encoding (avro containers of `bytes` lines)
+      case "legacy"      => graft.sources.LegacySource.read(spark, args.inputs)
+      case "legacy-avro" => graft.sources.LegacySource.readAvroBytes(spark, args.inputs)
       case other     => throw new IllegalArgumentException(s"unknown format: $other")
     }
     val proj = Projection(
@@ -101,7 +106,15 @@ object Hdfs2CassSpark {
     // (Hdfs2Cass.java:110-127): cql:// wide rows, thrift:// cell-per-row.
     // An unknown scheme fails loudly — the reference silently writes
     // NOTHING for one (no branch matches), which is a trap, not a contract.
-    val projected = params.scheme.toLowerCase match {
+    val projected = if (args.format.startsWith("legacy")) {
+      // legacy lines already carry (rowkey, colname, value, writetime, ttl);
+      // the reference's LegacyHdfs2Cass has no projection flags either
+      require(args.rowkey.isEmpty && args.timestamp.isEmpty &&
+        args.ttl.isEmpty && args.ignore.isEmpty,
+        "--rowkey/--timestamp/--ttl/--ignore do not apply to legacy input " +
+          "(the line format carries those fields)")
+      input
+    } else params.scheme.toLowerCase match {
       case "cql" =>
         val base = CqlPipeline.toCql(input, proj)
         // columnnames= URI param reorders the value list to match the target

@@ -193,6 +193,29 @@ class IntegrationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown target scheme"))
   }
 
+  test("CLI --format legacy bulk-loads TSV lines through the same sorted sink") {
+    // the reference's second CLI, LegacyHdfs2Cass.java:61-109
+    val dir = Files.createTempDirectory("graft-cli-legacy")
+    Files.write(dir.resolve("part-0.txt"),
+      ("HdfsToCassandra\t1\trk1\tc1\tv1\n" +
+        "HdfsToCassandra\t2\trk2\tc2\t123\tv2\n" +
+        "HdfsToCassandra\t3\trk3\tc3\t456\t600\tv3\n").getBytes)
+    val out = Files.createTempDirectory("graft-cli-legacy-out").toString
+    val args = Hdfs2CassSpark.parseArgs(Seq(
+      "--input", dir.toString,
+      "--output", "cql://localhost/ks/legacy?reducers=2",
+      "--format", "legacy",
+      "--sink-dir", out))
+    val manifests = Hdfs2CassSpark.run(spark, args, StaticClusterInfo())
+    assert(manifests.map(_.rows).sum === 3)
+    assert(manifests.forall(_.sorted))
+    // projection flags make no sense for pre-shaped legacy lines
+    val e = intercept[IllegalArgumentException] {
+      Hdfs2CassSpark.run(spark, args.copy(rowkey = Some("rk")), StaticClusterInfo())
+    }
+    assert(e.getMessage.contains("do not apply to legacy input"))
+  }
+
   test("CLI arg validation") {
     intercept[IllegalArgumentException](Hdfs2CassSpark.parseArgs(Seq("--input", "x")))
     intercept[IllegalArgumentException](
