@@ -134,7 +134,7 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch with SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
@@ -143,6 +143,22 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder
         .map(s => GraftBulkInputPartition(s.file, s.codec, s.startOffset,
           s.hiBound): InputPartition)
         .toArray
+
+    // manifest-derived estimates AFTER token pruning, so Catalyst can
+    // broadcast a narrowly-filtered bulk read into a join instead of
+    // shuffling both sides (logical bytes: what the scan produces)
+    override def estimateStatistics(): Statistics = {
+      val planned = GraftBulkRead.planSplits(new File(path), lo, hi)
+        .map(s => new File(s.file).getName).toSet
+      val ms = BulkSink.readManifests(new File(path)).filter(m => planned(m.dataFile))
+      if (ms.isEmpty) new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      } else new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.of(ms.map(_.bytes).sum)
+        override def numRows() = java.util.OptionalLong.of(ms.map(_.rows).sum)
+      }
+    }
 
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftBulkReaderFactory(required.fieldNames)

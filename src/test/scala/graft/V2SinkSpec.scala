@@ -222,6 +222,33 @@ class V2SinkSpec extends AnyFunSuite {
       full.count(_._1 >= mid))
   }
 
+  test("scan statistics come from manifests and shrink under token pruning") {
+    import graft.sinks.BulkSink
+    import graft.sinks.v2.GraftBulkScanBuilder
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val out = Files.createTempDirectory("graft-v2-stats").toString
+    val ms = BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("o_orderkey"), 4, out)
+
+    def stats(f: GraftBulkScanBuilder => Unit) = {
+      val b = new GraftBulkScanBuilder(out)
+      f(b)
+      b.build().asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    }
+    val full = stats(_ => ())
+    assert(full.numRows.getAsLong === ms.map(_.rows).sum)
+    assert(full.sizeInBytes.getAsLong === ms.map(_.bytes).sum)
+    // a bound above some runs' maxToken must shrink the estimate
+    val cut = ms.filter(_.rows > 0).map(_.maxToken).sorted.apply(1)
+    val pruned = stats(_.pushFilters(Array(GreaterThanOrEqual("token", cut + 1))))
+    assert(pruned.numRows.getAsLong < full.numRows.getAsLong)
+    assert(pruned.sizeInBytes.getAsLong < full.sizeInBytes.getAsLong)
+    assert(pruned.numRows.getAsLong > 0)
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {
