@@ -156,7 +156,23 @@ object Hdfs2CassSpark {
       val planOpt = info match {
         case s: StaticClusterInfo if s.ring.nonEmpty && params.compressionClass.isEmpty =>
           val nodes = s.ring.map { case (h, ts) => LoaderPlan.RingNode(h, ts) }
-          val plan = LoaderPlan.planStreams(manifests, nodes, rf = 2.min(nodes.length))
+          // rf precedence: replication= URI override, else the rf the
+          // cluster metadata reports (ring JSON field / socket payload /
+          // driver keyspace read) — the reference streams to each range's
+          // ACTUAL replica set (ExternalSSTableLoaderClient.java:57-137),
+          // so a constant here under-replicates every rf!=constant cluster
+          val declaredRf = params.replication.orElse(s.replicationFactor)
+            .getOrElse {
+              Console.err.println("[graft] ring metadata carries no rf and " +
+                "no replication= URI param given; defaulting to rf=2 — " +
+                "stream plans may be under-replicated for rf>2 keyspaces")
+              2
+            }
+          val rf = declaredRf.min(nodes.length)
+          if (rf < declaredRf)
+            Console.err.println(s"[graft] rf=$declaredRf exceeds " +
+              s"${nodes.length} ring nodes; planning streams at rf=$rf")
+          val plan = LoaderPlan.planStreams(manifests, nodes, rf = rf)
           val json = plan.map { case (f, hosts) =>
             s""""$f": [${hosts.toSeq.sorted.map("\"" + _ + "\"").mkString(", ")}]"""
           }.mkString("{", ", ", "}")

@@ -16,13 +16,19 @@ trait ClusterInfo extends Serializable {
   def partitionKeyIndexes: Array[Int]
 }
 
-/** Offline/static stand-in for a live metadata fetch. */
+/** Offline/static stand-in for a live metadata fetch.
+  * `replicationFactor` is the target keyspace's rf as the cluster reports
+  * it — the reference's loader learns per-range replica sets from the
+  * cluster rather than assuming a constant
+  * (ExternalSSTableLoaderClient.java:57-137: describe_ring returns
+  * endpoint lists reflecting the keyspace's real replication). */
 final case class StaticClusterInfo(
     partitionerClass: String = CassandraParams.Murmur3Partitioner,
     numClusterNodes: Int = 3,
     allColumnNames: Seq[String] = Nil,
     partitionKeyIndexes: Array[Int] = Array(0),
-    ring: Seq[(String, Seq[Long])] = Nil // (host, vnode tokens)
+    ring: Seq[(String, Seq[Long])] = Nil, // (host, vnode tokens)
+    replicationFactor: Option[Int] = None
 ) extends ClusterInfo
 
 object StaticClusterInfo {
@@ -32,7 +38,7 @@ object StaticClusterInfo {
    * 61-109). Format:
    *   {"partitioner": "...Murmur3Partitioner",
    *    "nodes": [{"host": "h1", "tokens": [-9000000000000000000, 0]}, ...],
-   *    "columns": ["rowkey", "c1"], "key_indexes": [0]}
+   *    "columns": ["rowkey", "c1"], "key_indexes": [0], "rf": 3}
    * (columns/key_indexes optional — the reference fetches them from the
    * table metadata the same way.) Parsed with a minimal hand-rolled reader
    * (no JSON library on the classpath beyond Spark's shaded ones).
@@ -75,9 +81,14 @@ object StaticClusterInfo {
     val keyIdx = """"key_indexes"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
       .map(_.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toArray)
       .getOrElse(Array(0))
+    // keyspace replication factor as the cluster reports it; absent in older
+    // ring files -> None, and stream planning must then be told (replication=)
+    // or warn about its fallback
+    val rf = """"rf"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    rf.foreach(n => require(n >= 1, s"rf must be >= 1, got $n"))
     StaticClusterInfo(partitionerClass = partitioner,
       numClusterNodes = nodes.length, allColumnNames = columns,
-      partitionKeyIndexes = keyIdx, ring = ringNodes)
+      partitionKeyIndexes = keyIdx, ring = ringNodes, replicationFactor = rf)
   }
 
   /**
@@ -135,6 +146,7 @@ final case class CassandraParams(
     streamThrottleMBits: Option[Int],
     compressionClass: Option[String],
     rpcPort: Option[Int],
+    replication: Option[Int],
     clusterInfo: ClusterInfo
 ) {
   def buildInsertStatement(cols: Seq[String]): String = {
@@ -193,6 +205,15 @@ object CassandraParams {
       streamThrottleMBits = q.get("streamthrottlembits").map(_.toInt),
       compressionClass = q.get("compressionclass"),
       rpcPort = q.get("rpcport").map(_.toInt),
+      // replication= overrides the cluster-reported rf for stream planning
+      // (the reference has no such knob because it always asks the cluster;
+      // offline ring files may predate the rf field, so the override keeps
+      // those loadable without editing metadata)
+      replication = q.get("replication").map { v =>
+        val n = v.toInt
+        require(n >= 1, s"replication= must be >= 1, got $v")
+        n
+      },
       clusterInfo = clusterInfo
     )
   }

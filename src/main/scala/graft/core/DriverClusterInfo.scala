@@ -39,7 +39,8 @@ object DriverClusterInfo {
    * first, matching the driver's metadata ordering).
    */
   def fromSystemRows(partitioner: String, nodes: Seq[NodeRow],
-      columns: Seq[ColumnRow]): StaticClusterInfo = {
+      columns: Seq[ColumnRow],
+      replication: Option[Map[String, String]] = None): StaticClusterInfo = {
     require(nodes.nonEmpty, "no nodes in system tables")
     // Ring tokens are carried as Longs (Murmur3's token domain).
     // RandomPartitioner tokens are md5 values up to 2^127-1 — they overflow
@@ -67,7 +68,23 @@ object DriverClusterInfo {
       numClusterNodes = nodes.length,
       allColumnNames = names,
       partitionKeyIndexes = if (keyIdx.nonEmpty) keyIdx.toArray else Array(0),
-      ring = ring)
+      ring = ring,
+      replicationFactor = replication.flatMap(replicationFactorOf))
+  }
+
+  /**
+   * Total replica count from a keyspace's replication options map
+   * (system_schema.keyspaces.replication): SimpleStrategy carries
+   * `replication_factor`; NetworkTopologyStrategy carries one factor per
+   * datacenter — for stream planning against a flat ring the total is the
+   * sum (every replica must receive the range's data). Non-numeric /
+   * absent factors -> None, and the planner falls back loudly.
+   */
+  def replicationFactorOf(options: Map[String, String]): Option[Int] = {
+    val factors = options.collect {
+      case (k, v) if k != "class" && v.forall(_.isDigit) && v.nonEmpty => v.toInt
+    }
+    if (factors.isEmpty) None else Some(factors.sum)
   }
 
   /**
@@ -139,7 +156,22 @@ object DriverClusterInfo {
           s"WHERE keyspace_name = '$keyspace' AND table_name = '$table'").map { r =>
         ColumnRow(str(r, "column_name"), str(r, "kind"), int(r, "position"))
       }
-      fromSystemRows(partitioner, localNode +: peers, cols)
+      // the keyspace's replication options — the same data describe_ring
+      // reflects into per-range endpoint lists in the reference
+      // (ExternalSSTableLoaderClient.java:57-137)
+      val repl = rows(
+        "SELECT replication FROM system_schema.keyspaces " +
+          s"WHERE keyspace_name = '$keyspace'").headOption.map { r =>
+        val m = call(r, "getMap",
+          Array(classOf[String], classOf[Class[_]], classOf[Class[_]]),
+          "replication", classOf[String], classOf[String])
+          .asInstanceOf[java.util.Map[String, String]]
+        val it = m.entrySet().iterator()
+        val buf = scala.collection.mutable.Map.empty[String, String]
+        while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+        buf.toMap
+      }
+      fromSystemRows(partitioner, localNode +: peers, cols, repl)
     } finally {
       call(session, "close", Array.empty[Class[_]])
       ()

@@ -163,7 +163,8 @@ final class InProcessCluster(hosts: Seq[String],
     ring: Map[String, Seq[Long]] = Map.empty,
     partitioner: String = graft.core.CassandraParams.Murmur3Partitioner,
     tableColumns: Seq[String] = Nil,
-    keyIndexes: Seq[Int] = Seq(0)) {
+    keyIndexes: Seq[Int] = Seq(0),
+    replicationFactor: Option[Int] = None) {
 
   final case class Received(host: String, dataFile: String, rows: Long,
       bytes: Long, sortedOk: Boolean)
@@ -294,8 +295,9 @@ final class InProcessCluster(hosts: Seq[String],
       s"""{"host": "$h", "tokens": [$toks]}"""
     }.mkString("[", ", ", "]")
     val cols = tableColumns.map(c => s""""$c"""").mkString("[", ", ", "]")
+    val rfField = replicationFactor.fold("")(n => s""", "rf": $n""")
     s"""{"partitioner": "$partitioner", "nodes": $nodesJson, """ +
-      s""""columns": $cols, "key_indexes": [${keyIndexes.mkString(", ")}]}"""
+      s""""columns": $cols, "key_indexes": [${keyIndexes.mkString(", ")}]$rfField}"""
   }
 }
 

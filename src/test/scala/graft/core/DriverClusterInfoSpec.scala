@@ -44,6 +44,49 @@ class DriverClusterInfoSpec extends AnyFunSuite {
     assert(info.partitionKeyIndexes.toSeq === Seq(0))
   }
 
+  test("replication map resolves to a total replica count") {
+    // SimpleStrategy: the factor is `replication_factor`
+    assert(DriverClusterInfo.replicationFactorOf(Map(
+      "class" -> "org.apache.cassandra.locator.SimpleStrategy",
+      "replication_factor" -> "3")) === Some(3))
+    // NetworkTopologyStrategy: one factor per DC, total = sum (every
+    // replica must receive its range's stream)
+    assert(DriverClusterInfo.replicationFactorOf(Map(
+      "class" -> "org.apache.cassandra.locator.NetworkTopologyStrategy",
+      "dc1" -> "3", "dc2" -> "2")) === Some(5))
+    // no numeric factors -> None (planner falls back loudly)
+    assert(DriverClusterInfo.replicationFactorOf(Map(
+      "class" -> "org.apache.cassandra.locator.SimpleStrategy")) === None)
+    assert(DriverClusterInfo.replicationFactorOf(Map(
+      "class" -> "x", "replication_factor" -> "not-a-number")) === None)
+  }
+
+  test("fromSystemRows threads the replication map into ClusterInfo") {
+    val info = DriverClusterInfo.fromSystemRows(m3,
+      Seq(NodeRow("h", Seq("1"))), Nil,
+      replication = Some(Map("class" -> "SimpleStrategy", "replication_factor" -> "3")))
+    assert(info.replicationFactor === Some(3))
+    val none = DriverClusterInfo.fromSystemRows(m3, Seq(NodeRow("h", Seq("1"))), Nil)
+    assert(none.replicationFactor === None)
+  }
+
+  test("ring JSON rf field round-trips through fromJsonString") {
+    val info = StaticClusterInfo.fromJsonString(
+      """{"partitioner": "org.apache.cassandra.dht.Murmur3Partitioner",
+        | "rf": 3,
+        | "nodes": [{"host": "h1", "tokens": [0]}]}""".stripMargin)
+    assert(info.replicationFactor === Some(3))
+    val absent = StaticClusterInfo.fromJsonString(
+      """{"partitioner": "org.apache.cassandra.dht.Murmur3Partitioner",
+        | "nodes": [{"host": "h1", "tokens": [0]}]}""".stripMargin)
+    assert(absent.replicationFactor === None)
+    intercept[IllegalArgumentException] {
+      StaticClusterInfo.fromJsonString(
+        """{"partitioner": "org.apache.cassandra.dht.Murmur3Partitioner",
+          | "rf": 0, "nodes": [{"host": "h1", "tokens": [0]}]}""".stripMargin)
+    }
+  }
+
   test("empty node list is rejected") {
     intercept[IllegalArgumentException] {
       DriverClusterInfo.fromSystemRows(m3, Nil, Nil)
