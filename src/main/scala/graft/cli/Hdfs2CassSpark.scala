@@ -154,7 +154,12 @@ object Hdfs2CassSpark {
       // compressed write with a ring file simply skips plan emission —
       // the require above already bars --stream-endpoints in that case.
       val planOpt = info match {
-        case s: StaticClusterInfo if s.ring.nonEmpty && params.compressionClass.isEmpty =>
+        // "has a ring" means actual vnode tokens — RandomPartitioner
+        // metadata legitimately lists nodes with empty token lists (md5
+        // tokens don't fit the Long ring format), and there is no Long
+        // token ring to plan streams against
+        case s: StaticClusterInfo
+            if s.ring.exists(_._2.nonEmpty) && params.compressionClass.isEmpty =>
           val nodes = s.ring.map { case (h, ts) => LoaderPlan.RingNode(h, ts) }
           // rf precedence: replication= URI override, else the rf the
           // cluster metadata reports (ring JSON field / socket payload /
@@ -180,7 +185,7 @@ object Hdfs2CassSpark {
             java.nio.file.Paths.get(args.sinkDir, "_STREAM_PLAN.json"),
             json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           Some(plan)
-        case s: StaticClusterInfo if s.ring.nonEmpty =>
+        case s: StaticClusterInfo if s.ring.exists(_._2.nonEmpty) =>
           // ring metadata + compressionclass: the write itself is fine, but
           // say out loud that the plan was dropped — a silent skip reads as
           // "my load is ready to stream" when it is not

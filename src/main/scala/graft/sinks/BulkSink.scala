@@ -65,6 +65,19 @@ object BulkSink {
     }
   }
 
+  /** RandomPartitioner ring-bucket partitioner: keys carry canonical
+    * 16-byte md5 tokens; buckets are the reference's ceil(2^127/n) ranges
+    * (CassandraParams.java:297-316), permuted like the Murmur3 path. */
+  final class RandomRingPartitioner(n: Int, seed: Long = DefaultSlotSeed) extends Partitioner {
+    require(n > 0)
+    private val perm = slotPermutation(n, seed)
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key match {
+      case (token: Array[Byte], _) => perm(CassandraTokens.randomBucketOfTokenBytes(token, n))
+      case other => throw new IllegalArgumentException(s"bad key: $other")
+    }
+  }
+
   /**
    * `distributerandomly` partitioner: spreads rows over partitions with no
    * correlation to ring position, the reference's load-balance escape hatch
@@ -93,14 +106,26 @@ object BulkSink {
     (a: (Long, Array[Byte]), b: (Long, Array[Byte])) =>
       CassandraTokens.compareDecorated(a._1, a._2, b._1, b._2)
 
+  /** RandomPartitioner decorated-key order: 16-byte md5 token (unsigned
+    * lexicographic = numeric), then unsigned key bytes. */
+  val randomDecoratedOrdering: Ordering[(Array[Byte], Array[Byte])] =
+    (a: (Array[Byte], Array[Byte]), b: (Array[Byte], Array[Byte])) => {
+      val c = CassandraTokens.compareUnsigned(a._1, b._1)
+      if (c != 0) c else CassandraTokens.compareUnsigned(a._2, b._2)
+    }
+
   /** `bytes` is the LOGICAL record-stream size (what a re-parse yields);
     * `physicalBytes` is the on-disk size (what a transfer costs) — they
     * differ only for compressed runs, whose `indexFile` is empty
-    * (sequential-only format, ADR 0001). -1 = written by a pre-r8 job. */
+    * (sequential-only format, ADR 0001). -1 = written by a pre-r8 job.
+    * RandomPartitioner runs carry their md5 token range as 32-char hex in
+    * `minTokenHex`/`maxTokenHex` (md5 tokens reach 2^127 and overflow the
+    * Long fields, which such runs pin to the full range so Long-token
+    * pruning keeps them); empty hex = a Murmur3 run. */
   final case class PartitionManifest(
       partition: Int, rows: Long, bytes: Long, minToken: Long, maxToken: Long,
       sorted: Boolean, dataFile: String, indexFile: String, codec: String = "none",
-      physicalBytes: Long = -1L)
+      physicalBytes: Long = -1L, minTokenHex: String = "", maxTokenHex: String = "")
 
   /**
    * Write `df` as sorted per-token-range runs under `outDir`.
@@ -118,15 +143,12 @@ object BulkSink {
     // resolve the codec DRIVER-side so a typo'd compressionclass fails
     // before the shuffle runs, not in task 0 of the write stage
     val codec = compression.map(SortedRunWriter.normalizeCodec)
-    // This RDD path (RingPartitioner buckets, Long-token manifests, the
-    // decorated ordering) is Murmur3 end-to-end. Refuse anything else
-    // loudly — silently bucketing/sorting a RandomPartitioner cluster's
-    // load with Murmur3 math would stream misplaced, misordered runs.
-    // RandomPartitioner loads go through alignToRing(partitionerClass=...)
-    // + the DSv2 provider, which dispatch on the declared partitioner.
-    require(partitionerClass == graft.core.CassandraParams.Murmur3Partitioner,
-      s"writeSorted supports only Murmur3Partitioner (got $partitionerClass); " +
-        "use CqlPipeline.alignToRing + the DSv2 sink for RandomPartitioner rings")
+    val isRandom = partitionerClass match {
+      case graft.core.CassandraParams.Murmur3Partitioner => false
+      case graft.core.CassandraParams.RandomPartitioner  => true
+      case other => throw new IllegalArgumentException(
+        s"unknown partitioner class: $other")
+    }
     val schema = df.schema
     val keyIdx = keyCols.map(schema.fieldIndex).toArray
     val serializers: Array[Row => Array[Byte]] =
@@ -134,46 +156,73 @@ object BulkSink {
 
     Files.createDirectories(Paths.get(outDir))
 
-    val keyed = df.rdd.map { row =>
-      val comps = keyIdx.map(i => serializers(i)(row))
-      val pk = if (comps.length == 1) comps(0) else CqlValueCodec.composite(comps)
-      val token = CassandraTokens.token(pk)
-      val value = encodeRow(row, serializers)
-      ((token, pk), value)
-    }
-
     // distributerandomly changes ONLY the routing; the shuffle still sorts
     // every partition in decorated-key order, so both paths emit valid
     // sorted runs — random ones just span the full token range (their
     // manifests say so, and the stream plan fans them to all replicas)
-    val partitioner: Partitioner =
-      if (distributeRandomly) new RandomSpreadPartitioner(numBuckets)
-      else new RingPartitioner(numBuckets)
-    val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
-
-    val manifests = aligned.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(writePartition(outDir, pid, it, indexInterval, codec))
-    }.collect().toSeq
+    val manifests: Seq[PartitionManifest] = if (isRandom) {
+      // RandomPartitioner (CassandraPartitioner.java:46-47,63-72): tokens
+      // are abs(md5(key)) carried as canonical 16-byte big-endian values,
+      // bucketed by ceil(2^127/n) ranges, sorted unsigned-lexicographic
+      // (= numeric md5 token order)
+      val keyed = df.rdd.map { row =>
+        val comps = keyIdx.map(i => serializers(i)(row))
+        val pk = if (comps.length == 1) comps(0) else CqlValueCodec.composite(comps)
+        ((CassandraTokens.md5TokenBytes(pk), pk), encodeRow(row, serializers))
+      }
+      val partitioner: Partitioner =
+        if (distributeRandomly) new RandomSpreadPartitioner(numBuckets)
+        else new RandomRingPartitioner(numBuckets)
+      // the ordered-RDD conversion needs the key Ordering implicitly
+      implicit val ord: Ordering[(Array[Byte], Array[Byte])] = randomDecoratedOrdering
+      val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
+      aligned.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(writeRandomPartition(outDir, pid, it, codec))
+      }.collect().toSeq
+    } else {
+      val keyed = df.rdd.map { row =>
+        val comps = keyIdx.map(i => serializers(i)(row))
+        val pk = if (comps.length == 1) comps(0) else CqlValueCodec.composite(comps)
+        val token = CassandraTokens.token(pk)
+        val value = encodeRow(row, serializers)
+        ((token, pk), value)
+      }
+      val partitioner: Partitioner =
+        if (distributeRandomly) new RandomSpreadPartitioner(numBuckets)
+        else new RingPartitioner(numBuckets)
+      val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
+      aligned.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(writePartition(outDir, pid, it, indexInterval, codec))
+      }.collect().toSeq
+    }
 
     val json = manifests.map(manifestJson).mkString("[", ",", "]")
     Files.write(Paths.get(outDir, "_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
     manifests
   }
 
-  /** One manifest entry as JSON (shared by the RDD and DSv2 sinks). */
-  def manifestJson(m: PartitionManifest): String =
+  /** One manifest entry as JSON (shared by the RDD and DSv2 sinks). The
+    * hex token-range fields appear only for RandomPartitioner runs. */
+  def manifestJson(m: PartitionManifest): String = {
+    val hexFields =
+      if (m.minTokenHex.isEmpty) ""
+      else s""""minTokenHex":"${m.minTokenHex}","maxTokenHex":"${m.maxTokenHex}","""
     s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
       s""""physicalBytes":${m.physicalBytes},""" +
+      hexFields +
       s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":${m.sorted},""" +
       s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}","codec":"${m.codec}"}"""
+  }
 
   private val ManifestEntryRe =
     ("""\{"partition":(-?\d+),"rows":(\d+),"bytes":(\d+),(?:"physicalBytes":(-?\d+),)?""" +
+      """(?:"minTokenHex":"([0-9a-f]*)","maxTokenHex":"([0-9a-f]*)",)?""" +
       """"minToken":(-?\d+),"maxToken":(-?\d+),"sorted":(true|false),""" +
       """"dataFile":"([^"]+)","indexFile":"([^"]*)","codec":"([^"]+)"\}""").r
 
-  /** Parse a _MANIFEST.json written by either sink (the physicalBytes
-    * field is absent in pre-r8 manifests). Empty if the file is missing. */
+  /** Parse a _MANIFEST.json written by either sink (the physicalBytes and
+    * hex token-range fields are absent in older manifests). Empty if the
+    * file is missing. */
   def readManifests(dir: java.io.File): Seq[PartitionManifest] = {
     val mf = new java.io.File(dir, "_MANIFEST.json")
     if (!mf.exists()) Nil
@@ -181,9 +230,11 @@ object BulkSink {
       val json = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
       ManifestEntryRe.findAllMatchIn(json).map { g =>
         PartitionManifest(g.group(1).toInt, g.group(2).toLong, g.group(3).toLong,
-          g.group(5).toLong, g.group(6).toLong, g.group(7).toBoolean,
-          g.group(8), g.group(9), g.group(10),
-          physicalBytes = Option(g.group(4)).map(_.toLong).getOrElse(-1L))
+          g.group(7).toLong, g.group(8).toLong, g.group(9).toBoolean,
+          g.group(10), g.group(11), g.group(12),
+          physicalBytes = Option(g.group(4)).map(_.toLong).getOrElse(-1L),
+          minTokenHex = Option(g.group(5)).getOrElse(""),
+          maxTokenHex = Option(g.group(6)).getOrElse(""))
       }.toSeq
     }
   }
@@ -199,6 +250,20 @@ object BulkSink {
       while (it.hasNext) {
         val ((token, key), value) = it.next()
         writer.add(token, key, value)
+      }
+      writer.close()
+    } catch { case e: Throwable => writer.abort(); throw e }
+  }
+
+  /** RandomPartitioner variant: keys arrive as canonical md5 token bytes. */
+  private def writeRandomPartition(outDir: String, pid: Int,
+      it: Iterator[((Array[Byte], Array[Byte]), Array[Byte])],
+      codec: Option[String]): PartitionManifest = {
+    val writer = new SortedRunWriter(outDir, pid, compression = codec, randomTokens = true)
+    try {
+      while (it.hasNext) {
+        val ((token, key), value) = it.next()
+        writer.addRandom(token, key, value)
       }
       writer.close()
     } catch { case e: Throwable => writer.abort(); throw e }

@@ -20,16 +20,30 @@ import graft.core.CassandraTokens
  * only format (ADR 0001); the manifest records both logical `bytes`
  * (record stream size, what a re-parse produces) and `physicalBytes`
  * (on-disk size, what a transfer costs).
+ *
+ * `randomTokens = true` switches the writer to RandomPartitioner mode
+ * (the reference serves both partitioners through one writer,
+ * CassandraPartitioner.java:46-47): rows arrive keyed by canonical
+ * 16-byte md5 tokens via `addRandom`, order is checked in md5
+ * decorated-key order, and the manifest carries the token range as hex
+ * (`minTokenHex`/`maxTokenHex` — md5 tokens reach 2^127 and overflow the
+ * Long fields, which are pinned to the full Murmur3 range so Long-token
+ * pruning never wrongly drops a random run). No Index.db is written:
+ * the sparse-index format speaks Long tokens and no reader can seek by
+ * md5 token yet — an unusable index would be a trap, same reasoning as
+ * the compressed carve-out.
  */
 final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
-    compression: Option[String] = None) {
+    compression: Option[String] = None, randomTokens: Boolean = false) {
   /** Normalized codec id ("none"/"deflate"/"lz4"/"snappy"/"zstd"); fails
     * fast on an unknown compressionclass before any file is created. */
   val codec: String = compression.map(SortedRunWriter.normalizeCodec).getOrElse("none")
   val dataName = f"graft-$pid%05d-Data.db"
-  /** Empty for compressed runs — logical offsets cannot seek into
-    * compressed bytes, so no index file is written at all. */
-  val indexName: String = if (codec == "none") f"graft-$pid%05d-Index.db" else ""
+  /** Empty for compressed and random-token runs — logical offsets cannot
+    * seek into compressed bytes, and the index format speaks Long tokens
+    * which md5 tokens overflow; no index file is written at all. */
+  val indexName: String =
+    if (codec == "none" && !randomTokens) f"graft-$pid%05d-Index.db" else ""
   private val dataFile = new File(outDir, dataName)
   private val indexFile = if (indexName.nonEmpty) new File(outDir, indexName) else null
   private val out = new DataOutputStream(new BufferedOutputStream(
@@ -43,6 +57,10 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
   private var maxToken = Long.MinValue
   private var prevToken = Long.MinValue
   private var prevKey: Array[Byte] = _
+  // random-token mode state: canonical 16-byte md5 tokens
+  private var minTokenB: Array[Byte] = _
+  private var maxTokenB: Array[Byte] = _
+  private var prevTokenB: Array[Byte] = _
 
   /** Running counters for live progress metrics (DSv2 CustomTaskMetric). */
   def rowsSoFar: Long = rows
@@ -51,27 +69,64 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
   def maxTokenSoFar: Long = maxToken
 
   def add(token: Long, key: Array[Byte], value: Array[Byte]): Unit = {
+    require(!randomTokens, "random-token writer: use addRandom(tokenBytes, ...)")
     if (prevKey != null &&
         CassandraTokens.compareDecorated(prevToken, prevKey, token, key) > 0)
       throw new IllegalStateException(
         s"partition $pid input not in decorated-key order at row $rows")
     if (idx != null && rows % indexInterval == 0) { idx.writeLong(token); idx.writeLong(offset) }
-    out.writeShort(key.length)
-    out.write(key)
-    out.writeInt(value.length)
-    out.write(value)
-    offset += 2 + key.length + 4 + value.length
+    writeRecord(key, value)
     if (token < minToken) minToken = token
     if (token > maxToken) maxToken = token
     prevToken = token; prevKey = key
     rows += 1
   }
 
+  /** RandomPartitioner-mode append: `token` is the canonical 16-byte
+    * big-endian md5 token (CassandraTokens.md5TokenBytes). */
+  def addRandom(token: Array[Byte], key: Array[Byte], value: Array[Byte]): Unit = {
+    require(randomTokens, "Murmur3 writer: use add(token, ...)")
+    require(token.length == 16, s"md5 token must be 16 bytes, got ${token.length}")
+    if (prevKey != null && {
+        val c = CassandraTokens.compareUnsigned(prevTokenB, token)
+        c > 0 || (c == 0 && CassandraTokens.compareUnsigned(prevKey, key) > 0)
+      })
+      throw new IllegalStateException(
+        s"partition $pid input not in md5 decorated-key order at row $rows")
+    writeRecord(key, value)
+    if (minTokenB == null || CassandraTokens.compareUnsigned(token, minTokenB) < 0)
+      minTokenB = token
+    if (maxTokenB == null || CassandraTokens.compareUnsigned(token, maxTokenB) > 0)
+      maxTokenB = token
+    prevTokenB = token; prevKey = key
+    rows += 1
+  }
+
+  private def writeRecord(key: Array[Byte], value: Array[Byte]): Unit = {
+    out.writeShort(key.length)
+    out.write(key)
+    out.writeInt(value.length)
+    out.write(value)
+    offset += 2 + key.length + 4 + value.length
+  }
+
   def close(): BulkSink.PartitionManifest = {
     out.close(); if (idx != null) idx.close()
-    BulkSink.PartitionManifest(pid, rows, offset, minToken, maxToken,
-      sorted = true, dataName, indexName, codec,
-      physicalBytes = dataFile.length())
+    if (randomTokens) {
+      // Long token fields span the full Murmur3 range so a Long-token
+      // consumer treats the run as "could contain anything" (conservative);
+      // the real md5 range rides in hex
+      def hex(b: Array[Byte]): String =
+        if (b == null) "" else b.map(x => f"$x%02x").mkString
+      BulkSink.PartitionManifest(pid, rows, offset,
+        Long.MinValue, Long.MaxValue,
+        sorted = true, dataName, indexName, codec,
+        physicalBytes = dataFile.length(),
+        minTokenHex = hex(minTokenB), maxTokenHex = hex(maxTokenB))
+    } else
+      BulkSink.PartitionManifest(pid, rows, offset, minToken, maxToken,
+        sorted = true, dataName, indexName, codec,
+        physicalBytes = dataFile.length())
   }
 
   def abort(): Unit = {

@@ -129,6 +129,13 @@ final class GraftBulkWriterFactory(path: String, schema: StructType,
  * Per-task sorted-run writer over InternalRow (no Row conversion — reads
  * Tungsten values directly). Aux columns (_pk/_token/_bucket) route; all
  * other columns serialize into the value payload with the CQL wire codec.
+ *
+ * The `_token` column's TYPE selects the partitioner (the reference loads
+ * the partitioner reflectively and handles both LongToken and
+ * BigIntegerToken, CassandraPartitioner.java:46-47): LongType = Murmur3,
+ * BinaryType = RandomPartitioner canonical 16-byte md5 tokens (from
+ * graft.functions.cassandra_random_token — their unsigned sort IS numeric
+ * token order, so the writer-required `_token` ordering stays valid).
  */
 final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
     codec: Option[String] = None) extends DataWriter[InternalRow] {
@@ -139,12 +146,20 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
   private val valueFields: Array[(Int, DataType)] = schema.fields.zipWithIndex
     .collect { case (f, i) if !aux.contains(i) => (i, f.dataType) }
 
-  private val writer = new SortedRunWriter(path, pid, compression = codec)
+  private val randomTokens = schema.fields(tokenIdx).dataType match {
+    case LongType   => false
+    case BinaryType => true
+    case other => throw new IllegalArgumentException(
+      s"_token must be LongType (Murmur3) or BinaryType (RandomPartitioner md5), got $other")
+  }
+
+  private val writer =
+    new SortedRunWriter(path, pid, compression = codec, randomTokens = randomTokens)
 
   override def write(row: InternalRow): Unit = {
     val pk = row.getBinary(pkIdx)
-    val token = row.getLong(tokenIdx)
-    writer.add(token, pk, encodeValues(row))
+    if (randomTokens) writer.addRandom(row.getBinary(tokenIdx), pk, encodeValues(row))
+    else writer.add(row.getLong(tokenIdx), pk, encodeValues(row))
   }
 
   private def encodeValues(row: InternalRow): Array[Byte] = {

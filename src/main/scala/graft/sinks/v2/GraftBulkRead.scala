@@ -61,7 +61,13 @@ object GraftBulkRead {
                 indexSeek(new File(dir, m.indexFile), l)
               case _ => 0L
             }
-            Some(PlannedSplit(f.getAbsolutePath, m.codec, start, hiBound))
+            // RandomPartitioner runs (hex token range in the manifest) are
+            // md5-sorted, NOT murmur3-sorted: the reader's early-stop on
+            // recomputed murmur3 tokens would truncate them mid-file, so
+            // they always read to EOF (their Long range is pinned full-ring,
+            // so the bounds above never prune them either)
+            val effectiveHi = if (m.minTokenHex.nonEmpty) Long.MaxValue else hiBound
+            Some(PlannedSplit(f.getAbsolutePath, m.codec, start, effectiveHi))
           }
         case None => Some(PlannedSplit(f.getAbsolutePath, "none", 0L, hiBound))
       }

@@ -578,6 +578,79 @@ class IntegrationSpec extends AnyFunSuite {
     } finally cluster.stop()
   }
 
+  test("CLI RandomPartitioner ring file loads end-to-end: md5-token manifests, order verified") {
+    // the reference CLI serves both partitioners
+    // (CassandraPartitioner.java:46-47,63-72); a RandomPartitioner cluster's
+    // metadata (ring-less: md5 vnode tokens don't fit the Long ring format)
+    // must produce sorted runs in md5 decorated-key order
+    import graft.core.CassandraTokens
+    import graft.sinks.BulkSink
+    val out = Files.createTempDirectory("graft-cli-randpart").toString
+    val ringJson = Files.createTempFile("ring-rand", ".json")
+    Files.write(ringJson,
+      """{"partitioner": "org.apache.cassandra.dht.RandomPartitioner",
+        | "nodes": [{"host": "cass-1", "tokens": []},
+        |           {"host": "cass-2", "tokens": []}],
+        | "columns": ["rowkey", "v"], "key_indexes": [0]}""".stripMargin.getBytes)
+    val manifests = Hdfs2CassSpark.run(spark, Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://seed/ks/orders?reducers=4",
+      "--rowkey", "o_orderkey",
+      "--cluster-info", ringJson.toString,
+      "--sink-dir", out)))
+    assert(manifests.map(_.rows).sum === 1500)
+    // manifests carry the md5 token range as hex; the Long fields are
+    // pinned full-ring so Long-token pruning never drops the runs
+    manifests.filter(_.rows > 0).foreach { m =>
+      assert(m.minTokenHex.matches("[0-9a-f]{32}"), s"bad minTokenHex: ${m.minTokenHex}")
+      assert(m.maxTokenHex.matches("[0-9a-f]{32}"))
+      assert(m.minTokenHex <= m.maxTokenHex)
+      assert(m.minToken === Long.MinValue && m.maxToken === Long.MaxValue)
+      assert(m.indexFile.isEmpty, "random runs must not emit an (unseekable) Index.db")
+    }
+    // hex round-trips through _MANIFEST.json
+    val reread = BulkSink.readManifests(new java.io.File(out)).filter(_.rows > 0)
+    assert(reread.map(m => (m.dataFile, m.minTokenHex, m.maxTokenHex)).sorted ===
+      manifests.filter(_.rows > 0).map(m => (m.dataFile, m.minTokenHex, m.maxTokenHex)).sorted)
+    // read each run back: rows must be in md5 decorated-key order, the
+    // manifest's hex range must match the observed extremes, and ring
+    // buckets must match the reference's ceil(2^127/n) ranges
+    val perm = BulkSink.slotPermutation(4)
+    manifests.filter(_.rows > 0).foreach { m =>
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(new java.io.File(out, m.dataFile))))
+      var prevKey: Array[Byte] = null
+      var first: Array[Byte] = null
+      var last: Array[Byte] = null
+      var rows = 0L
+      try {
+        var eof = false
+        while (!eof) {
+          val b0 = in.read()
+          if (b0 < 0) eof = true
+          else {
+            val klen = (b0 << 8) | in.readUnsignedByte()
+            val key = new Array[Byte](klen); in.readFully(key)
+            val vlen = in.readInt(); in.skipBytes(vlen)
+            if (prevKey != null)
+              assert(CassandraTokens.compareRandomDecorated(prevKey, key) <= 0,
+                s"${m.dataFile} not in md5 decorated order at row $rows")
+            val tok = CassandraTokens.md5TokenBytes(key)
+            if (first == null) first = tok
+            last = tok
+            // the routing bucket matches the manifest's partition slot
+            assert(perm(CassandraTokens.randomBucketOfTokenBytes(tok, 4)) === m.partition)
+            prevKey = key; rows += 1
+          }
+        }
+      } finally in.close()
+      assert(rows === m.rows)
+      def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+      assert(hex(first) === m.minTokenHex)
+      assert(hex(last) === m.maxTokenHex)
+    }
+  }
+
   test("reference README walkthrough: SongStream avro through the CLI") {
     import org.apache.avro.SchemaBuilder
     import org.apache.avro.file.DataFileWriter

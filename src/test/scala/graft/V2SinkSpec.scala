@@ -249,6 +249,48 @@ class V2SinkSpec extends AnyFunSuite {
     assert(pruned.numRows.getAsLong > 0)
   }
 
+  test("v2 sink writes RandomPartitioner runs when _token is binary (md5)") {
+    import graft.functions.{cassandra_random_token, random_token_bucket}
+    import graft.sinks.BulkSink
+    val out = Files.createTempDirectory("graft-v2-random").toString
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("_pk", partition_key(col("o_orderkey")))
+      .withColumn("_token", cassandra_random_token(col("_pk")))
+      .withColumn("_bucket", random_token_bucket(col("_token"), 4))
+      .write.format("graft-bulk")
+      .option("path", out).option("buckets", "4").mode("append").save()
+    val ms = BulkSink.readManifests(new java.io.File(out)).filter(_.rows > 0)
+    assert(ms.nonEmpty && ms.map(_.rows).sum === 1500)
+    ms.foreach { m =>
+      assert(m.minTokenHex.matches("[0-9a-f]{32}"))
+      assert(m.indexFile.isEmpty)
+    }
+    // runs are md5-decorated-sorted on disk
+    ms.foreach { m =>
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(new java.io.File(out, m.dataFile))))
+      var prev: Array[Byte] = null
+      try {
+        while (in.available() > 0) {
+          val klen = in.readUnsignedShort()
+          val key = new Array[Byte](klen); in.readFully(key)
+          in.skipBytes(in.readInt())
+          if (prev != null)
+            assert(CassandraTokens.compareRandomDecorated(prev, key) <= 0,
+              s"unsorted random run ${m.dataFile}")
+          prev = key
+        }
+      } finally in.close()
+    }
+    // a murmur3 token-range read over a random directory must NOT
+    // early-stop mid-file (runs aren't murmur3-sorted): counts stay exact
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.count() === 1500)
+    val mid = 0L
+    assert(back.filter(col("token") >= mid).count() ===
+      back.collect().count(_.getLong(0) >= mid))
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {
