@@ -73,6 +73,14 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
     private val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("graft-bulk requires option 'path'"))
     private val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
+    // `aligned=true`: the caller asserts the input is already clustered
+    // and decorated-key sorted per partition (the graft-bulk READ path
+    // guarantees exactly that — one sorted run per split), so no exchange
+    // or sort is required of Catalyst. Safe even when asserted wrongly:
+    // the run writer hard-verifies decorated order and throws, and runs
+    // with overlapping token ranges are a legal state of the format (the
+    // manifests record real ranges; planning handles overlap).
+    private val aligned = "true".equalsIgnoreCase(options.get("aligned"))
     // reference's compressionclass URI option; resolved at PLAN time so a
     // typo fails the query before any executor work
     private val codec = Option(options.get("compressionclass"))
@@ -85,12 +93,15 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
 
     // G1/G2: cluster rows by ring bucket (each bucket fully inside one task)
     override def requiredDistribution(): Distribution =
-      Distributions.clustered(Array(Expressions.column("_bucket")))
-    override def requiredNumPartitions(): Int = buckets
+      if (aligned) Distributions.unspecified()
+      else Distributions.clustered(Array(Expressions.column("_bucket")))
+    override def requiredNumPartitions(): Int = if (aligned) 0 else buckets
     // G3: decorated-key order inside every task
-    override def requiredOrdering(): Array[SortOrder] = Array(
-      Expressions.sort(Expressions.column("_token"), SortDirection.ASCENDING),
-      Expressions.sort(Expressions.column("_pk"), SortDirection.ASCENDING))
+    override def requiredOrdering(): Array[SortOrder] =
+      if (aligned) Array.empty
+      else Array(
+        Expressions.sort(Expressions.column("_token"), SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column("_pk"), SortDirection.ASCENDING))
 
     override def toBatch: BatchWrite = new GraftBulkBatchWrite(path, schema, codec)
 

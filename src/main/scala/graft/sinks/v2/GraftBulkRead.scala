@@ -4,7 +4,9 @@ import java.io.{BufferedInputStream, DataInputStream, EOFException, File, FileIn
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
@@ -14,9 +16,9 @@ import graft.sinks.BulkSink
 /**
  * Read path for the graft-bulk sorted-run format: each Data.db file is one
  * InputPartition (files are independent sorted runs, so parallelism =
- * partition count of the original load) streaming (token, pk, value) rows.
- * Lets a distributed verification or repair job re-scan a bulk load
- * without any driver-side file handling.
+ * partition count of the original load) streaming (token, pk, value,
+ * bucket) rows. Lets a distributed verification or repair job re-scan a
+ * bulk load without any driver-side file handling.
  *
  * Token predicates PUSH DOWN, the per-range read the reference's loader
  * does with per-range file sections (ExternalSSTableLoaderClient.java:
@@ -31,69 +33,131 @@ import graft.sinks.BulkSink
  * Columns PRUNE too: value payloads (the bulk of every record) are skipped
  * in the stream, never allocated, when the query does not read `value` —
  * a count or token histogram over a bulk directory touches only framing.
+ *
+ * The scan DECLARES what the format guarantees, so Catalyst plans around
+ * re-reads instead of re-shuffling perfectly-placed data:
+ *  - SupportsReportOrdering: every split is one decorated-key-sorted run,
+ *    so per-partition output ordering is (token ASC, pk ASC) — a write
+ *    that requires that ordering plans no Sort over it;
+ *  - SupportsReportPartitioning: every row of a split shares the split's
+ *    `bucket` (the originating ring slot), reported as key-grouped
+ *    partitioning on the `bucket` column (each split carries its key via
+ *    HasPartitionKey) — with spark.sql.sources.v2.bucketing.enabled a
+ *    per-run aggregation plans no Exchange. The ring-bucket FUNCTION
+ *    itself (unsigned token ranges + slot permutation) is not a Catalyst
+ *    partitioning, so token-derived clusterings still exchange; the
+ *    bucket column is the declared, checkable surface.
  */
 object GraftBulkRead {
   val schema: StructType = StructType(Seq(
     StructField("token", LongType, nullable = false),
     StructField("pk", BinaryType, nullable = false),
-    StructField("value", BinaryType, nullable = false)))
+    StructField("value", BinaryType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false)))
 
   /** One planned file read: start at `startOffset` (0 unless an index
-    * seek applies), stop after the first token above `hiBound`. */
+    * seek applies), stop after the first token above `hiBound`.
+    * `estRows`/`estBytes` pro-rate the manifest totals to the pushed
+    * token band via the sparse index (whole-run totals when no index
+    * can narrow them); `bucket` is the originating ring slot (-1 when
+    * unknown: pre-manifest dirs with unparseable names). */
   final case class PlannedSplit(file: String, codec: String,
-      startOffset: Long, hiBound: Long)
+      startOffset: Long, hiBound: Long, bucket: Int = -1,
+      estRows: Long = 0L, estBytes: Long = 0L)
 
-  /** Plan the splits a scan needs given an optional token range [lo, hi],
-    * both inclusive. Files without a manifest entry (pre-manifest dirs)
-    * full-scan uncompressed. */
+  private val RunNameRe = """graft-(\d+)-Data\.db""".r
+
+  /**
+   * Plan the splits a scan needs given an optional token range [lo, hi],
+   * both inclusive. Files without a manifest entry (pre-manifest dirs)
+   * full-scan uncompressed. ONE manifest read and at most one index read
+   * per run serve pruning, seeking, and statistics alike.
+   */
   def planSplits(dir: File, lo: Option[Long], hi: Option[Long]): Seq[PlannedSplit] = {
     val manifests = BulkSink.readManifests(dir).map(m => m.dataFile -> m).toMap
     val hiBound = hi.getOrElse(Long.MaxValue)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith("-Data.db")).sortBy(_.getName)
+    def bucketOf(name: String): Int = name match {
+      case RunNameRe(pid) => pid.toInt
+      case _              => -1
+    }
     files.iterator.flatMap { f =>
       manifests.get(f.getName) match {
         case Some(m) =>
           if (m.rows == 0 || lo.exists(_ > m.maxToken) || hi.exists(_ < m.minToken)) None
           else {
-            val start = lo match {
-              case Some(l) if m.codec == "none" && m.indexFile.nonEmpty =>
-                indexSeek(new File(dir, m.indexFile), l)
-              case _ => 0L
-            }
+            // the whole run is inside the band -> totals are exact, no
+            // index read needed; otherwise one index pass yields both the
+            // seek offset and the in-band entry fraction
+            val bandCovers =
+              lo.forall(_ <= m.minToken) && hi.forall(_ >= m.maxToken)
+            val (start, estRows, estBytes) =
+              if (bandCovers) (0L, m.rows, m.bytes)
+              else if (m.codec == "none" && m.indexFile.nonEmpty) {
+                val (off, frac) = indexSeekAndFraction(
+                  new File(dir, m.indexFile), lo, hi.filter(_ != Long.MaxValue))
+                (if (lo.isDefined) off else 0L,
+                  math.max(1L, math.ceil(m.rows * frac).toLong),
+                  math.max(1L, math.ceil(m.bytes * frac).toLong))
+              } else (0L, m.rows, m.bytes)
             // RandomPartitioner runs (hex token range in the manifest) are
             // md5-sorted, NOT murmur3-sorted: the reader's early-stop on
             // recomputed murmur3 tokens would truncate them mid-file, so
             // they always read to EOF (their Long range is pinned full-ring,
             // so the bounds above never prune them either)
             val effectiveHi = if (m.minTokenHex.nonEmpty) Long.MaxValue else hiBound
-            Some(PlannedSplit(f.getAbsolutePath, m.codec, start, effectiveHi))
+            Some(PlannedSplit(f.getAbsolutePath, m.codec, start, effectiveHi,
+              m.partition, estRows, estBytes))
           }
-        case None => Some(PlannedSplit(f.getAbsolutePath, "none", 0L, hiBound))
+        case None =>
+          Some(PlannedSplit(f.getAbsolutePath, "none", 0L, hiBound,
+            bucketOf(f.getName), estRows = 0L, estBytes = f.length()))
       }
     }.toSeq
   }
 
+  /** True when every manifested run is a Murmur3 run (md5-sorted
+    * RandomPartitioner runs are not token-sorted for the reader). */
+  def murmur3Sorted(dir: File): Boolean =
+    BulkSink.readManifests(dir).forall(_.minTokenHex.isEmpty)
+
   /**
-   * Offset of the LAST sparse-index entry with token strictly below `lo`.
-   * Rows before that entry all have token <= its token < lo, so starting
-   * there cannot drop a match; strictness matters because rows equal to
-   * an entry's token can precede the entry.
+   * One pass over a sparse index: the seek offset (offset of the LAST
+   * entry with token strictly below `lo` — rows before it all have
+   * token <= its token < lo, so starting there cannot drop a match;
+   * strictness matters because rows equal to an entry's token can
+   * precede the entry) and the fraction of entries inside [lo, hi]
+   * (with one neighbor on each open side, since rows between two
+   * entries can still match — keeps the estimate an over- not
+   * under-count at index granularity).
    */
-  private def indexSeek(idxFile: File, lo: Long): Long = {
-    if (!idxFile.exists()) return 0L
+  private def indexSeekAndFraction(idxFile: File, lo: Option[Long],
+      hi: Option[Long]): (Long, Double) = {
+    if (!idxFile.exists()) return (0L, 1.0)
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(idxFile), 1 << 14))
     try {
       var best = 0L
+      var total = 0L
+      var within = 0L
+      var sawBelow = false // an entry below lo exists -> count one neighbor
+      var sawAbove = false
+      val loB = lo.getOrElse(Long.MinValue)
+      val hiB = hi.getOrElse(Long.MaxValue)
       var done = false
       while (!done) {
         try {
           val tok = in.readLong()
           val off = in.readLong()
-          if (tok < lo) best = off else done = true
+          total += 1
+          if (tok < loB) { best = off; sawBelow = true }
+          if (tok >= loB && tok <= hiB) within += 1
+          if (tok > hiB) sawAbove = true
         } catch { case _: EOFException => done = true }
       }
-      best
+      val bounded = within + (if (sawBelow) 1L else 0L) + (if (sawAbove) 1L else 0L)
+      val frac = if (total == 0) 1.0 else math.min(1.0, bounded.toDouble / total)
+      (best, frac)
     } finally in.close()
   }
 }
@@ -140,51 +204,92 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch with SupportsReportStatistics {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
+  override def build(): Scan = new GraftBulkScan(path, required, lo, hi)
+}
 
-    override def planInputPartitions(): Array[InputPartition] =
-      GraftBulkRead.planSplits(new File(path), lo, hi)
-        .map(s => GraftBulkInputPartition(s.file, s.codec, s.startOffset,
-          s.hiBound): InputPartition)
-        .toArray
+/**
+ * The planned scan. Splits are planned ONCE (lazily) and shared by
+ * partition planning, statistics, ordering, and partitioning reports.
+ */
+final class GraftBulkScan(path: String, required: StructType,
+    lo: Option[Long], hi: Option[Long])
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsReportOrdering
+    with SupportsReportPartitioning {
 
-    // manifest-derived estimates AFTER token pruning, so Catalyst can
-    // broadcast a narrowly-filtered bulk read into a join instead of
-    // shuffling both sides (logical bytes: what the scan produces)
-    override def estimateStatistics(): Statistics = {
-      val planned = GraftBulkRead.planSplits(new File(path), lo, hi)
-        .map(s => new File(s.file).getName).toSet
-      val ms = BulkSink.readManifests(new File(path)).filter(m => planned(m.dataFile))
-      if (ms.isEmpty) new Statistics {
-        override def sizeInBytes() = java.util.OptionalLong.empty()
-        override def numRows() = java.util.OptionalLong.empty()
-      } else new Statistics {
-        override def sizeInBytes() = java.util.OptionalLong.of(ms.map(_.bytes).sum)
-        override def numRows() = java.util.OptionalLong.of(ms.map(_.rows).sum)
-      }
+  private lazy val splits = GraftBulkRead.planSplits(new File(path), lo, hi)
+  private lazy val murmur3Sorted = GraftBulkRead.murmur3Sorted(new File(path))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    splits.map(s => GraftBulkInputPartition(s.file, s.codec, s.startOffset,
+      s.hiBound, s.bucket): InputPartition).toArray
+
+  // manifest-derived estimates AFTER token pruning (pro-rated into a run
+  // by its sparse index), so Catalyst can broadcast a narrowly-filtered
+  // bulk read into a join instead of shuffling both sides (logical bytes:
+  // what the scan produces)
+  override def estimateStatistics(): Statistics = {
+    val known = splits.filter(_.estRows > 0)
+    if (known.isEmpty) new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    } else new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(known.map(_.estBytes).sum)
+      override def numRows() = java.util.OptionalLong.of(known.map(_.estRows).sum)
     }
-
-    override def createReaderFactory(): PartitionReaderFactory =
-      new GraftBulkReaderFactory(required.fieldNames)
   }
+
+  // every split is one decorated-key-sorted run: (token ASC, pk ASC) per
+  // partition — valid only for Murmur3 runs (the reader reports murmur3
+  // tokens, which are unordered inside an md5-sorted random run) and only
+  // over columns that survive pruning
+  override def outputOrdering(): Array[SortOrder] = {
+    val names = required.fieldNames
+    if (!murmur3Sorted || !names.contains("token")) Array.empty
+    else {
+      val tok = Expressions.sort(Expressions.column("token"), SortDirection.ASCENDING)
+      if (names.contains("pk"))
+        Array(tok, Expressions.sort(Expressions.column("pk"), SortDirection.ASCENDING))
+      else Array(tok)
+    }
+  }
+
+  // every row of a split shares the split's ring slot: key-grouped on the
+  // `bucket` column when it survives pruning and every split knows its
+  // slot (HasPartitionKey carries the per-split key)
+  override def outputPartitioning(): Partitioning = {
+    val names = required.fieldNames
+    if (names.contains("bucket") && splits.nonEmpty && splits.forall(_.bucket >= 0))
+      new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), splits.length)
+    else new UnknownPartitioning(splits.length)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBulkReaderFactory(required.fieldNames)
 }
 
 final case class GraftBulkInputPartition(file: String, codec: String,
-    startOffset: Long = 0L, hiBound: Long = Long.MaxValue) extends InputPartition
+    startOffset: Long = 0L, hiBound: Long = Long.MaxValue, bucket: Int = -1)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucket))
+}
 
 final class GraftBulkReaderFactory(columns: Array[String] = GraftBulkRead.schema.fieldNames)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBulkInputPartition]
-    new GraftBulkPartitionReader(p.file, p.codec, p.startOffset, p.hiBound, columns)
+    new GraftBulkPartitionReader(p.file, p.codec, p.startOffset, p.hiBound,
+      columns, p.bucket)
   }
 }
 
 final class GraftBulkPartitionReader(file: String, codec: String = "none",
     startOffset: Long = 0L, hiBound: Long = Long.MaxValue,
-    columns: Array[String] = GraftBulkRead.schema.fieldNames)
+    columns: Array[String] = GraftBulkRead.schema.fieldNames,
+    bucket: Int = -1)
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new BufferedInputStream(
     graft.sinks.SortedRunWriter.decompress(codec, new FileInputStream(file)), 1 << 16))
@@ -208,9 +313,10 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
       if (token > hiBound) false
       else {
         current = new GenericInternalRow(columns.map[Any] {
-          case "token" => token
-          case "pk"    => key
-          case "value" => value
+          case "token"  => token
+          case "pk"     => key
+          case "value"  => value
+          case "bucket" => bucket
         })
         true
       }

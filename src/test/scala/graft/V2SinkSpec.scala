@@ -72,7 +72,7 @@ class V2SinkSpec extends AnyFunSuite {
     prepared(4).write.format("graft-bulk")
       .option("path", out).option("buckets", "4").mode("append").save()
     val back = spark.read.format("graft-bulk").option("path", out).load()
-    assert(back.columns.toSeq === Seq("token", "pk", "value"))
+    assert(back.columns.toSeq === Seq("token", "pk", "value", "bucket"))
     assert(back.count() === 1500)
     // tokens recompute from keys and every pk round-trips
     val bad = back.filter(cassandra_token(col("pk")) =!= col("token")).count()
@@ -289,6 +289,49 @@ class V2SinkSpec extends AnyFunSuite {
     val mid = 0L
     assert(back.filter(col("token") >= mid).count() ===
       back.collect().count(_.getLong(0) >= mid))
+  }
+
+  test("statistics pro-rate an in-run token band via the sparse index") {
+    import graft.sinks.BulkSink
+    import graft.sinks.v2.GraftBulkScanBuilder
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    // ONE run (buckets=1) so any shrink must come from inside the run,
+    // not from pruning whole files; a dense index (every 16 rows) keeps
+    // the estimate's granularity tight
+    val out = Files.createTempDirectory("graft-v2-prorate").toString
+    val ms = BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("o_orderkey"), 1, out, indexInterval = 16)
+    val m = ms.find(_.rows > 0).get
+    val toks = spark.read.format("graft-bulk").option("path", out).load()
+      .select("token").as[Long].collect().sorted
+    // a band covering the middle ~10% of rows
+    val lo = toks((toks.length * 0.45).toInt)
+    val hi = toks((toks.length * 0.55).toInt)
+    def stats(f: GraftBulkScanBuilder => Unit) = {
+      val b = new GraftBulkScanBuilder(out)
+      f(b)
+      b.build().asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    }
+    val full = stats(_ => ())
+    assert(full.numRows.getAsLong === m.rows)
+    val band = stats(_.pushFilters(Array(
+      GreaterThanOrEqual("token", lo), LessThanOrEqual("token", hi))))
+    val est = band.numRows.getAsLong
+    val actual = toks.count(t => t >= lo && t <= hi)
+    // never an under-count (a too-small estimate invites a wrong
+    // broadcast) and a real shrink vs the whole run — within index
+    // granularity of the truth
+    assert(est >= actual, s"estimate $est under-counts actual $actual")
+    assert(est <= m.rows / 2, s"estimate $est did not shrink vs ${m.rows}")
+    assert(est <= actual + 3L * 16L, s"estimate $est too far above actual $actual")
+    assert(band.sizeInBytes.getAsLong < full.sizeInBytes.getAsLong / 2)
+    // one-sided bands pro-rate too
+    val upper = stats(_.pushFilters(Array(GreaterThanOrEqual("token", lo))))
+    assert(upper.numRows.getAsLong <= m.rows * 6 / 10)
+    assert(upper.numRows.getAsLong >= toks.count(_ >= lo))
   }
 
   test("unknown compressionclass fails at plan time, loudly") {
