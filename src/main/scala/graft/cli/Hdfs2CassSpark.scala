@@ -132,12 +132,6 @@ object Hdfs2CassSpark {
         s"unknown target scheme '$other' (use cql:// or thrift://)")
     }
     {
-      // compressed runs cannot be socket-streamed (the receiver parses raw
-      // records to re-verify decorated order) — refuse the combination
-      // loudly rather than stream bytes the far side cannot check
-      require(params.compressionClass.isEmpty || args.streamEndpoints.isEmpty,
-        "compressionclass and --stream-endpoints are mutually exclusive: " +
-          "compressed runs are a directory-mode bulk format")
       // distributerandomly changes only the row->partition routing: the
       // reference keeps the within-reducer decorated-key sort either way
       // (CassandraPartitioner.java:58-60 + CassandraParams.java:291-293),
@@ -149,17 +143,16 @@ object Hdfs2CassSpark {
           compression = params.compressionClass,
           distributeRandomly = params.distributeRandomly)
       // with ring metadata present, also emit the stream plan the loader
-      // would execute (file -> replica endpoints). Compressed runs are a
-      // directory-mode-only format (planStreams refuses them), so a
-      // compressed write with a ring file simply skips plan emission —
-      // the require above already bars --stream-endpoints in that case.
+      // would execute (file -> replica endpoints). Compressed runs plan
+      // and stream like any other since chunked compression landed: the
+      // session ships the chunk map and the receiver verifies the
+      // reconstructed logical stream.
       val planOpt = info match {
         // "has a ring" means actual vnode tokens — RandomPartitioner
         // metadata legitimately lists nodes with empty token lists (md5
         // tokens don't fit the Long ring format), and there is no Long
         // token ring to plan streams against
-        case s: StaticClusterInfo
-            if s.ring.exists(_._2.nonEmpty) && params.compressionClass.isEmpty =>
+        case s: StaticClusterInfo if s.ring.exists(_._2.nonEmpty) =>
           val nodes = s.ring.map { case (h, ts) => LoaderPlan.RingNode(h, ts) }
           // rf precedence: replication= URI override, else the rf the
           // cluster metadata reports (ring JSON field / socket payload /
@@ -185,13 +178,6 @@ object Hdfs2CassSpark {
             java.nio.file.Paths.get(args.sinkDir, "_STREAM_PLAN.json"),
             json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           Some(plan)
-        case s: StaticClusterInfo if s.ring.exists(_._2.nonEmpty) =>
-          // ring metadata + compressionclass: the write itself is fine, but
-          // say out loud that the plan was dropped — a silent skip reads as
-          // "my load is ready to stream" when it is not
-          Console.err.println("[graft] compressed runs are directory-mode only; " +
-            "skipping _STREAM_PLAN.json emission (write uncompressed runs to stream them)")
-          None
         case _ => None
       }
       // execute the plan when wire addresses are given — the reference's

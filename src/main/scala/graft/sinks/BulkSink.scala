@@ -137,7 +137,8 @@ object BulkSink {
       outDir: String, indexInterval: Int = 128,
       partitionerClass: String = graft.core.CassandraParams.Murmur3Partitioner,
       compression: Option[String] = None,
-      distributeRandomly: Boolean = false)
+      distributeRandomly: Boolean = false,
+      chunkSize: Int = SortedRunWriter.DefaultChunkSize)
       : Seq[PartitionManifest] = {
     require(keyCols.nonEmpty)
     // resolve the codec DRIVER-side so a typo'd compressionclass fails
@@ -177,7 +178,7 @@ object BulkSink {
       implicit val ord: Ordering[(Array[Byte], Array[Byte])] = randomDecoratedOrdering
       val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
       aligned.mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single(writeRandomPartition(outDir, pid, it, codec))
+        Iterator.single(writeRandomPartition(outDir, pid, it, codec, chunkSize))
       }.collect().toSeq
     } else {
       val keyed = df.rdd.map { row =>
@@ -192,7 +193,7 @@ object BulkSink {
         else new RingPartitioner(numBuckets)
       val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
       aligned.mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single(writePartition(outDir, pid, it, indexInterval, codec))
+        Iterator.single(writePartition(outDir, pid, it, indexInterval, codec, chunkSize))
       }.collect().toSeq
     }
 
@@ -244,8 +245,10 @@ object BulkSink {
     * change would corrupt on unsorted input). */
   private def writePartition(outDir: String, pid: Int,
       it: Iterator[((Long, Array[Byte]), Array[Byte])],
-      indexInterval: Int, codec: Option[String]): PartitionManifest = {
-    val writer = new SortedRunWriter(outDir, pid, indexInterval, codec)
+      indexInterval: Int, codec: Option[String],
+      chunkSize: Int = SortedRunWriter.DefaultChunkSize): PartitionManifest = {
+    val writer = new SortedRunWriter(outDir, pid, indexInterval, codec,
+      chunkSize = chunkSize)
     try {
       while (it.hasNext) {
         val ((token, key), value) = it.next()
@@ -258,8 +261,10 @@ object BulkSink {
   /** RandomPartitioner variant: keys arrive as canonical md5 token bytes. */
   private def writeRandomPartition(outDir: String, pid: Int,
       it: Iterator[((Array[Byte], Array[Byte]), Array[Byte])],
-      codec: Option[String]): PartitionManifest = {
-    val writer = new SortedRunWriter(outDir, pid, compression = codec, randomTokens = true)
+      codec: Option[String],
+      chunkSize: Int = SortedRunWriter.DefaultChunkSize): PartitionManifest = {
+    val writer = new SortedRunWriter(outDir, pid, compression = codec,
+      randomTokens = true, chunkSize = chunkSize)
     try {
       while (it.hasNext) {
         val ((token, key), value) = it.next()

@@ -57,14 +57,9 @@ object LoaderPlan {
     * range it intersects ([minToken, maxToken] of the manifest). */
   def planStreams(manifests: Seq[BulkSink.PartitionManifest],
       nodes: Seq[RingNode], rf: Int): Map[String, Set[String]] = {
-    // compressed runs cannot stream: the receiving side re-parses raw
-    // records to verify decorated order and counts. Refuse at PLAN time
-    // with guidance, not mid-stream with a parse error on the far side.
-    val compressed = manifests.filter(m => m.rows > 0 && m.codec != "none")
-    require(compressed.isEmpty,
-      s"cannot plan streams for compressed runs (${compressed.map(_.dataFile).mkString(", ")}): " +
-        "compressionclass output is a directory-mode bulk format; " +
-        "write uncompressed runs to stream them")
+    // compressed runs stream too: the session ships the chunk map and the
+    // receiver verifies the reconstructed logical stream (the pre-r9
+    // refusal predates chunked compression)
     val rs = ranges(nodes, rf)
     manifests.filter(_.rows > 0).map { man =>
       val targets = rs.filter(r => intersects(man.minToken, man.maxToken, r))

@@ -1,25 +1,29 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream, InputStream, OutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream, InputStream, OutputStream}
 
 import graft.core.CassandraTokens
 
 /**
  * Append-only sorted-run file writer shared by the RDD sink (BulkSink) and
  * the DSv2 sink: `graft-<pid>-Data.db` (2-byte key len + key + 4-byte value
- * len + value) plus a sparse `Index.db` (token, offset every
+ * len + value) plus a sparse `Index.db` (token, logical offset every
  * `indexInterval` rows). Enforces the decorated-key sorted-input contract.
  *
  * `compression` takes the reference's `compressionclass` URI option
  * (CassandraParams.java:103-105 — short or fully-qualified Cassandra
- * compressor name) and compresses the DATA stream with the matching JVM
- * codec. Compressed runs get NO Index.db: index offsets are logical
- * (uncompressed) positions, and without a chunk map (Cassandra's
- * CompressionInfo.db) they cannot seek into compressed bytes — emitting
- * one would be a trap for consumers. Compressed runs are a sequential-
- * only format (ADR 0001); the manifest records both logical `bytes`
- * (record stream size, what a re-parse produces) and `physicalBytes`
- * (on-disk size, what a transfer costs).
+ * compressor name). Compressed runs are CHUNKED, mirroring Cassandra's
+ * CompressedSequentialWriter + CompressionInfo.db: the logical record
+ * stream is cut into fixed-size chunks, each compressed INDEPENDENTLY and
+ * appended to Data.db, and `graft-<pid>-Chunks.db` records one
+ * (logicalOffset, physicalOffset) pair per chunk. Independent chunks make
+ * logical offsets seekable again — binary-search the chunk map, start
+ * decompressing at the chunk's physical offset — so compressed runs now
+ * carry the same sparse Index.db as uncompressed ones, and both the
+ * graft-bulk read path and the stream loader can serve a token band of a
+ * compressed run without inflating it from byte zero. The manifest
+ * records both logical `bytes` (record stream size, what a re-parse
+ * produces) and `physicalBytes` (on-disk size, what a transfer costs).
  *
  * `randomTokens = true` switches the writer to RandomPartitioner mode
  * (the reference serves both partitioners through one writer,
@@ -30,24 +34,40 @@ import graft.core.CassandraTokens
  * Long fields, which are pinned to the full Murmur3 range so Long-token
  * pruning never wrongly drops a random run). No Index.db is written:
  * the sparse-index format speaks Long tokens and no reader can seek by
- * md5 token yet — an unusable index would be a trap, same reasoning as
- * the compressed carve-out.
+ * md5 token yet — an unusable index would be a trap.
  */
 final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
-    compression: Option[String] = None, randomTokens: Boolean = false) {
+    compression: Option[String] = None, randomTokens: Boolean = false,
+    chunkSize: Int = SortedRunWriter.DefaultChunkSize) {
+  require(chunkSize >= 1024, s"chunk size must be >= 1 KiB, got $chunkSize")
   /** Normalized codec id ("none"/"deflate"/"lz4"/"snappy"/"zstd"); fails
     * fast on an unknown compressionclass before any file is created. */
   val codec: String = compression.map(SortedRunWriter.normalizeCodec).getOrElse("none")
   val dataName = f"graft-$pid%05d-Data.db"
-  /** Empty for compressed and random-token runs — logical offsets cannot
-    * seek into compressed bytes, and the index format speaks Long tokens
-    * which md5 tokens overflow; no index file is written at all. */
-  val indexName: String =
-    if (codec == "none" && !randomTokens) f"graft-$pid%05d-Index.db" else ""
+  /** Empty for random-token runs — the index format speaks Long tokens,
+    * which md5 tokens overflow. Compressed runs DO carry an index: the
+    * chunk map makes its logical offsets seekable. */
+  val indexName: String = if (!randomTokens) f"graft-$pid%05d-Index.db" else ""
+  /** Chunk-map sidecar, compressed runs only (CompressionInfo.db analog). */
+  val chunksName: String = if (codec != "none") f"graft-$pid%05d-Chunks.db" else ""
   private val dataFile = new File(outDir, dataName)
   private val indexFile = if (indexName.nonEmpty) new File(outDir, indexName) else null
-  private val out = new DataOutputStream(new BufferedOutputStream(
-    SortedRunWriter.compress(codec, new FileOutputStream(dataFile)), 1 << 16))
+  private val chunksFile = if (chunksName.nonEmpty) new File(outDir, chunksName) else null
+
+  // codec == none: records append straight to the data stream.
+  // otherwise: records accumulate in chunkBuf; every `chunkSize` logical
+  // bytes the buffer compresses INDEPENDENTLY and flushes to the file,
+  // with its (logical, physical) start recorded for the chunk map.
+  private val rawOut = new FileOutputStream(dataFile)
+  private val directOut =
+    if (codec == "none") new DataOutputStream(new BufferedOutputStream(rawOut, 1 << 16))
+    else null
+  private val chunkBuf = if (codec == "none") null else new ByteArrayOutputStream(chunkSize + 4096)
+  private val chunkDataOut = if (chunkBuf == null) null else new DataOutputStream(chunkBuf)
+  private val chunkPairs = if (codec == "none") null else scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+  private var physicalOffset = 0L
+  private var chunkLogicalStart = 0L
+
   private val idx = if (indexFile == null) null
     else new DataOutputStream(new BufferedOutputStream(new FileOutputStream(indexFile), 1 << 14))
 
@@ -103,15 +123,40 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
   }
 
   private def writeRecord(key: Array[Byte], value: Array[Byte]): Unit = {
+    val out = if (directOut != null) directOut else chunkDataOut
     out.writeShort(key.length)
     out.write(key)
     out.writeInt(value.length)
     out.write(value)
     offset += 2 + key.length + 4 + value.length
+    if (chunkBuf != null && chunkBuf.size() >= chunkSize) flushChunk()
+  }
+
+  /** Compress the buffered logical chunk independently and append it. */
+  private def flushChunk(): Unit = {
+    if (chunkBuf.size() == 0) return
+    chunkPairs += ((chunkLogicalStart, physicalOffset))
+    val compressed = new ByteArrayOutputStream(chunkBuf.size() / 2 + 64)
+    val cs = SortedRunWriter.compress(codec, compressed)
+    chunkBuf.writeTo(cs)
+    cs.close()
+    val bytes = compressed.toByteArray
+    rawOut.write(bytes)
+    physicalOffset += bytes.length
+    chunkLogicalStart += chunkBuf.size()
+    chunkBuf.reset()
   }
 
   def close(): BulkSink.PartitionManifest = {
-    out.close(); if (idx != null) idx.close()
+    if (directOut != null) directOut.close()
+    else {
+      flushChunk()
+      rawOut.close()
+      val cm = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(chunksFile), 1 << 14))
+      chunkPairs.foreach { case (lo, po) => cm.writeLong(lo); cm.writeLong(po) }
+      cm.close()
+    }
+    if (idx != null) idx.close()
     if (randomTokens) {
       // Long token fields span the full Murmur3 range so a Long-token
       // consumer treats the run as "could contain anything" (conservative);
@@ -130,13 +175,23 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
   }
 
   def abort(): Unit = {
-    try { out.close(); if (idx != null) idx.close() } catch { case _: Throwable => () }
-    dataFile.delete(); if (indexFile != null) indexFile.delete()
+    try {
+      if (directOut != null) directOut.close() else rawOut.close()
+      if (idx != null) idx.close()
+    } catch { case _: Throwable => () }
+    dataFile.delete()
+    if (indexFile != null) indexFile.delete()
+    if (chunksFile != null) chunksFile.delete()
     ()
   }
 }
 
 object SortedRunWriter {
+
+  /** Logical chunk size for compressed runs — Cassandra's default
+    * chunk_length (64 KiB) order of magnitude: big enough to compress
+    * well, small enough that a token-band seek skips most of a run. */
+  val DefaultChunkSize: Int = 64 * 1024
 
   /** Reference compressor names -> codec id; rejects anything else LOUDLY
     * (a typo'd compressionclass must not silently write uncompressed). */
@@ -152,7 +207,7 @@ object SortedRunWriter {
           "LZ4Compressor, SnappyCompressor, ZstdCompressor)")
     }
 
-  /** Wrap a raw file stream in the codec's compressor (lz4/snappy/zstd
+  /** Wrap a raw stream in the codec's compressor (lz4/snappy/zstd
     * ship in Spark's own jars; deflate is java.util.zip). */
   def compress(codec: String, os: OutputStream): OutputStream = codec match {
     case "none"    => os
@@ -172,5 +227,85 @@ object SortedRunWriter {
     case "snappy"  => new org.xerial.snappy.SnappyInputStream(is)
     case "zstd"    => new com.github.luben.zstd.ZstdInputStream(is)
     case other     => throw new IllegalArgumentException(s"unknown codec id '$other'")
+  }
+
+  /** Chunk map of a compressed run: (logicalOffset, physicalOffset) per
+    * chunk, ascending. Empty for a missing file (not-chunked legacy). */
+  def readChunks(chunksFile: File): Array[(Long, Long)] = {
+    if (!chunksFile.exists()) return Array.empty
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(chunksFile), 1 << 14))
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var done = false
+      while (!done) {
+        try buf += ((in.readLong(), in.readLong()))
+        catch { case _: EOFException => done = true }
+      }
+      buf.toArray
+    } finally in.close()
+  }
+
+  /** Conventional chunk-map sidecar for a Data.db path. */
+  def chunksFileFor(dataFile: File): File =
+    new File(dataFile.getParentFile, dataFile.getName.replace("-Data.db", "-Chunks.db"))
+
+  /**
+   * Open a chunked compressed run as its LOGICAL stream starting at the
+   * last chunk whose logical offset is <= `startLogical` — the caller
+   * still skips `startLogical - <returned logical start>` bytes. Chunks
+   * decompress independently and chain transparently; chunk k's physical
+   * extent is bounded by chunk k+1's physical offset (the file length for
+   * the last chunk). Reads only the physical bytes from the seek point on.
+   */
+  def openChunked(dataFile: File, codec: String, chunks: Array[(Long, Long)],
+      startLogical: Long): (InputStream, Long) = {
+    require(chunks.nonEmpty, s"no chunk map for $dataFile")
+    var k = 0
+    while (k + 1 < chunks.length && chunks(k + 1)._1 <= startLogical) k += 1
+    val raw = new FileInputStream(dataFile)
+    raw.getChannel.position(chunks(k)._2)
+    val fileLen = dataFile.length()
+    val startChunk = k
+    val stream: InputStream = new InputStream {
+      private var cur: InputStream = _
+      private var chunkIdx = startChunk
+      private val buffered = new BufferedInputStream(raw, 1 << 16)
+      private def nextChunk(): Boolean = {
+        if (chunkIdx >= chunks.length) return false
+        val physStart = chunks(chunkIdx)._2
+        val physEnd = if (chunkIdx + 1 < chunks.length) chunks(chunkIdx + 1)._2 else fileLen
+        val len = (physEnd - physStart).toInt
+        val buf = new Array[Byte](len)
+        var read = 0
+        while (read < len) {
+          val n = buffered.read(buf, read, len - read)
+          if (n < 0) throw new EOFException(s"truncated chunk $chunkIdx in $dataFile")
+          read += n
+        }
+        cur = decompress(codec, new ByteArrayInputStream(buf))
+        chunkIdx += 1
+        true
+      }
+      override def read(): Int = {
+        while (true) {
+          if (cur == null && !nextChunk()) return -1
+          val b = cur.read()
+          if (b >= 0) return b
+          cur.close(); cur = null
+        }
+        -1 // unreachable
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        while (true) {
+          if (cur == null && !nextChunk()) return -1
+          val n = cur.read(b, off, len)
+          if (n > 0) return n
+          cur.close(); cur = null
+        }
+        -1 // unreachable
+      }
+      override def close(): Unit = { if (cur != null) cur.close(); buffered.close() }
+    }
+    (stream, chunks(startChunk)._1)
   }
 }

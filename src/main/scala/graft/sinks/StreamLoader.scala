@@ -22,8 +22,15 @@ import graft.core.CassandraTokens
  * Framing (one session per (run file, replica)):
  *   int32  magic 0x47524654 ("GRFT")
  *   UTF    data file name
- *   int64  rows declared   int64 bytes declared
- *   <raw sorted-run bytes: per row uint16 keylen, key, int32 vallen, value>
+ *   int64  rows declared   int64 bytes declared (LOGICAL record bytes)
+ *   UTF    codec id ("none"/"deflate"/"lz4"/"snappy"/"zstd")
+ *   if codec != none (chunked compressed run, Cassandra streams compressed
+ *   sections + CompressionInfo the same way):
+ *     int32 chunk count, per chunk (int64 logicalOffset, int64 physicalOffset),
+ *     int64 physical bytes total
+ *   <payload: raw file bytes — the logical record stream when codec=none,
+ *    the compressed chunk bytes otherwise; per row uint16 keylen, key,
+ *    int32 vallen, value after decompression>
  *   reply: uint8 status (0 ok), UTF message, int64 rows received
  *
  * In a cluster deployment `streamRun` is invoked from each task's commit
@@ -58,6 +65,17 @@ object StreamLoader {
       parallelism: Int = 4,
       throttleMBits: Option[Int] = None): StreamSummary = {
     val byFile = manifests.map(m => m.dataFile -> m).toMap
+    // a compressed run streams its chunk map alongside; refuse up front if
+    // the sidecar is missing (a pre-chunking compressed run cannot be
+    // verified by the receiver without inflating the whole session blind)
+    plan.keys.foreach { dataFile =>
+      byFile.get(dataFile).filter(m => m.codec != "none" && m.rows > 0).foreach { m =>
+        val cf = SortedRunWriter.chunksFileFor(new File(outDir, m.dataFile))
+        require(cf.exists(),
+          s"compressed run ${m.dataFile} has no chunk map ($cf missing): " +
+            "rewrite it with a current writer to stream it")
+      }
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     try {
       val sessions = plan.toSeq.sortBy(_._1).flatMap { case (dataFile, hosts) =>
@@ -113,6 +131,15 @@ object StreamLoader {
         out.writeUTF(man.dataFile)
         out.writeLong(man.rows)
         out.writeLong(man.bytes)
+        out.writeUTF(man.codec)
+        if (man.codec != "none") {
+          // ship the chunk map so the receiver can bound and decompress
+          // each chunk of the physical payload independently
+          val chunks = SortedRunWriter.readChunks(SortedRunWriter.chunksFileFor(file))
+          out.writeInt(chunks.length)
+          chunks.foreach { case (lo, po) => out.writeLong(lo); out.writeLong(po) }
+          out.writeLong(file.length())
+        }
         val bytesPerSec = throttleMBits.map(_ * 1000000.0 / 8.0)
         val t0 = System.nanoTime()
         var sent = 0L
@@ -221,6 +248,55 @@ final class InProcessCluster(hosts: Seq[String],
     val dataFile = in.readUTF()
     val declaredRows = in.readLong()
     val declaredBytes = in.readLong()
+    val codec = in.readUTF()
+    // compressed sessions carry their chunk map; the receiver rebuilds the
+    // LOGICAL record stream chunk by chunk (each chunk decompresses
+    // independently, bounded by the next chunk's physical offset) and
+    // verifies order/counts on it — the wire carries only physical bytes
+    val logical: java.io.InputStream =
+      if (codec == "none") in
+      else {
+        val nChunks = in.readInt()
+        if (nChunks < 0 || nChunks > 16 * 1024 * 1024) {
+          reply(out, 1, s"unreasonable chunk count $nChunks", 0); return
+        }
+        val chunks = Array.fill(nChunks)((in.readLong(), in.readLong()))
+        val physTotal = in.readLong()
+        new java.io.InputStream {
+          private var cur: java.io.InputStream = _
+          private var k = 0
+          private def nextChunk(): Boolean = {
+            if (k >= chunks.length) return false
+            val physEnd = if (k + 1 < chunks.length) chunks(k + 1)._2 else physTotal
+            val len = (physEnd - chunks(k)._2).toInt
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            cur = graft.sinks.SortedRunWriter.decompress(
+              codec, new java.io.ByteArrayInputStream(buf))
+            k += 1
+            true
+          }
+          override def read(): Int = {
+            while (true) {
+              if (cur == null && !nextChunk()) return -1
+              val b = cur.read()
+              if (b >= 0) return b
+              cur.close(); cur = null
+            }
+            -1 // unreachable
+          }
+          override def read(b: Array[Byte], off: Int, len: Int): Int = {
+            while (true) {
+              if (cur == null && !nextChunk()) return -1
+              val n = cur.read(b, off, len)
+              if (n > 0) return n
+              cur.close(); cur = null
+            }
+            -1 // unreachable
+          }
+        }
+      }
+    val rec = new DataInputStream(logical)
 
     var rows = 0L
     var bytes = 0L
@@ -236,22 +312,22 @@ final class InProcessCluster(hosts: Seq[String],
     try {
       var eof = false
       while (!eof) {
-        val first = in.read()
+        val first = rec.read()
         if (first < 0) eof = true
         else {
-          val keylen = (first << 8) | in.readUnsignedByte()
+          val keylen = (first << 8) | rec.readUnsignedByte()
           val key = new Array[Byte](keylen)
-          in.readFully(key)
-          val vallen = in.readInt()
+          rec.readFully(key)
+          val vallen = rec.readInt()
           if (vallen < 0) throw new EOFException("negative value length")
           // skipBytes may skip fewer bytes than asked on a socket stream —
           // loop, falling back to a blocking read() to distinguish "not
           // yet available" from EOF
           var toSkip = vallen
           while (toSkip > 0) {
-            val k = in.skipBytes(toSkip)
+            val k = rec.skipBytes(toSkip)
             if (k > 0) toSkip -= k
-            else if (in.read() >= 0) toSkip -= 1
+            else if (rec.read() >= 0) toSkip -= 1
             else throw new EOFException(s"truncated value ($toSkip of $vallen bytes missing)")
           }
           if (random) {

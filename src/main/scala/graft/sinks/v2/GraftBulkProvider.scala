@@ -85,6 +85,9 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
     // typo fails the query before any executor work
     private val codec = Option(options.get("compressionclass"))
       .map(SortedRunWriter.normalizeCodec)
+    // logical chunk size for compressed runs (CompressionInfo.db analog)
+    private val chunkSize = Option(options.get("chunksize")).map(_.toInt)
+      .getOrElse(SortedRunWriter.DefaultChunkSize)
     private val schema = info.schema()
     require(schema.fieldNames.contains("_pk") && schema.fieldNames.contains("_token") &&
       schema.fieldNames.contains("_bucket"),
@@ -103,7 +106,7 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
         Expressions.sort(Expressions.column("_token"), SortDirection.ASCENDING),
         Expressions.sort(Expressions.column("_pk"), SortDirection.ASCENDING))
 
-    override def toBatch: BatchWrite = new GraftBulkBatchWrite(path, schema, codec)
+    override def toBatch: BatchWrite = new GraftBulkBatchWrite(path, schema, codec, chunkSize)
 
     // K9/K10 replacement: progress as SQL-UI metrics, not heartbeat threads
     override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -114,10 +117,11 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
 final case class ManifestMessage(json: String) extends WriterCommitMessage
 
 final class GraftBulkBatchWrite(path: String, schema: StructType,
-    codec: Option[String]) extends BatchWrite {
+    codec: Option[String],
+    chunkSize: Int = SortedRunWriter.DefaultChunkSize) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    new GraftBulkWriterFactory(path, schema, codec)
+    new GraftBulkWriterFactory(path, schema, codec, chunkSize)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -131,9 +135,10 @@ final class GraftBulkBatchWrite(path: String, schema: StructType,
 }
 
 final class GraftBulkWriterFactory(path: String, schema: StructType,
-    codec: Option[String]) extends DataWriterFactory {
+    codec: Option[String],
+    chunkSize: Int = SortedRunWriter.DefaultChunkSize) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftBulkDataWriter(path, partitionId, schema, codec)
+    new GraftBulkDataWriter(path, partitionId, schema, codec, chunkSize)
 }
 
 /**
@@ -149,7 +154,8 @@ final class GraftBulkWriterFactory(path: String, schema: StructType,
  * token order, so the writer-required `_token` ordering stays valid).
  */
 final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
-    codec: Option[String] = None) extends DataWriter[InternalRow] {
+    codec: Option[String] = None,
+    chunkSize: Int = SortedRunWriter.DefaultChunkSize) extends DataWriter[InternalRow] {
 
   private val pkIdx = schema.fieldIndex("_pk")
   private val tokenIdx = schema.fieldIndex("_token")
@@ -164,8 +170,8 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
       s"_token must be LongType (Murmur3) or BinaryType (RandomPartitioner md5), got $other")
   }
 
-  private val writer =
-    new SortedRunWriter(path, pid, compression = codec, randomTokens = randomTokens)
+  private val writer = new SortedRunWriter(path, pid, compression = codec,
+    randomTokens = randomTokens, chunkSize = chunkSize)
 
   override def write(row: InternalRow): Unit = {
     val pk = row.getBinary(pkIdx)
@@ -208,10 +214,11 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
   override def commit(): WriterCommitMessage = {
     val m = writer.close()
     if (m.rows == 0) {
-      // drop empty run files, keep the manifest clean (compressed runs
-      // have no index file — the name is empty)
-      new java.io.File(path, m.dataFile).delete()
+      // drop empty run files (data, index, chunk map), keep the manifest clean
+      val data = new java.io.File(path, m.dataFile)
+      data.delete()
       if (m.indexFile.nonEmpty) new java.io.File(path, m.indexFile).delete()
+      SortedRunWriter.chunksFileFor(data).delete()
       ManifestMessage("")
     } else ManifestMessage(BulkSink.manifestJson(m))
   }

@@ -90,11 +90,15 @@ object GraftBulkRead {
             // the whole run is inside the band -> totals are exact, no
             // index read needed; otherwise one index pass yields both the
             // seek offset and the in-band entry fraction
+            // the sparse index speaks LOGICAL offsets; they seek direct
+            // into uncompressed runs and through the chunk map into
+            // compressed ones (the reader resolves the chunk), so any
+            // indexed run narrows here
             val bandCovers =
               lo.forall(_ <= m.minToken) && hi.forall(_ >= m.maxToken)
             val (start, estRows, estBytes) =
               if (bandCovers) (0L, m.rows, m.bytes)
-              else if (m.codec == "none" && m.indexFile.nonEmpty) {
+              else if (m.indexFile.nonEmpty) {
                 val (off, frac) = indexSeekAndFraction(
                   new File(dir, m.indexFile), lo, hi.filter(_ != Long.MaxValue))
                 (if (lo.isDefined) off else 0L,
@@ -291,9 +295,28 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
     columns: Array[String] = GraftBulkRead.schema.fieldNames,
     bucket: Int = -1)
     extends PartitionReader[InternalRow] {
-  private val in = new DataInputStream(new BufferedInputStream(
-    graft.sinks.SortedRunWriter.decompress(codec, new FileInputStream(file)), 1 << 16))
-  if (startOffset > 0) in.skipNBytes(startOffset) // logical offsets: uncompressed runs only
+  // uncompressed: seek straight to the logical offset. Compressed with a
+  // chunk map: open at the chunk containing the offset (only the physical
+  // bytes from there on are read) and skip the in-chunk remainder.
+  // Compressed without a chunk map (pre-chunking runs): sequential from
+  // byte zero — planSplits gives those no startOffset.
+  private val in: DataInputStream = {
+    val f = new java.io.File(file)
+    val chunksFile = graft.sinks.SortedRunWriter.chunksFileFor(f)
+    if (codec != "none" && chunksFile.exists()) {
+      val chunks = graft.sinks.SortedRunWriter.readChunks(chunksFile)
+      val (s, logicalStart) =
+        graft.sinks.SortedRunWriter.openChunked(f, codec, chunks, startOffset)
+      val d = new DataInputStream(s)
+      if (startOffset > logicalStart) d.skipNBytes(startOffset - logicalStart)
+      d
+    } else {
+      val d = new DataInputStream(new BufferedInputStream(
+        graft.sinks.SortedRunWriter.decompress(codec, new FileInputStream(file)), 1 << 16))
+      if (startOffset > 0) d.skipNBytes(startOffset)
+      d
+    }
+  }
   // the value payload is the bulk of a record's bytes; when pruned away it
   // is SKIPPED in the stream, never allocated (the key must always be read
   // to advance the frame, and it feeds the early-stop token anyway)

@@ -72,47 +72,51 @@ class IntegrationSpec extends AnyFunSuite {
     // the compressed runs read back through the manifest-aware read path
     val back = spark.read.format("graft-bulk").option("path", out).load()
     assert(back.count() === 1500)
-    // streaming compressed runs is refused loudly
-    val e = intercept[IllegalArgumentException] {
-      Hdfs2CassSpark.run(spark, args.copy(streamEndpoints = Some("h=127.0.0.1:1")),
-        StaticClusterInfo())
+    // chunked compression leaves a chunk map beside every non-empty run
+    manifests.filter(_.rows > 0).foreach { m =>
+      assert(graft.sinks.SortedRunWriter.chunksFileFor(
+        new java.io.File(out, m.dataFile)).exists(), s"${m.dataFile} has no chunk map")
     }
-    assert(e.getMessage.contains("mutually exclusive"))
   }
 
-  test("CLI compressed bulk write with ring metadata completes and skips the stream plan") {
-    // regression: planStreams refuses compressed manifests, so a compressed
-    // directory-mode write must not attempt plan emission just because a
-    // ring file was supplied — it used to crash AFTER the full write
-    val out = Files.createTempDirectory("graft-cli-codec-ring").toString
-    val ringJson = Files.createTempFile("ring-codec", ".json")
-    Files.write(ringJson,
-      """{"partitioner": "org.apache.cassandra.dht.Murmur3Partitioner",
-        | "nodes": [
-        |   {"host": "cass-1", "tokens": [-6000000000000000000, 1000000000000000000]},
-        |   {"host": "cass-2", "tokens": [-2000000000000000000, 5000000000000000000]}]}"""
-        .stripMargin.getBytes)
-    val args = Hdfs2CassSpark.parseArgs(Seq(
-      "--input", "/root/testdata/sf0.001/orders.parquet",
-      "--output", "cql://seed/ks/orders?reducers=2&compressionclass=LZ4Compressor",
-      "--rowkey", "o_orderkey",
-      "--cluster-info", ringJson.toString,
-      "--sink-dir", out))
-    // the skip must be LOUD: a user supplying ring metadata expects a
-    // stream plan, so dropping it silently would misread as "ready"
-    val errBuf = new java.io.ByteArrayOutputStream()
-    val manifests = Console.withErr(new java.io.PrintStream(errBuf)) {
-      Hdfs2CassSpark.run(spark, args)
-    }
-    assert(manifests.forall(_.codec === "lz4"))
-    assert(manifests.map(_.rows).sum === 1500)
-    // no stream plan for a compressed (directory-mode-only) write
-    assert(!new java.io.File(out, "_STREAM_PLAN.json").exists())
-    assert(errBuf.toString.contains("skipping _STREAM_PLAN.json"),
-      s"expected a stderr warning about the dropped stream plan, got: $errBuf")
-    // the write itself round-trips
-    val back = spark.read.format("graft-bulk").option("path", out).load()
-    assert(back.count() === 1500)
+  test("CLI streams a compressed load end-to-end; receivers verify the logical stream") {
+    // chunked compression (the CompressionInfo.db analog) makes compressed
+    // runs streamable: the session ships the chunk map, the receiver
+    // rebuilds the logical record stream and verifies order and counts —
+    // pre-r9 this combination was refused at parse time
+    import graft.sinks.InProcessCluster
+    val ring = Map(
+      "cass-1" -> Seq(-6000000000000000000L, 1000000000000000000L),
+      "cass-2" -> Seq(-2000000000000000000L, 5000000000000000000L))
+    val cluster = new InProcessCluster(Seq("cass-1", "cass-2"), ring = ring,
+      replicationFactor = Some(2))
+    val endpoints = cluster.start()
+    try {
+      val out = Files.createTempDirectory("graft-cli-codec-stream").toString
+      val spec = endpoints.map { case (h, (a, p)) => s"$h=$a:$p" }.mkString(",")
+      val (addr, port) = endpoints("cass-1")
+      val manifests = Hdfs2CassSpark.run(spark, Hdfs2CassSpark.parseArgs(Seq(
+        "--input", "/root/testdata/sf0.001/orders.parquet",
+        "--output", "cql://seed/ks/orders?reducers=2&compressionclass=ZstdCompressor",
+        "--rowkey", "o_orderkey",
+        "--cluster-info", s"socket://$addr:$port",
+        "--sink-dir", out,
+        "--stream-endpoints", spec)))
+      assert(manifests.forall(_.codec === "zstd"))
+      assert(new java.io.File(out, "_STREAM_PLAN.json").exists())
+      // every non-empty run was received, decompressed, and verified (rf=2
+      // on 2 nodes: both replicas hold every run)
+      val received = cluster.receivedStreams
+      manifests.filter(_.rows > 0).foreach { m =>
+        for (host <- Seq("cass-1", "cass-2")) {
+          val r = received.getOrElse((host, m.dataFile),
+            fail(s"$host never verified ${m.dataFile}: got ${received.keys}"))
+          assert(r.rows === m.rows)
+          assert(r.bytes === m.bytes, "receiver must count LOGICAL bytes")
+          assert(r.sortedOk)
+        }
+      }
+    } finally cluster.stop()
   }
 
   test("CLI distributerandomly emits sorted runs that span the ring, not parquet") {

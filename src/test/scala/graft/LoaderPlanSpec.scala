@@ -59,15 +59,15 @@ class LoaderPlanSpec extends AnyFunSuite {
     assert(plan2.values.forall(_.size >= 2))
   }
 
-  test("planStreams refuses compressed runs at plan time with guidance") {
+  test("planStreams plans compressed runs like any other (chunked format streams)") {
+    // pre-r9 this was refused; chunked compression ships the chunk map in
+    // the session so the receiver can verify the logical stream
     val compressed = Seq(BulkSink.PartitionManifest(0, 10, 100,
       -5500000000000000000L, -4500000000000000000L, sorted = true,
       "f0", "i0", codec = "lz4"))
-    val e = intercept[IllegalArgumentException] {
-      LoaderPlan.planStreams(compressed, nodes, rf = 1)
-    }
-    assert(e.getMessage.contains("compressed"))
-    // empty compressed runs are fine (they never stream anyway)
+    val plan = LoaderPlan.planStreams(compressed, nodes, rf = 1)
+    assert(plan("f0").nonEmpty)
+    // empty compressed runs never stream
     val empty = Seq(BulkSink.PartitionManifest(1, 0, 0, Long.MaxValue,
       Long.MinValue, sorted = true, "f1", "i1", codec = "zstd"))
     assert(LoaderPlan.planStreams(empty, nodes, rf = 1).isEmpty)

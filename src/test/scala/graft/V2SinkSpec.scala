@@ -121,25 +121,35 @@ class V2SinkSpec extends AnyFunSuite {
     }
   }
 
-  test("compressed runs carry physical bytes and no Index.db; uncompressed stay seekable") {
-    import graft.sinks.BulkSink
+  test("compressed runs carry physical bytes, a chunk map, and a usable Index.db") {
+    import graft.sinks.{BulkSink, SortedRunWriter}
     val out = Files.createTempDirectory("graft-v2-cmeta").toString
     prepared(4).write.format("graft-bulk")
       .option("path", out).option("buckets", "4")
       .option("compressionclass", "DeflateCompressor").mode("append").save()
     val dir = new java.io.File(out)
-    // sequential-only format (ADR 0001): a logical-offset index into
-    // compressed bytes would be a trap, so none may exist on disk
-    assert(dir.listFiles().count(_.getName.endsWith("Index.db")) === 0)
     val ms = BulkSink.readManifests(dir).filter(_.rows > 0)
     assert(ms.nonEmpty)
     ms.foreach { m =>
-      assert(m.indexFile.isEmpty, s"${m.dataFile} manifests an index it must not have")
+      // chunked compression (CompressionInfo.db analog) makes logical
+      // offsets seekable, so compressed runs now carry an index AND a
+      // chunk map; physical stays below logical
+      assert(m.indexFile.nonEmpty && new java.io.File(dir, m.indexFile).exists())
+      val chunks = SortedRunWriter.readChunks(
+        SortedRunWriter.chunksFileFor(new java.io.File(dir, m.dataFile)))
+      assert(chunks.nonEmpty, s"${m.dataFile} has no chunk map")
+      assert(chunks.head === ((0L, 0L)))
+      // chunk offsets ascend in both coordinates and stay in range
+      chunks.sliding(2).foreach {
+        case Array((l1, p1), (l2, p2)) => assert(l1 < l2 && p1 < p2)
+        case _ => ()
+      }
+      assert(chunks.last._1 < m.bytes && chunks.last._2 < m.physicalBytes)
       assert(m.physicalBytes === new java.io.File(dir, m.dataFile).length)
       assert(m.physicalBytes < m.bytes,
         s"${m.dataFile}: physical ${m.physicalBytes} not below logical ${m.bytes}")
     }
-    // uncompressed runs: physical == logical, index present and on disk
+    // uncompressed runs: physical == logical, index present, no chunk map
     val out2 = Files.createTempDirectory("graft-v2-umeta").toString
     prepared(4).write.format("graft-bulk")
       .option("path", out2).option("buckets", "4").mode("append").save()
@@ -149,7 +159,49 @@ class V2SinkSpec extends AnyFunSuite {
       assert(m.physicalBytes === m.bytes)
       assert(m.indexFile.nonEmpty)
       assert(new java.io.File(out2, m.indexFile).exists())
+      assert(!SortedRunWriter.chunksFileFor(new java.io.File(out2, m.dataFile)).exists())
     }
+  }
+
+  test("token-banded read of a zstd run seeks via index + chunk map") {
+    import graft.sinks.{BulkSink, SortedRunWriter}
+    import graft.sinks.v2.GraftBulkRead
+    // ONE compressed run with dense index and small chunks so a mid-run
+    // band demonstrably starts past byte zero
+    val out = Files.createTempDirectory("graft-v2-zseek").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val ms = BulkSink.writeSorted(df, Seq("o_orderkey"), 1, out,
+      indexInterval = 16, compression = Some("ZstdCompressor"),
+      chunkSize = 4 * 1024)
+    val m = ms.find(_.rows > 0).get
+    val dir = new java.io.File(out)
+    val full = spark.read.format("graft-bulk").option("path", out).load()
+      .select("token").as[Long].collect().sorted
+    val lo = full((full.length * 0.8).toInt)
+
+    // the planned split starts at a LOGICAL offset inside the run...
+    val splits = GraftBulkRead.planSplits(dir, Some(lo), None)
+    assert(splits.length === 1)
+    assert(splits.head.startOffset > 0, "no index seek into the compressed run")
+    // ...and the chunk map resolves it to a physical seek past byte zero,
+    // i.e. the read touches fewer physical bytes than the whole file
+    val chunks = SortedRunWriter.readChunks(
+      SortedRunWriter.chunksFileFor(new java.io.File(dir, m.dataFile)))
+    val (stream, logicalStart) = SortedRunWriter.openChunked(
+      new java.io.File(dir, m.dataFile), "zstd", chunks, splits.head.startOffset)
+    stream.close()
+    assert(logicalStart > 0 && logicalStart <= splits.head.startOffset)
+    val physStart = chunks.collectFirst { case (l, p) if l == logicalStart => p }.get
+    assert(physStart > 0 && physStart < m.physicalBytes,
+      s"banded read still starts at physical byte 0 of ${m.physicalBytes}")
+
+    // e2e exactness through spark.read with the filter pushed
+    def scan() = spark.read.format("graft-bulk").option("path", out).load()
+    assert(scan().filter(col("token") >= lo).count() === full.count(_ >= lo))
+    val hi = full((full.length * 0.9).toInt)
+    assert(scan().filter(col("token") >= lo && col("token") <= hi).count() ===
+      full.count(t => t >= lo && t <= hi))
   }
 
   test("token predicates prune runs and index-seek past leading bytes") {
