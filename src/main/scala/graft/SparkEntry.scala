@@ -412,11 +412,15 @@ object SparkEntry {
       o.except(c)
     }),
 
-    // LSH-bucketed ANN (scale path; recall < 1 by construction, so no SQL
-    // oracle — exactness of returned sims is proven against brute force in
-    // OperatorsSpec)
+    // LSH-bucketed ANN over the PLANTED validation corpus (orthogonal
+    // cluster axes with every member < pi/4 from its query, so the whole
+    // cluster provably shares the query's sign bucket — recall 1 by a
+    // margin argument, and the exact top-k is analytically known and
+    // DuckDB-oracle-checked). Organic-corpus recall stays spec'd against
+    // brute force in OperatorsSpec.
     "embed_lsh_topk" -> ((s, dir) => {
-      val e = s.read.parquet(t(dir, "embeddings"))
+      val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
+        graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
       graft.operators.Similarity.lshTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
         "vec_id", "embedding", dim = 64, k = 5)
@@ -429,13 +433,17 @@ object SparkEntry {
         e, "vec_id", "embedding", "label", threshold = 0.4)
     }),
 
-    // IVF ANN (k-means cells + nprobe search; recall < 1 by construction,
-    // so rows-only — recall vs brute force is asserted in OperatorsSpec)
+    // IVF ANN over the same planted corpus: identical vectors within each
+    // ring position can never split across k-means cells, orthogonal
+    // clusters keep the query's own cell among its nearest probes, and
+    // the seeded training makes the run reproducible — the analytic
+    // top-k oracle applies. Organic-corpus recall stays in OperatorsSpec.
     "embed_ivf_topk" -> ((s, dir) => {
-      val e = s.read.parquet(t(dir, "embeddings"))
+      val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
+        graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
       graft.operators.Similarity.ivfTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
-        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4)
     }),
 
     // mapPartitions batched decode path (the real multimodal plumbing;
@@ -574,6 +582,26 @@ object SparkEntry {
       |    ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
       |)""".stripMargin
   }
+
+  /** Exact top-5 over the planted ANN corpus: similarity is nonzero only
+    * inside a query's own cluster (orthogonal axis pairs), where it is
+    * cos(0.1 * min(ring, 4)) — brute-force rank over that analytic score
+    * IS the true answer both ANN variants must reproduce at recall 1. */
+  private val PlantedAnnOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS c_id FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT q_id, c_id,
+      |         CASE WHEN c_id % 10 = q_id
+      |              THEN round(cos(0.1 * least((c_id - 10) // 10, 4)), 4)
+      |              ELSE 0.0 END AS sim
+      |  FROM c, q
+      |), ranked AS (
+      |  SELECT q_id, c_id, sim,
+      |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -972,6 +1000,14 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Both ANN variants run over the planted validation corpus
+    // (Similarity.plantedClusterVector), whose true top-k is analytic:
+    // positive similarity only within a query's own cluster (orthogonal
+    // axes), sims = cos(0.1 * min(ring, 4)), ties broken by c_id — the
+    // oracle is brute force over the analytically-reconstructed corpus.
+    "embed_lsh_topk" -> PlantedAnnOracle,
+    "embed_ivf_topk" -> PlantedAnnOracle,
 
     "q10_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 250000

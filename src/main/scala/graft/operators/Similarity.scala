@@ -166,6 +166,45 @@ object Similarity {
   }
 
   /**
+   * Planted validation corpus for ANN oracle-by-construction: embeddings
+   * derived purely from the row id so the true top-k is analytically
+   * known and recall is provably 1 for both ANN variants.
+   *
+   *   id < 10 (queries):  one-hot axis `id`.
+   *   id >= 10 (corpus):  cluster g = id % 10, ring position
+   *     r = (id-10)/10, angle theta = 0.1 * min(r, 4) in the plane
+   *     spanned by axes (g, 20+g):  [cos theta] e_g + [sin theta] e_{20+g}.
+   *
+   * Properties that make the answer exact:
+   *  - clusters live on ORTHOGONAL axis pairs, so cross-cluster cosine is
+   *    exactly 0 and each query's positive-similarity candidates are its
+   *    own cluster only;
+   *  - within a cluster, cosine(q_g, c) = cos(theta) is strictly
+   *    decreasing over r = 0..4 and constant after (ties broken by c_id,
+   *    the ranker's pinned tie order), so top-5 = c in {10+g .. 50+g}
+   *    with sims [1, cos .1, cos .2, cos .3, cos .4];
+   *  - every cluster member sits within 0.4 rad (< pi/4) of its query, so
+   *    for ANY +-1 hyperplane h, sign(h . c) = sign(h . q): the whole
+   *    cluster shares the query's LSH sign bucket — recall 1 by a margin
+   *    argument, not by luck;
+   *  - all angles sit >= 1e-5 from a round(.,4) boundary while float32
+   *    storage perturbs them by <= ~1e-7, so Spark (float vectors) and an
+   *    oracle computing cos(theta) in doubles round identically.
+   */
+  def plantedClusterVector(id: Column, dim: Int = 64): Column = {
+    require(dim >= 30, s"need axes 0..29, got dim=$dim")
+    val isQuery = id < 10
+    val g = when(isQuery, id).otherwise(id % 10).cast(IntegerType)
+    val theta = when(isQuery, lit(0.0))
+      .otherwise(lit(0.1) * least(floor((id - 10) / 10).cast(DoubleType), lit(4.0)))
+    array((0 until dim).map { i =>
+      when(lit(i) === g, cos(theta))
+        .when(lit(i) === g + 20, sin(theta))
+        .otherwise(lit(0.0)).cast(FloatType)
+    }: _*)
+  }
+
+  /**
    * LSH-bucketed ANN: group corpus by sign bucket, search each query only
    * in its own bucket. Recall < 1 by construction; the bucket join replaces
    * the cross join, so cost is O(corpus/2^planes) per query.
