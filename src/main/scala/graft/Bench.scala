@@ -104,9 +104,21 @@ object Bench {
     // forked JVM's output is not wrapped in sbt's "[info] " logger prefix)
     // plus a file copy so the caller can read it either way.
     println(line)
+    // fold the latest measured scale-curve exponents (graft.tools.ScaleCurve
+    // writes scale_curve.json; docs/SCALE.md has the recipe) into the FILE
+    // copy only — the stdout line must stay inside the driver's tail window
+    val scale = {
+      val f = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_curve.json"))
+      if (java.nio.file.Files.exists(f))
+        "," + "\"scale\":" + new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else ""
+    }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val full = render(fmt6, withNorm = true)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (render(fmt6, withNorm = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full.dropRight(1) + scale + "}\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -104,7 +104,14 @@ object ScaleCurve {
       f""""$name":{"base_sec":$tBase%.2f,"big_sec":$tBig%.2f,""" +
         f""""exponent":$exp%.2f,"base_rows":$rowsBase,"big_rows":$rowsBig}"""
     }
-    println(s"""{"base":$base,"factor":$factor,"queries":{${results.mkString(",")}}}""")
+    val json = s"""{"base":$base,"factor":$factor,"queries":{${results.mkString(",")}}}"""
+    println(json)
+    // persist next to the repo so graft.Bench can fold the latest measured
+    // exponents into its per-round JSON (scale regressions then surface in
+    // BENCH_r{N}, not only on re-audit)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_curve.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
