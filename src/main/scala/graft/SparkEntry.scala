@@ -419,8 +419,12 @@ object SparkEntry {
     // DuckDB-oracle-checked). Organic-corpus recall stays spec'd against
     // brute force in OperatorsSpec.
     "embed_lsh_topk" -> ((s, dir) => {
+      // localCheckpoint materializes the planted corpus ONCE: without it,
+      // CollapseProject re-inlines the 64-branch construction into every
+      // hyperplane dot (8x the work and a codegen blowup)
       val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
         graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+        .localCheckpoint()
       graft.operators.Similarity.lshTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
         "vec_id", "embedding", dim = 64, k = 5)
@@ -439,11 +443,18 @@ object SparkEntry {
     // the seeded training makes the run reproducible — the analytic
     // top-k oracle applies. Organic-corpus recall stays in OperatorsSpec.
     "embed_ivf_topk" -> ((s, dir) => {
+      // localCheckpoint as in embed_lsh_topk: k-means iterations and the
+      // per-centroid distances must not re-evaluate the construction
       val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
         graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+        .localCheckpoint()
+      // nprobe=3 (r8 parity): the analytic argument needs only the query's
+      // OWN cell probed, and its centroid is always the nearest (identical
+      // ring-position vectors cannot split across cells; other clusters'
+      // centroids are orthogonal)
       graft.operators.Similarity.ivfTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
-        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4)
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
     }),
 
     // mapPartitions batched decode path (the real multimodal plumbing;

@@ -197,11 +197,12 @@ object Similarity {
     val g = when(isQuery, id).otherwise(id % 10).cast(IntegerType)
     val theta = when(isQuery, lit(0.0))
       .otherwise(lit(0.1) * least(floor((id - 10) / 10).cast(DoubleType), lit(4.0)))
-    array((0 until dim).map { i =>
-      when(lit(i) === g, cos(theta))
-        .when(lit(i) === g + 20, sin(theta))
-        .otherwise(lit(0.0)).cast(FloatType)
-    }: _*)
+    // one small 3-branch lambda over a sequence, NOT dim separate case
+    // expressions — keeps the generated code constant-size in dim
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      when(i === g, cos(theta))
+        .when(i === g + 20, sin(theta))
+        .otherwise(lit(0.0)).cast(FloatType))
   }
 
   /**
