@@ -213,16 +213,59 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder
 
 /**
  * The planned scan. Splits are planned ONCE (lazily) and shared by
- * partition planning, statistics, ordering, and partitioning reports.
+ * partition planning, statistics, ordering, and partitioning reports —
+ * and re-planned if a RUNTIME filter narrows the token band after
+ * compile time (SupportsRuntimeFiltering: Spark's dynamic-pruning rule
+ * hands a broadcast join's actual `token` build values to the scan, the
+ * per-range section streaming the reference's loader applies at runtime,
+ * ExternalSSTableLoaderClient.java:57-137 — a repair join against a few
+ * damaged tokens then touches only the runs that can contain them).
  */
 final class GraftBulkScan(path: String, required: StructType,
-    lo: Option[Long], hi: Option[Long])
+    initLo: Option[Long], initHi: Option[Long])
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportOrdering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
-  private lazy val splits = GraftBulkRead.planSplits(new File(path), lo, hi)
+  @volatile private var lo: Option[Long] = initLo
+  @volatile private var hi: Option[Long] = initHi
+  @volatile private var planned: Seq[GraftBulkRead.PlannedSplit] = _
+
+  private def splits: Seq[GraftBulkRead.PlannedSplit] = {
+    if (planned == null) planned = GraftBulkRead.planSplits(new File(path), lo, hi)
+    planned
+  }
   private lazy val murmur3Sorted = GraftBulkRead.murmur3Sorted(new File(path))
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("token"))
+
+  /** Runtime narrowing: fold the join-side token values/bounds into the
+    * planned band and re-plan splits. Only [min, max] of an IN set is
+    * used — runs are token-RANGE pruned, exactness stays with Spark's
+    * post-scan join. Unknown filter shapes are ignored (pruning is
+    * best-effort; correctness never depends on it). */
+  override def filter(filters: Array[Filter]): Unit = {
+    var newLo = lo
+    var newHi = hi
+    def raise(v: Long): Unit = newLo = Some(newLo.fold(v)(math.max(_, v)))
+    def lower(v: Long): Unit = newHi = Some(newHi.fold(v)(math.min(_, v)))
+    filters.foreach {
+      case In("token", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        val longs = vs.map(_.asInstanceOf[Long])
+        raise(longs.min); lower(longs.max)
+      case EqualTo("token", v: Long)            => raise(v); lower(v)
+      case GreaterThan("token", v: Long)        => raise(if (v == Long.MaxValue) v else v + 1)
+      case GreaterThanOrEqual("token", v: Long) => raise(v)
+      case LessThan("token", v: Long)           => lower(if (v == Long.MinValue) v else v - 1)
+      case LessThanOrEqual("token", v: Long)    => lower(v)
+      case _                                    => ()
+    }
+    if (newLo != lo || newHi != hi) {
+      lo = newLo; hi = newHi
+      planned = null // re-plan with the narrowed band
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -386,6 +386,44 @@ class V2SinkSpec extends AnyFunSuite {
     assert(upper.numRows.getAsLong >= toks.count(_ >= lo))
   }
 
+  test("runtime filters narrow the scan to the runs containing the join tokens") {
+    import graft.sinks.BulkSink
+    import graft.sinks.v2.GraftBulkScanBuilder
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    val out = Files.createTempDirectory("graft-v2-rtf").toString
+    val ms = BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("o_orderkey"), 8, out)
+    val nonEmpty = ms.count(_.rows > 0)
+    assert(nonEmpty >= 4)
+
+    // contract mechanics: an IN set of tokens from one run's range must
+    // re-plan the scan down to the runs intersecting [min, max] of the set
+    val target = ms.filter(_.rows > 0).maxBy(_.rows)
+    val scan = new GraftBulkScanBuilder(out).build()
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before === nonEmpty)
+    scan.asInstanceOf[SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](
+        In("token", Array[Any](target.minToken, target.maxToken))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after < before, s"runtime IN filter pruned nothing ($before splits)")
+    // the surviving splits all intersect the narrowed band
+    assert(after >= 1)
+
+    // e2e: a broadcast join keyed on token stays exact with the scan's
+    // runtime filtering declared (whether or not Spark chooses to inject
+    // a dynamic filter at this size, results must match the plain join)
+    val bulk = spark.read.format("graft-bulk").option("path", out).load()
+    val probeTokens = bulk.select("token").distinct().limit(20)
+    val joined = bulk.join(broadcast(probeTokens), "token").count()
+    val expected = bulk.collect().map(_.getLong(0)).count(
+      probeTokens.collect().map(_.getLong(0)).toSet)
+    assert(joined === expected)
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {
