@@ -15,11 +15,14 @@ import graft.sinks.{BulkSink, InProcessCluster, LoaderPlan, StreamLoader}
  * offline loader skeleton sustains (each byte crosses a real TCP socket
  * rf times).
  *
- *   sbt "runMain graft.tools.StreamSoak 5000000 16 /tmp/graft-ssoak [throttleMBits]"
+ *   sbt "runMain graft.tools.StreamSoak 5000000 16 /tmp/graft-ssoak [throttleMBits] [rf] [codec]"
  *
  * The 4th argument caps per-session throughput the way the target URI's
  * `streamthrottlembits=` does (0 = unthrottled) — the soak's measured
- * wire_mb_per_sec must come out <= cap * sessions / 8.
+ * wire_mb_per_sec must come out <= cap * sessions / 8. The 5th argument
+ * is the replication factor the plan fans out to (default 2, max 3
+ * nodes); the 6th a compressionclass codec — compressed runs stream
+ * chunked, the receiver verifying the reconstructed logical stream.
  */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
@@ -27,7 +30,9 @@ object StreamSoak {
     val buckets = if (args.length > 1) args(1).toInt else 16
     val out = if (args.length > 2) args(2) else "/tmp/graft-ssoak"
     val throttleMBits = if (args.length > 3) Some(args(3).toInt).filter(_ > 0) else None
-    val rf = 2
+    val rf = if (args.length > 4) args(4).toInt else 2
+    val codec = if (args.length > 5) Some(args(5)).filter(_ != "none") else None
+    require(rf >= 1 && rf <= 3, s"rf must be 1..3 (3-node soak ring), got $rf")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", buckets)
@@ -41,7 +46,8 @@ object StreamSoak {
       (col("id") % 97).cast("int").as("score"),
       concat(lit("payload-"), col("id") % 1000).as("payload"))
     val projected = CqlPipeline.toCql(df, Projection(defaultTimestampMicros = 1L))
-    val manifests = BulkSink.writeSorted(projected, Seq("rowkey"), buckets, out)
+    val manifests = BulkSink.writeSorted(projected, Seq("rowkey"), buckets, out,
+      compression = codec)
 
     // 3-node ring, evenly spaced vnodes
     val hosts = Seq("node-1", "node-2", "node-3")
@@ -62,14 +68,21 @@ object StreamSoak {
       require(summary.failed.isEmpty, s"failed sessions: ${summary.failed}")
       val rows = manifests.map(_.rows).sum
       val fileBytes = manifests.map(_.bytes).sum
+      // the wire carries the file's PHYSICAL bytes (compressed sessions
+      // ship chunk bytes + chunk map; uncompressed physical == logical)
       val wireBytes = plan.map { case (f, hs) =>
-        manifests.find(_.dataFile == f).map(_.bytes).getOrElse(0L) * hs.size
+        manifests.find(_.dataFile == f).map(m =>
+          if (m.physicalBytes >= 0) m.physicalBytes else m.bytes).getOrElse(0L) * hs.size
       }.sum
       val verified = cluster.receivedStreams.values.count(_.sortedOk)
+      val physBytes = manifests.map(m =>
+        if (m.physicalBytes >= 0) m.physicalBytes else m.bytes).sum
       println(f"""{"rows":$rows,"sessions":${summary.sessions.length},""" +
         f""""verified_streams":$verified,"rf":$rf,"sec":$sec%.1f,""" +
         f""""file_mb":${fileBytes / 1e6}%.0f,"wire_mb":${wireBytes / 1e6}%.0f,""" +
+        f""""physical_mb":${physBytes / 1e6}%.0f,""" +
         f""""wire_mb_per_sec":${wireBytes / 1e6 / sec}%.1f,""" +
+        f""""codec":"${codec.map(graft.sinks.SortedRunWriter.normalizeCodec).getOrElse("none")}",""" +
         f""""throttle_mbits":${throttleMBits.getOrElse(0)}}""")
     } finally cluster.stop()
     spark.stop()
