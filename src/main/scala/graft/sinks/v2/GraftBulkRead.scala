@@ -60,10 +60,12 @@ object GraftBulkRead {
     * `estRows`/`estBytes` pro-rate the manifest totals to the pushed
     * token band via the sparse index (whole-run totals when no index
     * can narrow them); `bucket` is the originating ring slot (-1 when
-    * unknown: pre-manifest dirs with unparseable names). */
+    * unknown: pre-manifest dirs with unparseable names); `minToken`/
+    * `maxToken` echo the manifest range for set-pruning consumers. */
   final case class PlannedSplit(file: String, codec: String,
       startOffset: Long, hiBound: Long, bucket: Int = -1,
-      estRows: Long = 0L, estBytes: Long = 0L)
+      estRows: Long = 0L, estBytes: Long = 0L,
+      minToken: Long = Long.MinValue, maxToken: Long = Long.MaxValue)
 
   private val RunNameRe = """graft-(\d+)-Data\.db""".r
 
@@ -112,7 +114,7 @@ object GraftBulkRead {
             // so the bounds above never prune them either)
             val effectiveHi = if (m.minTokenHex.nonEmpty) Long.MaxValue else hiBound
             Some(PlannedSplit(f.getAbsolutePath, m.codec, start, effectiveHi,
-              m.partition, estRows, estBytes))
+              m.partition, estRows, estBytes, m.minToken, m.maxToken))
           }
         case None =>
           Some(PlannedSplit(f.getAbsolutePath, "none", 0L, hiBound,
@@ -229,10 +231,22 @@ final class GraftBulkScan(path: String, required: StructType,
 
   @volatile private var lo: Option[Long] = initLo
   @volatile private var hi: Option[Long] = initHi
+  // a runtime IN set prunes per-run, not just by its global [min, max]:
+  // scattered repair tokens hit a few runs each, and a run whose range
+  // contains NONE of the values reads nothing
+  @volatile private var inSet: Option[Array[Long]] = None
   @volatile private var planned: Seq[GraftBulkRead.PlannedSplit] = _
 
   private def splits: Seq[GraftBulkRead.PlannedSplit] = {
-    if (planned == null) planned = GraftBulkRead.planSplits(new File(path), lo, hi)
+    if (planned == null) {
+      val base = GraftBulkRead.planSplits(new File(path), lo, hi)
+      planned = inSet match {
+        case Some(vs) => base.filter(s =>
+          // random runs pin their Long range full-ring -> always kept
+          vs.exists(v => v >= s.minToken && v <= s.maxToken))
+        case None => base
+      }
+    }
     planned
   }
   private lazy val murmur3Sorted = GraftBulkRead.murmur3Sorted(new File(path))
@@ -250,10 +264,13 @@ final class GraftBulkScan(path: String, required: StructType,
     var newHi = hi
     def raise(v: Long): Unit = newLo = Some(newLo.fold(v)(math.max(_, v)))
     def lower(v: Long): Unit = newHi = Some(newHi.fold(v)(math.min(_, v)))
+    var newSet = inSet
     filters.foreach {
       case In("token", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
         val longs = vs.map(_.asInstanceOf[Long])
         raise(longs.min); lower(longs.max)
+        // intersect with any previous set (both filters must hold)
+        newSet = Some(newSet.fold(longs)(prev => prev.intersect(longs)))
       case EqualTo("token", v: Long)            => raise(v); lower(v)
       case GreaterThan("token", v: Long)        => raise(if (v == Long.MaxValue) v else v + 1)
       case GreaterThanOrEqual("token", v: Long) => raise(v)
@@ -261,8 +278,8 @@ final class GraftBulkScan(path: String, required: StructType,
       case LessThanOrEqual("token", v: Long)    => lower(v)
       case _                                    => ()
     }
-    if (newLo != lo || newHi != hi) {
-      lo = newLo; hi = newHi
+    if (newLo != lo || newHi != hi || newSet.map(_.toSet) != inSet.map(_.toSet)) {
+      lo = newLo; hi = newHi; inSet = newSet
       planned = null // re-plan with the narrowed band
     }
   }

@@ -140,6 +140,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange"), s"unaligned write lost its exchange:\n${p.take(2000)}")
   }
 
+  test("redundant sortWithinPartitions over a graft-bulk read is removed (reported ordering)") {
+    import org.apache.spark.sql.functions.col
+    val src = bulkDir(4)
+    val back = spark.read.format("graft-bulk").option("path", src).load()
+    val resorted = back.sortWithinPartitions(col("token"), col("pk"))
+    resorted.collect()
+    val p = resorted.queryExecution.executedPlan.toString
+    assert(!p.contains("Sort "),
+      s"scan-reported ordering did not remove the redundant sort:\n${p.take(1500)}")
+  }
+
   test("per-run aggregation over a graft-bulk read plans no Exchange (key-grouped)") {
     val src = bulkDir(4)
     val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")

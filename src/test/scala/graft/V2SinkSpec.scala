@@ -413,6 +413,18 @@ class V2SinkSpec extends AnyFunSuite {
     // the surviving splits all intersect the narrowed band
     assert(after >= 1)
 
+    // set pruning beats the global band: two scattered tokens (lowest and
+    // highest runs) span the whole ring by [min, max], yet only the runs
+    // actually CONTAINING a value survive
+    val sorted = ms.filter(_.rows > 0).sortBy(_.minToken)
+    val scattered = Array[Any](sorted.head.minToken, sorted.last.maxToken)
+    val scan2 = new GraftBulkScanBuilder(out).build()
+    scan2.asInstanceOf[SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](In("token", scattered)))
+    val kept = scan2.toBatch.planInputPartitions().length
+    assert(kept === 2, s"scattered IN set kept $kept of $nonEmpty runs " +
+      "(global [min,max] would keep all)")
+
     // e2e: a broadcast join keyed on token stays exact with the scan's
     // runtime filtering declared (whether or not Spark chooses to inject
     // a dynamic filter at this size, results must match the plain join)
