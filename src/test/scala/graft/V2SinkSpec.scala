@@ -436,6 +436,47 @@ class V2SinkSpec extends AnyFunSuite {
     assert(joined === expected)
   }
 
+  test("RandomPartitioner + compression compose: chunked md5-sorted runs stream and verify") {
+    import graft.core.CassandraParams
+    import graft.sinks.{BulkSink, InProcessCluster, SortedRunWriter, StreamLoader}
+    val out = Files.createTempDirectory("graft-v2-randz").toString
+    val ms = BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      Seq("o_orderkey"), 4, out,
+      partitionerClass = CassandraParams.RandomPartitioner,
+      compression = Some("ZstdCompressor"), chunkSize = 4 * 1024)
+    val dir = new java.io.File(out)
+    val nonEmpty = ms.filter(_.rows > 0)
+    assert(nonEmpty.map(_.rows).sum === 1500)
+    nonEmpty.foreach { m =>
+      assert(m.codec === "zstd")
+      assert(m.minTokenHex.matches("[0-9a-f]{32}")) // md5 range rides in hex
+      assert(m.indexFile.isEmpty) // Long-token index stays suppressed
+      assert(SortedRunWriter.chunksFileFor(new java.io.File(dir, m.dataFile)).exists())
+      assert(m.physicalBytes < m.bytes)
+    }
+    // read back through the chunk-aware reader: exact rows, never truncated
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.count() === 1500)
+    // stream one compressed random run to a RandomPartitioner receiver:
+    // it rebuilds the logical stream from the chunk map and verifies md5
+    // decorated order on it
+    val cluster = new InProcessCluster(Seq("cass-r"),
+      partitioner = CassandraParams.RandomPartitioner)
+    val endpoints = cluster.start()
+    try {
+      val m = nonEmpty.maxBy(_.rows)
+      val (addr, port) = endpoints("cass-r")
+      val r = StreamLoader.streamRun(new java.io.File(dir, m.dataFile), m,
+        "cass-r", addr, port)
+      assert(r.ok, s"stream session failed: ${r.message}")
+      assert(r.rows === m.rows)
+      val received = cluster.receivedStreams(("cass-r", m.dataFile))
+      assert(received.sortedOk && received.bytes === m.bytes)
+    } finally cluster.stop()
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {
