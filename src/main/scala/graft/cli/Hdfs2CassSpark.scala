@@ -178,6 +178,14 @@ object Hdfs2CassSpark {
             java.nio.file.Paths.get(args.sinkDir, "_STREAM_PLAN.json"),
             json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           Some(plan)
+        case s: StaticClusterInfo if s.ring.nonEmpty =>
+          // metadata was supplied but carries no Long token ring
+          // (RandomPartitioner md5 tokens don't fit the ring format) —
+          // say so out loud; a silent skip reads as "ready to stream"
+          Console.err.println("[graft] cluster metadata has no Long token " +
+            "ring (RandomPartitioner); skipping _STREAM_PLAN.json emission — " +
+            "md5-range stream planning needs the cluster's own loader")
+          None
         case _ => None
       }
       // execute the plan when wire addresses are given — the reference's

@@ -141,9 +141,10 @@ object BulkSink {
       chunkSize: Int = SortedRunWriter.DefaultChunkSize)
       : Seq[PartitionManifest] = {
     require(keyCols.nonEmpty)
-    // resolve the codec DRIVER-side so a typo'd compressionclass fails
-    // before the shuffle runs, not in task 0 of the write stage
+    // resolve the codec and validate the chunk size DRIVER-side so a bad
+    // option fails before the shuffle runs, not in task 0 of the write stage
     val codec = compression.map(SortedRunWriter.normalizeCodec)
+    require(chunkSize >= 1024, s"chunkSize must be >= 1 KiB, got $chunkSize")
     val isRandom = partitionerClass match {
       case graft.core.CassandraParams.Murmur3Partitioner => false
       case graft.core.CassandraParams.RandomPartitioner  => true

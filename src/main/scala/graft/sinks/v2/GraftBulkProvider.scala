@@ -85,9 +85,12 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
     // typo fails the query before any executor work
     private val codec = Option(options.get("compressionclass"))
       .map(SortedRunWriter.normalizeCodec)
-    // logical chunk size for compressed runs (CompressionInfo.db analog)
+    // logical chunk size for compressed runs (CompressionInfo.db analog);
+    // validated at PLAN time like the codec — a bad option must fail
+    // before the exchange runs, not in task 0
     private val chunkSize = Option(options.get("chunksize")).map(_.toInt)
       .getOrElse(SortedRunWriter.DefaultChunkSize)
+    require(chunkSize >= 1024, s"chunksize must be >= 1 KiB, got $chunkSize")
     private val schema = info.schema()
     require(schema.fieldNames.contains("_pk") && schema.fieldNames.contains("_token") &&
       schema.fieldNames.contains("_bucket"),
@@ -228,11 +231,16 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
 
   /** Live per-task progress, polled by the executor heartbeat into the
     * SQL UI (the reference kept a heartbeat thread for this; Spark's
-    * metric plumbing replaces it). */
-  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    Array(
+    * metric plumbing replaces it). Random-token writes skip the Long
+    * token-range metrics — md5 tokens don't fit them, and publishing the
+    * untouched sentinels would show an impossible inverted range. */
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val base = Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
       new TaskMetric(GraftWriteMetrics.RowsName, writer.rowsSoFar),
-      new TaskMetric(GraftWriteMetrics.BytesName, writer.bytesSoFar),
+      new TaskMetric(GraftWriteMetrics.BytesName, writer.bytesSoFar))
+    if (randomTokens) base
+    else base ++ Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
       new TaskMetric(GraftWriteMetrics.MinTokenName, writer.minTokenSoFar),
       new TaskMetric(GraftWriteMetrics.MaxTokenName, writer.maxTokenSoFar))
+  }
 }

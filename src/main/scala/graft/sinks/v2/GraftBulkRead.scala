@@ -72,11 +72,17 @@ object GraftBulkRead {
   /**
    * Plan the splits a scan needs given an optional token range [lo, hi],
    * both inclusive. Files without a manifest entry (pre-manifest dirs)
-   * full-scan uncompressed. ONE manifest read and at most one index read
-   * per run serve pruning, seeking, and statistics alike.
+   * full-scan uncompressed — and are never early-stopped: with no
+   * manifest there is no evidence of murmur3 sort order, and stopping an
+   * md5-sorted (or unsorted) file at the first out-of-band murmur3 token
+   * would silently drop rows. ONE manifest read and at most one index
+   * read per run serve pruning, seeking, and statistics alike;
+   * `preRead` lets a caller that already parsed the manifest share it.
    */
-  def planSplits(dir: File, lo: Option[Long], hi: Option[Long]): Seq[PlannedSplit] = {
-    val manifests = BulkSink.readManifests(dir).map(m => m.dataFile -> m).toMap
+  def planSplits(dir: File, lo: Option[Long], hi: Option[Long],
+      preRead: Option[Seq[BulkSink.PartitionManifest]] = None): Seq[PlannedSplit] = {
+    val manifests = preRead.getOrElse(BulkSink.readManifests(dir))
+      .map(m => m.dataFile -> m).toMap
     val hiBound = hi.getOrElse(Long.MaxValue)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith("-Data.db")).sortBy(_.getName)
@@ -117,16 +123,25 @@ object GraftBulkRead {
               m.partition, estRows, estBytes, m.minToken, m.maxToken))
           }
         case None =>
-          Some(PlannedSplit(f.getAbsolutePath, "none", 0L, hiBound,
+          Some(PlannedSplit(f.getAbsolutePath, "none", 0L, Long.MaxValue,
             bucketOf(f.getName), estRows = 0L, estBytes = f.length()))
       }
     }.toSeq
   }
 
-  /** True when every manifested run is a Murmur3 run (md5-sorted
-    * RandomPartitioner runs are not token-sorted for the reader). */
-  def murmur3Sorted(dir: File): Boolean =
-    BulkSink.readManifests(dir).forall(_.minTokenHex.isEmpty)
+  /** True when EVERY Data.db in the directory has a manifest entry and
+    * every entry is a Murmur3 run: md5-sorted RandomPartitioner runs are
+    * not token-sorted for the reader, and a file WITHOUT a manifest has
+    * no evidence of order at all — claiming ordering over either would
+    * let Spark elide sorts over unordered data. */
+  def murmur3Sorted(dir: File,
+      preRead: Option[Seq[BulkSink.PartitionManifest]] = None): Boolean = {
+    val ms = preRead.getOrElse(BulkSink.readManifests(dir))
+    val manifested = ms.map(_.dataFile).toSet
+    ms.nonEmpty && ms.forall(_.minTokenHex.isEmpty) &&
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith("-Data.db")).forall(f => manifested(f.getName))
+  }
 
   /**
    * One pass over a sparse index: the seek offset (offset of the LAST
@@ -237,9 +252,13 @@ final class GraftBulkScan(path: String, required: StructType,
   @volatile private var inSet: Option[Array[Long]] = None
   @volatile private var planned: Seq[GraftBulkRead.PlannedSplit] = _
 
+  // one manifest read serves split planning, statistics, and the
+  // ordering/partitioning reports alike
+  private lazy val manifests = BulkSink.readManifests(new File(path))
+
   private def splits: Seq[GraftBulkRead.PlannedSplit] = {
     if (planned == null) {
-      val base = GraftBulkRead.planSplits(new File(path), lo, hi)
+      val base = GraftBulkRead.planSplits(new File(path), lo, hi, Some(manifests))
       planned = inSet match {
         case Some(vs) => base.filter(s =>
           // random runs pin their Long range full-ring -> always kept
@@ -249,7 +268,8 @@ final class GraftBulkScan(path: String, required: StructType,
     }
     planned
   }
-  private lazy val murmur3Sorted = GraftBulkRead.murmur3Sorted(new File(path))
+  private lazy val murmur3Sorted =
+    GraftBulkRead.murmur3Sorted(new File(path), Some(manifests))
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(Expressions.column("token"))

@@ -104,7 +104,11 @@ object ScaleCurve {
       f""""$name":{"base_sec":$tBase%.2f,"big_sec":$tBig%.2f,""" +
         f""""exponent":$exp%.2f,"base_rows":$rowsBase,"big_rows":$rowsBig}"""
     }
-    val json = s"""{"base":$base,"factor":$factor,"queries":{${results.mkString(",")}}}"""
+    // the timestamp keeps a stale committed artifact honest: Bench embeds
+    // this JSON verbatim, so a reader can see WHEN the curve was measured
+    val json = s"""{"base":$base,"factor":$factor,""" +
+      s""""measured_at":"${java.time.Instant.now()}",""" +
+      s""""queries":{${results.mkString(",")}}}"""
     println(json)
     // persist next to the repo so graft.Bench can fold the latest measured
     // exponents into its per-round JSON (scale regressions then surface in

@@ -477,6 +477,33 @@ class V2SinkSpec extends AnyFunSuite {
     } finally cluster.stop()
   }
 
+  test("manifest-less directories: no early-stop truncation, no false ordering claim") {
+    import graft.core.CassandraParams
+    import graft.sinks.BulkSink
+    import graft.sinks.v2.GraftBulkRead
+    // md5-sorted random runs whose manifest goes missing (partial copy):
+    // a murmur3 upper bound must NOT early-stop mid-file (murmur3 tokens
+    // are unordered there) and the scan must not claim token ordering
+    val out = Files.createTempDirectory("graft-v2-nomanifest").toString
+    BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("o_orderkey"), 2, out,
+      partitionerClass = CassandraParams.RandomPartitioner)
+    val full = spark.read.format("graft-bulk").option("path", out).load().collect()
+    assert(full.length === 1500)
+    val mid = full.map(_.getLong(0)).sorted.apply(full.length / 2)
+    Files.delete(java.nio.file.Paths.get(out, "_MANIFEST.json"))
+    val dir = new java.io.File(out)
+    assert(!GraftBulkRead.murmur3Sorted(dir), "orderless dir claims ordering")
+    GraftBulkRead.planSplits(dir, None, Some(mid)).foreach(s =>
+      assert(s.hiBound === Long.MaxValue, s"unmanifested split early-stops at ${s.hiBound}"))
+    val filtered = spark.read.format("graft-bulk").option("path", out).load()
+      .filter(col("token") <= mid)
+    assert(filtered.count() === full.count(_.getLong(0) <= mid),
+      "manifest-less md5 run was truncated by a murmur3 early-stop")
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {
