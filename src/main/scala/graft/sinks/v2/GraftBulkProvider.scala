@@ -96,6 +96,18 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
       schema.fieldNames.contains("_bucket"),
       "graft-bulk input needs _pk/_token/_bucket columns " +
         "(use graft.functions.partition_key/cassandra_token/token_bucket)")
+    // `payload=raw`: the single non-aux column IS the already-encoded
+    // record payload and is written verbatim (no per-column length
+    // framing) — the rewrite/recompress path, where re-framing would make
+    // every generation wrap the previous one. Validated at plan time.
+    private val rawPayload = "raw".equalsIgnoreCase(options.get("payload"))
+    if (rawPayload) {
+      val aux = Set("_pk", "_token", "_bucket")
+      val nonAux = schema.fields.filterNot(f => aux(f.name))
+      require(nonAux.length == 1 && nonAux.head.dataType == BinaryType,
+        "payload=raw needs exactly one non-aux column of binary type " +
+          s"(got ${nonAux.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")})")
+    }
 
     // G1/G2: cluster rows by ring bucket (each bucket fully inside one task)
     override def requiredDistribution(): Distribution =
@@ -109,7 +121,8 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
         Expressions.sort(Expressions.column("_token"), SortDirection.ASCENDING),
         Expressions.sort(Expressions.column("_pk"), SortDirection.ASCENDING))
 
-    override def toBatch: BatchWrite = new GraftBulkBatchWrite(path, schema, codec, chunkSize)
+    override def toBatch: BatchWrite =
+      new GraftBulkBatchWrite(path, schema, codec, chunkSize, rawPayload)
 
     // K9/K10 replacement: progress as SQL-UI metrics, not heartbeat threads
     override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -121,10 +134,11 @@ final case class ManifestMessage(json: String) extends WriterCommitMessage
 
 final class GraftBulkBatchWrite(path: String, schema: StructType,
     codec: Option[String],
-    chunkSize: Int = SortedRunWriter.DefaultChunkSize) extends BatchWrite {
+    chunkSize: Int = SortedRunWriter.DefaultChunkSize,
+    rawPayload: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    new GraftBulkWriterFactory(path, schema, codec, chunkSize)
+    new GraftBulkWriterFactory(path, schema, codec, chunkSize, rawPayload)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -139,9 +153,10 @@ final class GraftBulkBatchWrite(path: String, schema: StructType,
 
 final class GraftBulkWriterFactory(path: String, schema: StructType,
     codec: Option[String],
-    chunkSize: Int = SortedRunWriter.DefaultChunkSize) extends DataWriterFactory {
+    chunkSize: Int = SortedRunWriter.DefaultChunkSize,
+    rawPayload: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftBulkDataWriter(path, partitionId, schema, codec, chunkSize)
+    new GraftBulkDataWriter(path, partitionId, schema, codec, chunkSize, rawPayload)
 }
 
 /**
@@ -158,7 +173,8 @@ final class GraftBulkWriterFactory(path: String, schema: StructType,
  */
 final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
     codec: Option[String] = None,
-    chunkSize: Int = SortedRunWriter.DefaultChunkSize) extends DataWriter[InternalRow] {
+    chunkSize: Int = SortedRunWriter.DefaultChunkSize,
+    rawPayload: Boolean = false) extends DataWriter[InternalRow] {
 
   private val pkIdx = schema.fieldIndex("_pk")
   private val tokenIdx = schema.fieldIndex("_token")
@@ -178,8 +194,13 @@ final class GraftBulkDataWriter(path: String, pid: Int, schema: StructType,
 
   override def write(row: InternalRow): Unit = {
     val pk = row.getBinary(pkIdx)
-    if (randomTokens) writer.addRandom(row.getBinary(tokenIdx), pk, encodeValues(row))
-    else writer.add(row.getLong(tokenIdx), pk, encodeValues(row))
+    val value =
+      if (rawPayload) {
+        val i = valueFields(0)._1
+        if (row.isNullAt(i)) Array.emptyByteArray else row.getBinary(i)
+      } else encodeValues(row)
+    if (randomTokens) writer.addRandom(row.getBinary(tokenIdx), pk, value)
+    else writer.add(row.getLong(tokenIdx), pk, value)
   }
 
   private def encodeValues(row: InternalRow): Array[Byte] = {

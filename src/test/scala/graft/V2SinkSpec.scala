@@ -504,6 +504,60 @@ class V2SinkSpec extends AnyFunSuite {
       "manifest-less md5 run was truncated by a murmur3 early-stop")
   }
 
+  test("aligned raw-payload rewrite recompresses without re-framing records") {
+    import graft.sinks.BulkSink
+    // write uncompressed -> rewrite to zstd via the aligned raw-payload
+    // path -> records must be BYTE-identical (a re-framing writer would
+    // wrap every value in another length prefix each generation)
+    val src = Files.createTempDirectory("graft-v2-rw-src").toString
+    prepared(4).write.format("graft-bulk")
+      .option("path", src).option("buckets", "4").mode("append").save()
+    val dst = Files.createTempDirectory("graft-v2-rw-dst").toString
+    spark.read.format("graft-bulk").option("path", src).load()
+      .select(col("token").as("_token"), col("pk").as("_pk"),
+        col("value"), col("bucket").as("_bucket"))
+      .write.format("graft-bulk")
+      .option("path", dst).option("aligned", "true").option("payload", "raw")
+      .option("compressionclass", "ZstdCompressor")
+      .option("chunksize", "4096").mode("append").save()
+
+    val srcRows = spark.read.format("graft-bulk").option("path", src).load()
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val dstRows = spark.read.format("graft-bulk").option("path", dst).load()
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(dstRows === srcRows, "rewrite changed record bytes")
+    val ms = BulkSink.readManifests(new java.io.File(dst)).filter(_.rows > 0)
+    assert(ms.nonEmpty && ms.forall(_.codec === "zstd"))
+    assert(ms.map(_.physicalBytes).sum < ms.map(_.bytes).sum)
+    // and a second rewrite back to uncompressed is still identical
+    // (idempotence across generations)
+    val dst2 = Files.createTempDirectory("graft-v2-rw-dst2").toString
+    spark.read.format("graft-bulk").option("path", dst).load()
+      .select(col("token").as("_token"), col("pk").as("_pk"),
+        col("value"), col("bucket").as("_bucket"))
+      .write.format("graft-bulk")
+      .option("path", dst2).option("aligned", "true").option("payload", "raw")
+      .mode("append").save()
+    val dst2Rows = spark.read.format("graft-bulk").option("path", dst2).load()
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(dst2Rows === srcRows)
+    // payload=raw refuses ambiguous shapes at plan time
+    val e = intercept[Exception] {
+      spark.read.format("graft-bulk").option("path", src).load()
+        .select(col("token").as("_token"), col("pk").as("_pk"),
+          col("value"), col("token").as("extra"), col("bucket").as("_bucket"))
+        .write.format("graft-bulk")
+        .option("path", Files.createTempDirectory("graft-v2-rw-bad").toString)
+        .option("aligned", "true").option("payload", "raw").mode("append").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("payload=raw")))
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {
