@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.operators.CqlPipeline
 import graft.operators.CqlPipeline.Projection
-import graft.sinks.BulkSink
+import graft.sinks.{BulkSink, LoaderPlan, StreamLoader}
 
 /**
  * Structured-Streaming ingest: the reference is batch-only (its "streaming"
@@ -68,8 +68,30 @@ object EventsIngest {
       numBuckets: Int = 4): StreamingQuery =
     runIngest(spark, eventsDir, outDir, numBuckets, mode = "append")
 
+  /** A live destination ring for `ingestAndStream`: replica planning
+    * inputs plus the wire addresses each logical host listens on. */
+  final case class StreamTarget(ring: Seq[LoaderPlan.RingNode], rf: Int,
+      endpoints: Map[String, (String, Int)], throttleMBits: Option[Int] = None)
+
+  /**
+   * The full firehose-to-ring pipeline: every micro-batch's sorted runs
+   * are PLANNED (rf-aware replica sets) and STREAMED to the target as
+   * soon as the batch's bulk write commits — the streaming composition
+   * of the reference's per-job close() stream (CrunchCqlBulkRecordWriter
+   * .java:153-181), continuous instead of one-shot. Failure contract
+   * composes with the checkpoint: a batch whose runs reach NO replica
+   * throws inside foreachBatch, failing the batch, so a restart replays
+   * it from the checkpoint — at-least-once delivery into an idempotent
+   * load (writetime = batchId makes replays converge).
+   */
+  def ingestAndStream(spark: SparkSession, eventsDir: String, outDir: String,
+      target: StreamTarget, numBuckets: Int = 4,
+      mode: String = "append"): StreamingQuery =
+    runIngest(spark, eventsDir, outDir, numBuckets, mode, Some(target))
+
   private def runIngest(spark: SparkSession, eventsDir: String, outDir: String,
-      numBuckets: Int, mode: String): StreamingQuery = {
+      numBuckets: Int, mode: String,
+      target: Option[StreamTarget] = None): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
     val agg = windowedCounts(stream)
@@ -84,8 +106,20 @@ object EventsIngest {
           val projected = CqlPipeline.toCql(keyed, Projection(
             rowkey = Some("rowkey"),
             defaultTimestampMicros = batchId)) // batch id as writetime: idempotent re-loads
-          BulkSink.writeSorted(projected, Seq("rowkey"), numBuckets,
-            s"$outDir/batch=$batchId")
+          val batchDir = s"$outDir/batch=$batchId"
+          val manifests = BulkSink.writeSorted(projected, Seq("rowkey"), numBuckets,
+            batchDir)
+          // live target: plan replicas and stream THIS batch's runs now;
+          // partial session failures warn (survivable), a run on no
+          // replica throws -> the batch fails -> checkpoint replays it
+          target.foreach { t =>
+            val plan = LoaderPlan.planStreams(manifests, t.ring, t.rf)
+            val summary = StreamLoader.stream(batchDir, plan, t.endpoints,
+              manifests, throttleMBits = t.throttleMBits)
+            summary.failed.foreach(f => System.err.println(
+              s"WARN: batch $batchId stream session failed: " +
+                s"${f.dataFile} -> ${f.host}: ${f.message}"))
+          }
         }
         ()
       }

@@ -102,4 +102,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(loadedKeys === Set("a|1970-01-01 00:00:00", "a|1970-01-01 02:00:00",
       "a|1970-01-01 05:00:00"))
   }
+
+  test("ingestAndStream pushes every micro-batch's runs to the ring as it commits") {
+    // the full firehose-to-ring pipeline: windowed aggregation -> per-batch
+    // sorted bulk load -> rf-aware replica streaming, with receivers
+    // re-verifying decorated order and counts per session
+    import graft.sinks.{BulkSink, InProcessCluster, LoaderPlan}
+    val inDir = Files.createTempDirectory("graft-ingstream-in").toString
+    val outDir = Files.createTempDirectory("graft-ingstream-out").toString
+    val H = 3600L * 1000000000L
+    (1L to 40L).map(i => (i, (i % 4) * H + H / 2, i, s"t${i % 3}", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+    val step = java.lang.Long.divideUnsigned(-1L, 4L)
+    val ring = Seq(
+      LoaderPlan.RingNode("s-1", Seq(Long.MinValue + step, Long.MinValue + 3L * step)),
+      LoaderPlan.RingNode("s-2", Seq(Long.MinValue + 2L * step, Long.MinValue + 4L * step)))
+    val cluster = new InProcessCluster(Seq("s-1", "s-2"),
+      ring = ring.map(n => n.host -> n.tokens).toMap)
+    val endpoints = cluster.start()
+    try {
+      graft.streaming.EventsIngest.ingestAndStream(spark, inDir, outDir,
+        graft.streaming.EventsIngest.StreamTarget(ring, rf = 2, endpoints),
+        mode = "complete")
+      // every non-empty run of every batch reached BOTH replicas (rf=2 on
+      // a 2-node ring) with verified order and counts
+      val received = cluster.receivedStreams
+      val batches = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      val runs = batches.flatMap(b => BulkSink.readManifests(b).filter(_.rows > 0))
+      assert(runs.nonEmpty, "ingest produced no runs")
+      runs.foreach { m =>
+        for (host <- Seq("s-1", "s-2")) {
+          val r = received.getOrElse((host, m.dataFile),
+            fail(s"$host never received ${m.dataFile}: got ${received.keys.toSeq.sorted}"))
+          assert(r.rows === m.rows && r.sortedOk)
+        }
+      }
+    } finally cluster.stop()
+  }
 }
