@@ -66,7 +66,12 @@ final class GraftBulkTable(tableSchema: StructType, path: Option[String])
 
 final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = this // overwrite = rewrite the dir
+  // overwrite = truncate-then-write: existing run files MUST be removed
+  // before new ones land, or the reader's pre-manifest fallback (files
+  // without a manifest entry full-scan) would resurrect the stale runs
+  // next to the new manifest as duplicates
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val options = info.options()
@@ -122,7 +127,8 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
         Expressions.sort(Expressions.column("_pk"), SortDirection.ASCENDING))
 
     override def toBatch: BatchWrite =
-      new GraftBulkBatchWrite(path, schema, codec, chunkSize, rawPayload)
+      new GraftBulkBatchWrite(path, schema, codec, chunkSize, rawPayload,
+        truncateFirst)
 
     // K9/K10 replacement: progress as SQL-UI metrics, not heartbeat threads
     override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -135,9 +141,22 @@ final case class ManifestMessage(json: String) extends WriterCommitMessage
 final class GraftBulkBatchWrite(path: String, schema: StructType,
     codec: Option[String],
     chunkSize: Int = SortedRunWriter.DefaultChunkSize,
-    rawPayload: Boolean = false) extends BatchWrite {
+    rawPayload: Boolean = false,
+    truncateFirst: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
+    if (truncateFirst) {
+      // driver-side, before any task runs: clear every run artifact of
+      // the previous load (data, index, chunk map, manifest, stream plan)
+      val stale = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter { f =>
+          val n = f.getName
+          (n.startsWith("graft-") && (n.endsWith("-Data.db") ||
+            n.endsWith("-Index.db") || n.endsWith("-Chunks.db"))) ||
+            n == "_MANIFEST.json" || n == "_STREAM_PLAN.json"
+        }
+      stale.foreach(_.delete())
+    }
     new GraftBulkWriterFactory(path, schema, codec, chunkSize, rawPayload)
   }
 

@@ -558,6 +558,33 @@ class V2SinkSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("payload=raw")))
   }
 
+  test("mode(overwrite) truncates the previous load's runs, append keeps them") {
+    // regression: truncate() was a no-op, so overwrite left the old
+    // Data.db files beside the new manifest and the reader's
+    // pre-manifest fallback resurrected them as duplicate rows
+    val out = Files.createTempDirectory("graft-v2-ow").toString
+    prepared(4).write.format("graft-bulk")
+      .option("path", out).option("buckets", "4").mode("append").save()
+    assert(spark.read.format("graft-bulk").option("path", out).load().count() === 1500)
+    // overwrite with a SUBSET (500 rows, different bucket count)
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderkey") <= 2000)
+      .withColumn("_pk", partition_key(col("o_orderkey")))
+      .withColumn("_token", cassandra_token(col("_pk")))
+      .withColumn("_bucket", token_bucket(col("_token"), 2))
+      .write.format("graft-bulk")
+      .option("path", out).option("buckets", "2").mode("overwrite").save()
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    val expected = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderkey") <= 2000).count()
+    assert(back.count() === expected,
+      "stale runs from the previous load leaked into the overwrite read")
+    // no stale artifacts on disk either
+    val names = new java.io.File(out).listFiles().map(_.getName)
+    assert(names.count(_.endsWith("-Data.db")) ===
+      graft.sinks.BulkSink.readManifests(new java.io.File(out)).length)
+  }
+
   test("unknown compressionclass fails at plan time, loudly") {
     val out = Files.createTempDirectory("graft-v2-badcodec").toString
     val e = intercept[Exception] {
