@@ -38,8 +38,17 @@ object Recompress {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
+    // partitioner-aware: a RandomPartitioner directory (hex token ranges
+    // in its manifests) is md5-sorted, so the rewrite keys by the md5
+    // token recomputed from the pk — feeding the reader's murmur3 `token`
+    // to the writer would fail its decorated-order check on row two
+    val srcManifests = graft.sinks.BulkSink.readManifests(new java.io.File(in))
+    val randomSrc = srcManifests.exists(_.minTokenHex.nonEmpty)
+    val tokenExpr =
+      if (randomSrc) graft.functions.cassandra_random_token(col("pk"))
+      else col("token")
     val w = spark.read.format("graft-bulk").option("path", in).load()
-      .select(col("token").as("_token"), col("pk").as("_pk"),
+      .select(tokenExpr.as("_token"), col("pk").as("_pk"),
         col("value"), col("bucket").as("_bucket"))
       .write.format("graft-bulk")
       .option("path", out).option("aligned", "true").option("payload", "raw")

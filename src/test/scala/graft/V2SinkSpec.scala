@@ -558,6 +558,37 @@ class V2SinkSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("payload=raw")))
   }
 
+  test("aligned raw-payload rewrite serves RandomPartitioner directories too") {
+    import graft.core.CassandraParams
+    import graft.functions.cassandra_random_token
+    import graft.sinks.BulkSink
+    // md5-sorted source: the rewrite keys by the md5 token recomputed
+    // from the pk (the reader's murmur3 `token` is unordered here and
+    // would fail the writer's decorated-order check)
+    val src = Files.createTempDirectory("graft-v2-rw-rand").toString
+    BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("o_orderkey"), 4, src,
+      partitionerClass = CassandraParams.RandomPartitioner)
+    val dst = Files.createTempDirectory("graft-v2-rw-rand-dst").toString
+    spark.read.format("graft-bulk").option("path", src).load()
+      .select(cassandra_random_token(col("pk")).as("_token"), col("pk").as("_pk"),
+        col("value"), col("bucket").as("_bucket"))
+      .write.format("graft-bulk")
+      .option("path", dst).option("aligned", "true").option("payload", "raw")
+      .option("compressionclass", "LZ4Compressor").mode("append").save()
+    val ms = BulkSink.readManifests(new java.io.File(dst)).filter(_.rows > 0)
+    assert(ms.map(_.rows).sum === 1500)
+    assert(ms.forall(m => m.codec === "lz4" && m.minTokenHex.matches("[0-9a-f]{32}")))
+    // records byte-identical to the source
+    val srcRows = spark.read.format("graft-bulk").option("path", src).load()
+      .collect().map(r => (r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toSet
+    val dstRows = spark.read.format("graft-bulk").option("path", dst).load()
+      .collect().map(r => (r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(dstRows === srcRows)
+  }
+
   test("mode(overwrite) truncates the previous load's runs, append keeps them") {
     // regression: truncate() was a no-op, so overwrite left the old
     // Data.db files beside the new manifest and the reader's
