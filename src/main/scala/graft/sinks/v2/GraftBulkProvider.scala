@@ -119,6 +119,12 @@ final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
       if (aligned) Distributions.unspecified()
       else Distributions.clustered(Array(Expressions.column("_bucket")))
     override def requiredNumPartitions(): Int = if (aligned) 0 else buckets
+    // with no fixed bucket count (buckets unset/0), AQE may size the
+    // clustered shuffle by this advisory instead — size-targeted runs
+    // (several ring buckets per task is a legal run shape: each task
+    // still writes one decorated-key-sorted run)
+    override def advisoryPartitionSizeInBytes(): Long =
+      Option(options.get("advisorypartitionbytes")).map(_.toLong).getOrElse(0L)
     // G3: decorated-key order inside every task
     override def requiredOrdering(): Array[SortOrder] =
       if (aligned) Array.empty
@@ -147,7 +153,10 @@ final class GraftBulkBatchWrite(path: String, schema: StructType,
     Files.createDirectories(Paths.get(path))
     if (truncateFirst) {
       // driver-side, before any task runs: clear every run artifact of
-      // the previous load (data, index, chunk map, manifest, stream plan)
+      // the previous load (data, index, chunk map, manifest, stream plan).
+      // Like Spark's own file-source overwrite, this is delete-then-write,
+      // NOT atomic — a job failure between here and commit() loses the
+      // old load; keep the previous directory if that matters.
       val stale = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
         .filter { f =>
           val n = f.getName

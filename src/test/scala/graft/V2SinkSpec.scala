@@ -630,6 +630,24 @@ class V2SinkSpec extends AnyFunSuite {
     assert(!new java.io.File(out, "_MANIFEST.json").exists())
   }
 
+  test("bucket-less write with a size advisory still emits valid sorted runs") {
+    import graft.sinks.BulkSink
+    // no fixed bucket count: Spark/AQE picks the partitioning (sized by
+    // the advisory); several ring buckets may share a task, which is a
+    // legal run shape — each task still writes one decorated-sorted run
+    val out = Files.createTempDirectory("graft-v2-advisory").toString
+    prepared(8).write.format("graft-bulk")
+      .option("path", out)
+      .option("advisorypartitionbytes", (64 * 1024).toString)
+      .mode("append").save()
+    val ms = BulkSink.readManifests(new java.io.File(out)).filter(_.rows > 0)
+    assert(ms.nonEmpty && ms.map(_.rows).sum === 1500)
+    assert(ms.forall(_.sorted))
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.count() === 1500)
+    assert(back.filter(cassandra_token(col("pk")) =!= col("token")).count() === 0)
+  }
+
   test("v2 sink rejects input without routing columns") {
     val out = Files.createTempDirectory("graft-v2-bad").toString
     val e = intercept[Exception] {
