@@ -184,12 +184,42 @@ object GraftBulkRead {
 }
 
 final class GraftBulkScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo: Option[Long] = None // inclusive
   private var hi: Option[Long] = None // inclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftBulkRead.schema
+  private var limit: Option[Int] = None
+  private var topN: Option[Boolean] = None // Some(desc) when ORDER BY token
+
+  /** LIMIT n: plan only enough runs to cover n rows (manifest row counts
+    * are exact), instead of opening every run of a huge load for a peek.
+    * Returns false — Spark still applies the limit for exactness. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false
+  }
+
+  /** ORDER BY token [ASC|DESC] LIMIT n: ring-aligned runs have DISJOINT
+    * token ranges, so the n globally-smallest (or largest) tokens live in
+    * a prefix (suffix) of the runs ordered by range — plan only that.
+    * Applied at plan time only when the directory's ranges verify
+    * disjoint; Spark still sorts and limits (returns false). Orderings
+    * not led by the token column push nothing.
+    */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    orders.headOption.collect {
+      case o if o.expression() == Expressions.column("token") ||
+        o.expression().toString == "token" => o.direction()
+    }.foreach { dir =>
+      limit = Some(n)
+      topN = Some(dir == SortDirection.DESCENDING)
+    }
+    false
+  }
+  override def isPartiallyPushed: Boolean = true
 
   // column pruning: a count or token histogram over a bulk directory must
   // not materialize the value payloads (the bulk of every record's bytes —
@@ -225,7 +255,8 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftBulkScan(path, required, lo, hi)
+  override def build(): Scan =
+    new GraftBulkScan(path, required, lo, hi, limit, topN)
 }
 
 /**
@@ -239,7 +270,8 @@ final class GraftBulkScanBuilder(path: String) extends ScanBuilder
  * damaged tokens then touches only the runs that can contain them).
  */
 final class GraftBulkScan(path: String, required: StructType,
-    initLo: Option[Long], initHi: Option[Long])
+    initLo: Option[Long], initHi: Option[Long],
+    limit: Option[Int] = None, topN: Option[Boolean] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportOrdering
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
@@ -259,14 +291,57 @@ final class GraftBulkScan(path: String, required: StructType,
   private def splits: Seq[GraftBulkRead.PlannedSplit] = {
     if (planned == null) {
       val base = GraftBulkRead.planSplits(new File(path), lo, hi, Some(manifests))
-      planned = inSet match {
+      val setPruned = inSet match {
         case Some(vs) => base.filter(s =>
           // random runs pin their Long range full-ring -> always kept
           vs.exists(v => v >= s.minToken && v <= s.maxToken))
         case None => base
       }
+      planned = limitPrefix(setPruned)
     }
     planned
+  }
+
+  /** LIMIT/ORDER-BY-token-LIMIT planning: take runs (in token order for
+    * top-n, directory order for a bare limit) until their EXACT row
+    * counts cover the limit. Applied only when no band/set narrowing is
+    * active (pro-rated estimates over-count and could under-plan) and
+    * every file is manifested (exact counts). A bare LIMIT may take ANY
+    * runs; top-n by token additionally needs the directory's ranges to
+    * verify DISJOINT (overlapping runs share the extremes) — otherwise
+    * nothing is truncated. Spark re-applies the limit/sort either way,
+    * so this is purely a plan-size optimization. */
+  private def limitPrefix(base: Seq[GraftBulkRead.PlannedSplit])
+      : Seq[GraftBulkRead.PlannedSplit] = limit match {
+    case Some(n) if lo.isEmpty && hi.isEmpty && inSet.isEmpty &&
+        base.forall(_.estRows > 0) && (topN.isEmpty || rangesDisjoint) =>
+      val ordered = topN match {
+        case None        => base
+        case Some(false) => base.sortBy(_.minToken)
+        case Some(true)  => base.sortBy(s => -s.maxToken)
+      }
+      var covered = 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[GraftBulkRead.PlannedSplit]
+      val it = ordered.iterator
+      while (covered < n && it.hasNext) {
+        val s = it.next()
+        out += s
+        covered += s.estRows
+      }
+      out.toSeq
+    case _ => base
+  }
+
+  /** Disjoint, Murmur3-sorted token ranges across all non-empty runs. */
+  private lazy val rangesDisjoint: Boolean = {
+    val ms = manifests.filter(_.rows > 0)
+    ms.forall(_.minTokenHex.isEmpty) && {
+      val sorted = ms.sortBy(_.minToken)
+      sorted.sliding(2).forall {
+        case Seq(a, b) => a.maxToken < b.minToken
+        case _         => true
+      }
+    }
   }
   private lazy val murmur3Sorted =
     GraftBulkRead.murmur3Sorted(new File(path), Some(manifests))

@@ -648,6 +648,38 @@ class V2SinkSpec extends AnyFunSuite {
     assert(back.filter(cassandra_token(col("pk")) =!= col("token")).count() === 0)
   }
 
+  test("limit and token top-n plan only the runs they need") {
+    import graft.sinks.BulkSink
+    val out = Files.createTempDirectory("graft-v2-limit").toString
+    val ms = BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("o_orderkey"), 8, out)
+    val nonEmpty = ms.count(_.rows > 0)
+    assert(nonEmpty >= 4)
+    def scan() = spark.read.format("graft-bulk").option("path", out).load()
+
+    // bare LIMIT: one run covers 10 rows -> one split planned
+    val limited = scan().limit(10)
+    assert(limited.count() === 10)
+    assert(limited.rdd.getNumPartitions < nonEmpty,
+      "LIMIT still plans every run")
+
+    // ORDER BY token LIMIT: the result equals the full sort's prefix
+    // (disjoint ring ranges -> bottom runs contain the global bottom-n)
+    val fullAsc = scan().collect().map(_.getLong(0)).sorted
+    val bottom = scan().orderBy(col("token")).limit(7)
+    assert(bottom.collect().map(_.getLong(0)).toSeq === fullAsc.take(7).toSeq)
+    val top = scan().orderBy(col("token").desc).limit(7)
+    assert(top.collect().map(_.getLong(0)).toSeq ===
+      fullAsc.reverse.take(7).toSeq)
+
+    // a pushed token band disables the truncation (estimates over-count);
+    // exactness must hold regardless
+    val mid = fullAsc(fullAsc.length / 2)
+    assert(scan().filter(col("token") >= mid).limit(5).count() === 5)
+  }
+
   test("v2 sink rejects input without routing columns") {
     val out = Files.createTempDirectory("graft-v2-bad").toString
     val e = intercept[Exception] {
