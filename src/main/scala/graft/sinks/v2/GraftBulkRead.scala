@@ -46,7 +46,11 @@ import graft.sinks.BulkSink
  *    per-run aggregation plans no Exchange. The ring-bucket FUNCTION
  *    itself (unsigned token ranges + slot permutation) is not a Catalyst
  *    partitioning, so token-derived clusterings still exchange; the
- *    bucket column is the declared, checkable surface.
+ *    bucket column is the declared, checkable surface;
+ *  - SupportsRuntimeFiltering: a broadcast join's actual token values
+ *    narrow the split plan at execution time (per-run IN-set pruning);
+ *  - LIMIT and ORDER-BY-token-LIMIT plan only the runs needed to cover
+ *    the limit (token order exploits disjoint-verified ring ranges).
  */
 object GraftBulkRead {
   val schema: StructType = StructType(Seq(
