@@ -121,11 +121,17 @@ object BulkSink {
     * RandomPartitioner runs carry their md5 token range as 32-char hex in
     * `minTokenHex`/`maxTokenHex` (md5 tokens reach 2^127 and overflow the
     * Long fields, which such runs pin to the full range so Long-token
-    * pruning keeps them); empty hex = a Murmur3 run. */
+    * pruning keeps them); empty hex = a Murmur3 run.
+    * `chunks` is the compressed run's chunk-map entry count: readers use
+    * it to tell "this run NEEDS its Chunks.db sidecar" (a missing sidecar
+    * then fails loudly instead of silently decoding only the first chunk)
+    * from a legacy pre-chunking sequential run (-1 = written before the
+    * field existed, chunked-ness unknown; 0 = uncompressed). */
   final case class PartitionManifest(
       partition: Int, rows: Long, bytes: Long, minToken: Long, maxToken: Long,
       sorted: Boolean, dataFile: String, indexFile: String, codec: String = "none",
-      physicalBytes: Long = -1L, minTokenHex: String = "", maxTokenHex: String = "")
+      physicalBytes: Long = -1L, minTokenHex: String = "", maxTokenHex: String = "",
+      chunks: Int = -1)
 
   /**
    * Write `df` as sorted per-token-range runs under `outDir`.
@@ -210,7 +216,7 @@ object BulkSink {
       if (m.minTokenHex.isEmpty) ""
       else s""""minTokenHex":"${m.minTokenHex}","maxTokenHex":"${m.maxTokenHex}","""
     s"""{"partition":${m.partition},"rows":${m.rows},"bytes":${m.bytes},""" +
-      s""""physicalBytes":${m.physicalBytes},""" +
+      s""""physicalBytes":${m.physicalBytes},"chunks":${m.chunks},""" +
       hexFields +
       s""""minToken":${m.minToken},"maxToken":${m.maxToken},"sorted":${m.sorted},""" +
       s""""dataFile":"${m.dataFile}","indexFile":"${m.indexFile}","codec":"${m.codec}"}"""
@@ -218,6 +224,7 @@ object BulkSink {
 
   private val ManifestEntryRe =
     ("""\{"partition":(-?\d+),"rows":(\d+),"bytes":(\d+),(?:"physicalBytes":(-?\d+),)?""" +
+      """(?:"chunks":(-?\d+),)?""" +
       """(?:"minTokenHex":"([0-9a-f]*)","maxTokenHex":"([0-9a-f]*)",)?""" +
       """"minToken":(-?\d+),"maxToken":(-?\d+),"sorted":(true|false),""" +
       """"dataFile":"([^"]+)","indexFile":"([^"]*)","codec":"([^"]+)"\}""").r
@@ -232,11 +239,12 @@ object BulkSink {
       val json = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
       ManifestEntryRe.findAllMatchIn(json).map { g =>
         PartitionManifest(g.group(1).toInt, g.group(2).toLong, g.group(3).toLong,
-          g.group(7).toLong, g.group(8).toLong, g.group(9).toBoolean,
-          g.group(10), g.group(11), g.group(12),
+          g.group(8).toLong, g.group(9).toLong, g.group(10).toBoolean,
+          g.group(11), g.group(12), g.group(13),
           physicalBytes = Option(g.group(4)).map(_.toLong).getOrElse(-1L),
-          minTokenHex = Option(g.group(5)).getOrElse(""),
-          maxTokenHex = Option(g.group(6)).getOrElse(""))
+          minTokenHex = Option(g.group(6)).getOrElse(""),
+          maxTokenHex = Option(g.group(7)).getOrElse(""),
+          chunks = Option(g.group(5)).map(_.toInt).getOrElse(-1))
       }.toSeq
     }
   }

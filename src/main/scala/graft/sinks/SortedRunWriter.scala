@@ -147,6 +147,11 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
     chunkBuf.reset()
   }
 
+  /** Chunk-map entry count recorded in the manifest: 0 for uncompressed
+    * runs, the number of independently-compressed chunks otherwise —
+    * readers use a positive count to REQUIRE the Chunks.db sidecar. */
+  private def chunkCount: Int = if (chunkPairs == null) 0 else chunkPairs.length
+
   def close(): BulkSink.PartitionManifest = {
     if (directOut != null) directOut.close()
     else {
@@ -167,11 +172,12 @@ final class SortedRunWriter(outDir: String, pid: Int, indexInterval: Int = 128,
         Long.MinValue, Long.MaxValue,
         sorted = true, dataName, indexName, codec,
         physicalBytes = dataFile.length(),
-        minTokenHex = hex(minTokenB), maxTokenHex = hex(maxTokenB))
+        minTokenHex = hex(minTokenB), maxTokenHex = hex(maxTokenB),
+        chunks = chunkCount)
     } else
       BulkSink.PartitionManifest(pid, rows, offset, minToken, maxToken,
         sorted = true, dataName, indexName, codec,
-        physicalBytes = dataFile.length())
+        physicalBytes = dataFile.length(), chunks = chunkCount)
   }
 
   def abort(): Unit = {

@@ -66,10 +66,11 @@ final class GraftBulkTable(tableSchema: StructType, path: Option[String])
 
 final class GraftBulkWriteBuilder(info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
-  // overwrite = truncate-then-write: existing run files MUST be removed
-  // before new ones land, or the reader's pre-manifest fallback (files
-  // without a manifest entry full-scan) would resurrect the stale runs
-  // next to the new manifest as duplicates
+  // overwrite = stage-then-swap: the new load writes into a hidden temp
+  // subdir, and commit() deletes the stale runs just before moving the
+  // new ones into place — the previous load survives any failure before
+  // commit, and the reader's pre-manifest fallback never sees old and new
+  // runs side by side
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
@@ -149,34 +150,59 @@ final class GraftBulkBatchWrite(path: String, schema: StructType,
     chunkSize: Int = SortedRunWriter.DefaultChunkSize,
     rawPayload: Boolean = false,
     truncateFirst: Boolean = false) extends BatchWrite {
+  // overwrite staging: tasks write the NEW load into a hidden temp subdir
+  // (underscore-prefixed, so directory listings for run files never see
+  // it) while the previous load stays intact and readable; only commit()
+  // deletes the stale artifacts and moves the new runs into place. A job
+  // failure before commit leaves the old load untouched — the non-atomic
+  // delete-then-swap window shrinks from the whole job to commit time.
+  private val stagingDir: String =
+    if (truncateFirst) s"_overwrite-${java.util.UUID.randomUUID()}" else ""
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(Paths.get(path))
+    val writeDir =
+      if (truncateFirst) Paths.get(path, stagingDir) else Paths.get(path)
+    Files.createDirectories(writeDir)
+    new GraftBulkWriterFactory(writeDir.toString, schema, codec, chunkSize, rawPayload)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val json = messages.collect { case ManifestMessage(j) if j.nonEmpty => j }
+      .mkString("[", ",", "]")
     if (truncateFirst) {
-      // driver-side, before any task runs: clear every run artifact of
-      // the previous load (data, index, chunk map, manifest, stream plan).
-      // Like Spark's own file-source overwrite, this is delete-then-write,
-      // NOT atomic — a job failure between here and commit() loses the
-      // old load; keep the previous directory if that matters.
-      val stale = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      // clear every run artifact of the previous load (data, index, chunk
+      // map, manifest, stream plan) — must precede the move, or the
+      // reader's pre-manifest fallback (files without a manifest entry
+      // full-scan) would resurrect stale runs next to the new manifest
+      val dir = new java.io.File(path)
+      Option(dir.listFiles()).getOrElse(Array.empty)
         .filter { f =>
           val n = f.getName
           (n.startsWith("graft-") && (n.endsWith("-Data.db") ||
             n.endsWith("-Index.db") || n.endsWith("-Chunks.db"))) ||
             n == "_MANIFEST.json" || n == "_STREAM_PLAN.json"
         }
-      stale.foreach(_.delete())
+        .foreach(_.delete())
+      val staged = new java.io.File(dir, stagingDir)
+      Option(staged.listFiles()).getOrElse(Array.empty).foreach { f =>
+        Files.move(f.toPath, Paths.get(path, f.getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      staged.delete()
     }
-    new GraftBulkWriterFactory(path, schema, codec, chunkSize, rawPayload)
-  }
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val json = messages.collect { case ManifestMessage(j) if j.nonEmpty => j }
-      .mkString("[", ",", "]")
     Files.write(Paths.get(path, "_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncateFirst) {
+      // drop the staged new load; the previous load was never touched
+      val staged = new java.io.File(path, stagingDir)
+      Option(staged.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      staged.delete()
+    }
+    ()
+  }
 }
 
 final class GraftBulkWriterFactory(path: String, schema: StructType,

@@ -69,7 +69,8 @@ object GraftBulkRead {
   final case class PlannedSplit(file: String, codec: String,
       startOffset: Long, hiBound: Long, bucket: Int = -1,
       estRows: Long = 0L, estBytes: Long = 0L,
-      minToken: Long = Long.MinValue, maxToken: Long = Long.MaxValue)
+      minToken: Long = Long.MinValue, maxToken: Long = Long.MaxValue,
+      chunked: Boolean = false)
 
   private val RunNameRe = """graft-(\d+)-Data\.db""".r
 
@@ -124,7 +125,8 @@ object GraftBulkRead {
             // so the bounds above never prune them either)
             val effectiveHi = if (m.minTokenHex.nonEmpty) Long.MaxValue else hiBound
             Some(PlannedSplit(f.getAbsolutePath, m.codec, start, effectiveHi,
-              m.partition, estRows, estBytes, m.minToken, m.maxToken))
+              m.partition, estRows, estBytes, m.minToken, m.maxToken,
+              chunked = m.chunks > 0))
           }
         case None =>
           Some(PlannedSplit(f.getAbsolutePath, "none", 0L, Long.MaxValue,
@@ -322,7 +324,10 @@ final class GraftBulkScan(path: String, required: StructType,
       val ordered = topN match {
         case None        => base
         case Some(false) => base.sortBy(_.minToken)
-        case Some(true)  => base.sortBy(s => -s.maxToken)
+        // NOT sortBy(-maxToken): -Long.MinValue overflows back to
+        // Long.MinValue, so a run holding only minimum tokens (empty
+        // partition keys pin there) would displace the true top runs
+        case Some(true)  => base.sortBy(_.maxToken)(Ordering[Long].reverse)
       }
       var covered = 0L
       val out = scala.collection.mutable.ArrayBuffer.empty[GraftBulkRead.PlannedSplit]
@@ -388,7 +393,7 @@ final class GraftBulkScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     splits.map(s => GraftBulkInputPartition(s.file, s.codec, s.startOffset,
-      s.hiBound, s.bucket): InputPartition).toArray
+      s.hiBound, s.bucket, s.chunked): InputPartition).toArray
 
   // manifest-derived estimates AFTER token pruning (pro-rated into a run
   // by its sparse index), so Catalyst can broadcast a narrowly-filtered
@@ -435,7 +440,8 @@ final class GraftBulkScan(path: String, required: StructType,
 }
 
 final case class GraftBulkInputPartition(file: String, codec: String,
-    startOffset: Long = 0L, hiBound: Long = Long.MaxValue, bucket: Int = -1)
+    startOffset: Long = 0L, hiBound: Long = Long.MaxValue, bucket: Int = -1,
+    chunked: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucket))
 }
@@ -445,23 +451,34 @@ final class GraftBulkReaderFactory(columns: Array[String] = GraftBulkRead.schema
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBulkInputPartition]
     new GraftBulkPartitionReader(p.file, p.codec, p.startOffset, p.hiBound,
-      columns, p.bucket)
+      columns, p.bucket, p.chunked)
   }
 }
 
 final class GraftBulkPartitionReader(file: String, codec: String = "none",
     startOffset: Long = 0L, hiBound: Long = Long.MaxValue,
     columns: Array[String] = GraftBulkRead.schema.fieldNames,
-    bucket: Int = -1)
+    bucket: Int = -1, chunked: Boolean = false)
     extends PartitionReader[InternalRow] {
   // uncompressed: seek straight to the logical offset. Compressed with a
   // chunk map: open at the chunk containing the offset (only the physical
   // bytes from there on are read) and skip the in-chunk remainder.
-  // Compressed without a chunk map (pre-chunking runs): sequential from
-  // byte zero — planSplits gives those no startOffset.
+  // Compressed without a chunk map, two distinct cases: the manifest says
+  // the run IS chunked (`chunked`) -> the sidecar was LOST (partial copy)
+  // and a sequential decompressor would stop at the first chunk boundary,
+  // silently returning ~one chunk of rows — fail loudly instead; the
+  // manifest predates the chunks field -> a legacy sequential run, which
+  // really is one compressed stream — sequential from byte zero
+  // (planSplits gives those no startOffset).
   private val in: DataInputStream = {
     val f = new java.io.File(file)
     val chunksFile = graft.sinks.SortedRunWriter.chunksFileFor(f)
+    if (codec != "none" && chunked && !chunksFile.exists())
+      throw new IllegalStateException(
+        s"$file is a chunked $codec run (manifest records a chunk map) but its " +
+          s"sidecar ${chunksFile.getName} is missing — refusing to decode " +
+          "sequentially, which would silently truncate to the first chunk; " +
+          "restore the sidecar or rewrite the run")
     if (codec != "none" && chunksFile.exists()) {
       val chunks = graft.sinks.SortedRunWriter.readChunks(chunksFile)
       val (s, logicalStart) =

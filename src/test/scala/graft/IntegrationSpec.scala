@@ -418,6 +418,64 @@ class IntegrationSpec extends AnyFunSuite {
     } finally cluster.stop()
   }
 
+  test("receiver rejects malformed wire chunk framing with a protocol error") {
+    import graft.sinks.{InProcessCluster, StreamLoader}
+    // the chunk map arrives over the wire — descending/overflowed offsets
+    // must get the clean status-1 reply (like a bad chunk count), never a
+    // NegativeArraySizeException or a giant allocation in the receiver
+    val cluster = new InProcessCluster(Seq("cass-1"))
+    val endpoints = cluster.start()
+    try {
+      val (addr, port) = endpoints("cass-1")
+      def session(write: java.io.DataOutputStream => Unit): (Int, String) = {
+        val sock = new java.net.Socket(addr, port)
+        try {
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(sock.getOutputStream))
+          out.writeInt(StreamLoader.Magic)
+          out.writeUTF("graft-00000-Data.db")
+          out.writeLong(10L) // declared rows
+          out.writeLong(100L) // declared bytes
+          out.writeUTF("zstd")
+          write(out)
+          out.flush(); sock.shutdownOutput()
+          val in = new java.io.DataInputStream(sock.getInputStream)
+          (in.readUnsignedByte(), in.readUTF())
+        } finally sock.close()
+      }
+      // descending physical offsets -> negative extent
+      val (s1, m1) = session { out =>
+        out.writeInt(2)
+        out.writeLong(0L); out.writeLong(500L) // chunk 0: logical 0, phys 500
+        out.writeLong(100L); out.writeLong(40L) // chunk 1: phys 40 < 500
+        out.writeLong(600L) // physTotal
+      }
+      assert(s1 === 1 && m1.contains("bad chunk framing"), s"got ($s1, $m1)")
+      // last offset beyond the physical total -> negative final extent
+      val (s2, m2) = session { out =>
+        out.writeInt(1)
+        out.writeLong(0L); out.writeLong(50L)
+        out.writeLong(40L) // physTotal < first chunk's offset
+      }
+      assert(s2 === 1 && m2.contains("bad chunk framing"), s"got ($s2, $m2)")
+      // int-overflow-sized extent -> rejected before allocation
+      val (s3, m3) = session { out =>
+        out.writeInt(1)
+        out.writeLong(0L); out.writeLong(0L)
+        out.writeLong(Long.MaxValue) // physTotal: extent overflows Int
+      }
+      assert(s3 === 1 && m3.contains("bad chunk framing"), s"got ($s3, $m3)")
+      // non-ascending logical offsets -> rejected
+      val (s4, m4) = session { out =>
+        out.writeInt(2)
+        out.writeLong(100L); out.writeLong(0L)
+        out.writeLong(100L); out.writeLong(50L) // logical not ascending
+        out.writeLong(80L)
+      }
+      assert(s4 === 1 && m4.contains("bad chunk framing"), s"got ($s4, $m4)")
+    } finally cluster.stop()
+  }
+
   test("CLI --cluster-info socket://host:port fetches metadata live at plan time") {
     import graft.sinks.InProcessCluster
     val ring = Map(

@@ -680,6 +680,108 @@ class V2SinkSpec extends AnyFunSuite {
     assert(scan().filter(col("token") >= mid).limit(5).count() === 5)
   }
 
+  test("chunked run missing its Chunks.db sidecar fails loudly, not truncated") {
+    import graft.sinks.BulkSink
+    // several chunks per run (1 KiB chunks), so a sequential decompressor
+    // would stop at the first chunk boundary and silently return ~2% of
+    // the rows — exactly the failure mode the reader must refuse
+    val out = Files.createTempDirectory("graft-v2-sidecar").toString
+    val ms = BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      Seq("o_orderkey"), 2, out, compression = Some("ZstdCompressor"),
+      chunkSize = 1024)
+    assert(ms.filter(_.rows > 0).forall(_.chunks > 1),
+      "test needs multi-chunk runs to be meaningful")
+    assert(spark.read.format("graft-bulk").option("path", out).load().count() === 1500)
+    // a partial directory copy that kept Data.db but lost the sidecars
+    new java.io.File(out).listFiles().filter(_.getName.endsWith("-Chunks.db"))
+      .foreach(f => assert(f.delete()))
+    val e = intercept[Exception] {
+      spark.read.format("graft-bulk").option("path", out).load().count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("sidecar") && m.contains("missing")),
+      s"expected a loud sidecar-loss failure, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("legacy sequential compressed runs (pre-chunking manifest) still read") {
+    import graft.sinks.BulkSink
+    // one chunk per run -> the file IS a single valid zstd stream, the
+    // shape a pre-chunking writer produced; strip the manifest's chunks
+    // field (it didn't exist then) and drop the sidecars
+    val out = Files.createTempDirectory("graft-v2-legacy").toString
+    BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      Seq("o_orderkey"), 2, out, compression = Some("ZstdCompressor"),
+      chunkSize = 32 * 1024 * 1024)
+    val mf = java.nio.file.Paths.get(out, "_MANIFEST.json")
+    val json = new String(Files.readAllBytes(mf))
+    Files.write(mf, json.replaceAll("\"chunks\":-?\\d+,", "").getBytes)
+    new java.io.File(out).listFiles().filter(_.getName.endsWith("-Chunks.db"))
+      .foreach(f => assert(f.delete()))
+    val parsed = BulkSink.readManifests(new java.io.File(out))
+    assert(parsed.nonEmpty && parsed.forall(_.chunks === -1))
+    // chunked-ness unknown -> sequential fallback reads the whole stream
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.count() === 1500)
+    assert(back.filter(cassandra_token(col("pk")) =!= col("token")).count() === 0)
+  }
+
+  test("token top-n DESC is not fooled by a run pinned at the minimum token") {
+    import graft.sinks.{BulkSink, SortedRunWriter}
+    import graft.core.CqlValueCodec
+    // run 0: one empty partition key — its token pins to Long.MinValue,
+    // where -maxToken overflows back to Long.MinValue and (before the fix)
+    // sorted this run AHEAD of the true top runs in DESC planning
+    val out = Files.createTempDirectory("graft-v2-topn-min").toString
+    val w0 = new SortedRunWriter(out, 0)
+    w0.add(Long.MinValue, Array.emptyByteArray, Array[Byte](1))
+    val m0 = w0.close()
+    // run 1: ordinary keys in decorated order
+    val keyed = (1L to 64L)
+      .map(k => CqlValueCodec.serializeLong(k))
+      .map(k => (CassandraTokens.token(k), k))
+      .sortBy(_._1)
+    val w1 = new SortedRunWriter(out, 1)
+    keyed.foreach { case (t, k) => w1.add(t, k, Array[Byte](2)) }
+    val m1 = w1.close()
+    val json = Seq(m0, m1).map(BulkSink.manifestJson).mkString("[", ",", "]")
+    Files.write(java.nio.file.Paths.get(out, "_MANIFEST.json"), json.getBytes)
+
+    val top = spark.read.format("graft-bulk").option("path", out).load()
+      .orderBy(col("token").desc).limit(1).collect()
+    assert(top.length === 1)
+    assert(top.head.getLong(0) === keyed.map(_._1).max,
+      "DESC top-1 planned the Long.MinValue run instead of the true top run")
+  }
+
+  test("a failed overwrite leaves the previous load intact and readable") {
+    val out = Files.createTempDirectory("graft-v2-ow-fail").toString
+    prepared(4).write.format("graft-bulk")
+      .option("path", out).option("buckets", "4").mode("append").save()
+    val before = spark.read.format("graft-bulk").option("path", out).load().collect()
+    assert(before.length === 1500)
+    // aligned=true skips the Catalyst sort and asserts sorted input; feed
+    // UNSORTED input so the run writer's order check fails the job mid-write
+    intercept[Exception] {
+      prepared(4).write.format("graft-bulk")
+        .option("path", out).option("buckets", "4").option("aligned", "true")
+        .mode("overwrite").save()
+    }
+    // the previous load survives the failed overwrite untouched: same
+    // rows, same manifest, and no staging leftovers
+    val after = spark.read.format("graft-bulk").option("path", out).load().collect()
+    assert(after.length === 1500)
+    assert(after.map(_.getLong(0)).sorted.toSeq ===
+      before.map(_.getLong(0)).sorted.toSeq)
+    val leftovers = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("_overwrite-"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.mkString(", ")}")
+  }
+
   test("v2 sink rejects input without routing columns") {
     val out = Files.createTempDirectory("graft-v2-bad").toString
     val e = intercept[Exception] {
