@@ -540,6 +540,49 @@ object SparkEntry {
       graft.streaming.Sessionize.sessionizeBatch(e, gapNanos = 3600L * 1000000L)
         .withColumnRenamed("start_ns", "start_us")
         .withColumnRenamed("end_ns", "end_us")
+    }),
+
+    // As-of join (pandas merge_asof / kdb aj): each view event picks the
+    // same user's most recent purchase at-or-before it — one keyed
+    // shuffle + window pass, no inequality nested loop. Ties (same ts)
+    // break by largest purchase event_id, mirrored in the oracle's
+    // row_number ordering. Times ride as microsecond longs (ns parquet).
+    "q18_asof_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(t(dir, "events"))
+        .withColumn("ts_us", expr("ts div 1000"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_event_id"), col("user_id"),
+          col("ts_us").as("purchase_us"),
+          round(col("value"), 2).as("purchase_value"))
+      graft.operators.TemporalJoin.asofJoin(views, purchases,
+        keyCols = Seq("user_id"), leftTimeCol = "ts_us",
+        rightTimeCol = "purchase_us",
+        rightCols = Seq("purchase_event_id", "purchase_us", "purchase_value"),
+        tiebreakCols = Seq("purchase_event_id"), prefix = "")
+    }),
+
+    // Pure time-range join (no equi-key): for every click, how many events
+    // of ANY user landed in the trailing 5 minutes. Bin equi-join +
+    // residual — the shape Catalyst would otherwise plan as a
+    // BroadcastNestedLoopJoin. Every click matches at least itself, so the
+    // inner interval join keeps all clicks and `count - 1` excludes self.
+    "q19_range_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(t(dir, "events"))
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          (col("ts_us") - 300L * 1000000L).as("w_start"),
+          col("ts_us").as("w_end"))
+      val points = e.select(col("event_id"), col("ts_us"))
+      graft.operators.TemporalJoin.intervalJoin(clicks, points,
+        startCol = "w_start", endCol = "w_end", timeCol = "ts_us",
+        binWidth = 300L * 1000000L)
+        .groupBy(col("click_id"))
+        .agg((count(lit(1)) - 1L).as("nearby"))
     })
   )
 
@@ -1066,6 +1109,39 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       min(tsu) AS start_us, max(tsu) AS end_us
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // As-of semantics as an independent formulation: inequality LEFT JOIN
+    // + row_number picking the latest (ties: largest event_id) — the same
+    // contract the window carry-forward implements in one shuffle.
+    "q18_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |         round(value, 2) AS value
+        |  FROM events
+        |), m AS (
+        |  SELECT v.event_id, v.user_id, v.ts_us,
+        |         p.event_id AS purchase_event_id, p.ts_us AS purchase_us,
+        |         p.value AS purchase_value,
+        |         row_number() OVER (PARTITION BY v.event_id
+        |                            ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type = 'view') v
+        |  LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |    ON p.user_id = v.user_id AND p.ts_us <= v.ts_us
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |       purchase_event_id, purchase_us, purchase_value
+        |FROM m WHERE rn = 1""".stripMargin,
+
+    // Pure range join: every click matches at least itself, so count - 1
+    // is the trailing-window neighbor count (self excluded).
+    "q19_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |)
+        |SELECT a.event_id AS click_id, count(*) - 1 AS nearby
+        |FROM (SELECT event_id, ts_us FROM ev WHERE event_type = 'click') a
+        |JOIN ev b ON b.ts_us >= a.ts_us - 300000000 AND b.ts_us <= a.ts_us
+        |GROUP BY 1""".stripMargin,
 
     "q12_json_props" ->
       """SELECT event_type, count(*) AS n,

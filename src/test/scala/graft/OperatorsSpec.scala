@@ -445,4 +445,84 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits(10L) === 2) // "the quick brown", "quick brown fox"
     assert(hits(12L) === 3) // "jumps over the", "over the lazy", "the lazy dog"
   }
+
+  test("asofJoin: latest at-or-before match, nulls before first right, equal-time inclusive") {
+    import graft.operators.TemporalJoin
+    val left = Seq((1L, "u", 100L), (2L, "u", 50L), (3L, "u", 10L), (4L, "v", 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((101L, "u", 20L, "a"), (102L, "u", 100L, "b"), (103L, "w", 5L, "x"))
+      .toDF("rid", "k", "rt", "payload")
+    val out = TemporalJoin.asofJoin(left, right, keyCols = Seq("k"),
+      leftTimeCol = "t", rightTimeCol = "rt",
+      rightCols = Seq("rid", "payload"), tiebreakCols = Seq("rid"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4)))).toMap
+    assert(out(1L) === (Some(102L), Some("b"))) // equal time matches (<=)
+    assert(out(2L) === (Some(101L), Some("a"))) // latest at-or-before 50
+    assert(out(3L) === (None, None)) // before the first right row
+    assert(out(4L) === (None, None)) // key with no right rows at all
+  }
+
+  test("asofJoin: ties break by largest tiebreak; tolerance voids stale matches") {
+    import graft.operators.TemporalJoin
+    val left = Seq((1L, "u", 100L), (2L, "u", 500L)).toDF("id", "k", "t")
+    val right = Seq((7L, "u", 100L, "low"), (9L, "u", 100L, "high"))
+      .toDF("rid", "k", "rt", "payload")
+    val out = TemporalJoin.asofJoin(left, right, keyCols = Seq("k"),
+      leftTimeCol = "t", rightTimeCol = "rt",
+      rightCols = Seq("rid", "payload"), tiebreakCols = Seq("rid"),
+      tolerance = Some(50L))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(1L) === Some(9L)) // two rights at t=100: largest rid wins
+    assert(out(2L) === None) // match is 400 units stale, tolerance is 50
+  }
+
+  test("intervalJoin: exact boundaries, bin-spanning intervals, keys, fan-out guard") {
+    import graft.operators.TemporalJoin
+    val intervals = Seq((1L, "u", 10L, 30L), (2L, "u", 25L, 26L), (3L, "v", 10L, 30L))
+      .toDF("iid", "k", "s", "e")
+    val points = Seq((100L, "u", 10L), (101L, "u", 30L), (102L, "u", 31L),
+      (103L, "u", 9L), (104L, "u", 25L), (105L, "v", 26L))
+      .toDF("pid", "k", "pt")
+    // binWidth much smaller than spans: intervals replicate across bins,
+    // yet each (interval, point) pair must appear EXACTLY once
+    val out = TemporalJoin.intervalJoin(intervals, points, "s", "e", "pt",
+      keyCols = Seq("k"), binWidth = 7L)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 100L), (1L, 101L), (1L, 104L), // [10,30] inclusive
+      (2L, 104L), // tight interval
+      (3L, 105L))) // key v only matches key v
+    // fan-out guard: a corrupt interval spanning > maxBins fails loudly
+    val bad = Seq((9L, "u", 0L, 1000000L)).toDF("iid", "k", "s", "e")
+    val e = intercept[Exception] {
+      TemporalJoin.intervalJoin(bad, points, "s", "e", "pt",
+        keyCols = Seq("k"), binWidth = 10L, maxBinsPerInterval = 100).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("spans more than")))
+  }
+
+  test("asofJoin and intervalJoin accept timestamp columns (micros tolerance/bins)") {
+    import graft.operators.TemporalJoin
+    val left = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (50L, "u", java.sql.Timestamp.valueOf("2024-01-01 09:59:00"), 1.5),
+      (51L, "u", java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 9.9))
+      .toDF("rid", "k", "rt", "v")
+    val m = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+      rightCols = Seq("rid", "v"), tiebreakCols = Seq("rid"),
+      tolerance = Some(120L * 1000000L)) // 2 minutes in micros
+      .collect()
+    assert(m.length === 1 && m.head.getLong(3) === 50L)
+    val iv = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:58:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("iid", "s", "e")
+    val pts = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 09:59:30")))
+      .toDF("pid", "pt")
+    val hit = TemporalJoin.intervalJoin(iv, pts, "s", "e", "pt",
+      binWidth = 60L * 1000000L).count()
+    assert(hit === 1)
+  }
 }

@@ -103,6 +103,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("q18 as-of join: one keyed window pass, no nested loop, no extra exchange") {
+    // the inequality-join formulation would plan a BroadcastNestedLoopJoin
+    // (O(n*m) compares); the union+window form must show exactly one
+    // shuffle (the key partitioning, shared by the window sort) and no
+    // join node at all
+    val p = plan("q18_asof_join")
+    assert(!p.contains("NestedLoop"), s"as-of planned a nested loop:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"as-of planned a join:\n${p.take(2000)}")
+    assert(p.contains("Window"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected 1 exchange (the key partitioning), got $exchanges")
+  }
+
+  test("q19 range join: bin equi-join (hash/merge), never BroadcastNestedLoopJoin") {
+    // a raw time-range predicate with no equi-key can only nested-loop;
+    // the bin trick turns it into an equi-join on the bin column
+    val p = plan("q19_range_join")
+    assert(!p.contains("NestedLoop"), s"range join nested-looped:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in plan:\n${p.take(2000)}")
+  }
+
   test("graft-bulk read -> aligned graft-bulk write: no Exchange, no Sort") {
     import org.apache.spark.sql.functions.col
     val src = bulkDir(4)
