@@ -583,6 +583,45 @@ object SparkEntry {
         binWidth = 300L * 1000000L)
         .groupBy(col("click_id"))
         .agg((count(lit(1)) - 1L).as("nearby"))
+    }),
+
+    // Heavy hitters: top-20 word 3-grams by frequency via the mergeable
+    // Misra-Gries aggregate — bounded memory at any corpus size (the
+    // exact groupBy(gram).count() this replaces shuffles every gram
+    // occurrence). Capacity 65536 exceeds the corpus' distinct-gram count
+    // at test scale, so the sketch is EXACT here and oracle-checkable;
+    // at 100 TB the same plan holds with estimates bounded by
+    // n/(capacity+1). Grams are built in-row (transform over the token
+    // array), NON-distinct — frequency needs the multiset.
+    "corpus_heavy_ngrams" -> ((s, dir) => {
+      import graft.functions.FreqAgg.topk_freq
+      val grams = s.read.parquet(t(dir, "documents"))
+        .withColumn("_w", graft.operators.TextAnalysis.tokens(col("text")))
+        .select(explode(expr(
+          "filter(transform(_w, (x, i) -> IF(i + 2 < size(_w), " +
+            "concat(x, ' ', _w[i+1], ' ', _w[i+2]), NULL)), g -> g IS NOT NULL)"
+        )).as("gram"))
+      grams.agg(topk_freq(col("gram"), 65536, 20).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast(LongType).as("rank"),
+          col("col.item").as("gram"), col("col.est").as("n"))
+    }),
+
+    // PII redaction (scan-stage regexp_replace chain, codegen'd): the
+    // synthetic corpus carries no PII, so each doc PLANTS a deterministic
+    // email + IPv4 + phone derived from its id, redacts, and emits the
+    // md5 plus the tag count — proving every planted item was caught.
+    "text_redact" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@example.com or 10.0."),
+        (col("doc_id") % 256).cast(StringType), lit(".7 and +1 555-"),
+        lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-1234"))
+      val redacted = graft.operators.TextAnalysis.redactPii(planted)
+      d.select(col("doc_id"), md5(redacted).as("redacted_md5"),
+        graft.functions.match_count(redacted, "\\[(EMAIL|IP|PHONE)\\]")
+          .as("n_tags"))
     })
   )
 
@@ -1142,6 +1181,42 @@ object SparkEntry {
         |FROM (SELECT event_id, ts_us FROM ev WHERE event_type = 'click') a
         |JOIN ev b ON b.ts_us >= a.ts_us - 300000000 AND b.ts_us <= a.ts_us
         |GROUP BY 1""".stripMargin,
+
+    // Exact formulation of the heavy-hitters query: the sketch's capacity
+    // exceeds the distinct-gram count at test scale, so Misra-Gries
+    // counts are exact and the two must match row-for-row.
+    "corpus_heavy_ngrams" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                 for i in range(1, len(w) - 1)]) AS gram
+        |  FROM toks WHERE len(w) >= 3
+        |), c AS (
+        |  SELECT gram, count(*) AS n FROM g GROUP BY gram
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, gram) AS BIGINT) AS rank,
+        |       gram, n
+        |FROM c ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+        |         (doc_id % 256) || '.7 and +1 555-' ||
+        |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' AS t
+        |  FROM documents
+        |), red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b', '[PHONE]', 'g') AS r
+        |  FROM planted
+        |)
+        |SELECT doc_id, md5(r) AS redacted_md5,
+        |       CAST(len(regexp_extract_all(r, '\[(EMAIL|IP|PHONE)\]')) AS BIGINT)
+        |         AS n_tags
+        |FROM red""".stripMargin,
 
     "q12_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e, n) => RandomTokenBucketExpr(e, foldToInt(n, "random_token_bucket(expr, n)")) })
     register(ext, "topk_agg", "bounded top-k (sim desc, id asc) aggregate",
       { case Seq(sim, id, k) => TopKAgg(sim, id, foldToInt(k, "topk_agg(sim, id, k)")) })
+    register(ext, "topk_freq", "Misra-Gries top-k frequent items in bounded memory",
+      { case Seq(e, cap, k) => FreqAgg(e, foldToInt(cap, "topk_freq(expr, capacity, k)"),
+        foldToInt(k, "topk_freq(expr, capacity, k)")) })
     // text/dedup kernels (same expressions the Scala API builds)
     register(ext, "match_count", "count of non-overlapping regex matches",
       { case Seq(e, p) => RegexpCountExpr(e, foldToString(p, "match_count(expr, pattern)")) })

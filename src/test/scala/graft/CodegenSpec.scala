@@ -94,5 +94,19 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(wg.getSeq[String](0) === wgApi)
     assert(wgApi === Seq("the quick", "quick brown", "brown fox"))
+    // topk_freq: SQL form matches the Scala API on the same input
+    locally {
+      import s.implicits._
+      val df = Seq("a", "b", "a", "c", "a", "b").toDF("x")
+      df.createOrReplaceTempView("freq_in")
+      val viaSql = s.sql("SELECT topk_freq(x, 10, 2) AS top FROM freq_in")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+      val viaApi2 = df.agg(graft.functions.FreqAgg.topk_freq(col("x"), 10, 2))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(viaSql === viaApi2)
+      assert(viaSql === Seq(("a", 3L), ("b", 2L)))
+    }
   }
 }

@@ -446,6 +446,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits(12L) === 3) // "jumps over the", "over the lazy", "the lazy dog"
   }
 
+  test("topk_freq: exact under capacity, MG bound over capacity, merge across partitions") {
+    import graft.functions.FreqAgg.topk_freq
+    // planted frequencies across 8 partitions force real partial merges
+    val rows = (1 to 100).flatMap(i => Seq.fill(100 - i)(s"item$i"))
+    val df = spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(8).toDF("x")
+    // capacity >= distinct -> exact counts in exact order
+    val exact = df.agg(topk_freq(col("x"), 200, 5)).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(exact === Seq("item1" -> 99L, "item2" -> 98L, "item3" -> 97L,
+      "item4" -> 96L, "item5" -> 95L))
+    // tight capacity: every reported estimate e satisfies
+    // true - n/(cap+1) <= e <= true (MG undercounts, never overcounts),
+    // and the heaviest item must survive (99 > n/(cap+1))
+    val n = rows.length
+    val cap = 64
+    val approx = df.agg(topk_freq(col("x"), cap, 10)).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    approx.foreach { case (item, est) =>
+      val t = truth(item)
+      assert(est <= t, s"$item overcounted: $est > $t")
+      assert(est >= t - n / (cap + 1), s"$item undercounted beyond the MG bound")
+    }
+    assert(approx.map(_._1).contains("item1"))
+  }
+
+  test("redactPii masks planted emails, IPs, phones and leaves clean text alone") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "write to john.doe+x@sub.example.co.uk today"),
+      (2L, "server at 192.168.0.17 timed out"),
+      (3L, "call +1 555-867-5309 or (areacode) nothing"),
+      (4L, "clean text with numbers 12345 and a date 2024-01-01"),
+      (5L, "multi: a@b.io then 10.0.0.1 then 555-123-4567 end"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "write to [EMAIL] today")
+    assert(out(2L) === "server at [IP] timed out")
+    assert(out(3L) === "call [PHONE] or (areacode) nothing")
+    assert(out(4L) === "clean text with numbers 12345 and a date 2024-01-01")
+    assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
+  }
+
   test("asofJoin: latest at-or-before match, nulls before first right, equal-time inclusive") {
     import graft.operators.TemporalJoin
     val left = Seq((1L, "u", 100L), (2L, "u", 50L), (3L, "u", 10L), (4L, "v", 100L))
