@@ -47,10 +47,20 @@ object ScaleCurve {
     spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
   }
 
+  /** min-of-2 wall time: a single measurement at this runtime length is
+    * hostage to one unlucky full GC or JIT recompilation — the r9 curve
+    * and a r10 re-run disagreed 2x on single-shot points while their
+    * minima agreed. Two passes bound that noise without tripling cost. */
   private def time(body: => Long): (Double, Long) = {
-    val t0 = System.nanoTime()
-    val rows = body
-    ((System.nanoTime() - t0) / 1e9, rows)
+    var best = Double.MaxValue
+    var rows = 0L
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      rows = body
+      val t = (System.nanoTime() - t0) / 1e9
+      if (t < best) best = t
+    }
+    (best, rows)
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,6 +100,30 @@ object ScaleCurve {
         Similarity.ivfTopK(e.filter(col("vec_id") < 10),
           e.filter(col("vec_id") >= 10), "vec_id", "embedding",
           k = 5, nlist = 8, nprobe = 3).count()
+      },
+      "asof_join" -> { n =>
+        // event-shaped: n left rows as-of n/10 right rows over n/500 keys
+        // (constant per-key density as n grows, like a real event stream)
+        val left = spark.range(n).select(col("id"),
+          pmod(col("id"), lit(math.max(1L, n / 500))).as("k"),
+          pmod(xxhash64(col("id")), lit(1000000L)).as("t"))
+        val right = spark.range(n / 10).select(col("id").as("rid"),
+          pmod(col("id") * 7, lit(math.max(1L, n / 500))).as("k"),
+          pmod(xxhash64(col("id") + 1), lit(1000000L)).as("rt"))
+        graft.operators.TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+          rightCols = Seq("rid"), tiebreakCols = Seq("rid")).count()
+      },
+      "heavy_ngrams" -> { n =>
+        import graft.functions.FreqAgg.topk_freq
+        // the sketch capacity stays FIXED while the corpus grows — the
+        // exponent shows the bounded-memory property directly
+        docs(spark, n)
+          .withColumn("_w", graft.operators.TextAnalysis.tokens(col("text")))
+          .select(explode(expr(
+            "filter(transform(_w, (x, i) -> IF(i + 2 < size(_w), " +
+              "concat(x, ' ', _w[i+1], ' ', _w[i+2]), NULL)), g -> g IS NOT NULL)"
+          )).as("gram"))
+          .agg(topk_freq(col("gram"), 4096, 20)).count()
       })
 
     // warm codegen/broadcast/shuffle machinery off the clock
