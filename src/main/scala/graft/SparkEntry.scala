@@ -607,6 +607,44 @@ object SparkEntry {
           col("col.item").as("gram"), col("col.est").as("n"))
     }),
 
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont — both linear interpolation over the sorted group)
+    "q20_percentiles" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 2).as("p75_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+    }),
+
+    // GROUPING SETS beyond rollup/cube: two single-column sets + the
+    // grand total, with grouping_id disambiguating subtotal nulls from
+    // (hypothetical) real nulls
+    "q21_grouping_sets" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+              |         AS gid,
+              |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |""".stripMargin)
+    }),
+
+    // Pivot (wide aggregation): per-user event counts, one column per
+    // event type — compiles to ONE pass with conditional aggregates, the
+    // same plan the oracle's FILTER clauses describe
+    "q22_pivot" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
+    }),
+
     // PII redaction (scan-stage regexp_replace chain, codegen'd): the
     // synthetic corpus carries no PII, so each doc PLANTS a deterministic
     // email + IPv4 + phone derived from its id, redacts, and emits the
@@ -1198,6 +1236,30 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, gram) AS BIGINT) AS rank,
         |       gram, n
         |FROM c ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 2) AS p25_qty,
+        |       round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.75), 2) AS p75_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q21_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q22_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

@@ -103,6 +103,60 @@ class StreamingSpec extends AnyFunSuite {
       "a|1970-01-01 05:00:00"))
   }
 
+  test("streaming as-of enrichment equals the batch as-of join on the same input") {
+    import graft.operators.TemporalJoin
+    // reference: per-key "rate epochs" the stream enriches against
+    val reference = Seq(
+      ("u", 100L, 10L, 1.0), ("u", 300L, 11L, 2.0),
+      ("v", 150L, 20L, 5.0))
+      .toDF("k", "rt", "rid", "rate").cache()
+    val eventRows = Seq(
+      (1L, "u", 50L), (2L, "u", 100L), (3L, "u", 250L), (4L, "u", 350L),
+      (5L, "v", 149L), (6L, "v", 151L), (7L, "w", 500L))
+    val inDir = Files.createTempDirectory("graft-enrich-in").toString
+    // two parquet files -> at maxFilesPerTrigger=1 the stream processes
+    // them as SEPARATE micro-batches (the per-batch composition is real)
+    eventRows.take(4).toDF("id", "k", "t").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    eventRows.drop(4).toDF("id", "k", "t").coalesce(1)
+      .write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("id LONG, k STRING, t LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Option[Double])]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamingEnrich.asofEnrichWriter(
+      stream, reference, keyCols = Seq("k"), leftTimeCol = "t",
+      rightTimeCol = "rt", rightCols = Seq("rid", "rate"),
+      tiebreakCols = Seq("rid"),
+      sink = (df, id) => got.synchronized {
+        batches += id
+        got ++= df.collect().map(r => (r.getLong(0),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+        ()
+      }).start()
+    q.awaitTermination(60000)
+    assert(batches.size >= 2, "expected at least two micro-batches")
+
+    val batch = TemporalJoin.asofJoin(eventRows.toDF("id", "k", "t"),
+      reference, Seq("k"), "t", "rt", Seq("rid", "rate"), Seq("rid"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got.toSet === batch, "stream enrichment diverged from batch as-of")
+    // spot-check the semantics themselves
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L) === ((None, None))) // before the first epoch
+    assert(byId(2L) === ((Some(10L), Some(1.0)))) // equal time matches
+    assert(byId(4L) === ((Some(11L), Some(2.0)))) // latest epoch wins
+    assert(byId(7L) === ((None, None))) // key with no reference rows
+    reference.unpersist()
+    ()
+  }
+
   test("ingestAndStream pushes every micro-batch's runs to the ring as it commits") {
     // the full firehose-to-ring pipeline: windowed aggregation -> per-batch
     // sorted bulk load -> rf-aware replica streaming, with receivers
