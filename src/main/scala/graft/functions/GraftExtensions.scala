@@ -16,6 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: pure range joins -> bin equi-join (opt-in via
+    // spark.graft.rangejoin.binwidth; no-op otherwise)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     register(ext, "cassandra_token", "Murmur3Partitioner token of partition-key bytes",
       { case Seq(e) => CassandraTokenExpr(e) })
     register(ext, "token_bucket", "contiguous ring bucket of a token",

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/**
+ * Optimizer rule: rewrite a pure range join — an inner join whose only
+ * cross-side condition is `lo <= p <= hi` on integral columns — into a
+ * bin equi-join. Catalyst can only plan such a join as a
+ * BroadcastNestedLoopJoin (O(n*m) compares; the build side must also fit
+ * in memory), which is the classic scale cliff for
+ * point-in-interval/window-neighborhood queries. The rewrite is the
+ * logical-plan form of `TemporalJoin.intervalJoin`:
+ *
+ *  - the interval side explodes the bin range `[lo/w, hi/w]` (one
+ *    `Generate(Explode(Sequence(...)))`, w = the configured bin width);
+ *  - the point side projects its single bin `p/w`;
+ *  - the join becomes an EQUI-join on the bin with the ORIGINAL range
+ *    condition kept as residual — every matching pair meets in exactly
+ *    one bin (the point's), so no duplicates and no distinct pass;
+ *  - a final Project restores the original output attributes.
+ *
+ * Division is `IntegralDivide` (truncation): both sides map through the
+ * same monotone function, so `lo <= p <= hi` implies
+ * `lo/w <= p/w <= hi/w` and the bin join never loses a pair; the
+ * residual keeps exactness regardless of the binning convention.
+ *
+ * OPT-IN via `spark.graft.rangejoin.binwidth` (a positive long in the
+ * join columns' own units) because a useful bin width is data-dependent:
+ * near the typical interval span. Too small replicates intervals; too
+ * large degenerates toward one bin (the residual then does the work —
+ * still correct). Disabled (the default) the rule is a no-op.
+ *
+ * Scope guards: inner joins only; exactly one lower and one upper bound
+ * on the SAME point expression, each referencing opposite sides; any
+ * other cross-side conjunct (including an equality, which would make the
+ * join hash-joinable anyway) disables the rewrite; integral types only.
+ * Single-side conjuncts (e.g. inferred IsNotNull) ride along in the
+ * residual. The rewritten join carries an equality conjunct, so the rule
+ * cannot re-trigger inside the fixed-point optimizer batch.
+ */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BinWidthKey = "spark.graft.rangejoin.binwidth"
+
+  private case class RangeShape(point: Expression, lo: Expression, hi: Expression,
+      pointOnLeft: Boolean)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = SQLConf.get.getConfString(BinWidthKey, "0").toLong
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        detect(j, cond) match {
+          case Some(shape) => rewrite(j, cond, shape, w)
+          case None        => j
+        }
+    }
+  }
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  /** Cross-side comparison as (point, bound, isLower) with the point on
+    * `pointLeft` side — or None if the conjunct is not that shape. */
+  private def asBound(e: Expression, j: Join): Option[(Expression, Expression, Boolean, Boolean)] = {
+    def side(x: Expression): Option[Boolean] = {
+      val refs = x.references
+      if (refs.isEmpty) None
+      else if (refs.subsetOf(j.left.outputSet)) Some(true)
+      else if (refs.subsetOf(j.right.outputSet)) Some(false)
+      else None
+    }
+    val cmp: Option[(Expression, Expression, Boolean)] = e match {
+      case GreaterThanOrEqual(a, b) => Some((a, b, true)) // a >= b: a lower-bounded by b
+      case GreaterThan(a, b)        => Some((a, b, true))
+      case LessThanOrEqual(a, b)    => Some((a, b, false)) // a <= b: b upper-bounds a
+      case LessThan(a, b)           => Some((a, b, false))
+      case _                        => None
+    }
+    cmp.flatMap { case (a, b, aIsLowerBounded) =>
+      (side(a), side(b)) match {
+        case (Some(sa), Some(sb)) if sa != sb && integral(a) && integral(b) =>
+          // normalize to (point, bound): either operand may be the point —
+          // the caller disambiguates by finding the expression common to
+          // both conjuncts. Emit both orientations' info compactly:
+          // (a, b, a-lower-bounded, a-on-left)
+          Some((a, b, aIsLowerBounded, sa))
+        case _ => None
+      }
+    }
+  }
+
+  private def detect(j: Join, cond: Expression): Option[RangeShape] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    // single-side conjuncts (inferred IsNotNull etc.) are harmless
+    // residuals; ANY other cross-side shape (equality, OR, UDF...)
+    // disqualifies
+    val cross = conjuncts.filter(c =>
+      !c.references.subsetOf(j.left.outputSet) &&
+        !c.references.subsetOf(j.right.outputSet))
+    if (cross.length != 2) return None
+    val bounds = cross.map(c => asBound(c, j))
+    if (bounds.exists(_.isEmpty)) return None
+    val Seq((a1, b1, low1, left1), (a2, b2, low2, left2)) = bounds.flatten
+    // the point expression appears in both conjuncts (canonicalized)
+    def same(x: Expression, y: Expression) = x.canonicalized == y.canonicalized
+    // orientations: point may be the a or the b of each comparison
+    // (p >= lo, p <= hi) | (p >= lo, hi >= p) | (lo <= p, p <= hi) | ...
+    val candidates = Seq(
+      (a1, b1, low1, left1, a2, b2, low2),
+      (a1, b1, low1, left1, b2, a2, !low2),
+      (b1, a1, !low1, !left1, a2, b2, low2),
+      (b1, a1, !low1, !left1, b2, a2, !low2))
+    candidates.collectFirst {
+      // p lower-bounded in one conjunct, upper-bounded in the other
+      case (p1, bound1, isLow1, pLeft, p2, bound2, isLow2)
+        if same(p1, p2) && isLow1 != isLow2 =>
+        val (lo, hi) = if (isLow1) (bound1, bound2) else (bound2, bound1)
+        RangeShape(p1, lo, hi, pLeft)
+    }
+  }
+
+  private def rewrite(j: Join, cond: Expression, s: RangeShape, w: Long): LogicalPlan = {
+    def toLong(e: Expression): Expression =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    def bin(e: Expression): Expression = IntegralDivide(toLong(e), Literal(w))
+
+    val (intervalPlan, pointPlan) =
+      if (s.pointOnLeft) (j.right, j.left) else (j.left, j.right)
+    // interval side: one row per covered bin
+    val binAttr = AttributeReference("_graft_bin", LongType, nullable = false)()
+    val gen = Generate(
+      // Sequence is TimeZoneAwareExpression — without an explicit zone it
+      // stays unresolved and fails the optimizer's plan validation
+      Explode(Sequence(bin(s.lo), bin(s.hi), Some(Literal(1L)),
+        Some(SQLConf.get.sessionLocalTimeZone))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(binAttr), child = intervalPlan)
+    // point side: its single bin
+    val pBin = Alias(bin(s.point), "_graft_bin_p")()
+    val proj = Project(pointPlan.output :+ pBin, pointPlan)
+    val newCond = And(EqualTo(binAttr, pBin.toAttribute), cond)
+    val (nl, nr) = if (s.pointOnLeft) (proj, gen) else (gen, proj)
+    Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftExtensions
+
+/**
+ * RangeJoinRewrite: a pure range join plans as a bin equi-join (no
+ * BroadcastNestedLoopJoin) when the bin width is configured, with results
+ * identical to the nested-loop plan; everything else is left alone.
+ */
+class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+  import spark.implicits._
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private lazy val intervals = Seq((1L, 10L, 30L), (2L, 25L, 26L), (3L, 100L, 130L))
+    .toDF("iid", "s", "e")
+  private lazy val points = (0L to 200L).map(t => (t + 1000L, t)).toDF("pid", "t")
+
+  private def joined = intervals.join(points,
+    points("t") >= intervals("s") && points("t") <= intervals("e"))
+
+  test("pure range join rewrites to a bin equi-join with identical results") {
+    val expected = locally {
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+      val df = joined
+      assert(df.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "baseline should nested-loop (else this spec tests nothing)")
+      df.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    }
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "16")
+      val df = joined
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"rewrite did not apply:\n${plan.take(2000)}")
+      assert(plan.contains("Generate"), "no bin explode in the plan")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got === expected, "bin equi-join changed the result")
+      // sanity on content: interval 1 covers 21 points, 2 covers 2, 3 covers 31
+      assert(got.count(_._1 == 1L) === 21)
+      assert(got.count(_._1 == 2L) === 2)
+      assert(got.count(_._1 == 3L) === 31)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+  }
+
+  test("strict bounds, flipped operand order, and int columns still rewrite exactly") {
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "7")
+      val iv = Seq((1, 10, 30)).toDF("iid", "s", "e") // IntegerType
+      val pts = (0 to 50).map(t => (t + 100, t)).toDF("pid", "t")
+      // lo < p (strict) and hi > p written bounds-first
+      val df = iv.join(pts, iv("s") < pts("t") && iv("e") > pts("t"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"flipped/strict form not rewritten:\n${plan.take(1500)}")
+      assert(df.count() === 19) // 11..29 strict
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+  }
+
+  test("joins the rewrite must not touch are left alone") {
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "16")
+      // equality + range: already hash-joinable; must NOT gain a Generate
+      val iv = Seq((1L, "k", 10L, 30L)).toDF("iid", "k", "s", "e")
+      val pts = Seq((100L, "k", 20L), (101L, "j", 20L)).toDF("pid", "k", "t")
+      val eq = iv.join(pts, iv("k") === pts("k") &&
+        pts("t") >= iv("s") && pts("t") <= iv("e"))
+      assert(!eq.queryExecution.executedPlan.toString.contains("Generate"))
+      assert(eq.count() === 1)
+      // half-open (single bound): not a range join, stays as-is
+      val half = intervals.join(points, points("t") >= intervals("s"))
+      assert(!half.queryExecution.executedPlan.toString.contains("Generate"))
+      // left join: out of scope
+      val outer = intervals.join(points,
+        points("t") >= intervals("s") && points("t") <= intervals("e"), "left")
+      assert(!outer.queryExecution.executedPlan.toString.contains("Generate"))
+      assert(outer.count() === joined.count()) // every interval has matches here
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+  }
+
+  test("negative values bin consistently (truncation on both sides)") {
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "10")
+      val iv = Seq((1L, -25L, -5L), (2L, -3L, 4L)).toDF("iid", "s", "e")
+      val pts = (-30L to 10L).map(t => (t + 500L, t)).toDF("pid", "t")
+      val df = iv.join(pts, pts("t") >= iv("s") && pts("t") <= iv("e"))
+      assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got.count(_._1 == 1L) === 21) // -25..-5
+      assert(got.count(_._1 == 2L) === 8) // -3..4
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+  }
+}
