@@ -645,6 +645,39 @@ object SparkEntry {
         .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
     }),
 
+    // RANGE window frame (value-based, not row-based): running revenue
+    // over a sliding VALUE window of order dates per priority class —
+    // rows sharing a date contribute together regardless of row order
+    "q23_range_frame" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("orders_rf")
+      s.sql("""SELECT o_orderkey,
+              |       round(sum(o_totalprice) OVER (
+              |         PARTITION BY o_orderpriority
+              |         ORDER BY epoch_days
+              |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+              |         AS rev_30d
+              |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+              |             CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)
+              |               AS epoch_days
+              |      FROM orders_rf)
+              |""".stripMargin)
+    }),
+
+    // Unpivot/melt: wide per-type counts back to long (type, n) rows —
+    // the inverse of q22_pivot, one pass, no join
+    "q24_unpivot" -> ((s, dir) => {
+      val wide = s.read.parquet(t(dir, "events"))
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
+      wide.unpivot(Array(col("user_id")),
+        Array(col("n_click"), col("n_view"), col("n_purchase"),
+          col("n_signup"), col("n_error")),
+        "event_type", "n")
+    }),
+
     // PII redaction (scan-stage regexp_replace chain, codegen'd): the
     // synthetic corpus carries no PII, so each doc PLANTS a deterministic
     // email + IPv4 + phone derived from its id, redacts, and emits the
@@ -1260,6 +1293,34 @@ object SparkEntry {
         |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |       count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q23_range_frame" ->
+      """SELECT o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_orderpriority
+        |         ORDER BY epoch_days
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+        |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |             CAST(date_diff('day', DATE '1970-01-01',
+        |                            CAST(o_orderdate AS DATE)) AS BIGINT)
+        |               AS epoch_days
+        |      FROM orders)""".stripMargin,
+
+    "q24_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |         count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |         count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |         count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |         count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, 'n_click' AS event_type, n_click AS n FROM wide
+        |UNION ALL SELECT user_id, 'n_view', n_view FROM wide
+        |UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
+        |UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
+        |UNION ALL SELECT user_id, 'n_error', n_error FROM wide""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (
