@@ -42,4 +42,30 @@ object StreamingEnrich {
         sink(enriched, batchId)
       }
   }
+
+  /**
+   * Stream-STREAM interval join: rows of two live streams matched on
+   * equality keys plus `rightTime ∈ [leftTime + lower, leftTime + upper]`.
+   * This is Structured Streaming's native windowed-join form — the
+   * equality keys make the join plannable and the time bounds (with the
+   * watermarks the CALLER must have set on both inputs) let the engine
+   * EXPIRE join state: without them, both sides buffer forever. State per
+   * key is bounded by watermark lag + window span — the streaming analog
+   * of `TemporalJoin.intervalJoin`'s bounded bins. Both sides' column
+   * names must be disjoint apart from `keyCols` (rename before joining a
+   * stream to itself).
+   *
+   * `lower`/`upper` are SQL interval literals (e.g. "0 seconds",
+   * "10 minutes"); StreamingSpec pins stream == batch equality.
+   */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTimeCol: String, rightTimeCol: String,
+      lower: String, upper: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val cond = (keyCols.map(k => left(k) === right(k)) :+
+      (right(rightTimeCol) >= left(leftTimeCol) + expr(s"INTERVAL $lower")) :+
+      (right(rightTimeCol) <= left(leftTimeCol) + expr(s"INTERVAL $upper")))
+      .reduce(_ && _)
+    keyCols.foldLeft(left.join(right, cond))((d, k) => d.drop(right(k)))
+  }
 }

@@ -157,6 +157,49 @@ class StreamingSpec extends AnyFunSuite {
     ()
   }
 
+  test("stream-stream interval join matches the batch join; watermarks bound state") {
+    // clicks joined to the same user's purchases within 10 minutes AFTER
+    // the click — Structured Streaming's native windowed stream-stream
+    // join (equality key + time bounds + both-side watermarks)
+    val t0 = 1700000000L // epoch seconds
+    def ts(offsetSec: Long) = new java.sql.Timestamp((t0 + offsetSec) * 1000L)
+    val clickRows = Seq((1L, "u", ts(0)), (2L, "u", ts(700)), (3L, "v", ts(100)))
+    val purchaseRows = Seq(
+      (10L, "u", ts(300)), // within 10 min of click 1
+      (11L, "u", ts(1200)), // within 10 min of click 2, NOT click 1
+      (12L, "w", ts(100))) // wrong user
+    val clickDir = Files.createTempDirectory("graft-ssj-c").toString
+    val purchaseDir = Files.createTempDirectory("graft-ssj-p").toString
+    clickRows.toDF("click_id", "k", "cts").write.mode("append").parquet(clickDir)
+    purchaseRows.toDF("purchase_id", "k", "pts").write.mode("append").parquet(purchaseDir)
+
+    def stream(dir: String, schema: String, tsCol: String) = spark.readStream
+      .schema(schema).parquet(dir).withWatermark(tsCol, "1 hour")
+    val joined = graft.streaming.StreamingEnrich.intervalJoinStreams(
+      stream(clickDir, "click_id LONG, k STRING, cts TIMESTAMP", "cts"),
+      stream(purchaseDir, "purchase_id LONG, k STRING, pts TIMESTAMP", "pts"),
+      keyCols = Seq("k"), leftTimeCol = "cts", rightTimeCol = "pts",
+      lower = "0 seconds", upper = "10 minutes")
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = joined.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.collect().map(r =>
+          (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))) }
+        ()
+      }.start()
+    q.awaitTermination(60000)
+
+    val batch = graft.streaming.StreamingEnrich.intervalJoinStreams(
+      clickRows.toDF("click_id", "k", "cts"),
+      purchaseRows.toDF("purchase_id", "k", "pts"),
+      Seq("k"), "cts", "pts", "0 seconds", "10 minutes")
+      .collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(got.toSet === batch, "stream-stream join diverged from batch")
+    assert(got.toSet === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("ingestAndStream pushes every micro-batch's runs to the ring as it commits") {
     // the full firehose-to-ring pipeline: windowed aggregation -> per-batch
     // sorted bulk load -> rf-aware replica streaming, with receivers
