@@ -678,6 +678,21 @@ object SparkEntry {
         "event_type", "n")
     }),
 
+    // Within-doc line dedup (C4-style boilerplate removal). The synthetic
+    // docs are single-line, so each doc PLANTS duplicate lines (text +
+    // 40-char prefix, twice) — both engines build the same input, then
+    // keep first occurrences in order
+    "text_line_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val multi = concat_ws("\n", col("text"), substring(col("text"), 1, 40),
+        col("text"), substring(col("text"), 1, 40))
+      val deduped = graft.operators.TextAnalysis.dedupLines(multi)
+      d.select(col("doc_id"),
+        size(split(multi, "\n")).cast(LongType).as("n_lines"),
+        size(split(deduped, "\n")).cast(LongType).as("n_unique"),
+        md5(deduped).as("dedup_md5"))
+    }),
+
     // PII redaction (scan-stage regexp_replace chain, codegen'd): the
     // synthetic corpus carries no PII, so each doc PLANTS a deterministic
     // email + IPv4 + phone derived from its id, redacts, and emits the
@@ -1321,6 +1336,23 @@ object SparkEntry {
         |UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
         |UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
         |UNION ALL SELECT user_id, 'n_error', n_error FROM wide""".stripMargin,
+
+    "text_line_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || substr(text, 1, 40) || chr(10) ||
+        |         text || chr(10) || substr(text, 1, 40) AS mt
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, string_split(mt, chr(10)) AS lines FROM m
+        |), dd AS (
+        |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS u
+        |  FROM l
+        |)
+        |SELECT doc_id, n_lines, CAST(len(u) AS BIGINT) AS n_unique,
+        |       md5(array_to_string(u, chr(10))) AS dedup_md5
+        |FROM dd""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

@@ -52,6 +52,21 @@ object TextAnalysis {
   val PhonePattern = "(?:\\+?\\d{1,2}[ .-])?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b"
 
   /**
+   * Within-document line deduplication (the C4/RefinedWeb cleaning step:
+   * boilerplate lines repeat inside a page). Keeps each line's FIRST
+   * occurrence, preserving order — all in-row (`filter` + `array_position`
+   * higher-order functions), no shuffle: a 100 TB corpus pays one scan.
+   * O(lines²) per document via array_position — fine for real documents
+   * (thousands of lines); a rolling-hash set kernel would replace it if
+   * pathological line counts appear.
+   */
+  def dedupLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (x, i) => array_position(lines, x) === i + 1), "\n")
+  }
+
+  /**
    * PII redaction: emails, IPv4 addresses, and phone numbers replaced
    * with typed tags. Pure codegen'd scan-stage compute (chained
    * regexp_replace — no UDF, no shuffle): masking a 100 TB corpus costs

@@ -103,6 +103,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("heavy-ngrams sketch aggregates partially before the exchange; line dedup is scan-only") {
+    // Misra-Gries partials must combine map-side (ObjectHashAggregate
+    // partial_topk_freq before the single exchange) — without it every
+    // gram occurrence of a 100 TB corpus would shuffle
+    val p = plan("corpus_heavy_ngrams")
+    assert(p.contains("partial_topk_freq"),
+      s"no partial sketch aggregation before the exchange:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate") && p.contains("Exchange"))
+    // in-row line dedup must not shuffle at all
+    val p2 = plan("text_line_dedup")
+    assert(!p2.contains("Exchange"), s"line dedup shuffles:\n${p2.take(1500)}")
+  }
+
   test("q18 as-of join: one keyed window pass, no nested loop, no extra exchange") {
     // the inequality-join formulation would plan a BroadcastNestedLoopJoin
     // (O(n*m) compares); the union+window form must show exactly one
