@@ -437,6 +437,24 @@ object SparkEntry {
         e, "vec_id", "embedding", "label", threshold = 0.4)
     }),
 
+    // SemDeDup over the planted corpus: k-means clusters, then drop any
+    // vector with a smaller-id cluster-mate at cosine >= 0.999. The
+    // planted geometry makes the answer analytic: semantic groups are
+    // (axis g, pinned angle) — ring positions r >= 4 share angle 0.4
+    // exactly (sim 1.0), every r < 4 position is a singleton, and
+    // cross-group cosine is 0 or <= cos(0.1) ~= 0.995 < 0.999. Identical
+    // vectors can never split across k-means cells, so the min-id of
+    // each angle-group survives regardless of the trained centroids.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
+        graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+        .filter(col("vec_id") >= 10)
+        .localCheckpoint()
+      graft.operators.Similarity.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.999, nlist = 8)
+        .select(col("vec_id"))
+    }),
+
     // IVF ANN over the same planted corpus: identical vectors within each
     // ring position can never split across k-means cells, orthogonal
     // clusters keep the query's own cell among its nearest probes, and
@@ -1153,6 +1171,20 @@ object SparkEntry {
         |       CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+
+    // the planted corpus' semantic groups in closed form: (axis, pinned
+    // angle); keep each group's min id — the independent statement of
+    // "no smaller-id semantic duplicate exists"
+    "dedup_semantic" ->
+      """WITH c AS (
+        |  SELECT vec_id, vec_id % 10 AS g,
+        |         least((vec_id - 10) // 10, 4) AS r
+        |  FROM embeddings WHERE vec_id >= 10
+        |)
+        |SELECT a.vec_id FROM c a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c b
+        |  WHERE b.g = a.g AND b.r = a.r AND b.vec_id < a.vec_id)""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -106,6 +106,59 @@ object Similarity {
   }
 
   /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): k-means clusters the embedding space, then within
+   * each cluster every vector whose cosine to a SMALLER-id cluster member
+   * reaches `threshold` is dropped — each semantic group keeps its min-id
+   * representative. Returns the KEPT rows of `df`, all columns intact.
+   *
+   * Scale shape: training is bounded-sample (like IVF); assignment is one
+   * scan; the within-cluster pair join is the only quadratic piece and it
+   * is quadratic in CLUSTER size, not corpus size — size `nlist`
+   * proportional to the corpus (the paper uses fixed-occupancy clusters)
+   * to hold cluster occupancy constant, and the join cost stays linear in
+   * the corpus. Identical vectors can never split across clusters (equal
+   * distances resolve to the same argmin), so exact duplicates are always
+   * caught; near-duplicates straddling a cluster boundary are missed —
+   * the recall trade the paper accepts by design.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // cluster L2-NORMALIZED embeddings (the paper's setup): the grouping
+    // criterion is cosine, so same-direction vectors must be the same
+    // point to k-means or a scale difference could split a dup group
+    // across cells; zero vectors stay raw (no direction to normalize)
+    val v = df.select(col(idCol).as("_sd_id"), col(vecCol).as("_sd_vec"))
+      .withColumn("_sd_nrm0", norm(col("_sd_vec")))
+      .withColumn("features", array_to_vector(
+        when(col("_sd_nrm0") > 0,
+          transform(col("_sd_vec"), x => x.cast(DoubleType) / col("_sd_nrm0")))
+          .otherwise(col("_sd_vec").cast("array<double>"))))
+      .drop("_sd_nrm0")
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("_sd_cluster")
+      .fit(trainSample(v, maxTrainRows, seed))
+    val assigned = model.transform(v)
+      .select(col("_sd_id"), col("_sd_vec"), col("_sd_cluster"))
+      .withColumn("_sd_nrm", norm(col("_sd_vec")))
+    // a row is dropped when ANY smaller-id same-cluster member is within
+    // the threshold: left-semi the DROP set, anti-join to keep the rest
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    val dropped = a.join(b,
+        col("a._sd_cluster") === col("b._sd_cluster") &&
+          col("b._sd_id") < col("a._sd_id"))
+      .filter(round(dot(col("a._sd_vec"), col("b._sd_vec")) /
+        (col("a._sd_nrm") * col("b._sd_nrm")), 4) >= threshold)
+      .select(col("a._sd_id").as("_sd_id")).distinct()
+    df.join(dropped, col(idCol) === col("_sd_id"), "left_anti")
+  }
+
+  /**
    * IVF (inverted-file) ANN: k-means partitions the corpus into nlist
    * cells; each query probes only the nprobe nearest cells. The classic
    * trade: train once (sampled at real scale), then every search touches

@@ -446,6 +446,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits(12L) === 3) // "jumps over the", "over the lazy", "the lazy dog"
   }
 
+  test("semanticDedup keeps min-id representatives, never drops across groups") {
+    import graft.operators.Similarity
+    def vec(axis: Int, scale: Float) =
+      Array.tabulate(8)(i => if (i == axis) scale else 0.0f)
+    val rows = Seq(
+      (1L, vec(0, 1.0f)), (5L, vec(0, 2.0f)), (9L, vec(0, 0.5f)), // same direction = dups
+      (2L, vec(1, 1.0f)), (7L, vec(1, 1.0f)), // another dup group
+      (3L, vec(2, 1.0f))) // singleton
+    val df = spark.createDataFrame(rows).toDF("id", "v")
+    val kept = Similarity.semanticDedup(df, "id", "v",
+      threshold = 0.999, nlist = 3, maxTrainRows = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // min id of each cosine-identical group survives; the axis-2
+    // singleton is untouched (cross-axis cosine is 0)
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("topk_freq: exact under capacity, MG bound over capacity, merge across partitions") {
     import graft.functions.FreqAgg.topk_freq
     // planted frequencies across 8 partitions force real partial merges
