@@ -144,18 +144,31 @@ object Similarity {
       .fit(trainSample(v, maxTrainRows, seed))
     val assigned = model.transform(v)
       .select(col("_sd_id"), col("_sd_vec"), col("_sd_cluster"))
+    // collapse EXACT duplicates first (one linear hash aggregation): a
+    // non-min member m of an exact group has its representative r < m at
+    // cosine 1.0 >= threshold, so m is dropped under the contract no
+    // matter what else is in the cluster; and any sub-threshold witness
+    // v < r is itself represented by v' <= v with the same vector — so
+    // running the quadratic pair join on REPRESENTATIVES only yields
+    // exactly the same survivor set. Mega-duplicate groups (the common
+    // real-corpus shape) now cost one aggregation, not |group|^2 pairs.
+    val reps = assigned
+      .groupBy(col("_sd_cluster"), col("_sd_vec"))
+      .agg(min(col("_sd_id")).as("_sd_id"))
       .withColumn("_sd_nrm", norm(col("_sd_vec")))
-    // a row is dropped when ANY smaller-id same-cluster member is within
-    // the threshold: left-semi the DROP set, anti-join to keep the rest
-    val a = assigned.alias("a")
-    val b = assigned.alias("b")
+    // a representative is dropped when ANY smaller-id same-cluster rep is
+    // within the threshold; everything else (reps minus dropped) is kept
+    val a = reps.alias("a")
+    val b = reps.alias("b")
     val dropped = a.join(b,
         col("a._sd_cluster") === col("b._sd_cluster") &&
           col("b._sd_id") < col("a._sd_id"))
       .filter(round(dot(col("a._sd_vec"), col("b._sd_vec")) /
         (col("a._sd_nrm") * col("b._sd_nrm")), 4) >= threshold)
       .select(col("a._sd_id").as("_sd_id")).distinct()
-    df.join(dropped, col(idCol) === col("_sd_id"), "left_anti")
+    val kept = reps.select(col("_sd_id"))
+      .join(dropped, Seq("_sd_id"), "left_anti")
+    df.join(kept, df(idCol) === kept("_sd_id"), "left_semi")
   }
 
   /**
