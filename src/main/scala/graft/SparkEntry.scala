@@ -696,6 +696,50 @@ object SparkEntry {
         "event_type", "n")
     }),
 
+    // Corpus profiling: the per-source shape stats a pipeline reads before
+    // deciding mixing rates — counts, length distribution, token mass
+    "q25_source_stats" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(graft.operators.TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+    }),
+
+    // Full outer join: per-user click vs purchase activity, users present
+    // on either side survive with zero-filled counts
+    "q26_full_outer" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "events"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("purchase_value"))
+      clicks.join(purchases, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+    }),
+
+    // Lateral (correlated) join: each nation's two highest-balance
+    // customers via a per-row subquery — Catalyst decorrelates it into
+    // the ranked-window plan instead of executing per-nation subqueries
+    "q27_lateral" -> ((s, dir) => {
+      s.read.parquet(t(dir, "nation")).createOrReplaceTempView("nation_lat")
+      s.read.parquet(t(dir, "customer")).createOrReplaceTempView("customer_lat")
+      s.sql("""SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+              |FROM nation_lat n,
+              |LATERAL (
+              |  SELECT c_name, c_acctbal FROM customer_lat c
+              |  WHERE c.c_nationkey = n.n_nationkey
+              |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+              |) t
+              |""".stripMargin)
+    }),
+
     // Within-doc line dedup (C4-style boilerplate removal). The synthetic
     // docs are single-line, so each doc PLANTS duplicate lines (text +
     // 40-char prefix, twice) — both engines build the same input, then
@@ -1368,6 +1412,39 @@ object SparkEntry {
         |UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
         |UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
         |UNION ALL SELECT user_id, 'n_error', n_error FROM wide""".stripMargin,
+
+    "q25_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+        |       max(n_chars) AS max_chars,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |         AS total_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q26_full_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id
+        |), p AS (
+        |  SELECT user_id, count(*) AS n_purchases,
+        |         round(sum(value), 2) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |       coalesce(n_clicks, 0) AS n_clicks,
+        |       coalesce(n_purchases, 0) AS n_purchases,
+        |       coalesce(purchase_value, 0.0) AS purchase_value
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""".stripMargin,
+
+    "q27_lateral" ->
+      """SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+        |) t""".stripMargin,
 
     "text_line_dedup" ->
       """WITH m AS (
