@@ -654,14 +654,7 @@ object SparkEntry {
     // Pivot (wide aggregation): per-user event counts, one column per
     // event type — compiles to ONE pass with conditional aggregates, the
     // same plan the oracle's FILTER clauses describe
-    "q22_pivot" -> ((s, dir) => {
-      s.read.parquet(t(dir, "events"))
-        .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
-    }),
+    "q22_pivot" -> ((s, dir) => wideEventCounts(s, dir)),
 
     // RANGE window frame (value-based, not row-based): running revenue
     // over a sliding VALUE window of order dates per priority class —
@@ -682,15 +675,9 @@ object SparkEntry {
     }),
 
     // Unpivot/melt: wide per-type counts back to long (type, n) rows —
-    // the inverse of q22_pivot, one pass, no join
+    // the literal inverse of q22_pivot (same wide frame), one pass, no join
     "q24_unpivot" -> ((s, dir) => {
-      val wide = s.read.parquet(t(dir, "events"))
-        .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
-      wide.unpivot(Array(col("user_id")),
+      wideEventCounts(s, dir).unpivot(Array(col("user_id")),
         Array(col("n_click"), col("n_view"), col("n_purchase"),
           col("n_signup"), col("n_error")),
         "event_type", "n")
@@ -772,6 +759,16 @@ object SparkEntry {
           .as("n_tags"))
     })
   )
+
+  /** Per-user event counts pivoted wide — shared by q22_pivot and its
+    * inverse q24_unpivot so the column list cannot drift between them. */
+  private def wideEventCounts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "events"))
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
 
   /** Synthesized legacy TSV lines (shared by query + oracle derivation). */
   private def legacyLines(s: SparkSession, dir: String): DataFrame = {

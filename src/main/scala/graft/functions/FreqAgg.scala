@@ -45,7 +45,11 @@ case class FreqAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  // declares the string input contract: SQL topk_freq over a non-string
+  // column gets an implicit cast (or a clean analysis error) instead of
+  // dying at execution with a raw ClassCastException
+  with org.apache.spark.sql.graft.StringInputTypes {
 
   require(capacity > 0, "capacity must be positive")
   require(k > 0 && k <= capacity, "k must be in 1..capacity")

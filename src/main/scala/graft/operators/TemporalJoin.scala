@@ -75,15 +75,20 @@ object TemporalJoin {
     require(keyCols.nonEmpty, "asofJoin needs at least one equi-key column")
     require(rightCols.nonEmpty, "asofJoin needs right columns to carry")
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("_side") && !leftCols.contains("_asof_t"),
-      "left side may not contain reserved columns _side/_asof_t")
+    val reserved = Seq("_side", "_asof_t", "_r", "_m")
+    require(!leftCols.exists(reserved.contains),
+      s"left side may not contain reserved columns ${reserved.mkString("/")}")
     // the carried payload leads with (time, tiebreaks) so Spark's struct
     // ordering — lexicographic by field — makes "largest struct" mean
     // "latest right row, ties broken by the tiebreak columns"
     val payloadFields =
       (col(rightTimeCol).as("_t") +: tiebreakCols.map(c => col(c).as(s"_tb_$c"))) ++
         rightCols.map(c => col(c).as(c))
-    val rightTagged = right.select(
+    // a null right time can never be "at or before" anything — but it
+    // would sort nulls-FIRST in the window and its payload would carry
+    // forward as a phantom match; drop such rows up front (the oracle's
+    // inequality formulation is null-safe false for them)
+    val rightTagged = right.filter(col(rightTimeCol).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTimeCol).as("_asof_t"),
         lit(0).as("_side"),
@@ -151,9 +156,10 @@ object TemporalJoin {
       maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val startType = intervals.schema(startCol).dataType
+    val endType = intervals.schema(endCol).dataType
     val pointType = points.schema(timeCol).dataType
     val loBin = floor(epochValue(col(startCol), startType) / binWidth)
-    val hiBin = floor(epochValue(col(endCol), startType) / binWidth)
+    val hiBin = floor(epochValue(col(endCol), endType) / binWidth)
     val guarded = intervals
       .withColumn("_lo", loBin).withColumn("_hi", hiBin)
       .withColumn("_hi", when(col("_hi") - col("_lo") >= maxBinsPerInterval,

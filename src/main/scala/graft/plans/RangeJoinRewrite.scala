@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Optimizer rule: rewrite a pure range join — an inner join whose only
@@ -46,17 +47,27 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinWidthKey = "spark.graft.rangejoin.binwidth"
+  val MaxBinsKey = "spark.graft.rangejoin.maxbins"
 
   private case class RangeShape(point: Expression, lo: Expression, hi: Expression,
       pointOnLeft: Boolean)
 
+  private def longConf(key: String, default: Long): Long = {
+    val raw = SQLConf.get.getConfString(key, default.toString)
+    // a malformed value must not surface as a bare NumberFormatException
+    // from inside the optimizer on EVERY query — name the key
+    raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"$key must be a long, got '$raw'"))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = SQLConf.get.getConfString(BinWidthKey, "0").toLong
+    val w = longConf(BinWidthKey, 0L)
     if (w <= 0) return plan
+    val maxBins = longConf(MaxBinsKey, 4096L)
     plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         detect(j, cond) match {
-          case Some(shape) => rewrite(j, cond, shape, w)
+          case Some(shape) => rewrite(j, cond, shape, w, maxBins)
           case None        => j
         }
     }
@@ -125,19 +136,39 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def rewrite(j: Join, cond: Expression, s: RangeShape, w: Long): LogicalPlan = {
+  private def rewrite(j: Join, cond: Expression, s: RangeShape, w: Long,
+      maxBins: Long): LogicalPlan = {
     def toLong(e: Expression): Expression =
       if (e.dataType == LongType) e else Cast(e, LongType)
     def bin(e: Expression): Expression = IntegralDivide(toLong(e), Literal(w))
 
     val (intervalPlan, pointPlan) =
       if (s.pointOnLeft) (j.right, j.left) else (j.left, j.right)
-    // interval side: one row per covered bin
+    // interval side: one row per covered bin. NO explicit step: an
+    // inverted interval (lo > hi — corrupt data the nested-loop plan
+    // would simply not match) then yields a small DESCENDING sequence
+    // the residual filters out, instead of Sequence's step-direction
+    // error killing the query. A wider-than-maxbins interval still
+    // fails LOUDLY (same contract as TemporalJoin.intervalJoin's guard)
+    // rather than silently replicating one row millions of times.
+    val loBin = bin(s.lo)
+    val hiBin = bin(s.hi)
+    val guardedHi = If(
+      GreaterThanOrEqual(Subtract(hiBin, loBin), Literal(maxBins)),
+      // RaiseError is NullType and no coercion runs inside the optimizer —
+      // cast it so both If branches agree (the cast never evaluates)
+      Cast(RaiseError(Concat(Seq(
+        Literal(UTF8String.fromString(
+          s"range-join rewrite: interval spans more than $maxBins bins " +
+            s"(raise $MaxBinsKey or $BinWidthKey): ")),
+        Cast(s.lo, StringType), Literal(UTF8String.fromString(" .. ")),
+        Cast(s.hi, StringType)))), LongType),
+      hiBin)
     val binAttr = AttributeReference("_graft_bin", LongType, nullable = false)()
     val gen = Generate(
       // Sequence is TimeZoneAwareExpression — without an explicit zone it
       // stays unresolved and fails the optimizer's plan validation
-      Explode(Sequence(bin(s.lo), bin(s.hi), Some(Literal(1L)),
+      Explode(Sequence(loBin, guardedHi, None,
         Some(SQLConf.get.sessionLocalTimeZone))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(binAttr), child = intervalPlan)

@@ -28,3 +28,9 @@ object Bridge {
 trait DoubleLongInputTypes extends ImplicitCastInputTypes { self: Expression =>
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
 }
+
+/** Single-string implicit-cast input contract (same namespace reason). */
+trait StringInputTypes extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}

@@ -525,6 +525,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4L) === (None, None)) // key with no right rows at all
   }
 
+  test("asofJoin: a null right time never matches (no phantom carry-forward)") {
+    import graft.operators.TemporalJoin
+    // regression: null _asof_t sorted NULLS FIRST in the window, so a
+    // null-time right row's payload carried forward as everyone's match
+    val left = Seq((1L, "u", 100L)).toDF("id", "k", "t")
+    val right = Seq((9L, "u", Option.empty[Long], "phantom"),
+      (8L, "u", Some(200L), "late"))
+      .toDF("rid", "k", "rt", "payload")
+    val out = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+      rightCols = Seq("rid", "payload"), tiebreakCols = Seq("rid")).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(3), s"phantom match from a null-time right row: ${out.head}")
+  }
+
   test("asofJoin: ties break by largest tiebreak; tolerance voids stale matches") {
     import graft.operators.TemporalJoin
     val left = Seq((1L, "u", 100L), (2L, "u", 500L)).toDF("id", "k", "t")

@@ -96,6 +96,37 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
   }
 
+  test("inverted intervals don't match but don't crash; absurd spans fail loudly") {
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "16")
+      // corrupt inverted row (s > e): the nested-loop baseline matches
+      // nothing for it — the rewrite must do the same, not throw from
+      // Sequence's step-direction check
+      val iv = Seq((1L, 30L, 10L), (2L, 40L, 60L)).toDF("iid", "s", "e")
+      val df = iv.join(points, points("t") >= iv("s") && points("t") <= iv("e"))
+      assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+      assert(got.forall(_._1 == 2L) && got.size === 21) // only the valid interval
+      // an interval spanning more than maxbins fails with a targeted error
+      spark.conf.set(graft.plans.RangeJoinRewrite.MaxBinsKey, "100")
+      val wide = Seq((9L, 0L, 1000000L)).toDF("iid", "s", "e")
+      val e = intercept[Exception] {
+        wide.join(points, points("t") >= wide("s") && points("t") <= wide("e")).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("spans more than")),
+        s"expected the fan-out guard, got: ${messages(e).mkString(" | ")}")
+      // a malformed conf value names the key instead of a bare parse error
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "300s")
+      val e2 = intercept[Exception] { joined.collect() }
+      assert(messages(e2).exists(_.contains(graft.plans.RangeJoinRewrite.BinWidthKey)))
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+      spark.conf.unset(graft.plans.RangeJoinRewrite.MaxBinsKey)
+    }
+  }
+
   test("negative values bin consistently (truncation on both sides)") {
     try {
       spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "10")
