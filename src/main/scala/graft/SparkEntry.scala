@@ -727,6 +727,25 @@ object SparkEntry {
               |""".stripMargin)
     }),
 
+    // Time-series densify/gap-fill: hourly counts per event type
+    // INCLUDING empty hours — sequence-explode the full hour range per
+    // type (tiny dimension), left-join the sparse aggregates, zero-fill.
+    // The generated axis is dimension-sized, so the join broadcasts.
+    "q28_gap_fill" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(t(dir, "events"))
+        .withColumn("hour", expr("ts div 3600000000000").cast(LongType))
+      val sparse = e.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = e.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      val axis = bounds.select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hour"))
+      axis.join(sparse, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     // Within-doc line dedup (C4-style boilerplate removal). The synthetic
     // docs are single-line, so each doc PLANTS duplicate lines (text +
     // 40-char prefix, twice) — both engines build the same input, then
@@ -1442,6 +1461,20 @@ object SparkEntry {
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2
         |) t""".stripMargin,
+
+    "q28_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour FROM events
+        |), sparse AS (
+        |  SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM e GROUP BY 1
+        |), axis AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS hour FROM bounds
+        |)
+        |SELECT a.event_type, a.hour, coalesce(s.n, 0) AS n
+        |FROM axis a LEFT JOIN sparse s
+        |  ON a.event_type = s.event_type AND a.hour = s.hour""".stripMargin,
 
     "text_line_dedup" ->
       """WITH m AS (
