@@ -526,11 +526,20 @@ object SparkEntry {
 
     // approx_count_distinct (HLL++): sketch values are engine-specific, so
     // no SQL oracle — the error bound vs exact is asserted in QuerySpec
+    // HLL++ estimates are engine-specific, so the cross-engine contract is
+    // the strongest checkable one: the exact count plus "the estimate sits
+    // within the documented relative error" — the oracle computes the same
+    // exact count and asserts the bound as a literal, so a sketch drifting
+    // out of tolerance breaks the hash match
     "q13_approx_distinct" -> ((s, dir) => {
+      val rsd = 0.05 // approx_count_distinct default relative stddev
       s.read.parquet(t(dir, "lineitem"))
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")).cast(DoubleType) /
+            col("exact_orders") <= rsd * 4).as("within_bound"))
     }),
 
     // Custom TypedImperativeAggregate: corpus-level MinHash signature per
@@ -1511,6 +1520,15 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(r, '\[(EMAIL|IP|PHONE)\]')) AS BIGINT)
         |         AS n_tags
         |FROM red""".stripMargin,
+
+    // the sketch estimate itself is engine-specific; the checkable claim
+    // is exactness of the true count and the estimate's error bound,
+    // which the Spark side reduces to a boolean
+    "q13_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q12_json_props" ->
       """SELECT event_type, count(*) AS n,
