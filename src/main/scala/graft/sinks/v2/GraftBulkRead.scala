@@ -70,7 +70,7 @@ object GraftBulkRead {
       startOffset: Long, hiBound: Long, bucket: Int = -1,
       estRows: Long = 0L, estBytes: Long = 0L,
       minToken: Long = Long.MinValue, maxToken: Long = Long.MaxValue,
-      chunked: Boolean = false)
+      chunked: Boolean = false, totalBytes: Long = -1L)
 
   private val RunNameRe = """graft-(\d+)-Data\.db""".r
 
@@ -126,7 +126,7 @@ object GraftBulkRead {
             val effectiveHi = if (m.minTokenHex.nonEmpty) Long.MaxValue else hiBound
             Some(PlannedSplit(f.getAbsolutePath, m.codec, start, effectiveHi,
               m.partition, estRows, estBytes, m.minToken, m.maxToken,
-              chunked = m.chunks > 0))
+              chunked = m.chunks > 0, totalBytes = m.bytes))
           }
         case None =>
           Some(PlannedSplit(f.getAbsolutePath, "none", 0L, Long.MaxValue,
@@ -393,7 +393,7 @@ final class GraftBulkScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     splits.map(s => GraftBulkInputPartition(s.file, s.codec, s.startOffset,
-      s.hiBound, s.bucket, s.chunked): InputPartition).toArray
+      s.hiBound, s.bucket, s.chunked, s.totalBytes): InputPartition).toArray
 
   // manifest-derived estimates AFTER token pruning (pro-rated into a run
   // by its sparse index), so Catalyst can broadcast a narrowly-filtered
@@ -441,7 +441,7 @@ final class GraftBulkScan(path: String, required: StructType,
 
 final case class GraftBulkInputPartition(file: String, codec: String,
     startOffset: Long = 0L, hiBound: Long = Long.MaxValue, bucket: Int = -1,
-    chunked: Boolean = false)
+    chunked: Boolean = false, totalBytes: Long = -1L)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucket))
 }
@@ -451,14 +451,14 @@ final class GraftBulkReaderFactory(columns: Array[String] = GraftBulkRead.schema
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBulkInputPartition]
     new GraftBulkPartitionReader(p.file, p.codec, p.startOffset, p.hiBound,
-      columns, p.bucket, p.chunked)
+      columns, p.bucket, p.chunked, p.totalBytes)
   }
 }
 
 final class GraftBulkPartitionReader(file: String, codec: String = "none",
     startOffset: Long = 0L, hiBound: Long = Long.MaxValue,
     columns: Array[String] = GraftBulkRead.schema.fieldNames,
-    bucket: Int = -1, chunked: Boolean = false)
+    bucket: Int = -1, chunked: Boolean = false, totalBytes: Long = -1L)
     extends PartitionReader[InternalRow] {
   // uncompressed: seek straight to the logical offset. Compressed with a
   // chunk map: open at the chunk containing the offset (only the physical
@@ -498,6 +498,7 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
   // to advance the frame, and it feeds the early-stop token anyway)
   private val needValue = columns.contains("value")
   private var current: InternalRow = _
+  private var consumed: Long = startOffset
 
   override def next(): Boolean = {
     try {
@@ -507,6 +508,7 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
       val value = if (needValue) {
         val v = new Array[Byte](vlen); in.readFully(v); v
       } else { in.skipNBytes(vlen.toLong); null }
+      consumed += 2L + klen + 4L + vlen
       val token = CassandraTokens.token(key)
       // runs are token-sorted: past the upper bound nothing else matches
       if (token > hiBound) false
@@ -519,7 +521,19 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
         })
         true
       }
-    } catch { case _: EOFException => false }
+    } catch {
+      case _: EOFException =>
+        // a natural EOF on a full read (no early-stop bound) must land
+        // exactly on the manifest's logical byte count — anything short is
+        // a truncated Data.db (partial copy) or a compressed stream that
+        // ended early (e.g. a legacy-flagged file that was really chunked):
+        // both would otherwise surface as a silently smaller result set
+        if (hiBound == Long.MaxValue && totalBytes >= 0 && consumed < totalBytes)
+          throw new IllegalStateException(
+            s"$file ended after $consumed of $totalBytes logical bytes — " +
+              "truncated run (partial copy?); refusing the partial scan")
+        false
+    }
   }
 
   override def get(): InternalRow = current

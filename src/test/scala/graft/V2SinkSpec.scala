@@ -782,6 +782,30 @@ class V2SinkSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.mkString(", ")}")
   }
 
+  test("a truncated Data.db fails loudly instead of a silently partial scan") {
+    import graft.sinks.BulkSink
+    val out = Files.createTempDirectory("graft-v2-trunc").toString
+    BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      Seq("o_orderkey"), 2, out)
+    assert(spark.read.format("graft-bulk").option("path", out).load().count() === 1500)
+    // chop the tail off one run (a partial copy): the manifest's logical
+    // byte count no longer matches what the stream yields
+    val victim = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith("-Data.db")).maxBy(_.length)
+    val ch = java.nio.channels.FileChannel.open(victim.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(victim.length() / 2) finally ch.close()
+    val e = intercept[Exception] {
+      spark.read.format("graft-bulk").option("path", out).load().count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("truncated run")),
+      s"expected the truncation guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("v2 sink rejects input without routing columns") {
     val out = Files.createTempDirectory("graft-v2-bad").toString
     val e = intercept[Exception] {
