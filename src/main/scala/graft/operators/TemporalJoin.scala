@@ -162,7 +162,13 @@ object TemporalJoin {
     val hiBin = floor(epochValue(col(endCol), endType) / binWidth)
     val guarded = intervals
       .withColumn("_lo", loBin).withColumn("_hi", hiBin)
-      .withColumn("_hi", when(col("_hi") - col("_lo") >= maxBinsPerInterval,
+      // guard the ABSOLUTE span in doubles: an inverted interval (corrupt
+      // end < start — matches nothing via the residual) can be absurdly
+      // wide too, and sequence() would default-step DOWN through it;
+      // doubles keep opposite-sign extremes from overflowing a subtraction
+      .withColumn("_hi", when(
+        abs(col("_hi").cast("double") - col("_lo").cast("double")) >=
+          maxBinsPerInterval.toDouble,
         raise_error(concat(lit(s"interval spans more than $maxBinsPerInterval bins: "),
           col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string"))))
         .otherwise(col("_hi")))

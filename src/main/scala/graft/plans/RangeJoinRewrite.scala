@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -148,13 +148,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // inverted interval (lo > hi — corrupt data the nested-loop plan
     // would simply not match) then yields a small DESCENDING sequence
     // the residual filters out, instead of Sequence's step-direction
-    // error killing the query. A wider-than-maxbins interval still
-    // fails LOUDLY (same contract as TemporalJoin.intervalJoin's guard)
-    // rather than silently replicating one row millions of times.
+    // error killing the query. The span guard is on the ABSOLUTE
+    // difference — an inverted interval can be absurdly wide too — and
+    // computed in doubles so opposite-sign extremes cannot overflow a
+    // Long subtraction past the check. Wider than maxbins fails LOUDLY
+    // (same contract as TemporalJoin.intervalJoin's guard) rather than
+    // silently replicating one row millions of times.
     val loBin = bin(s.lo)
     val hiBin = bin(s.hi)
     val guardedHi = If(
-      GreaterThanOrEqual(Subtract(hiBin, loBin), Literal(maxBins)),
+      GreaterThanOrEqual(
+        Abs(Subtract(Cast(hiBin, DoubleType), Cast(loBin, DoubleType))),
+        Literal(maxBins.toDouble)),
       // RaiseError is NullType and no coercion runs inside the optimizer —
       // cast it so both If branches agree (the cast never evaluates)
       Cast(RaiseError(Concat(Seq(

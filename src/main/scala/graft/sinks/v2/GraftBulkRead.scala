@@ -524,14 +524,17 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
     } catch {
       case _: EOFException =>
         // a natural EOF on a full read (no early-stop bound) must land
-        // exactly on the manifest's logical byte count — anything short is
-        // a truncated Data.db (partial copy) or a compressed stream that
-        // ended early (e.g. a legacy-flagged file that was really chunked):
-        // both would otherwise surface as a silently smaller result set
-        if (hiBound == Long.MaxValue && totalBytes >= 0 && consumed < totalBytes)
+        // EXACTLY on the manifest's logical byte count. Short = a
+        // truncated Data.db (partial copy) or a compressed stream that
+        // ended early (e.g. a legacy-flagged file that was really
+        // chunked); long = extra trailing records a stale/foreign manifest
+        // never promised. Either way the scan would silently return a
+        // different row set than the manifest describes — refuse both.
+        if (hiBound == Long.MaxValue && totalBytes >= 0 && consumed != totalBytes)
           throw new IllegalStateException(
-            s"$file ended after $consumed of $totalBytes logical bytes — " +
-              "truncated run (partial copy?); refusing the partial scan")
+            s"$file ended after $consumed logical bytes, manifest says " +
+              s"$totalBytes — truncated or stale-manifest run; refusing the " +
+              "inconsistent scan")
         false
     }
   }

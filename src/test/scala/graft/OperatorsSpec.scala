@@ -569,15 +569,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set((1L, 100L), (1L, 101L), (1L, 104L), // [10,30] inclusive
       (2L, 104L), // tight interval
       (3L, 105L))) // key v only matches key v
-    // fan-out guard: a corrupt interval spanning > maxBins fails loudly
-    val bad = Seq((9L, "u", 0L, 1000000L)).toDF("iid", "k", "s", "e")
-    val e = intercept[Exception] {
-      TemporalJoin.intervalJoin(bad, points, "s", "e", "pt",
-        keyCols = Seq("k"), binWidth = 10L, maxBinsPerInterval = 100).count()
+    // fan-out guard: a corrupt interval spanning > maxBins fails loudly —
+    // in BOTH orientations (an inverted wide interval would otherwise
+    // default-step DOWN through the same number of bins)
+    for (bad <- Seq(Seq((9L, "u", 0L, 1000000L)), Seq((9L, "u", 1000000L, 0L)))) {
+      val e = intercept[Exception] {
+        TemporalJoin.intervalJoin(bad.toDF("iid", "k", "s", "e"), points,
+          "s", "e", "pt", keyCols = Seq("k"), binWidth = 10L,
+          maxBinsPerInterval = 100).count()
+      }
+      assert(SparkSuite.causeMessages(e).exists(_.contains("spans more than")))
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("spans more than")))
+    // a small inverted interval matches nothing but doesn't crash
+    val inv = Seq((9L, "u", 30L, 10L)).toDF("iid", "k", "s", "e")
+    assert(TemporalJoin.intervalJoin(inv, points, "s", "e", "pt",
+      keyCols = Seq("k"), binWidth = 7L).count() === 0)
   }
 
   test("asofJoin and intervalJoin accept timestamp columns (micros tolerance/bins)") {

@@ -17,6 +17,11 @@ object SparkSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Every message down the cause chain — Spark wraps task failures in
+    * several layers, so asserts grep the whole chain, not just the top. */
+  def causeMessages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ causeMessages(t.getCause)
 }
 
 class PipelineSpec extends AnyFunSuite {

@@ -113,14 +113,20 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       val e = intercept[Exception] {
         wide.join(points, points("t") >= wide("s") && points("t") <= wide("e")).count()
       }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("spans more than")),
-        s"expected the fan-out guard, got: ${messages(e).mkString(" | ")}")
+      assert(SparkSuite.causeMessages(e).exists(_.contains("spans more than")),
+        s"expected the fan-out guard, got: ${SparkSuite.causeMessages(e).mkString(" | ")}")
+      // an INVERTED interval that is also absurdly wide must hit the same
+      // guard — not default-step DOWN through millions of bins
+      val wideInv = Seq((9L, 1000000L, 0L)).toDF("iid", "s", "e")
+      val e1b = intercept[Exception] {
+        wideInv.join(points, points("t") >= wideInv("s") && points("t") <= wideInv("e")).count()
+      }
+      assert(SparkSuite.causeMessages(e1b).exists(_.contains("spans more than")),
+        s"inverted-wide interval bypassed the guard: ${SparkSuite.causeMessages(e1b).mkString(" | ")}")
       // a malformed conf value names the key instead of a bare parse error
       spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "300s")
       val e2 = intercept[Exception] { joined.collect() }
-      assert(messages(e2).exists(_.contains(graft.plans.RangeJoinRewrite.BinWidthKey)))
+      assert(SparkSuite.causeMessages(e2).exists(_.contains(graft.plans.RangeJoinRewrite.BinWidthKey)))
     } finally {
       spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
       spark.conf.unset(graft.plans.RangeJoinRewrite.MaxBinsKey)

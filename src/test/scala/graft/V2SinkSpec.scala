@@ -553,9 +553,7 @@ class V2SinkSpec extends AnyFunSuite {
         .option("path", Files.createTempDirectory("graft-v2-rw-bad").toString)
         .option("aligned", "true").option("payload", "raw").mode("append").save()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("payload=raw")))
+    assert(SparkSuite.causeMessages(e).exists(_.contains("payload=raw")))
   }
 
   test("aligned raw-payload rewrite serves RandomPartitioner directories too") {
@@ -623,9 +621,7 @@ class V2SinkSpec extends AnyFunSuite {
         .option("path", out).option("buckets", "4")
         .option("compressionclass", "BrotliCompressor").mode("append").save()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("unsupported compressionclass")))
+    assert(SparkSuite.causeMessages(e).exists(_.contains("unsupported compressionclass")))
     // nothing was written
     assert(!new java.io.File(out, "_MANIFEST.json").exists())
   }
@@ -700,10 +696,8 @@ class V2SinkSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.read.format("graft-bulk").option("path", out).load().count()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(m => m.contains("sidecar") && m.contains("missing")),
-      s"expected a loud sidecar-loss failure, got: ${messages(e).mkString(" | ")}")
+    assert(SparkSuite.causeMessages(e).exists(m => m.contains("sidecar") && m.contains("missing")),
+      s"expected a loud sidecar-loss failure, got: ${SparkSuite.causeMessages(e).mkString(" | ")}")
   }
 
   test("legacy sequential compressed runs (pre-chunking manifest) still read") {
@@ -800,10 +794,29 @@ class V2SinkSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.read.format("graft-bulk").option("path", out).load().count()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("truncated run")),
-      s"expected the truncation guard, got: ${messages(e).mkString(" | ")}")
+    assert(SparkSuite.causeMessages(e).exists(_.contains("truncated or stale-manifest")),
+      s"expected the truncation guard, got: ${SparkSuite.causeMessages(e).mkString(" | ")}")
+
+    // the mirror corruption: EXTRA trailing records a stale manifest never
+    // promised must also refuse, not silently emit more rows
+    val out2 = Files.createTempDirectory("graft-v2-overlong").toString
+    BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      Seq("o_orderkey"), 2, out2)
+    val victim2 = new java.io.File(out2).listFiles()
+      .filter(_.getName.endsWith("-Data.db")).maxBy(_.length)
+    val extra = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(victim2, true))
+    try { // one complete, parseable record frame past the manifested end
+      extra.writeShort(2); extra.write(Array[Byte](1, 2))
+      extra.writeInt(1); extra.write(Array[Byte](3))
+    } finally extra.close()
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-bulk").option("path", out2).load().count()
+    }
+    assert(SparkSuite.causeMessages(e2).exists(_.contains("truncated or stale-manifest")),
+      s"expected the overlong guard, got: ${SparkSuite.causeMessages(e2).mkString(" | ")}")
   }
 
   test("v2 sink rejects input without routing columns") {
