@@ -162,13 +162,14 @@ object TemporalJoin {
     val hiBin = floor(epochValue(col(endCol), endType) / binWidth)
     val guarded = intervals
       .withColumn("_lo", loBin).withColumn("_hi", hiBin)
-      // guard the ABSOLUTE span in doubles: an inverted interval (corrupt
+      // guard the ABSOLUTE span in decimal: an inverted interval (corrupt
       // end < start — matches nothing via the residual) can be absurdly
       // wide too, and sequence() would default-step DOWN through it;
-      // doubles keep opposite-sign extremes from overflowing a subtraction
+      // decimal keeps the check EXACT for bins past 2^53 (doubles round)
+      // and opposite-sign extremes cannot overflow the subtraction
       .withColumn("_hi", when(
-        abs(col("_hi").cast("double") - col("_lo").cast("double")) >=
-          maxBinsPerInterval.toDouble,
+        abs(col("_hi").cast("decimal(20,0)") - col("_lo").cast("decimal(20,0)")) >=
+          lit(maxBinsPerInterval),
         raise_error(concat(lit(s"interval spans more than $maxBinsPerInterval bins: "),
           col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string"))))
         .otherwise(col("_hi")))

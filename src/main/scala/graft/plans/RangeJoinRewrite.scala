@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -150,16 +150,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // the residual filters out, instead of Sequence's step-direction
     // error killing the query. The span guard is on the ABSOLUTE
     // difference — an inverted interval can be absurdly wide too — and
-    // computed in doubles so opposite-sign extremes cannot overflow a
-    // Long subtraction past the check. Wider than maxbins fails LOUDLY
-    // (same contract as TemporalJoin.intervalJoin's guard) rather than
-    // silently replicating one row millions of times.
+    // computed in DECIMAL so it stays EXACT for bins past 2^53 (doubles
+    // would round a legitimate span across the threshold) while
+    // opposite-sign extremes cannot overflow the way a Long subtraction
+    // would. Wider than maxbins fails LOUDLY (same contract as
+    // TemporalJoin.intervalJoin's guard) rather than silently
+    // replicating one row millions of times.
+    val dec = DecimalType(20, 0) // a Long fits; differences reach 21 digits
     val loBin = bin(s.lo)
     val hiBin = bin(s.hi)
+    val span = Abs(Subtract(Cast(hiBin, dec), Cast(loBin, dec)))
     val guardedHi = If(
-      GreaterThanOrEqual(
-        Abs(Subtract(Cast(hiBin, DoubleType), Cast(loBin, DoubleType))),
-        Literal(maxBins.toDouble)),
+      GreaterThanOrEqual(span, Cast(Literal(maxBins), span.dataType)),
       // RaiseError is NullType and no coercion runs inside the optimizer —
       // cast it so both If branches agree (the cast never evaluates)
       Cast(RaiseError(Concat(Seq(

@@ -133,6 +133,30 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("span guard stays exact for bins past 2^53 (no double rounding)") {
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "1")
+      spark.conf.set(graft.plans.RangeJoinRewrite.MaxBinsKey, "4096")
+      // lo ~ 2^60: a double rounds these bins to multiples of 256, which
+      // would push this VALID 4000-bin span over the 4096 threshold
+      val lo = (1L << 60) + 24L
+      val iv = Seq((1L, lo, lo + 4000L)).toDF("iid", "s", "e")
+      val pts = Seq((7L, lo + 100L), (8L, lo + 5000L)).toDF("pid", "t")
+      val df = iv.join(pts, pts("t") >= iv("s") && pts("t") <= iv("e"))
+      assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(df.collect().map(_.getLong(3)).toSet === Set(7L)) // no spurious raise
+      // and one bin MORE must still raise, at the same magnitude
+      val ivWide = Seq((2L, lo, lo + 4096L)).toDF("iid", "s", "e")
+      val e = intercept[Exception] {
+        ivWide.join(pts, pts("t") >= ivWide("s") && pts("t") <= ivWide("e")).count()
+      }
+      assert(SparkSuite.causeMessages(e).exists(_.contains("spans more than")))
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+      spark.conf.unset(graft.plans.RangeJoinRewrite.MaxBinsKey)
+    }
+  }
+
   test("negative values bin consistently (truncation on both sides)") {
     try {
       spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "10")
