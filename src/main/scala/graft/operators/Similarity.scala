@@ -121,6 +121,13 @@ object Similarity {
    * distances resolve to the same argmin), so exact duplicates are always
    * caught; near-duplicates straddling a cluster boundary are missed —
    * the recall trade the paper accepts by design.
+   *
+   * Cosine comparisons are on `round(cosine, 4)` — the cross-engine
+   * determinism contract every similarity operator here shares (float
+   * vectors perturb by ~1e-7; 4 decimals is stable across engines). A
+   * pair whose true cosine sits within 5e-5 BELOW `threshold` can round
+   * up into the drop set: the threshold is a semantic knob with
+   * 4-decimal resolution, not an exact cutoff.
    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, seed: Long = 42L,
@@ -152,10 +159,20 @@ object Similarity {
     // running the quadratic pair join on REPRESENTATIVES only yields
     // exactly the same survivor set. Mega-duplicate groups (the common
     // real-corpus shape) now cost one aggregation, not |group|^2 pairs.
+    // reps feeds BOTH sides of the pair join AND the kept-set anti-join:
+    // left lazy, the k-means UDF + collapse aggregation would execute
+    // three times (the r10 plan audit showed the pipeline planned 3x).
+    // A LAZY persist computes it once and shares it across the three
+    // scans within the same action — unlike an eager localCheckpoint,
+    // it adds no extra job (the operator is overhead-dominated at small
+    // corpora) and keeps Catalyst stats for broadcast decisions. Size is
+    // one row per distinct (cluster, vector) — at most the corpus —
+    // MEMORY_AND_DISK so a huge rep set spills instead of evicting.
     val reps = assigned
       .groupBy(col("_sd_cluster"), col("_sd_vec"))
       .agg(min(col("_sd_id")).as("_sd_id"))
       .withColumn("_sd_nrm", norm(col("_sd_vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a representative is dropped when ANY smaller-id same-cluster rep is
     // within the threshold; everything else (reps minus dropped) is kept
     val a = reps.alias("a")
