@@ -37,6 +37,20 @@ object ScaleCurve {
       concat_ws(" ", array_prepend(slice(words, 2, 79), firstWord)).as("text"))
   }
 
+  /** Constant-DENSITY semantic-dedup corpus: one 8-member near-dup group
+    * per 8 ids (centers grow with n, group size fixed — the shape a real
+    * dedup corpus has), noise small enough that within-group cosine
+    * clears 0.9 and cross-group cosine (random 64-dim directions,
+    * concentration ~N(0, 1/64)) never does. */
+  private def semVecs(spark: SparkSession, n: Long): DataFrame = {
+    val group = floor(col("id") / 8)
+    val vec = transform(sequence(lit(0), lit(63)), i =>
+      ((pmod(xxhash64(group * 64 + i), lit(1000)).cast("double") / 1000.0 - 0.5) +
+        pmod(xxhash64(col("id") * 64 + i), lit(100)).cast("double") / 20000.0)
+        .cast("float"))
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
+
   /** AnnSoak's clustered 64-dim vectors (1000 centers + per-vector noise). */
   private def vecs(spark: SparkSession, n: Long): DataFrame = {
     val cluster = pmod(col("id"), lit(1000))
@@ -110,8 +124,38 @@ object ScaleCurve {
         val right = spark.range(n / 10).select(col("id").as("rid"),
           pmod(col("id") * 7, lit(math.max(1L, n / 500))).as("k"),
           pmod(xxhash64(col("id") + 1), lit(1000000L)).as("rt"))
+        // count the CARRIED payload, not the rows: asofJoin is left-row-
+        // preserving, so .count() lets ColumnPruning drop the window (and
+        // its exchange+sort) entirely — the r10 curve timed the union, not
+        // the join. count(asof_rid) forces the carry-forward to run.
         graft.operators.TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt",
-          rightCols = Seq("rid"), tiebreakCols = Seq("rid")).count()
+          rightCols = Seq("rid"), tiebreakCols = Seq("rid"))
+          .agg(count(col("asof_rid"))).head().getLong(0)
+      },
+      "interval_join" -> { n =>
+        // constant density: point times uniform over [0, n), intervals
+        // cover a fixed span of 100 — matches per interval stay ~100 as n
+        // grows, output is ~10n rows. The bin equi-join + residual must
+        // scale with points + interval-replicas, both linear here.
+        val pts = spark.range(n).select(col("id").as("pid"),
+          pmod(xxhash64(col("id")), lit(n)).as("t"))
+        val iv = spark.range(n / 10).select(col("id").as("iid"),
+          pmod(xxhash64(col("id") * 31), lit(n)).as("s"))
+          .withColumn("e", col("s") + lit(100))
+        graft.operators.TemporalJoin.intervalJoin(iv, pts, "s", "e", "t",
+          keyCols = Nil, binWidth = 100).count()
+      },
+      "dedup_semantic" -> { n =>
+        // nlist grows with n (constant ~1000-vector cluster occupancy —
+        // the paper's fixed-occupancy setup), so the within-cluster pair
+        // join stays linear; training is capped at a 20k sample so the
+        // iterative k-means job never scans the corpus. The honest
+        // super-linear remainder is the assignment pass (n*k distance
+        // evals, k ∝ n) — tiny at these sizes, and the term a two-level
+        // coarse quantizer would remove at true 100 TB.
+        graft.operators.Similarity.semanticDedup(semVecs(spark, n),
+          "vec_id", "embedding", threshold = 0.9,
+          nlist = math.max(8, (n / 1000).toInt), maxTrainRows = 20000).count()
       },
       "heavy_ngrams" -> { n =>
         import graft.functions.FreqAgg.topk_freq
@@ -123,7 +167,12 @@ object ScaleCurve {
             "filter(transform(_w, (x, i) -> IF(i + 2 < size(_w), " +
               "concat(x, ' ', _w[i+1], ' ', _w[i+2]), NULL)), g -> g IS NOT NULL)"
           )).as("gram"))
-          .agg(topk_freq(col("gram"), 4096, 20)).count()
+          // consume the sketch OUTPUT: agg(...).count() lets Catalyst drop
+          // the unreferenced aggregate expression, so the r10 curve timed
+          // tokenization+explode only — exploding the top-k array forces
+          // the Misra-Gries update path
+          .agg(topk_freq(col("gram"), 4096, 20).as("top"))
+          .select(explode(col("top"))).count()
       })
 
     // warm codegen/broadcast/shuffle machinery off the clock
