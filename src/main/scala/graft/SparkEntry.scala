@@ -635,7 +635,13 @@ object SparkEntry {
     }),
 
     // Exact interpolated percentiles (Spark `percentile` == DuckDB
-    // quantile_cont — both linear interpolation over the sorted group)
+    // quantile_cont — both linear interpolation over the sorted group).
+    // SCALE NOTE: exact `percentile` is a TypedImperativeAggregate whose
+    // state is a value->count map PER GROUP — the one aggregation here
+    // whose memory grows with distinct values rather than a configured
+    // capacity. Correct (and the oracle form) at test scale; at 100 TB
+    // use q20b's approx_percentile path, whose GK-sketch state is bounded
+    // by `accuracy` no matter the data volume.
     "q20_percentiles" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
         .groupBy(col("l_returnflag"))
@@ -644,6 +650,32 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
           round(expr("percentile(l_quantity, 0.75)"), 2).as("p75_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+    }),
+
+    // Scale-safe percentiles: approx_percentile's Greenwald-Khanna sketch
+    // holds O(accuracy) state per group regardless of data volume — the
+    // 100 TB form of q20. Sketch outputs are engine-specific, so the
+    // cross-engine contract mirrors q13: the exact values (for the
+    // oracle) plus "every approx value sits between the exact percentiles
+    // at p±0.01" — 100x the sketch's guaranteed 1/accuracy rank error, so
+    // a sketch drifting out of tolerance flips the hash-checked boolean
+    "q20b_approx_percentiles" -> ((s, dir) => {
+      val ranks = "array(0.24, 0.25, 0.26, 0.49, 0.5, 0.51, 0.74, 0.75, 0.76)"
+      def ex(i: Int) = element_at(col("ex"), i)
+      def ap(i: Int) = element_at(col("ap"), i)
+      val within = (1 to 3).map(i =>
+        ap(i) >= ex(3 * i - 2) && ap(i) <= ex(3 * i)).reduce(_ && _)
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"percentile(l_quantity, $ranks)").as("ex"),
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+            .as("ap"))
+        .select(col("l_returnflag"),
+          round(ex(2), 2).as("p25_qty"),
+          round(ex(5), 2).as("p50_qty"),
+          round(ex(8), 2).as("p75_qty"),
+          within.as("within_bound"))
     }),
 
     // GROUPING SETS beyond rollup/cube: two single-column sets + the
@@ -1392,6 +1424,17 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
         |       round(quantile_cont(l_quantity, 0.75), 2) AS p75_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the sketch estimate is engine-specific; the checkable claim is the
+    // exact percentiles plus the estimate's rank-error bound, which the
+    // Spark side reduces to a boolean (same contract as q13)
+    "q20b_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 2) AS p25_qty,
+        |       round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.75), 2) AS p75_qty,
+        |       true AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q21_grouping_sets" ->
