@@ -336,6 +336,57 @@ object TextHash {
     md.digest()
   }
 
+  /**
+   * Within-document line dedup: keep the FIRST occurrence of each
+   * '\n'-separated line, preserving order — value-equal to the
+   * higher-order form
+   * `array_join(filter(split(t,"\n"), (x,i) => array_position(split(t,"\n"),x) = i+1), "\n")`
+   * but O(lines) via a hash set where array_position made it O(lines²)
+   * per document (a pathological million-line doc stalls a task under
+   * the naive form; this one stays linear). '\n' is ASCII, so byte-level
+   * splitting of UTF-8 is exact; kept-line slices reference the input
+   * buffer — one output allocation, no per-line copies.
+   */
+  def dedupLines(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val seen = new java.util.HashSet[UTF8String]()
+    var keptStarts = new Array[Int](16)
+    var keptLens = new Array[Int](16)
+    var kept = 0
+    var outBytes = 0
+    var lineStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        val len = i - lineStart
+        if (seen.add(UTF8String.fromBytes(bytes, lineStart, len))) {
+          if (kept == keptStarts.length) {
+            keptStarts = java.util.Arrays.copyOf(keptStarts, kept * 2)
+            keptLens = java.util.Arrays.copyOf(keptLens, kept * 2)
+          }
+          keptStarts(kept) = lineStart
+          keptLens(kept) = len
+          kept += 1
+          outBytes += len
+        }
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    // kept >= 1 always: even "" yields one (empty) line
+    val out = new Array[Byte](outBytes + kept - 1)
+    var pos = 0
+    var j = 0
+    while (j < kept) {
+      if (j > 0) { out(pos) = '\n'; pos += 1 }
+      System.arraycopy(bytes, keptStarts(j), out, pos, keptLens(j))
+      pos += keptLens(j)
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** k-min signature over 32-bit hashes with the permutation constants. */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
     val as = MinhashA

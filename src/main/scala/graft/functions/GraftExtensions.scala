@@ -56,6 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e, bits) => SimhashExpr(e, foldToInt(bits, "simhash_tokens(expr, bits)")) })
     register(ext, "word_grams", "overlapping n-word shingles of whitespace-split text",
       { case Seq(e, n) => WordGramsExpr(e, foldToInt(n, "word_grams(expr, n)")) })
+    register(ext, "dedup_lines", "first-occurrence line dedup, order-preserving",
+      { case Seq(e) => DedupLinesExpr(e) })
   }
 
   private def foldToString(e: Expression, usage: String): String = e match {

@@ -336,6 +336,30 @@ case class MaxTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** First-occurrence line dedup of a string (codegen'd O(lines) hash-set
+  * pass) — replaces the O(lines²) filter+array_position higher-order
+  * form, which was also CodegenFallback. Order-preserving; '\n' framing
+  * identical to split/array_join (trailing and empty lines kept once). */
+case class DedupLinesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dedup_lines expects string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dedup_lines"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.dedupLines(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.dedupLines($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DISTINCT overlapping word n-grams of a string (codegen'd byte-level
   * pass) — replaces the array_distinct(regexp_extract_all(lookahead))
   * form that ran the regex engine per character position. */

@@ -76,6 +76,9 @@ package object functions {
   /** Distinct overlapping word n-grams (codegen'd byte-level pass). */
   def word_grams(s: Column, n: Int): Column = col(WordGramsExpr(expr(s), n))
 
+  /** First-occurrence line dedup, order-preserving (codegen'd, O(lines)). */
+  def dedup_lines(s: Column): Column = col(DedupLinesExpr(expr(s)))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

@@ -54,17 +54,13 @@ object TextAnalysis {
   /**
    * Within-document line deduplication (the C4/RefinedWeb cleaning step:
    * boilerplate lines repeat inside a page). Keeps each line's FIRST
-   * occurrence, preserving order — all in-row (`filter` + `array_position`
-   * higher-order functions), no shuffle: a 100 TB corpus pays one scan.
-   * O(lines²) per document via array_position — fine for real documents
-   * (thousands of lines); a rolling-hash set kernel would replace it if
-   * pathological line counts appear.
+   * occurrence, preserving order — in-row, no shuffle: a 100 TB corpus
+   * pays one scan. The dedup_lines kernel is a codegen'd O(lines)
+   * hash-set pass; the equivalent `filter` + `array_position`
+   * higher-order form is O(lines²) per document (a pathological
+   * million-line doc stalls a task) and CodegenFallback besides.
    */
-  def dedupLines(text: Column): Column = {
-    val lines = split(text, "\n")
-    array_join(
-      filter(lines, (x, i) => array_position(lines, x) === i + 1), "\n")
-  }
+  def dedupLines(text: Column): Column = graft.functions.dedup_lines(text)
 
   /**
    * PII redaction: emails, IPv4 addresses, and phone numbers replaced

@@ -43,10 +43,13 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         hex(composite_key(cql_serialize(col("k")), cql_serialize(col("v")))).as("ck"),
         hex(partition_key(col("k"), col("v"))).as("pk"),
         cassandra_random_token(cql_serialize(col("k"))).as("rtok"),
-        random_token_bucket(cassandra_random_token(cql_serialize(col("k"))), 8).as("rb"))
+        random_token_bucket(cassandra_random_token(cql_serialize(col("k"))), 8).as("rb"),
+        dedup_lines(concat_ws("\n", col("k"), col("k"), lit("x"))).as("dl"))
     val rows = df.collect()
     assert(rows.length === 3)
     assert(rows(0).getLong(0) === -2129773440516405919L)
+    assert(rows(0).getAs[String]("dl") === "foo\nx")
+    assert(rows(2).getAs[String]("dl") === "\nx") // empty line kept once
     assert(rows(2).getLong(0) === Long.MinValue) // empty key
     rows.foreach { r =>
       assert(r.getAs[Array[Byte]]("rtok").length === 16)
@@ -85,6 +88,9 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(graft.functions.simhash_tokens(col("a"), 16)).collect().head.getLong(0)
     }
     assert(t.getLong(3) === viaApi)
+    // dedup_lines from SQL: first occurrences, order preserved
+    assert(s.sql("SELECT dedup_lines('a\nb\na\n\nb') AS d").head().getString(0)
+      === "a\nb\n")
     // word_grams: SQL form matches the Scala API on the same input
     val wg = s.sql("SELECT word_grams(' the quick  brown fox ', 2) AS g").head()
     val wgApi = locally {

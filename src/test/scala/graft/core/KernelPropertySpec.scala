@@ -58,6 +58,20 @@ object KernelPropertySpec extends Properties("TextHash") {
       TextHash.simhashFromTokens(arr(scala.util.Random.shuffle(xs)), 60)
   }
 
+  // lines drawn from a small pool so duplicates (incl. empty and
+  // whitespace-only lines, unicode, trailing newlines) are common
+  private val doc: Gen[String] = Gen.listOf(Gen.oneOf(
+    "", "a", "b", "🙂 line", "the same line", "\tx", " ", "你好"))
+    .map(_.mkString("\n"))
+
+  property("dedupLines == first-occurrence filter of split lines") =
+    Prop.forAll(doc) { s =>
+      // the naive O(lines²) reference the kernel replaced: split (keeping
+      // trailing empties, like Spark's split), first occurrences in order
+      val expected = s.split("\n", -1).distinct.mkString("\n")
+      TextHash.dedupLines(UTF8String.fromString(s)).toString == expected
+    }
+
   property("charGramHashes emits cpCount-k+1 grams") =
     Prop.forAll(Gen.asciiPrintableStr.flatMap(a => token.map(a + _)), Gen.choose(1, 6)) { (s, k) =>
       val cps = s.codePointCount(0, s.length)
