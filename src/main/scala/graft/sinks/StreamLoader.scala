@@ -136,6 +136,10 @@ object StreamLoader {
           // ship the chunk map so the receiver can bound and decompress
           // each chunk of the physical payload independently
           val chunks = SortedRunWriter.readChunks(SortedRunWriter.chunksFileFor(file))
+          // fail on a corrupt local sidecar BEFORE streaming: the receiver
+          // would reject the framing anyway — fail it here with the file name
+          SortedRunWriter.validateChunks(SortedRunWriter.chunksFileFor(file),
+            chunks, file.length())
           out.writeInt(chunks.length)
           chunks.foreach { case (lo, po) => out.writeLong(lo); out.writeLong(po) }
           out.writeLong(file.length())

@@ -481,6 +481,9 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
           "restore the sidecar or rewrite the run")
     if (codec != "none" && chunksFile.exists()) {
       val chunks = graft.sinks.SortedRunWriter.readChunks(chunksFile)
+      // a corrupt sidecar must fail as loudly as a missing one (the
+      // StreamLoader wire-framing checks, applied to the disk load)
+      graft.sinks.SortedRunWriter.validateChunks(chunksFile, chunks, f.length())
       val (s, logicalStart) =
         graft.sinks.SortedRunWriter.openChunked(f, codec, chunks, startOffset)
       val d = new DataInputStream(s)
@@ -523,14 +526,17 @@ final class GraftBulkPartitionReader(file: String, codec: String = "none",
       }
     } catch {
       case _: EOFException =>
-        // a natural EOF on a full read (no early-stop bound) must land
-        // EXACTLY on the manifest's logical byte count. Short = a
-        // truncated Data.db (partial copy) or a compressed stream that
-        // ended early (e.g. a legacy-flagged file that was really
-        // chunked); long = extra trailing records a stale/foreign manifest
-        // never promised. Either way the scan would silently return a
-        // different row set than the manifest describes — refuse both.
-        if (hiBound == Long.MaxValue && totalBytes >= 0 && consumed != totalBytes)
+        // a natural EOF must land EXACTLY on the manifest's logical byte
+        // count — REGARDLESS of any early-stop bound: a bounded split
+        // that stops early returns false from the token check and never
+        // reaches this handler, so arriving here means the stream itself
+        // ended. Short = a truncated Data.db (partial copy) or a
+        // compressed stream that ended early (e.g. a legacy-flagged file
+        // that was really chunked); long = extra trailing records a
+        // stale/foreign manifest never promised. Either way the scan
+        // would silently return a different row set than the manifest
+        // describes — refuse both.
+        if (totalBytes >= 0 && consumed != totalBytes)
           throw new IllegalStateException(
             s"$file ended after $consumed logical bytes, manifest says " +
               s"$totalBytes — truncated or stale-manifest run; refusing the " +

@@ -700,6 +700,34 @@ class V2SinkSpec extends AnyFunSuite {
       s"expected a loud sidecar-loss failure, got: ${SparkSuite.causeMessages(e).mkString(" | ")}")
   }
 
+  test("corrupt Chunks.db sidecar fails as loudly as a missing one") {
+    import graft.sinks.BulkSink
+    val out = Files.createTempDirectory("graft-v2-badsidecar").toString
+    val ms = BulkSink.writeSorted(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      Seq("o_orderkey"), 1, out, compression = Some("ZstdCompressor"),
+      chunkSize = 1024)
+    assert(ms.filter(_.rows > 0).forall(_.chunks > 1))
+    assert(spark.read.format("graft-bulk").option("path", out).load().count() === 1500)
+    // flip one chunk's physical offset so extents stop ascending — the
+    // read must refuse the framing (named file), not mis-frame the
+    // decompress or crash allocating a bogus extent
+    val sidecar = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith("-Chunks.db")).head
+    val raf = new java.io.RandomAccessFile(sidecar, "rw")
+    try {
+      raf.seek(16 + 8) // second pair's physical offset
+      raf.writeLong(-5L)
+    } finally raf.close()
+    val e = intercept[Exception] {
+      spark.read.format("graft-bulk").option("path", out).load().count()
+    }
+    assert(SparkSuite.causeMessages(e).exists(m =>
+      m.contains("corrupt chunk sidecar") && m.contains(sidecar.getName)),
+      s"expected a loud corrupt-sidecar failure, got: ${SparkSuite.causeMessages(e).mkString(" | ")}")
+  }
+
   test("legacy sequential compressed runs (pre-chunking manifest) still read") {
     import graft.sinks.BulkSink
     // one chunk per run -> the file IS a single valid zstd stream, the
