@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // optimizer rule: pure range joins -> bin equi-join (opt-in via
-    // spark.graft.rangejoin.binwidth; no-op otherwise)
+    // optimizer rule: pure range joins -> bin equi-join. Bin width from
+    // spark.graft.rangejoin.binwidth: a positive long pins it, 'off'
+    // disables, unset/'auto' derives it from a sampled median span of
+    // the interval side
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     register(ext, "cassandra_token", "Murmur3Partitioner token of partition-key bytes",
       { case Seq(e) => CassandraTokenExpr(e) })

@@ -30,11 +30,20 @@ import org.apache.spark.unsafe.types.UTF8String
  * `lo/w <= p/w <= hi/w` and the bin join never loses a pair; the
  * residual keeps exactness regardless of the binning convention.
  *
- * OPT-IN via `spark.graft.rangejoin.binwidth` (a positive long in the
- * join columns' own units) because a useful bin width is data-dependent:
- * near the typical interval span. Too small replicates intervals; too
- * large degenerates toward one bin (the residual then does the work —
- * still correct). Disabled (the default) the rule is a no-op.
+ * Bin width via `spark.graft.rangejoin.binwidth` (in the join columns'
+ * own units): a positive long pins it; `off` (or any non-positive value)
+ * disables the rule; unset or `auto` (the default) DERIVES it per join
+ * from a bounded sample of the interval side — the median span, floored
+ * at max-sampled-span/1024 so heavy-tailed spans don't trip the fan-out
+ * guard on data the sample saw. A useful width is data-dependent (near
+ * the typical span: too small replicates intervals, too large
+ * degenerates toward one bin — the residual then does the work, still
+ * correct), which is why the derivation samples rather than guessing a
+ * constant. The probe runs the interval sub-plan through a LIMIT — one
+ * tiny job at optimization time, cached per canonicalized sub-plan, with
+ * a re-entrancy guard so the probe's own optimization never recurses;
+ * derivation failure (empty side, streaming source, probe error) leaves
+ * the join untouched rather than failing the query.
  *
  * Scope guards: inner joins only; exactly one lower and one upper bound
  * on the SAME point expression, each referencing opposite sides; any
@@ -60,17 +69,84 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       s"$key must be a long, got '$raw'"))
   }
 
+  /** Rows the derivation probe reads from the interval side. Biased to
+    * the first partitions (LIMIT short-circuits) — acceptable for a
+    * width heuristic; the residual keeps exactness whatever the width. */
+  private val SampleRows = 10000
+
+  /** Derived widths per canonicalized probe plan: the probe is one job
+    * per DISTINCT interval sub-plan, not one per optimization pass. A
+    * non-positive cached value records a failed derivation (don't retry
+    * every query). Cleared when it grows past 64 plans. */
+  private val derivedWidths =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]()
+
+  /** Re-entrancy guard: optimizing the probe itself must not derive. */
+  private val deriving = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = longConf(BinWidthKey, 0L)
-    if (w <= 0) return plan
+    val raw = SQLConf.get.getConfString(BinWidthKey, "auto").trim
+    val fixed: Option[Long] = raw match {
+      case "auto" | "" => None
+      case "off"       => return plan
+      case _ =>
+        // a malformed value must not surface as a bare
+        // NumberFormatException from inside the optimizer on EVERY query
+        val v = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"$BinWidthKey must be a long, 'auto', or 'off', got '$raw'"))
+        if (v <= 0) return plan else Some(v)
+    }
+    if (deriving.get()) return plan
     val maxBins = longConf(MaxBinsKey, 4096L)
     plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         detect(j, cond) match {
-          case Some(shape) => rewrite(j, cond, shape, w, maxBins)
-          case None        => j
+          case Some(shape) =>
+            val intervalPlan = if (shape.pointOnLeft) j.right else j.left
+            fixed.orElse(deriveWidth(intervalPlan, shape)) match {
+              case Some(w) => rewrite(j, cond, shape, w, maxBins)
+              case None    => j
+            }
+          case None => j
         }
     }
+  }
+
+  /** Sampled-median bin width of the interval side, or None when it
+    * cannot be derived (streaming side, empty sample, probe failure). */
+  private def deriveWidth(intervalPlan: LogicalPlan, s: RangeShape): Option[Long] = {
+    if (intervalPlan.isStreaming) return None
+    def toLong(e: Expression): Expression =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    val span = Alias(Subtract(toLong(s.hi), toLong(s.lo)), "_graft_span")()
+    val probe = org.apache.spark.sql.catalyst.plans.logical.Limit(
+      Literal(SampleRows), Project(Seq(span), intervalPlan))
+    val key = probe.canonicalized
+    val cached = derivedWidths.get(key)
+    if (cached != null) return if (cached > 0) Some(cached.longValue()) else None
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    if (session == null) return None
+    deriving.set(java.lang.Boolean.TRUE)
+    val w: Long = try {
+      val rows = org.apache.spark.sql.graft.Bridge.collectPlan(session, probe)
+      // inverted (negative-span) intervals match nothing — exclude them
+      // from the estimate rather than dragging the median toward 0
+      val spans = rows.iterator.filterNot(_.isNullAt(0)).map(_.getLong(0))
+        .filter(_ >= 0L).toArray
+      if (spans.isEmpty) -1L
+      else {
+        java.util.Arrays.sort(spans)
+        val median = spans(spans.length / 2)
+        val widest = spans(spans.length - 1)
+        math.max(1L, math.max(median, widest / 1024L))
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+    finally deriving.set(java.lang.Boolean.FALSE)
+    if (derivedWidths.size > 64) derivedWidths.clear()
+    derivedWidths.put(key, w)
+    if (w > 0) Some(w) else None
   }
 
   private def integral(e: Expression): Boolean =

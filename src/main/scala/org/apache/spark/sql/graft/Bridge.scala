@@ -20,6 +20,14 @@ object Bridge {
   def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** Execute a resolved logical plan and collect its rows — the range-join
+    * rewrite's bin-width derivation probe needs this from inside an
+    * optimizer rule, and Dataset.ofRows is private[sql] in Spark 4. */
+  def collectPlan(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Array[org.apache.spark.sql.Row] =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan).collect()
 }
 
 /** (double, long) implicit-cast input contract for expressions living

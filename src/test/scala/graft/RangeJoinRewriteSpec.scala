@@ -41,11 +41,14 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pure range join rewrites to a bin equi-join with identical results") {
     val expected = locally {
-      spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
-      val df = joined
-      assert(df.queryExecution.executedPlan.toString.contains("NestedLoop"),
-        "baseline should nested-loop (else this spec tests nothing)")
-      df.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      // 'off' pins the untouched baseline (unset now means auto-derive)
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "off")
+      try {
+        val df = joined
+        assert(df.queryExecution.executedPlan.toString.contains("NestedLoop"),
+          "baseline should nested-loop (else this spec tests nothing)")
+        df.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
     }
     try {
       spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "16")
@@ -60,6 +63,27 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.count(_._1 == 2L) === 2)
       assert(got.count(_._1 == 3L) === 31)
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+  }
+
+  test("no binwidth conf: width derives from the sampled median span, equi-join still plans") {
+    // spans here are 20/1/30 -> sampled median 20; no conf is set at all
+    assert(spark.conf.getOption(graft.plans.RangeJoinRewrite.BinWidthKey).isEmpty)
+    val expected = locally {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "off")
+      try joined.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+    }
+    val df = joined
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"auto-derive did not rewrite:\n${plan.take(2000)}")
+    assert(plan.contains("Generate"), "no bin explode in the auto-derived plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(3))).toSet === expected,
+      "auto-derived bin width changed the result")
+    // empty interval side: derivation has nothing to sample -> join is
+    // left alone (and still returns nothing), never an error
+    val empty = intervals.filter(col("iid") < 0L)
+    val dfe = empty.join(points, points("t") >= empty("s") && points("t") <= empty("e"))
+    assert(dfe.count() === 0)
   }
 
   test("strict bounds, flipped operand order, and int columns still rewrite exactly") {
