@@ -162,17 +162,17 @@ object Similarity {
     // reps feeds BOTH sides of the pair join AND the kept-set anti-join:
     // left lazy, the k-means UDF + collapse aggregation would execute
     // three times (the r10 plan audit showed the pipeline planned 3x).
-    // A LAZY persist computes it once and shares it across the three
-    // scans within the same action — unlike an eager localCheckpoint,
-    // it adds no extra job (the operator is overhead-dominated at small
-    // corpora) and keeps Catalyst stats for broadcast decisions. Size is
-    // one row per distinct (cluster, vector) — at most the corpus —
-    // MEMORY_AND_DISK so a huge rep set spills instead of evicting.
+    // A LAZY localCheckpoint computes it once on first use and shares
+    // the materialized partitions across the three scans — no extra
+    // eager job (the operator is overhead-dominated at small corpora)
+    // and no cache-manager entry accumulating per call the way persist()
+    // would. Size is one row per distinct (cluster, vector) — at most
+    // the corpus — spilling to executor disk when memory-pressured.
     val reps = assigned
       .groupBy(col("_sd_cluster"), col("_sd_vec"))
       .agg(min(col("_sd_id")).as("_sd_id"))
       .withColumn("_sd_nrm", norm(col("_sd_vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     // a representative is dropped when ANY smaller-id same-cluster rep is
     // within the threshold; everything else (reps minus dropped) is kept
     val a = reps.alias("a")

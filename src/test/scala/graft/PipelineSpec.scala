@@ -183,6 +183,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within rank-error bound of exact") {
+    // q20b folds the bound into a boolean the oracle hash-checks; the
+    // spec asserts it holds per group and the exact values are sane
+    val rows = SparkEntry.queries("q20b_approx_percentiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p25 = r.getAs[Double]("p25_qty")
+      val p75 = r.getAs[Double]("p75_qty")
+      assert(p25 > 0 && p25 <= p75, s"degenerate percentiles: $p25 .. $p75")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"sketch percentile out of bound for ${r.getAs[String]("l_returnflag")}")
+    }
+  }
+
   test("oracle keys are a subset of query keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
