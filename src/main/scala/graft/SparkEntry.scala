@@ -412,6 +412,41 @@ object SparkEntry {
       o.except(c)
     }),
 
+    // Set ops with BAG semantics: INTERSECT ALL keeps duplicate
+    // multiplicity — min(left count, right count) per value. Spark plans
+    // it as a replicated-count aggregate + join (no row-at-a-time
+    // matching), the shape that survives scale
+    "q29_intersect_all" -> ((s, dir) => {
+      val hi = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val fin = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      hi.intersectAll(fin)
+    }),
+
+    // EXCEPT ALL: left multiplicity minus right multiplicity, floored
+    "q30_except_all" -> ((s, dir) => {
+      val all = s.read.parquet(t(dir, "orders")).select(col("o_custkey"))
+      val fin = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      all.exceptAll(fin)
+    }),
+
+    // Spark 4 VARIANT ingestion: parse_json -> binary variant, typed
+    // variant_get extraction — the columnar semi-structured path (q12
+    // exercises the per-row string get_json_object form of the same
+    // extraction; VARIANT is what a 100 TB semi-structured column should
+    // land as, shredded once instead of re-parsed per expression)
+    "q31_variant_json" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(t(dir, "events"))
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    }),
+
     // LSH-bucketed ANN over the PLANTED validation corpus (orthogonal
     // cluster axes with every member < pi/4 from its query, so the whole
     // cluster provably shares the query's sign bucket — recall 1 by a
@@ -1330,6 +1365,22 @@ object SparkEntry {
       """SELECT o_custkey FROM orders
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q29_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q30_except_all" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q31_variant_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "minhash_by_source" -> {
       val mins = (0 until 8).map(i =>

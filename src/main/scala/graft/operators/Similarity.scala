@@ -168,6 +168,10 @@ object Similarity {
     // and no cache-manager entry accumulating per call the way persist()
     // would. Size is one row per distinct (cluster, vector) — at most
     // the corpus — spilling to executor disk when memory-pressured.
+    // Known localCheckpoint trade (same as the dupClusters loop): the
+    // truncated lineage lives in non-replicated executor blocks, so an
+    // executor lost MID-QUERY fails the job instead of recomputing —
+    // re-run the query; don't use dynamic executor deallocation under it.
     val reps = assigned
       .groupBy(col("_sd_cluster"), col("_sd_vec"))
       .agg(min(col("_sd_id")).as("_sd_id"))

@@ -34,16 +34,21 @@ import org.apache.spark.unsafe.types.UTF8String
  * own units): a positive long pins it; `off` (or any non-positive value)
  * disables the rule; unset or `auto` (the default) DERIVES it per join
  * from a bounded sample of the interval side — the median span, floored
- * at max-sampled-span/1024 so heavy-tailed spans don't trip the fan-out
- * guard on data the sample saw. A useful width is data-dependent (near
- * the typical span: too small replicates intervals, too large
- * degenerates toward one bin — the residual then does the work, still
- * correct), which is why the derivation samples rather than guessing a
- * constant. The probe runs the interval sub-plan through a LIMIT — one
- * tiny job at optimization time, cached per canonicalized sub-plan, with
- * a re-entrancy guard so the probe's own optimization never recurses;
- * derivation failure (empty side, streaming source, probe error) leaves
- * the join untouched rather than failing the query.
+ * at max-sampled-span/256 so with the default maxbins an interval must
+ * span >16x the widest SAMPLED span before the fan-out guard raises
+ * (the corrupt-end-date contract; pin the conf to trade differently).
+ * A useful width is data-dependent (near the typical span: too small
+ * replicates intervals, too large degenerates toward one bin — the
+ * residual then does the work, still correct), which is why the
+ * derivation samples rather than guessing a constant. The probe runs
+ * the interval sub-plan through a LIMIT, and ONLY when that sub-plan is
+ * scan-shaped (leaf/project/filter/limit — where LIMIT short-circuits);
+ * through an aggregate/join it would execute the full upstream shuffle
+ * at optimization time, so those sides are never probed. One job per
+ * distinct canonicalized sub-plan (cached, bounded eviction), with a
+ * re-entrancy guard so the probe's own optimization never recurses;
+ * derivation failure (empty side, streaming source, non-scan shape,
+ * probe error) leaves the join untouched rather than failing the query.
  *
  * Scope guards: inner joins only; exactly one lower and one upper bound
  * on the SAME point expression, each referencing opposite sides; any
@@ -114,10 +119,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** The probe is only worth running when LIMIT short-circuits: over a
+    * scan-shaped sub-plan (leaf/project/filter/limit/alias) it reads a
+    * handful of partitions; through an aggregate/join/sort it would
+    * execute the full upstream shuffle at OPTIMIZATION time (including
+    * from explain()), which "one tiny job" must never mean. Anything
+    * heavier -> no derivation, join left untouched, conf still works. */
+  private def sampleable(plan: LogicalPlan): Boolean = plan match {
+    case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+    case p @ (_: Project | _: org.apache.spark.sql.catalyst.plans.logical.Filter |
+              _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit |
+              _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit |
+              _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias |
+              _: org.apache.spark.sql.catalyst.plans.logical.Sample) =>
+      p.children.forall(sampleable)
+    case _ => false
+  }
+
   /** Sampled-median bin width of the interval side, or None when it
-    * cannot be derived (streaming side, empty sample, probe failure). */
+    * cannot be derived (streaming side, non-scan-shaped side, empty
+    * sample, probe failure). */
   private def deriveWidth(intervalPlan: LogicalPlan, s: RangeShape): Option[Long] = {
-    if (intervalPlan.isStreaming) return None
+    if (intervalPlan.isStreaming || !sampleable(intervalPlan)) return None
     def toLong(e: Expression): Expression =
       if (e.dataType == LongType) e else Cast(e, LongType)
     val span = Alias(Subtract(toLong(s.hi), toLong(s.lo)), "_graft_span")()
@@ -140,11 +163,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         java.util.Arrays.sort(spans)
         val median = spans(spans.length / 2)
         val widest = spans(spans.length - 1)
-        math.max(1L, math.max(median, widest / 1024L))
+        // the widest/256 floor keeps the runtime fan-out guard from
+        // failing data the sample merely under-represented: with
+        // maxBins 4096 an interval must span >16x the widest SAMPLED
+        // span to raise — the corrupt-end-date contract, not a
+        // heavy-tail surprise. Pin the conf to trade differently.
+        math.max(1L, math.max(median, widest / 256L))
       }
     } catch { case scala.util.control.NonFatal(_) => -1L }
     finally deriving.set(java.lang.Boolean.FALSE)
-    if (derivedWidths.size > 64) derivedWidths.clear()
+    if (derivedWidths.size > 64) {
+      // bounded eviction of ONE arbitrary entry — clearing wholesale
+      // would re-trigger a probe job for every live range join whenever
+      // one churning plan key (e.g. an appended-to parquet directory)
+      // overflows the map
+      val it = derivedWidths.keys()
+      if (it.hasMoreElements) derivedWidths.remove(it.nextElement())
+    }
     derivedWidths.put(key, w)
     if (w > 0) Some(w) else None
   }

@@ -256,33 +256,50 @@ object SortedRunWriter {
     new File(dataFile.getParentFile, dataFile.getName.replace("-Data.db", "-Chunks.db"))
 
   /**
-   * Validate a disk-loaded chunk map against its data file's physical
-   * length — the same framing checks StreamLoader applies to
-   * wire-supplied maps: a corrupt or foreign sidecar must fail as LOUDLY
-   * as a missing one (naming the file), not mis-frame chunk boundaries
-   * into a huge allocation or a silently garbled decompress.
+   * Shared framing rules for a chunk map against its physical byte
+   * count — ONE implementation serving both the disk path
+   * (validateChunks, throws) and StreamLoader's wire path (protocol
+   * error reply), so the two can never silently diverge. Returns the
+   * first violation, or None for a well-framed map. An empty map is a
+   * violation whenever physical bytes exist: compressed payload with no
+   * chunk boundaries cannot be framed.
    */
-  def validateChunks(chunksFile: File, chunks: Array[(Long, Long)],
-      physTotal: Long): Unit = {
+  def chunkFramingError(chunks: Array[(Long, Long)], physTotal: Long): Option[String] = {
     val maxChunk = 1L << 30 // no sane chunk compresses to > 1 GiB
-    def fail(msg: String): Nothing = throw new IllegalStateException(
-      s"corrupt chunk sidecar $chunksFile: $msg — restore the sidecar or " +
-        "rewrite the run")
-    if (chunks.isEmpty) return
-    if (chunks(0)._1 != 0) fail(s"first logical offset ${chunks(0)._1} != 0")
-    if (chunks(0)._2 < 0) fail(s"negative first physical offset ${chunks(0)._2}")
+    if (physTotal < 0) return Some(s"negative physical total $physTotal")
+    if (chunks.isEmpty)
+      return if (physTotal == 0) None
+      else Some(s"empty chunk map for $physTotal physical bytes")
+    if (chunks(0)._1 != 0) return Some(s"first logical offset ${chunks(0)._1} != 0")
+    if (chunks(0)._2 < 0) return Some(s"negative first physical offset ${chunks(0)._2}")
     var k = 0
     while (k < chunks.length) {
       val physEnd = if (k + 1 < chunks.length) chunks(k + 1)._2 else physTotal
       val len = physEnd - chunks(k)._2
       if (len <= 0 || len > maxChunk)
-        fail(s"chunk $k has physical extent $len " +
+        return Some(s"chunk $k has physical extent $len " +
           s"(offsets ${chunks(k)._2} -> $physEnd)")
       if (k > 0 && chunks(k)._1 <= chunks(k - 1)._1)
-        fail(s"chunk $k logical offset ${chunks(k)._1} not ascending")
+        return Some(s"chunk $k logical offset ${chunks(k)._1} not ascending")
       k += 1
     }
+    None
   }
+
+  /**
+   * Validate a disk-loaded chunk map against its data file's physical
+   * length — a corrupt, foreign, or empty-but-bytes-present sidecar must
+   * fail as LOUDLY as a missing one (naming the file), not mis-frame
+   * chunk boundaries into a huge allocation or a silently garbled
+   * decompress.
+   */
+  def validateChunks(chunksFile: File, chunks: Array[(Long, Long)],
+      physTotal: Long): Unit =
+    chunkFramingError(chunks, physTotal).foreach { msg =>
+      throw new IllegalStateException(
+        s"corrupt chunk sidecar $chunksFile: $msg — restore the sidecar or " +
+          "rewrite the run")
+    }
 
   /**
    * Open a chunked compressed run as its LOGICAL stream starting at the

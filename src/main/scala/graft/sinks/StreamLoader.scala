@@ -268,24 +268,10 @@ final class InProcessCluster(hosts: Seq[String],
         val physTotal = in.readLong()
         // the offsets are wire-supplied — validate BEFORE allocating from
         // them (a negative or overflowed extent must be a clean protocol
-        // error, like the chunk-count check above, not an allocation crash)
-        val framingError: Option[String] = {
-          val maxChunk = 1L << 30 // no sane chunk compresses to > 1 GiB
-          if (physTotal < 0) Some(s"negative physical total $physTotal")
-          else if (nChunks > 0 && chunks(0)._2 < 0)
-            Some(s"negative first physical offset ${chunks(0)._2}")
-          else (0 until nChunks).iterator.flatMap { k =>
-            val physEnd = if (k + 1 < nChunks) chunks(k + 1)._2 else physTotal
-            val len = physEnd - chunks(k)._2
-            if (len <= 0 || len > maxChunk)
-              Some(s"chunk $k has physical extent $len " +
-                s"(offsets ${chunks(k)._2} -> $physEnd)")
-            else if (k > 0 && chunks(k)._1 <= chunks(k - 1)._1)
-              Some(s"chunk $k logical offset ${chunks(k)._1} not ascending")
-            else None
-          }.nextOption()
-        }
-        framingError match {
+        // error, like the chunk-count check above, not an allocation
+        // crash). SAME core as the disk-sidecar path (validateChunks):
+        // the two framings can never silently diverge.
+        SortedRunWriter.chunkFramingError(chunks, physTotal) match {
           case Some(msg) => reply(out, 1, s"bad chunk framing: $msg", 0); return
           case None      => ()
         }

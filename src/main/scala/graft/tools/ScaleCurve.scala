@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Curate, Dedup, Similarity}
@@ -37,29 +37,29 @@ object ScaleCurve {
       concat_ws(" ", array_prepend(slice(words, 2, 79), firstWord)).as("text"))
   }
 
+  /** Clustered 64-dim vectors: md5-free center-plus-noise construction
+    * shared by both embedding corpora — `center` picks the cluster id
+    * expression, `noiseDiv` scales the per-vector perturbation. */
+  private def clusteredVecs(spark: SparkSession, n: Long, center: Column,
+      noiseDiv: Double): DataFrame = {
+    val vec = transform(sequence(lit(0), lit(63)), i =>
+      ((pmod(xxhash64(center * 64 + i), lit(1000)).cast("double") / 1000.0 - 0.5) +
+        pmod(xxhash64(col("id") * 64 + i), lit(100)).cast("double") / noiseDiv)
+        .cast("float"))
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
+
   /** Constant-DENSITY semantic-dedup corpus: one 8-member near-dup group
     * per 8 ids (centers grow with n, group size fixed — the shape a real
     * dedup corpus has), noise small enough that within-group cosine
     * clears 0.9 and cross-group cosine (random 64-dim directions,
     * concentration ~N(0, 1/64)) never does. */
-  private def semVecs(spark: SparkSession, n: Long): DataFrame = {
-    val group = floor(col("id") / 8)
-    val vec = transform(sequence(lit(0), lit(63)), i =>
-      ((pmod(xxhash64(group * 64 + i), lit(1000)).cast("double") / 1000.0 - 0.5) +
-        pmod(xxhash64(col("id") * 64 + i), lit(100)).cast("double") / 20000.0)
-        .cast("float"))
-    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
-  }
+  private def semVecs(spark: SparkSession, n: Long): DataFrame =
+    clusteredVecs(spark, n, floor(col("id") / 8), noiseDiv = 20000.0)
 
   /** AnnSoak's clustered 64-dim vectors (1000 centers + per-vector noise). */
-  private def vecs(spark: SparkSession, n: Long): DataFrame = {
-    val cluster = pmod(col("id"), lit(1000))
-    val vec = transform(sequence(lit(0), lit(63)), i =>
-      ((pmod(xxhash64(cluster * 64 + i), lit(1000)).cast("double") / 1000.0 - 0.5) +
-        pmod(xxhash64(col("id") * 64 + i), lit(100)).cast("double") / 2000.0)
-        .cast("float"))
-    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
-  }
+  private def vecs(spark: SparkSession, n: Long): DataFrame =
+    clusteredVecs(spark, n, pmod(col("id"), lit(1000)), noiseDiv = 2000.0)
 
   /** min-of-2 wall time: a single measurement at this runtime length is
     * hostage to one unlucky full GC or JIT recompilation — the r9 curve

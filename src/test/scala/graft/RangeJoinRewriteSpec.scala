@@ -84,6 +84,23 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val empty = intervals.filter(col("iid") < 0L)
     val dfe = empty.join(points, points("t") >= empty("s") && points("t") <= empty("e"))
     assert(dfe.count() === 0)
+    // non-scan-shaped interval side (aggregate): the probe's LIMIT would
+    // not short-circuit, so auto mode must NOT probe — the join stays a
+    // nested loop (correct, un-rewritten) rather than running the full
+    // upstream shuffle at optimization time...
+    val agged = intervals.groupBy(col("iid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val dfa = agged.join(points, points("t") >= agged("s") && points("t") <= agged("e"))
+    assert(dfa.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "auto mode probed through an aggregate")
+    assert(dfa.count() === joined.count())
+    // ...while an explicit width still rewrites the same join
+    spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "16")
+    try {
+      val dfb = agged.join(points, points("t") >= agged("s") && points("t") <= agged("e"))
+      assert(!dfb.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(dfb.count() === joined.count())
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
   }
 
   test("strict bounds, flipped operand order, and int columns still rewrite exactly") {

@@ -728,6 +728,22 @@ class V2SinkSpec extends AnyFunSuite {
       s"expected a loud corrupt-sidecar failure, got: ${SparkSuite.causeMessages(e).mkString(" | ")}")
   }
 
+  test("an EMPTY chunk map over non-empty payload is corrupt framing, not a pass") {
+    import graft.sinks.SortedRunWriter
+    // the stream sender hits this when the sidecar file is missing: zero
+    // chunks cannot frame compressed bytes, and the old silent pass sent
+    // the payload anyway, failing receiver-side with a row-count mismatch
+    // that never named the sidecar
+    assert(SortedRunWriter.chunkFramingError(Array.empty, 0L).isEmpty)
+    assert(SortedRunWriter.chunkFramingError(Array.empty, 1024L)
+      .exists(_.contains("empty chunk map")))
+    val e = intercept[IllegalStateException] {
+      SortedRunWriter.validateChunks(
+        new java.io.File("/tmp/x-Chunks.db"), Array.empty, 1024L)
+    }
+    assert(e.getMessage.contains("x-Chunks.db"))
+  }
+
   test("legacy sequential compressed runs (pre-chunking manifest) still read") {
     import graft.sinks.BulkSink
     // one chunk per run -> the file IS a single valid zstd stream, the
