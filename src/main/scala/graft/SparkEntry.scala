@@ -412,6 +412,34 @@ object SparkEntry {
       o.except(c)
     }),
 
+    // Analytic window functions beyond frames: lag/lead navigation,
+    // ntile bucketing, percent_rank — one window pass, deterministic
+    // ORDER BY (date, key) so every engine ranks identically
+    "q32_window_funcs" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("orders_wf")
+      s.sql("""SELECT o_orderkey,
+              |       lag(o_totalprice) OVER w AS prev_price,
+              |       lead(o_totalprice) OVER w AS next_price,
+              |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              |       round(percent_rank() OVER w, 4) AS pr
+              |FROM orders_wf
+              |WINDOW w AS (PARTITION BY o_custkey
+              |             ORDER BY o_orderdate, o_orderkey)
+              |""".stripMargin)
+    }),
+
+    // Ordered string aggregation (LISTAGG/string_agg semantics):
+    // deterministic via sorted distinct values, so the concatenation is
+    // engine-independent
+    "q33_string_agg" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          count(lit(1)).as("n"))
+    }),
+
     // Set ops with BAG semantics: INTERSECT ALL keeps duplicate
     // multiplicity — min(left count, right count) per value. Spark plans
     // it as a replicated-count aggregate + join (no row-at-a-time
@@ -1365,6 +1393,23 @@ object SparkEntry {
       """SELECT o_custkey FROM orders
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q32_window_funcs" ->
+      """SELECT o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 4) AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q33_string_agg" ->
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |         AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q29_intersect_all" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
