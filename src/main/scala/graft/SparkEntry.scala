@@ -266,6 +266,14 @@ object SparkEntry {
 
     // Rolling-hash document fingerprinting (winnowing over char 8-grams,
     // window 4): per-doc fingerprint-set summary, codegen'd kernels
+    // Passage-level dedup candidates: fingerprints shared across >= 2
+    // documents (the step between whole-doc LSH and substring dedup)
+    "text_shared_passages" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.TextAnalysis.sharedPassages(d, "doc_id", "text",
+        k = 8, w = 4, minDocs = 2)
+    }),
+
     "text_winnow" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
       d.select(col("doc_id"),
@@ -1151,6 +1159,30 @@ object SparkEntry {
         |       f[1] AS min_fp, f[len(f)] AS max_fp,
         |       CAST(list_sum(f) AS BIGINT) AS sum_fp
         |FROM fps WHERE len(f) > 0""".stripMargin,
+
+    // the winnow pipeline again, then unnest + group: per-doc
+    // fingerprints are distinct, so count(*) is the distinct-doc count
+    "text_shared_passages" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    [CAST('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 8)), 1, 8) AS BIGINT)
+        |     for i in range(1, len(t) - 8 + 2)] AS hs
+        |  FROM norm WHERE len(t) >= 8
+        |), fps AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    CASE WHEN len(hs) >= 4 THEN
+        |      [list_min(hs[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)])
+        |       for i in range(1, len(hs) - 4 + 2)]
+        |    ELSE [list_min(hs)] END)) AS f
+        |  FROM hs
+        |), ex AS (
+        |  SELECT doc_id, unnest(f) AS fp FROM fps
+        |)
+        |SELECT fp, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM ex GROUP BY fp HAVING count(*) >= 2""".stripMargin,
 
     // same md5-bucket arithmetic, reconstructed independently
     "corpus_split" ->

@@ -103,6 +103,30 @@ object TextAnalysis {
       graft.functions.char_gram_hashes(
         regexp_replace(trim(text), "\\s+", " "), k), w)
 
+  /**
+   * Cross-document shared passages: winnowing fingerprints appearing in
+   * at least `minDocs` distinct documents — the passage-level dedup
+   * candidate generator sitting between whole-doc LSH and exact
+   * substring dedup (any substring of length >= w+k-1 shared by two
+   * docs yields at least one shared fingerprint; Schleimer et al.'s
+   * winnowing guarantee). Scale shape: explode is ~len/w rows per doc,
+   * then ONE hash shuffle on the fingerprint with map-side combine —
+   * `winnowingFingerprints` emits SORTED DISTINCT fingerprints per doc,
+   * so a plain count(*) per fingerprint IS the distinct-document count
+   * (no two-phase distinct aggregation, no per-key doc lists that a
+   * boilerplate fingerprint present in every document would blow up).
+   */
+  def sharedPassages(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    df.select(col(idCol).as("doc_id"),
+        explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** English-ish stopwords shared by quality scoring and language ID. */
   val EnStopwords = Seq("the", "a", "of", "and", "is", "to", "in")
   val DeStopwords = Seq("der", "die", "das", "und", "ist", "nicht", "ein")

@@ -309,6 +309,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f2(10L) === f2(11L) && f2(10L).nonEmpty)
   }
 
+  test("sharedPassages surfaces cross-doc fingerprints with exact doc counts") {
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    val d = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different beginning $shared and another tail"),
+      (3L, s"third carrier text with $shared inside it too"),
+      (4L, "nothing in common with the others at all zebra quux")).toDF("doc_id", "text")
+    val rows = TextAnalysis.sharedPassages(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no shared fingerprint for a shared sentence")
+    // every surviving fingerprint names at least 2 docs; min/max bound them
+    rows.foreach { case (n, lo, hi) =>
+      assert(n >= 2 && lo < hi && lo >= 1L && hi <= 4L)
+    }
+    // at least one fingerprint is shared by all three carrier docs
+    assert(rows.exists { case (n, lo, hi) => n === 3L && lo === 1L && hi === 3L })
+    // the unrelated doc never pairs: no fingerprint claims 4 docs
+    assert(rows.forall(_._1 <= 3L))
+  }
+
   test("mass duplicates beyond the df cap still pair via the set-fingerprint rescue") {
     // 15 identical copies: EVERY shingle has block df = 15 > maxDf = 10, so
     // the capped index alone would silently produce zero pairs for the most

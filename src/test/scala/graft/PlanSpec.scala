@@ -114,6 +114,14 @@ class PlanSpec extends AnyFunSuite {
     // in-row line dedup must not shuffle at all
     val p2 = plan("text_line_dedup")
     assert(!p2.contains("Exchange"), s"line dedup shuffles:\n${p2.take(1500)}")
+    // shared passages: ONE fingerprint shuffle with a map-side partial
+    // count before it — per-doc fingerprints are distinct, so no
+    // two-phase distinct aggregation may appear
+    val p3 = plan("text_shared_passages")
+    assert(p3.linesIterator.count(_.contains("Exchange")) === 1,
+      s"shared passages should shuffle once:\n${p3.take(1500)}")
+    assert(p3.contains("partial_count"),
+      s"no map-side combine before the fingerprint exchange:\n${p3.take(1500)}")
   }
 
   test("q18 as-of join: one keyed window pass, no nested loop, no extra exchange") {
