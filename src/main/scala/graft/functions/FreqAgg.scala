@@ -57,47 +57,26 @@ case class FreqAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
+  // sketch semantics live in graft.core.MisraGries — ONE implementation
+  // shared with the streaming heavy-hitters state, so the batch and
+  // streaming surfaces cannot drift
+
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val item = v.asInstanceOf[UTF8String].toString
-    buf.get(item) match {
-      case Some(c) => buf.update(item, c + 1)
-      case None if buf.size < capacity => buf.update(item, 1L)
-      case None =>
-        // decrement-all; drop zeros (frees slots for later inserts)
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.mapValuesInPlace((_, c) => c - 1)
-        buf.foreach { case (s, c) => if (c <= 0) dead += s }
-        dead.foreach(buf.remove)
-    }
+    graft.core.MisraGries.add(buf, v.asInstanceOf[UTF8String].toString, capacity)
     buf
   }
 
   override def merge(b1: mutable.HashMap[String, Long],
-      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b2.foreach { case (s, c) => b1.update(s, b1.getOrElse(s, 0L) + c) }
-    if (b1.size > capacity) {
-      // subtract the (capacity+1)-th largest counter from everything
-      val counts = b1.values.toArray
-      java.util.Arrays.sort(counts)
-      val cut = counts(counts.length - capacity - 1)
-      val dead = mutable.ArrayBuffer.empty[String]
-      b1.mapValuesInPlace((_, c) => c - cut)
-      b1.foreach { case (s, c) => if (c <= 0) dead += s }
-      dead.foreach(b1.remove)
-    }
-    b1
-  }
+      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    graft.core.MisraGries.mergeInto(b1, b2, capacity)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val top = buf.toArray
-      .sortBy { case (s, c) => (-c, s) }
-      .take(k)
-      .map { case (s, c) =>
-        InternalRow(UTF8String.fromString(s), c)
-      }
+    val top = graft.core.MisraGries.topK(buf, k)
+      .map { case (s, c) => InternalRow(UTF8String.fromString(s), c) }
+      .toArray
     new GenericArrayData(top.asInstanceOf[Array[Any]])
   }
 

@@ -54,6 +54,44 @@ class StreamingSpec extends AnyFunSuite {
       "a non-trailing session failed to close")
   }
 
+  test("streaming heavy hitters equal the batch topk_freq aggregate after the last batch") {
+    import graft.streaming.HeavyHitters
+    import graft.streaming.HeavyHitters.{GroupTop, Item}
+    // derive (group, item) pairs from events: group = event_type, item =
+    // the user id bucket — skewed enough that top-k is non-trivial
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type").as("group"),
+        concat(lit("u"), pmod(col("user_id"), lit(7))).as("item"))
+    // batch truth via the SAME sketch surface (topk_freq aggregate);
+    // capacity 64 > 7 distinct items -> both sides are EXACT counts
+    val truth = batch.groupBy(col("group"))
+      .agg(graft.functions.FreqAgg.topk_freq(col("item"), 64, 3).as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getString(0), t.getLong(1))))
+      .toMap
+
+    val inDir = Files.createTempDirectory("graft-hh-in")
+    batch.coalesce(1).write.parquet(inDir.resolve("part").toString)
+    val stream = spark.readStream
+      .schema("group string, item string")
+      .parquet(inDir.resolve("part").toString).as[Item]
+    val qname = "hh_out_" + System.nanoTime()
+    val q = HeavyHitters.heavyHittersStream(stream, capacity = 64, k = 3)
+      .writeStream.outputMode("update").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // update mode re-emits per batch; the LAST emission per group is the
+    // final sketch — with one input file there is exactly one emission
+    val streamed = spark.table(qname).as[GroupTop].collect()
+      .map(g => g.group -> g.top.map(t => (t.item, t.est))).toMap
+    assert(streamed.keySet === truth.keySet)
+    streamed.foreach { case (g, top) =>
+      assert(top === truth(g), s"group $g: streamed $top != batch ${truth(g)}")
+    }
+  }
+
   test("append-mode ingest emits each window exactly once as the watermark passes") {
     // three bounded runs over a growing directory = a restarting 24/7
     // ingest; windows must flow to bulk loads exactly once, held until the
