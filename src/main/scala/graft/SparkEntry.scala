@@ -483,6 +483,29 @@ object SparkEntry {
           countDistinct(col("k")).as("n_distinct_k"))
     }),
 
+    // int8 embedding quantization under an error-bound contract: scale
+    // and the quantized checksum are engine-deterministic (double math,
+    // ties away from zero); the round-trip error must sit within
+    // scale/2 per component (0.501 slack absorbs float-vs-double ulps).
+    // The 100 TB point: q + one float scale is 4x smaller than float32
+    // vectors for candidate generation and shuffles; re-rank in float
+    "embed_quantize_i8" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val vec = col("embedding")
+      val maxabs = array_max(transform(vec, x => abs(x.cast(DoubleType))))
+      val qz = graft.operators.Similarity.quantizeI8(vec)
+      e.select(col("vec_id"), vec, qz.getField("q").as("q"),
+          (maxabs / lit(127.0)).as("s"), maxabs.as("m"))
+        .select(col("vec_id"),
+          round(col("s"), 6).as("scale6"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast(LongType)).as("q_sum"),
+          when(col("m") > 0,
+            array_max(zip_with(col("embedding"), col("q"),
+              (x, q) => abs(x.cast(DoubleType) - q.cast(DoubleType) * col("s"))))
+              <= col("s") * 0.501)
+            .otherwise(lit(true)).as("within_bound"))
+    }),
+
     // LSH-bucketed ANN over the PLANTED validation corpus (orthogonal
     // cluster axes with every member < pi/4 from its query, so the whole
     // cluster provably shares the query's sign bucket — recall 1 by a
@@ -1425,6 +1448,24 @@ object SparkEntry {
       """SELECT o_custkey FROM orders
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "embed_quantize_i8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding AS e,
+        |         list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |       round(maxabs / 127, 6) AS scale6,
+        |       CAST(CASE WHEN maxabs > 0
+        |            THEN list_sum([round(CAST(x AS DOUBLE) / (maxabs / 127)) for x in e])
+        |            ELSE 0 END AS BIGINT) AS q_sum,
+        |       CASE WHEN maxabs > 0
+        |            THEN list_max([abs(CAST(x AS DOUBLE) -
+        |                 round(CAST(x AS DOUBLE) / (maxabs / 127)) * (maxabs / 127))
+        |                 for x in e]) <= maxabs / 127 * 0.501
+        |            ELSE true END AS within_bound
+        |FROM m""".stripMargin,
 
     "q32_window_funcs" ->
       """SELECT o_orderkey,

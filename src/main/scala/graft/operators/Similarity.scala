@@ -236,6 +236,33 @@ object Similarity {
   }
 
   /**
+   * Scalar int8 quantization of an embedding: `scale = max|x| / 127`,
+   * `q_i = round(x_i / scale)` ∈ [-127, 127] — 4x smaller vectors for
+   * ANN candidate generation and shuffle/storage (store q + one float
+   * scale; verify/re-rank in float). Round-trip error is bounded by
+   * scale/2 per component. Zero vectors quantize to scale 0, q all 0.
+   * Pure built-in Catalyst expressions (transform/aggregate), double
+   * math with ties-away-from-zero rounding — deterministic and
+   * engine-portable, so the contract is oracle-checkable.
+   */
+  def quantizeI8(vec: Column): Column = {
+    val maxabs = array_max(transform(vec, x => abs(x.cast(DoubleType))))
+    val scale = maxabs / lit(127.0)
+    struct(
+      scale.cast(FloatType).as("scale"),
+      when(maxabs > 0,
+        transform(vec, x => round(x.cast(DoubleType) / scale).cast(ByteType)))
+        .otherwise(transform(vec, x => lit(0.toByte))).as("q"))
+  }
+
+  /** Inverse of quantizeI8: `q_i * scale` as float — the approximate
+    * vector an int8 ANN stage scores against. */
+  def dequantI8(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      q => (q.cast(DoubleType) * quantized.getField("scale").cast(DoubleType))
+        .cast(FloatType))
+
+  /**
    * Bounded k-means training sample: at most ~1.1 * maxTrainRows rows
    * (expected; Bernoulli sampling has no hard cap), the full frame when it
    * is already small enough. The row-count probe is one cheap job (count

@@ -309,6 +309,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f2(10L) === f2(11L) && f2(10L).nonEmpty)
   }
 
+  test("int8 quantization round-trips within scale/2 per component") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 3.75f, 0.0f)),
+      (2L, Array(-127.0f, 127.0f, 0.5f, -0.5f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector -> scale 0, q 0
+      (4L, Array(1e-6f, -1e-6f, 5e-7f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = vecs.select(col("vec_id"),
+        col("embedding"),
+        Similarity.quantizeI8(col("embedding")).as("qz"),
+        Similarity.dequantI8(Similarity.quantizeI8(col("embedding"))).as("back"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Float](1)
+      val qz = r.getStruct(2)
+      val scale = qz.getFloat(0)
+      val q = qz.getSeq[Byte](1)
+      val back = r.getSeq[Float](3)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      if (x.forall(_ == 0f)) {
+        assert(scale === 0f && q.forall(_ == 0) && back.forall(_ == 0f))
+      } else {
+        // round-trip error bounded by scale/2 (+ float ulp slack)
+        x.zip(back).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= scale * 0.501,
+            s"vec ${r.getLong(0)}: |$a - $b| > ${scale / 2}")
+        }
+        // the max-magnitude component always quantizes to +-127
+        assert(q.map(b => math.abs(b.toInt)).max === 127)
+      }
+    }
+  }
+
   test("sharedPassages surfaces cross-doc fingerprints with exact doc counts") {
     val shared = "the quick brown fox jumps over the lazy dog repeatedly"
     val d = Seq(
