@@ -569,6 +569,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
     }),
 
+    // Int8-quantized coarse ANN + exact float re-rank over the planted
+    // corpus. The analytic oracle survives quantization: an in-cluster
+    // member (cos t, sin t) on axes (g, g+20) quantizes to direction
+    // (127, round(127*tan t)) with round(127*tan t) = 0/13/26/39/54 for
+    // the five planted angles — all distinct, so the coarse order is the
+    // true order; cross-cluster components are exactly 0 and quantize to
+    // exactly 0; identical vectors quantize identically, so ties break
+    // on c_id as in the float ranker. Coarse top-refine therefore
+    // contains the true top-5 and the float re-rank IS the analytic
+    // answer. Organic-corpus recall is spec'd in OperatorsSpec.
+    "embed_i8_topk" -> ((s, dir) => {
+      // localCheckpoint as in embed_lsh_topk: the 64-branch construction
+      // must not re-inline into the quantize + dot expressions
+      val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
+        graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+        .localCheckpoint()
+      graft.operators.Similarity.quantizedTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, refine = 10)
+    }),
+
     // mapPartitions batched decode path (the real multimodal plumbing;
     // equality with the expression path is proven in OperatorsSpec)
     "mm_decode" -> ((s, dir) => {
@@ -1438,6 +1459,7 @@ object SparkEntry {
     // oracle is brute force over the analytically-reconstructed corpus.
     "embed_lsh_topk" -> PlantedAnnOracle,
     "embed_ivf_topk" -> PlantedAnnOracle,
+    "embed_i8_topk" -> PlantedAnnOracle,
 
     "q10_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 250000

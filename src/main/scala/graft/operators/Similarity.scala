@@ -263,6 +263,45 @@ object Similarity {
         .cast(FloatType))
 
   /**
+   * Two-stage ANN with an int8-quantized coarse pass and an exact float
+   * re-rank — the standard scalar-quantization serving shape:
+   *
+   *  1. COARSE: rank the quantized corpus (what a 100 TB deployment
+   *     would persist — 4x smaller than float32, so the scan reads a
+   *     quarter of the bytes) down to `refine` candidates per query via
+   *     cosine over the dequantized vectors, pre-aggregated by the
+   *     bounded-heap TopKAgg before any exchange.
+   *  2. RE-RANK: only the `#queries * refine` surviving (q_id, c_id)
+   *     pairs — a tiny relation, broadcast back against the
+   *     full-precision corpus — are re-scored in float for the final
+   *     top-k. The float vectors are touched for candidates only, never
+   *     crossed with the whole query set.
+   *
+   * With `refine >= k` the result equals brute force whenever
+   * quantization preserves enough order for the true top-k to survive
+   * the coarse cut — guaranteed for separated clusters (quantized
+   * round-trip error is <= scale/2 per component), probabilistic on
+   * organic corpora (recall spec'd in OperatorsSpec). Output contract
+   * matches bruteForceTopK: (q_id, c_id, sim, rank), sim the EXACT
+   * rounded float cosine, ties by c_id asc.
+   */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cq = corpus.select(col(idCol).as("c_id"),
+      quantizeI8(col(vecCol)).as("c_qz"))
+    val coarse = cq.crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col("q_vec"), dequantI8(col("c_qz"))), 4))
+    val cand = rankTopK(coarse, refine).select(col("q_id"), col("c_id"))
+    val cfull = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val rescored = cfull.join(broadcast(cand), "c_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+    rankTopK(rescored, k)
+  }
+
+  /**
    * Bounded k-means training sample: at most ~1.1 * maxTrainRows rows
    * (expected; Bernoulli sampling has no hard cap), the full frame when it
    * is already small enough. The row-count probe is one cheap job (count

@@ -188,6 +188,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 10, s"recall@1 too low: $hits/20")
   }
 
+  test("quantized topk: exact re-ranked sims, recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    val i8 = Similarity.quantizedTopK(q, c, "vec_id", "embedding", k = 1, refine = 10)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getDouble(2)))).map(_.swap)
+    assert(i8.length === 20, "every query must return a top-1")
+    val bfAll = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 1000)
+      .collect()
+    val bfSims = bfAll.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the re-rank scores candidates in FULL float precision: every
+    // returned sim is the exact brute-force cosine of that pair
+    i8.foreach { case ((qid, sim), cid) => assert(bfSims((qid, cid)) === sim) }
+    // int8 coarse + refine=10 must recover nearly every true top-1: the
+    // quantization error per component is <= scale/2 (~0.4% of the max
+    // component), far below organic top-1 separation at rank 10
+    val trueTop = bfAll.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = i8.count { case ((qid, _), cid) => trueTop(qid) == cid }
+    assert(hits >= 18, s"recall@1 too low: $hits/20")
+  }
+
   test("dupClusters: min-label connected components over planted pairs") {
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 0.9))
       .toDF("doc_a", "doc_b", "jac")
