@@ -932,6 +932,15 @@ object SparkEntry {
       d.select(col("doc_id"), md5(redacted).as("redacted_md5"),
         graft.functions.match_count(redacted, "\\[(EMAIL|IP|PHONE)\\]")
           .as("n_tags"))
+    }),
+
+    // Sliding token-window passage chunking (RAG / long-doc training
+    // prep): 32-token windows at stride 24, tail always emitted,
+    // integer-exact window count so both engines agree row-for-row
+    "text_chunks" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.TextAnalysis.chunkPassages(d, "doc_id", "text",
+        chunkTokens = 32, strideTokens = 24)
     })
   )
 
@@ -1735,6 +1744,22 @@ object SparkEntry {
         |SELECT doc_id, n_lines, CAST(len(u) AS BIGINT) AS n_unique,
         |       md5(array_to_string(u, chr(10))) AS dedup_md5
         |FROM dd""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, toks,
+        |         1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS n_chunks
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM w
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |       array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |       CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens
+        |FROM x""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

@@ -127,6 +127,40 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /**
+   * Sliding token-window passage chunking — the "split documents into
+   * overlapping model-window-sized passages" step of a RAG indexing or
+   * long-document training pipeline. Windows start at token offsets
+   * 0, stride, 2*stride, ...; every chunk holds `chunkTokens` tokens
+   * except a possibly-shorter final tail, and the window count is
+   * `1 + ceil(max(n - chunkTokens, 0) / stride)` so the tail is always
+   * emitted and a doc shorter than one window yields exactly one chunk.
+   * Tokens are the whitespace tokenizer's (`tokens`), sharing its
+   * empty-string quirk (one empty token -> one empty chunk).
+   *
+   * Scale shape: pure scan-stage transform+posexplode — zero shuffle,
+   * ~n/stride output rows per doc, all built-in codegen'd expressions;
+   * the ceil is integer-exact floor-div arithmetic so any engine
+   * computes the same window count.
+   */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk: chunk=$chunkTokens stride=$strideTokens")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = lit(1) +
+      floor((greatest(n - chunkTokens, lit(0)) + lit(strideTokens - 1))
+        .cast(LongType) / strideTokens).cast(IntegerType)
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(toks, i * strideTokens + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "_chunk_toks")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("_chunk_toks"), " ").as("chunk_text"),
+        size(col("_chunk_toks")).cast(LongType).as("chunk_tokens"))
+  }
+
   /** English-ish stopwords shared by quality scoring and language ID. */
   val EnStopwords = Seq("the", "a", "of", "and", "is", "to", "in")
   val DeStopwords = Seq("der", "die", "das", "und", "ist", "nicht", "ein")

@@ -209,6 +209,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 18, s"recall@1 too low: $hits/20")
   }
 
+  test("chunkPassages: window math, tail emission, overlap reconstruction") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a window
+      (3L, "")                                        // empty-string quirk: 1 empty token
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPassages(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    // doc 1: n=10, chunks = 1 + ceil(6/2) = 4, starts 0,2,4,6 — last
+    // window ends exactly at token 10, no degenerate extra chunk
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(d1.head._3 === "t1 t2 t3 t4" && d1.last._3 === "t7 t8 t9 t10")
+    assert(d1.forall(_._4 == 4L))
+    // stride < chunk: consecutive windows overlap by chunk - stride tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.split(" ").drop(2).toSeq === b._3.split(" ").take(2).toSeq)
+    }
+    // doc 2: one window holding the whole (short) doc
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b c", 3L)))
+    // doc 3: the tokens("") quirk — a single empty token, one empty chunk
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0, "", 1L)))
+    // a ragged tail shorter than chunkTokens is still emitted
+    val ragged = Seq((9L, (1 to 9).map("x" + _).mkString(" "))).toDF("doc_id", "text")
+    val tail = TextAnalysis.chunkPassages(ragged, "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(3))).sortBy(_._1)
+    assert(tail.toSeq === Seq((0, 4L), (1, 4L), (2, 4L), (3, 3L)))
+  }
+
   test("dupClusters: min-label connected components over planted pairs") {
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 0.9))
       .toDF("doc_a", "doc_b", "jac")

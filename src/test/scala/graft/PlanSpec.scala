@@ -47,6 +47,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"explode crept back in:\n${p.take(2000)}")
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
   }
+  test("text_chunks is scan-stage only: explode without shuffle") {
+    // window construction + posexplode are per-row; any Exchange means
+    // chunking acquired a shuffle it does not need
+    val p = plan("text_chunks")
+    assert(!p.contains("Exchange"), s"chunking shuffles:\n${p.take(2000)}")
+    assert(p.contains("Generate"), s"explode missing:\n${p.take(2000)}")
+  }
   test("corpus_split is scan-stage only: no exchange") {
     // split + mix assignment are md5-bucket scan predicates; any Exchange
     // here means someone turned them into a join or sample
