@@ -336,6 +336,17 @@ object SparkEntry {
         "doc_id", "text", n = 3)
     }),
 
+    // Bloom-accelerated decontamination — EXACT same rows as
+    // `decontaminate` (bloom prunes, the exact join verifies), so it
+    // shares that query's oracle verbatim; the win is a fixed-size
+    // broadcast and an in-row candidate test at corpus scale
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.decontaminateBloom(
+        d.filter(col("doc_id") > 5), d.filter(col("doc_id") <= 5),
+        "doc_id", "text", n = 3, numBits = 1 << 17, numHashes = 5)
+    }),
+
     // Gopher-style repetition signals (dup-word / top-word fractions),
     // scan-stage only: the top-word count is an in-row codegen'd kernel,
     // not an explode + two-shuffle groupBy
@@ -1264,6 +1275,24 @@ object SparkEntry {
     // eval 3-gram set built with the same list comprehension as the
     // dedup_ngram oracle; shared-shingle counts per corpus doc
     "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)])
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), ev AS (
+        |  SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id <= 5
+        |), corpus AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id > 5
+        |)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM corpus c JOIN ev USING (sh)
+        |GROUP BY c.doc_id""".stripMargin,
+
+    // bloom pruning is exact after the verify join -> same oracle as the
+    // exact operator, proving the bloom path changes nothing but the plan
+    "decontaminate_bloom" ->
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

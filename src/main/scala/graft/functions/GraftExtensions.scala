@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e, n) => WordGramsExpr(e, foldToInt(n, "word_grams(expr, n)")) })
     register(ext, "dedup_lines", "first-occurrence line dedup, order-preserving",
       { case Seq(e) => DedupLinesExpr(e) })
+    register(ext, "bloom_agg", "mergeable fixed-size Bloom filter over strings",
+      { case Seq(e, bits, k) => BloomAggExpr(e,
+        foldToInt(bits, "bloom_agg(expr, numBits, numHashes)"),
+        foldToInt(k, "bloom_agg(expr, numBits, numHashes)")) })
+    register(ext, "bloom_contains", "Bloom-blob membership probe",
+      { case Seq(b, s) => BloomContainsExpr(b, s) })
+    register(ext, "bloom_any", "true when any array element probes a Bloom blob positive",
+      { case Seq(b, a) => BloomAnyExpr(b, a) })
   }
 
   private def foldToString(e: Expression, usage: String): String = e match {

@@ -581,3 +581,58 @@ case class CompositeKeyExpr(children: Seq[Expression]) extends Expression {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
+
+/** Bloom-blob membership probe: (blob, string) -> boolean. The blob is
+  * usually a plan-time literal published by `bloom_agg` — k header-relative
+  * word reads per row, no deserialization (codegen'd). */
+case class BloomContainsExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains expects (binary, string), got ($l, $r)")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_contains"
+
+  override protected def nullSafeEval(blob: Any, item: Any): Any =
+    graft.core.Bloom.mightContain(blob.asInstanceOf[Array[Byte]],
+      item.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, s) => s"graft.core.Bloom.mightContain($b, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Bloom-blob ANY-element probe: (blob, array<string>) -> boolean — the
+  * in-row candidate test of bloom decontamination. True when any array
+  * element probes positive; the all-clean common case short-circuits
+  * without exploding the array into rows (codegen'd). */
+case class BloomAnyExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_any expects (binary, array<string>), got ($l, $r)")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_any"
+
+  override protected def nullSafeEval(blob: Any, arr: Any): Any =
+    graft.core.Bloom.anyMightContain(blob.asInstanceOf[Array[Byte]],
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, a) => s"graft.core.Bloom.anyMightContain($b, $a)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

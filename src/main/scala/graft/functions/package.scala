@@ -79,6 +79,14 @@ package object functions {
   /** First-occurrence line dedup, order-preserving (codegen'd, O(lines)). */
   def dedup_lines(s: Column): Column = col(DedupLinesExpr(expr(s)))
 
+  /** Bloom-blob membership probe (blob, string) -> boolean (codegen'd). */
+  def bloom_contains(blob: Column, item: Column): Column =
+    col(BloomContainsExpr(expr(blob), expr(item)))
+
+  /** True when ANY array<string> element probes a bloom blob positive. */
+  def bloom_any(blob: Column, arr: Column): Column =
+    col(BloomAnyExpr(expr(blob), expr(arr)))
+
   /** Full partition-key bytes from typed key columns (1 -> raw, 2+ -> composite). */
   def partition_key(keyCols: Column*): Column = {
     require(keyCols.nonEmpty, "partition_key needs at least one column")

@@ -200,4 +200,34 @@ object Curate {
       // (id, sh) rows are unique: count(*) IS the distinct shared count
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
+
+  /**
+   * Bloom-accelerated decontamination: same EXACT output as
+   * [[contaminationHits]], different scale shape. The eval shingle set is
+   * folded into a fixed `numBits`-bit Bloom filter (one tiny aggregate,
+   * [[graft.functions.BloomAggExpr]]) and shipped as a plan literal; the
+   * corpus scan then keeps only docs where ANY shingle probes positive —
+   * an in-row codegen'd test, so the all-clean common case never explodes
+   * into shingle rows at all. Survivors (true hits + the filter's ~FP
+   * rate of clean docs) flow through the exact broadcast-join count,
+   * which eliminates false positives; Bloom filters have no false
+   * negatives, so the result is row-identical to the exact operator.
+   *
+   * Why at 100 TB: the exact path broadcasts the full distinct eval
+   * shingle set (unbounded — a large eval suite is GBs) and fans every
+   * corpus doc out into ~tokens rows through the join probe. Here the
+   * broadcast is `numBits/8` bytes NO MATTER the eval size, and the
+   * explode+join+aggregate runs only over the contaminated sliver.
+   */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomAgg.bloom_agg
+    val blob = evalDocs
+      .select(explode(Dedup.shingles(col(textCol), n)).as("sh")).distinct()
+      .agg(bloom_agg(col("sh"), numBits, numHashes)).head().getAs[Array[Byte]](0)
+    val candidates = corpus.filter(
+      graft.functions.bloom_any(lit(blob), Dedup.shingles(col(textCol), n)))
+    contaminationHits(candidates, evalDocs, idCol, textCol, n)
+  }
 }

@@ -30,6 +30,15 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.clearDefaultSession()
   }
 
+  // a hand-built blob holding exactly "foo" — built through the same core
+  // the agg publishes, so the codegen'd probes exercise the real format
+  private val fooBloom = locally {
+    val bits = graft.core.Bloom.alloc(1 << 10)
+    graft.core.Bloom.add(bits, 3,
+      org.apache.spark.unsafe.types.UTF8String.fromString("foo"))
+    graft.core.Bloom.toBlob(bits, 3)
+  }
+
   test("custom expressions compile under CODEGEN_ONLY") {
     val spark = freshSession(_
       .config("spark.sql.codegen.fallback", "false")
@@ -44,11 +53,15 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         hex(partition_key(col("k"), col("v"))).as("pk"),
         cassandra_random_token(cql_serialize(col("k"))).as("rtok"),
         random_token_bucket(cassandra_random_token(cql_serialize(col("k"))), 8).as("rb"),
-        dedup_lines(concat_ws("\n", col("k"), col("k"), lit("x"))).as("dl"))
+        dedup_lines(concat_ws("\n", col("k"), col("k"), lit("x"))).as("dl"),
+        bloom_contains(lit(fooBloom), col("k")).as("bc"),
+        bloom_any(lit(fooBloom), array(col("k"), lit("zzz"))).as("ba"))
     val rows = df.collect()
     assert(rows.length === 3)
     assert(rows(0).getLong(0) === -2129773440516405919L)
     assert(rows(0).getAs[String]("dl") === "foo\nx")
+    assert(rows(0).getAs[Boolean]("bc") && rows(0).getAs[Boolean]("ba"))
+    assert(!rows(1).getAs[Boolean]("bc") && !rows(1).getAs[Boolean]("ba"))
     assert(rows(2).getAs[String]("dl") === "\nx") // empty line kept once
     assert(rows(2).getLong(0) === Long.MinValue) // empty key
     rows.foreach { r =>
@@ -114,5 +127,13 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(viaSql === viaApi2)
       assert(viaSql === Seq(("a", 3L), ("b", 2L)))
     }
+    // bloom surface end-to-end from SQL: agg a set, probe members + a miss
+    val bl = s.sql(
+      """WITH b AS (SELECT bloom_agg(v, 4096, 4) AS f
+        |           FROM (VALUES ('x'), ('y')) t(v))
+        |SELECT bloom_contains(f, 'x') AS hx, bloom_contains(f, 'nope') AS hn,
+        |       bloom_any(f, array('q', 'y')) AS ha
+        |FROM b""".stripMargin).head()
+    assert(bl.getBoolean(0) && !bl.getBoolean(1) && bl.getBoolean(2))
   }
 }

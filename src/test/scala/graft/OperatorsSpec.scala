@@ -241,6 +241,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tail.toSeq === Seq((0, 4L), (1, 4L), (2, 4L), (3, 3L)))
   }
 
+  test("bloom filter: no false negatives across partition merges, bounded FP rate") {
+    import graft.functions.BloomAgg.bloom_agg
+    import graft.functions.bloom_contains
+    // 2000 items folded across 13 partitions: merge is pointwise OR, so
+    // every inserted item MUST probe positive no matter the combine tree
+    val items = spark.range(2000).repartition(13)
+      .select(concat(lit("item-"), col("id")).as("s"))
+    val blob = items.agg(bloom_agg(col("s"), 1 << 15, 5)).head().getAs[Array[Byte]](0)
+    assert(blob.length === 8 + (1 << 15) / 8)
+    val misses = items.filter(!bloom_contains(lit(blob), col("s"))).count()
+    assert(misses === 0L, s"bloom false negatives: $misses")
+    // ~16 bits/item, k=5 -> theoretical FP ~0.04%; assert a loose 2% bound
+    val fp = spark.range(2000, 52000)
+      .select(concat(lit("item-"), col("id")).as("s"))
+      .filter(bloom_contains(lit(blob), col("s"))).count()
+    assert(fp < 1000, s"bloom FP rate too high: $fp/50000")
+    // zero-row aggregation publishes the empty filter: nothing probes true
+    val empty = items.limit(0).agg(bloom_agg(col("s"), 1 << 10, 3))
+      .head().getAs[Array[Byte]](0)
+    val hits = items.filter(bloom_contains(lit(empty), col("s"))).count()
+    assert(hits === 0L, s"empty bloom hit $hits items")
+  }
+
+  test("decontaminateBloom: row-identical to the exact operator") {
+    import graft.operators.Curate
+    val eval = docs(1L -> base, 2L -> "one two three four five six seven")
+    val corpus = docs(
+      10L -> base,                                    // full overlap
+      11L -> ("alpha beta gamma prefix " + base),     // partial overlap
+      12L -> "totally unrelated words nothing shared here at all",
+      13L -> "six seven unrelatedtail words here")    // 1 shared shingle? none (needs 3-gram)
+    val exact = Curate.contaminationHits(corpus, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val bloom = Curate.decontaminateBloom(corpus, eval, "doc_id", "text",
+        numBits = 1 << 12, numHashes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(bloom.toSeq === exact.toSeq)
+    assert(exact.map(_._1).toSeq === Seq(10L, 11L)) // 12/13 clean
+    // a DELIBERATELY saturated filter (every probe positive) still yields
+    // the exact rows: the verify join owns correctness, bloom only prunes
+    val sat = Array.fill[Byte](8 + 8)(-1)
+    sat(0) = 0; sat(1) = 0; sat(2) = 0; sat(3) = 1 // k=1
+    sat(4) = 0; sat(5) = 0; sat(6) = 0; sat(7) = 1 // 1 word, all ones
+    val candidates = corpus.filter(
+      graft.functions.bloom_any(lit(sat), graft.operators.Dedup.shingles(col("text"), 3)))
+    assert(candidates.count() === 4L) // saturated bloom passes everything
+    val viaSat = Curate.contaminationHits(candidates, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(viaSat.toSeq === exact.toSeq)
+  }
+
   test("dupClusters: min-label connected components over planted pairs") {
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 0.9))
       .toDF("doc_a", "doc_b", "jac")

@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunking shuffles:\n${p.take(2000)}")
     assert(p.contains("Generate"), s"explode missing:\n${p.take(2000)}")
   }
+  test("decontaminate_bloom: in-row candidate filter, broadcast verify join only") {
+    // the bloom probe must be a scan-stage Filter (no explode/join for
+    // clean docs) and the exact verify must stay a broadcast hash join —
+    // a SortMergeJoin here means the eval side lost its broadcast
+    val p = plan("decontaminate_bloom")
+    assert(p.contains("bloom_any"), s"bloom filter missing:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), s"verify join shuffles:\n${p.take(2000)}")
+  }
   test("corpus_split is scan-stage only: no exchange") {
     // split + mix assignment are md5-bucket scan predicates; any Exchange
     // here means someone turned them into a join or sample
