@@ -952,6 +952,24 @@ object SparkEntry {
       val d = s.read.parquet(t(dir, "documents"))
       graft.operators.TextAnalysis.chunkPassages(d, "doc_id", "text",
         chunkTokens = 32, strideTokens = 24)
+    }),
+
+    // Deterministic k-per-stratum sample: md5-priority bounded heap per
+    // source — the window form would shuffle the whole corpus into
+    // #sources partitions; this shuffles <= k rows per partition-stratum
+    "corpus_sample_k" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.sampleKPerStratum(d, "doc_id", "source", k = 7)
+    }),
+
+    // BM25 keyword retrieval: one mergeable corpus-stats pass, then
+    // scan-stage scoring (in-row codegen'd tf, idf/avgdl as plan
+    // literals) reduced by the bounded top-k heap — ranking a 100 TB
+    // corpus costs two scans and two tiny exchanges
+    "text_bm25" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Search.bm25TopK(d, "doc_id", "text",
+        terms = Seq("spark", "vector", "customer"), k = 20)
     })
   )
 
@@ -1789,6 +1807,51 @@ object SparkEntry {
         |       array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
         |       CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens
         |FROM x""".stripMargin,
+
+    // the window form IS the oracle: proves the bounded-heap sample
+    // equals "rank by hash priority, keep k" exactly
+    "corpus_sample_k" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |    CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS prio
+        |  FROM documents
+        |)
+        |SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY prio DESC, doc_id) AS rn
+        |  FROM p
+        |) WHERE rn <= 7""".stripMargin,
+
+    // BM25 with the formula association mirrored term-for-term (IEEE
+    // double ops are deterministic given identical operand order; ln may
+    // differ by 1 ulp between engines, hidden by round 4)
+    "text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), s AS (
+        |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl,
+        |         count(*) FILTER (list_contains(w, 'spark')) AS df0,
+        |         count(*) FILTER (list_contains(w, 'vector')) AS df1,
+        |         count(*) FILTER (list_contains(w, 'customer')) AS df2
+        |  FROM t
+        |), sc AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |        * (len([x for x in w if x = 'spark']) * (1.2 + 1.0))
+        |        / (len([x for x in w if x = 'spark'])
+        |           + 1.2 * ((1.0 - 0.75) + 0.75 * len(w) / avgdl))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |        * (len([x for x in w if x = 'vector']) * (1.2 + 1.0))
+        |        / (len([x for x in w if x = 'vector'])
+        |           + 1.2 * ((1.0 - 0.75) + 0.75 * len(w) / avgdl))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |        * (len([x for x in w if x = 'customer']) * (1.2 + 1.0))
+        |        / (len([x for x in w if x = 'customer'])
+        |           + 1.2 * ((1.0 - 0.75) + 0.75 * len(w) / avgdl)), 4) AS bm25
+        |  FROM t, s
+        |)
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

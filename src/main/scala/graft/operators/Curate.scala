@@ -202,6 +202,37 @@ object Curate {
   }
 
   /**
+   * Deterministic k-per-stratum sample ("give me exactly 10 docs per
+   * source"): each row's priority is an md5-derived hash of its id, and
+   * the k highest-priority rows per stratum win — a uniform sample that,
+   * like [[withSplit]], is reproducible across engines, runs, and
+   * cluster sizes, and is auditable by any SQL engine with md5.
+   *
+   * Scale shape: the `row_number() OVER (PARTITION BY stratum ORDER BY
+   * hash)` form shuffles the ENTIRE corpus into #strata partitions —
+   * with a handful of sources that is a handful of tasks sorting
+   * everything (the same skew TopKAgg exists to kill). Here each input
+   * partition heap-reduces to <= k rows per stratum before the exchange,
+   * so the shuffle carries O(#partitions * #strata * k) rows no matter
+   * the corpus size.
+   *
+   * Priorities are 32-bit (exact in double); equal priorities resolve by
+   * ascending id, so the sample is total-ordered and engine-portable.
+   */
+  def sampleKPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val prio = conv(substring(md5(concat(lit("sample:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    df.groupBy(col(strataCol))
+      .agg(graft.functions.TopKAgg.topk_agg(prio,
+        col(idCol).cast("long"), k).as("_picks"))
+      .select(col(strataCol), explode(col("_picks")).as("_e"))
+      .select(col(strataCol), col("_e.c_id").as(idCol))
+  }
+
+  /**
    * Bloom-accelerated decontamination: same EXACT output as
    * [[contaminationHits]], different scale shape. The eval shingle set is
    * folded into a fixed `numBits`-bit Bloom filter (one tiny aggregate,

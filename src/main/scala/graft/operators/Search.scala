@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyword retrieval over a document corpus — the "find the passages that
+ * mention X" step of retrieval-based curation (targeted decontamination,
+ * topic filtering, eval-set mining).
+ *
+ * BM25 (Robertson-Sparck Jones) with the standard parameterization:
+ *
+ *   score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*|d|/avgdl))
+ *   idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+ *
+ * Distributed shape, built for the query-terms-are-few case (a search,
+ * not an all-pairs index): corpus statistics (N, total tokens, per-term
+ * document frequencies) come from ONE mergeable aggregate pass — a
+ * handful of longs per partition through the exchange — then scoring is
+ * pure scan-stage arithmetic: per-term tf is the in-row codegen'd
+ * `array_count_in` kernel (no explode, no per-term join), and the idf /
+ * avgdl constants fold into the plan as literals. The only data that
+ * ever shuffles is the bounded top-k heap (TopKAgg, <= k rows per
+ * upstream partition), so a 100 TB corpus costs two scans and two
+ * tiny exchanges.
+ *
+ * Determinism contract: idf and avgdl derive from integer counts (exact
+ * at any parallelism); the score is rounded to 4 decimals and ties break
+ * on ascending id, so ranking is total and engine-portable.
+ */
+object Search {
+
+  /** Top-k docs by BM25 over `terms`. Output: (idCol, bm25) with
+    * round(score, 4), ordered (bm25 desc, id asc), zero-score docs
+    * excluded (they match no term). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0, "k must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("_toks"),
+      size(toks).cast("long").as("_len"))
+
+    // one corpus-stats pass: N, token total, df per term — all map-side
+    // combinable longs, so the exchange carries one row per partition
+    val statCols = Seq(count(lit(1)).as("_n"), sum(col("_len")).as("_tok")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        count_if(array_contains(col("_toks"), t)).as(s"_df_$i") }
+    val stats = base.agg(statCols.head, statCols.tail: _*).head()
+    val n = stats.getLong(0)
+    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
+    val idf = terms.indices.map { i =>
+      val df = stats.getLong(2 + i).toDouble
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+
+    // scan-stage scoring: tf per term is the codegen'd in-row counter
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = graft.functions.array_count_in(col("_toks"), Seq(t)).cast("double")
+      lit(idf(i)) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len").cast("double") / lit(avgdl)))
+    }.reduce(_ + _)
+
+    val scored = base.select(col(idCol), round(score, 4).as("bm25"))
+      .filter(col("bm25") > 0)
+    // bounded top-k: heap-reduce per partition before the single exchange
+    // (the orderBy+limit form is equivalent here but rankTopK's TopKAgg
+    // pattern keeps the shuffle k-bounded at any corpus size)
+    scored.agg(graft.functions.TopKAgg.topk_agg(
+        col("bm25"), col(idCol).cast("long"), k).as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e.c_id").as(idCol), col("_e.sim").as("bm25"))
+  }
+}

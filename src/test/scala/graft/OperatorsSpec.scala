@@ -292,6 +292,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaSat.toSeq === exact.toSeq)
   }
 
+  test("bm25TopK: tf monotonicity, idf favors rare terms, bounded ordered output") {
+    import graft.operators.Search
+    val corpus = docs(
+      1L -> "spark spark spark filler filler filler filler filler",
+      2L -> "spark filler filler filler filler filler filler filler",
+      3L -> "common filler filler filler filler filler filler filler",
+      4L -> "nothing relevant here at all eight tokens pad")
+    // 'common' appears in doc 3 only; 'filler' in docs 1-3: rare beats
+    // common at equal tf because idf dominates
+    val out = Search.bm25TopK(corpus, "doc_id", "text",
+        terms = Seq("spark", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byId = out.toMap
+    // doc 4 matches nothing -> excluded entirely
+    assert(!byId.contains(4L) && out.length === 3)
+    // same length, higher tf -> strictly higher score
+    assert(byId(1L) > byId(2L), s"tf monotonicity violated: $byId")
+    // output ordering: (score desc, id asc), scores rounded to 4 decimals
+    assert(out.sortBy(p => (-p._2, p._1)).toSeq === out.toSeq)
+    assert(out.forall { case (_, s) => s == math.rint(s * 1e4) / 1e4 })
+    // k truncates to the single best doc; that is doc 3 — its rare term
+    // (idf ln 10/3) beats doc 1's tf=3 of the commoner term (idf ln 2,
+    // tf saturating at k1): BM25's rarity-over-repetition property
+    val top1 = Search.bm25TopK(corpus, "doc_id", "text",
+      terms = Seq("spark", "common"), k = 1).collect()
+    assert(top1.length === 1 && top1.head.getLong(0) === 3L)
+    // idf: a term hitting 1 of 4 docs outscores one hitting 3 of 4 at
+    // equal tf and equal doc length (docs 2 vs 3 swap term rarity)
+    val rare = Search.bm25TopK(corpus, "doc_id", "text",
+        terms = Seq("common", "filler"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rare(3L) > rare(2L), s"idf weighting violated: $rare")
+  }
+
+  test("sampleKPerStratum: exact k per stratum, deterministic, partition-invariant") {
+    import graft.operators.Curate
+    val df = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("source"))
+    val s1 = Curate.sampleKPerStratum(df, "doc_id", "source", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    // exactly k rows per stratum (every stratum has >= k members here)
+    assert(s1.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map("s0" -> 5, "s1" -> 5, "s2" -> 5, "s3" -> 5))
+    // partition-layout invariance: the sample is a pure function of ids
+    val s2 = Curate.sampleKPerStratum(df.repartition(17), "doc_id", "source", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    assert(s1.toSeq === s2.toSeq)
+    // a stratum smaller than k returns all its members, no padding
+    val tiny = spark.range(3).select(col("id").as("doc_id"), lit("only").as("source"))
+    assert(Curate.sampleKPerStratum(tiny, "doc_id", "source", k = 10).count() === 3L)
+  }
+
   test("dupClusters: min-label connected components over planted pairs") {
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 0.9))
       .toDF("doc_a", "doc_b", "jac")

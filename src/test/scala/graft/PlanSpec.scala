@@ -63,6 +63,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n${p.take(2000)}")
     assert(!p.contains("SortMergeJoin"), s"verify join shuffles:\n${p.take(2000)}")
   }
+  test("text_bm25: scan-stage scoring into a bounded heap, no window, no join") {
+    // tf is the in-row array_count_in kernel and ranking is the partial
+    // topk aggregate: a Window or any Join here means scoring fell back
+    // to explode-and-rank
+    val p = plan("text_bm25")
+    assert(!p.contains("Window"), s"bm25 ranks via a window:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"bm25 acquired a join:\n${p.take(2000)}")
+    assert(p.contains("partial_topk_agg"), s"no bounded-heap partial:\n${p.take(2000)}")
+    assert(p.contains("array_count_in"), s"tf kernel missing:\n${p.take(2000)}")
+  }
+  test("corpus_sample_k: bounded-heap sample, no window over the corpus") {
+    // row_number-per-stratum would funnel the whole corpus into #sources
+    // tasks; the heap form must show a map-side partial before the exchange
+    val p = plan("corpus_sample_k")
+    assert(!p.contains("Window"), s"sample ranks via a window:\n${p.take(2000)}")
+    assert(p.contains("partial_topk_agg"), s"no bounded-heap partial:\n${p.take(2000)}")
+  }
   test("corpus_split is scan-stage only: no exchange") {
     // split + mix assignment are md5-bucket scan predicates; any Exchange
     // here means someone turned them into a join or sample
