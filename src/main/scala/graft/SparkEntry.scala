@@ -954,6 +954,15 @@ object SparkEntry {
         chunkTokens = 32, strideTokens = 24)
     }),
 
+    // Code-point Shannon entropy (compressibility proxy): scan-stage
+    // codegen'd kernel, zero shuffle — the gibberish/boilerplate signal
+    // of a quality-filter stack
+    "text_entropy" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"),
+        round(graft.functions.char_entropy(col("text")), 4).as("entropy_bits"))
+    }),
+
     // Deterministic k-per-stratum sample: md5-priority bounded heap per
     // source — the window form would shuffle the whole corpus into
     // #sources partitions; this shuffles <= k rows per partition-stratum
@@ -1807,6 +1816,21 @@ object SparkEntry {
         |       array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
         |       CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens
         |FROM x""".stripMargin,
+
+    // per-char frequency reconstruction; both engines round to 4
+    // decimals (summation order differs only at ~1e-15)
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), f AS (
+        |  SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY doc_id, ch
+        |), n AS (
+        |  SELECT doc_id, sum(cnt) AS tot FROM f GROUP BY doc_id
+        |)
+        |SELECT f.doc_id,
+        |       round(-sum((CAST(cnt AS DOUBLE) / tot) * log2(CAST(cnt AS DOUBLE) / tot)), 4)
+        |         AS entropy_bits
+        |FROM f JOIN n USING (doc_id) GROUP BY f.doc_id""".stripMargin,
 
     // the window form IS the oracle: proves the bounded-heap sample
     // equals "rank by hash priority, keep k" exactly

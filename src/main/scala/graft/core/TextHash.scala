@@ -387,6 +387,59 @@ object TextHash {
     UTF8String.fromBytes(out)
   }
 
+  /**
+   * Shannon entropy of the CODE POINT distribution, in bits — the
+   * compressibility proxy of quality filtering (gibberish and
+   * binary-ish text read high, repeated boilerplate reads low).
+   * One O(len) byte pass; counts key on the code point's leading
+   * byte offset width + value via a small open hash map. Defined as
+   * -sum p_i * log2 p_i over code-point frequencies; empty -> 0.0.
+   * Summation runs over ascending code points so the float result is
+   * a pure function of the text, independent of any engine ordering.
+   */
+  def charEntropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0.0
+    // code point -> count, via a sorted array of (cp, count) built from
+    // a HashMap (doc alphabets are small; clarity over micro-tuning)
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var off = 0
+    var total = 0
+    while (off < n) {
+      val w = UTF8String.numBytesForFirstByte(bytes(off))
+      // decode the code point (UTF-8, matching String semantics)
+      var cp = 0
+      if (w == 1) cp = bytes(off) & 0x7f
+      else {
+        cp = bytes(off) & (0x7f >> w)
+        var j = 1
+        while (j < w && off + j < n) {
+          cp = (cp << 6) | (bytes(off + j) & 0x3f)
+          j += 1
+        }
+      }
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1 else prev + 1)
+      total += 1
+      off += w
+    }
+    val cps = new Array[Int](counts.size())
+    val it = counts.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { cps(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(cps)
+    var h = 0.0
+    val ln2 = math.log(2.0)
+    i = 0
+    while (i < cps.length) {
+      val p = counts.get(cps(i)).toDouble / total
+      h -= p * (math.log(p) / ln2)
+      i += 1
+    }
+    h
+  }
+
   /** k-min signature over 32-bit hashes with the permutation constants. */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
     val as = MinhashA

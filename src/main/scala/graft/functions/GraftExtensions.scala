@@ -60,6 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e, n) => WordGramsExpr(e, foldToInt(n, "word_grams(expr, n)")) })
     register(ext, "dedup_lines", "first-occurrence line dedup, order-preserving",
       { case Seq(e) => DedupLinesExpr(e) })
+    register(ext, "char_entropy", "Shannon entropy (bits) of a string's code points",
+      { case Seq(e) => CharEntropyExpr(e) })
     register(ext, "bloom_agg", "mergeable fixed-size Bloom filter over strings",
       { case Seq(e, bits, k) => BloomAggExpr(e,
         foldToInt(bits, "bloom_agg(expr, numBits, numHashes)"),

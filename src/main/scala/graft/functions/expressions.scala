@@ -636,3 +636,28 @@ case class BloomAnyExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Shannon entropy (bits) of a string's code-point distribution — the
+  * compressibility proxy of quality filtering. O(len) byte pass,
+  * codegen'd; summation order is pinned (ascending code point) so the
+  * double is a pure function of the text. */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects string, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.charEntropy(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -79,6 +79,9 @@ package object functions {
   /** First-occurrence line dedup, order-preserving (codegen'd, O(lines)). */
   def dedup_lines(s: Column): Column = col(DedupLinesExpr(expr(s)))
 
+  /** Shannon entropy (bits) of a string's code points (codegen'd). */
+  def char_entropy(s: Column): Column = col(CharEntropyExpr(expr(s)))
+
   /** Bloom-blob membership probe (blob, string) -> boolean (codegen'd). */
   def bloom_contains(blob: Column, item: Column): Column =
     col(BloomContainsExpr(expr(blob), expr(item)))

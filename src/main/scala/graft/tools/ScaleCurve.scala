@@ -157,6 +157,25 @@ object ScaleCurve {
           "vec_id", "embedding", threshold = 0.9,
           nlist = math.max(8, (n / 1000).toInt), maxTrainRows = 20000).count()
       },
+      "decontaminate_bloom" -> { n =>
+        // eval = the first 20 generator docs, so corpus ids 0..19 are
+        // exact copies: ~20 contaminated docs at ANY corpus size (plus
+        // planted near-dup shingle overlap). The bloom prunes the clean
+        // remainder in the scan stage — the exponent shows the clean-
+        // corpus fast path staying linear with a small constant while
+        // the verify join's input stays O(contaminated), not O(n).
+        Curate.decontaminateBloom(docs(spark, n), docs(spark, 20),
+          "doc_id", "text", n = 3, numBits = 1 << 20, numHashes = 5).count()
+      },
+      "bm25" -> { n =>
+        // three vocab terms; cost = one stats pass + one scoring scan +
+        // a k-bounded heap exchange — structurally two linear scans.
+        // count() is safe here (unlike the old heavy_ngrams trap): the
+        // counted rows come from exploding the heap output, so the
+        // aggregate is referenced and cannot be pruned away
+        graft.operators.Search.bm25TopK(docs(spark, n), "doc_id", "text",
+          terms = Seq("w17", "w42", "w7"), k = 20).count()
+      },
       "heavy_ngrams" -> { n =>
         import graft.functions.FreqAgg.topk_freq
         // the sketch capacity stays FIXED while the corpus grows — the

@@ -55,7 +55,8 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         random_token_bucket(cassandra_random_token(cql_serialize(col("k"))), 8).as("rb"),
         dedup_lines(concat_ws("\n", col("k"), col("k"), lit("x"))).as("dl"),
         bloom_contains(lit(fooBloom), col("k")).as("bc"),
-        bloom_any(lit(fooBloom), array(col("k"), lit("zzz"))).as("ba"))
+        bloom_any(lit(fooBloom), array(col("k"), lit("zzz"))).as("ba"),
+        char_entropy(concat(col("k"), lit("ab"))).as("ce"))
     val rows = df.collect()
     assert(rows.length === 3)
     assert(rows(0).getLong(0) === -2129773440516405919L)
@@ -135,5 +136,7 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       bloom_any(f, array('q', 'y')) AS ha
         |FROM b""".stripMargin).head()
     assert(bl.getBoolean(0) && !bl.getBoolean(1) && bl.getBoolean(2))
+    // char_entropy from SQL: "ab" -> 1 bit
+    assert(s.sql("SELECT char_entropy('ab') AS e").head().getDouble(0) === 1.0)
   }
 }

@@ -344,6 +344,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Curate.sampleKPerStratum(tiny, "doc_id", "source", k = 10).count() === 3L)
   }
 
+  test("char_entropy: closed-form values, unicode code points, empty text") {
+    import graft.functions.char_entropy
+    val out = Seq("aaaa", "ab", "aab", "", "éé", "aé")
+      .toDF("t").select(char_entropy(col("t"))).collect().map(_.getDouble(0))
+    assert(out(0) === 0.0)                        // single symbol
+    assert(out(1) === 1.0)                        // two equiprobable
+    assert(math.abs(out(2) - 0.9182958340544896) < 1e-12)
+    assert(out(3) === 0.0)                        // empty
+    assert(out(4) === 0.0)                        // multi-byte code point counts as ONE symbol
+    assert(out(5) === 1.0)                        // ascii + multi-byte, equiprobable
+  }
+
   test("dupClusters: min-label connected components over planted pairs") {
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 0.9))
       .toDF("doc_a", "doc_b", "jac")

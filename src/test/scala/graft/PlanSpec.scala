@@ -73,6 +73,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_agg"), s"no bounded-heap partial:\n${p.take(2000)}")
     assert(p.contains("array_count_in"), s"tf kernel missing:\n${p.take(2000)}")
   }
+  test("text_entropy is scan-stage only: no exchange, codegen'd") {
+    val p = plan("text_entropy")
+    assert(!p.contains("Exchange"), s"entropy shuffles:\n${p.take(2000)}")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
+  }
   test("corpus_sample_k: bounded-heap sample, no window over the corpus") {
     // row_number-per-stratum would funnel the whole corpus into #sources
     // tasks; the heap form must show a map-side partial before the exchange
