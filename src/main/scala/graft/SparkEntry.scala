@@ -971,6 +971,24 @@ object SparkEntry {
       graft.operators.Curate.sampleKPerStratum(d, "doc_id", "source", k = 7)
     }),
 
+    // Efraimidis-Spirakis weighted sampling without replacement, weight =
+    // doc length: same bounded-heap shape as corpus_sample_k (<= k rows
+    // per partition cross the one exchange), priority ln(u)/w with an
+    // exact dyadic u so both engines rank identical keys
+    "corpus_weighted_sample" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.weightedSampleK(d, "doc_id", "n_chars", k = 200)
+    }),
+
+    // Temperature (alpha=0.5) source rebalancing: per-source keep rates
+    // prop. to sqrt(count)/count compiled into a scan predicate — the
+    // corpus is scanned ONCE, the only other job is a per-source count
+    "corpus_temperature_mix" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.temperatureMixKeep(d, "doc_id", "source",
+        targetRows = 200L).select(col("doc_id"), col("source"))
+    }),
+
     // BM25 keyword retrieval: one mergeable corpus-stats pass, then
     // scan-stage scoring (in-row codegen'd tf, idf/avgdl as plan
     // literals) reduced by the bounded top-k heap — ranking a 100 TB
@@ -1845,6 +1863,34 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY prio DESC, doc_id) AS rn
         |  FROM p
         |) WHERE rn <= 7""".stripMargin,
+
+    // the window form IS the oracle for the bounded-heap sample; the key
+    // ln((h+0.5)/2^32)/w feeds ln an exact dyadic double in both engines
+    "corpus_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ln((CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+        |       / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM p
+        |) WHERE rn <= 200""".stripMargin,
+
+    // threshold arithmetic mirrored op-for-op: sqrt/mul/div are IEEE
+    // correctly-rounded, so floor(rate*2^32) lands on the same integer
+    "corpus_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |z AS (SELECT sum(sqrt(CAST(cnt AS DOUBLE))) AS z FROM c),
+        |t AS (
+        |  SELECT source,
+        |         CAST(floor(least(1.0, sqrt(CAST(cnt AS DOUBLE)) / z.z * 200.0 / CAST(cnt AS DOUBLE))
+        |                    * 4294967296.0) AS BIGINT) AS thr
+        |  FROM c, z
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN t ON d.source = t.source
+        |WHERE CAST('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < t.thr""".stripMargin,
 
     // BM25 with the formula association mirrored term-for-term (IEEE
     // double ops are deterministic given identical operand order; ln may

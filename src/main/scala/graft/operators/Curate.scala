@@ -233,6 +233,85 @@ object Curate {
   }
 
   /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis): keep the
+   * k rows with the largest priority `u^(1/w)` where `u` is a
+   * deterministic per-row uniform and `w` the row's weight — the
+   * "sample 10M docs, long/high-quality docs proportionally more often"
+   * step of corpus curation. Comparing `ln(u)/w` is monotone-equivalent
+   * to `u^(1/w)` and avoids cross-engine `pow` drift.
+   *
+   * `u = (h + 0.5) / 2^32` with `h` the first 8 md5 hex digits of
+   * `"wsample:" + id` — an exact dyadic double, so both engines feed
+   * `ln` the IDENTICAL input and the key differs only by the library's
+   * sub-ulp `ln` error (order flips need two keys within ~1e-16 relative;
+   * uniform order-statistic gaps at corpus scale are ~1/n).
+   *
+   * Scale shape: same bounded-heap reduction as [[sampleKPerStratum]] —
+   * each input partition heap-reduces to <= k rows before the single
+   * exchange, so the shuffle carries O(#partitions * k) rows no matter
+   * the corpus size; no global sort, no single-task window.
+   *
+   * Rows with weight <= 0 or null never sample (filtered, matching
+   * `u^(1/w) -> 0`).
+   */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = ((conv(substring(md5(concat(lit("wsample:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0))
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topk_agg(key,
+        col(idCol).cast("long"), k).as("_picks"))
+      .select(explode(col("_picks")).as("_e"))
+      .select(col("_e.c_id").as(idCol))
+  }
+
+  /**
+   * Temperature-scaled source rebalancing (the multilingual "alpha
+   * sampling" of mT5/XLM-R, UniMax-flavored): sources are kept at rates
+   * proportional to `count^alpha / count`, so low-resource sources are
+   * upweighted relative to their natural share. With `alpha = 0.5` the
+   * per-source share of the kept corpus is proportional to sqrt(count).
+   *
+   * Rates are realized as deterministic per-row Bernoulli keeps: row id's
+   * 32-bit md5 value (salt "tmix") is compared against a per-source
+   * threshold `floor(rate * 2^32)` compiled into a plan-time when-chain —
+   * a scan predicate, no join, same shape as [[mixKeep]]. A source whose
+   * target exceeds its size caps at rate 1 (the excess is truncated, not
+   * redistributed — UniMax's epoch cap with cap = 1 epoch).
+   *
+   * Only `alpha = 0.5` is engine-portable bit-for-bit (sqrt is IEEE
+   * correctly-rounded; pow is not) — the oracle contract holds for 0.5,
+   * other alphas are best-effort cross-engine.
+   *
+   * Source counts are one tiny aggregate collected to the driver (one row
+   * per source — the same legitimate driver step as the pack prefix sum);
+   * the corpus itself is scanned once with the compiled predicate.
+   */
+  def temperatureMixKeep(df: DataFrame, idCol: String, sourceCol: String,
+      targetRows: Long, alpha: Double = 0.5): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def powA(c: Long): Double =
+      if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
+    val z = counts.values.map(powA).sum
+    val thresholds: Map[String, Long] = counts.map { case (src, c) =>
+      val rate = math.min(1.0, powA(c) / z * targetRows.toDouble / c.toDouble)
+      src -> math.floor(rate * 4294967296.0).toLong
+    }
+    val h = conv(substring(md5(concat(lit("tmix:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val thr = thresholds.foldLeft(lit(0L)) { case (acc, (src, t)) =>
+      when(col(sourceCol) === src, lit(t)).otherwise(acc)
+    }
+    df.filter(h < thr)
+  }
+
+  /**
    * Bloom-accelerated decontamination: same EXACT output as
    * [[contaminationHits]], different scale shape. The eval shingle set is
    * folded into a fixed `numBits`-bit Bloom filter (one tiny aggregate,

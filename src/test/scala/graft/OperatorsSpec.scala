@@ -344,6 +344,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Curate.sampleKPerStratum(tiny, "doc_id", "source", k = 10).count() === 3L)
   }
 
+  test("weightedSampleK: equals the window form, skips bad weights, partition-invariant") {
+    import graft.operators.Curate
+    val df = spark.range(300).select(col("id").as("doc_id"),
+      (pmod(col("id") * 37, lit(100)) + 1).as("w"))
+    val got = Curate.weightedSampleK(df, "doc_id", "w", k = 25)
+      .collect().map(_.getLong(0)).sorted
+    // oracle: rank by ln(u)/w desc with the same dyadic u
+    val u = (conv(substring(md5(concat(lit("wsample:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val want = df.withColumn("k", log(u) / col("w").cast("double"))
+      .orderBy(col("k").desc, col("doc_id")).limit(25)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    // weight shapes the sample: heavy rows are overrepresented vs uniform
+    val heavy = df.filter(col("w") > 50)
+    val inSample = got.count(id => (id * 37 % 100) + 1 > 50)
+    assert(inSample > 12, s"weighting looks uniform: $inSample/25 heavy")
+    // null/zero weights never sample; layout invariance
+    val bad = spark.range(300).select(col("id").as("doc_id"),
+      when(col("id") < 150, lit(null).cast("long")).otherwise(lit(0L)).as("w"))
+    assert(Curate.weightedSampleK(bad, "doc_id", "w", 10).count() === 0L)
+    val got2 = Curate.weightedSampleK(df.repartition(13), "doc_id", "w", k = 25)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === got2.toSeq)
+  }
+
+  test("temperatureMixKeep: sqrt rebalancing shifts shares, caps at 1, deterministic") {
+    import graft.operators.Curate
+    // skewed corpus: s0 has 900 rows, s1 has 90, s2 has 10
+    val df = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") < 900, "s0").when(col("id") < 990, "s1")
+        .otherwise("s2").as("source"))
+    val kept = Curate.temperatureMixKeep(df, "doc_id", "source", targetRows = 300L)
+      .groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // alpha=0.5 target shares prop. to sqrt(n): 30/9.49/3.16 -> keep
+    // rates ~0.078/0.25/0.74 -> expected kept ~70/22/7; Bernoulli noise
+    // is a few rows — the ordering and rough magnitudes are the contract
+    assert(kept("s0") > kept("s1") && kept("s1") > kept("s2"))
+    // natural share of s0 is 90%; rebalanced share must drop well below
+    val total = kept.values.sum.toDouble
+    assert(kept("s0") / total < 0.8, s"no rebalancing: $kept")
+    assert(kept("s2") >= 3, s"low-resource source starved: $kept")
+    // huge target -> every rate caps at 1 -> identity
+    assert(Curate.temperatureMixKeep(df, "doc_id", "source", 1000000L)
+      .count() === 1000L)
+    // deterministic under repartition
+    val k2 = Curate.temperatureMixKeep(df.repartition(7), "doc_id", "source", 300L)
+      .count()
+    assert(k2 === kept.values.sum)
+  }
+
   test("char_entropy: closed-form values, unicode code points, empty text") {
     import graft.functions.char_entropy
     val out = Seq("aaaa", "ab", "aab", "", "éé", "aé")

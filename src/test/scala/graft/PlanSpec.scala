@@ -73,6 +73,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_agg"), s"no bounded-heap partial:\n${p.take(2000)}")
     assert(p.contains("array_count_in"), s"tf kernel missing:\n${p.take(2000)}")
   }
+  test("corpus_weighted_sample: bounded-heap, no global sort or window") {
+    // rank-by-key would TopK-sort the whole corpus through one task; the
+    // heap form must show a map-side partial before the single exchange
+    val p = plan("corpus_weighted_sample")
+    assert(!p.contains("Window") && !p.contains("TakeOrderedAndProject"),
+      s"weighted sample ranks globally:\n${p.take(2000)}")
+    assert(p.contains("partial_topk_agg"), s"no map-side heap:\n${p.take(2000)}")
+  }
+  test("corpus_temperature_mix: compiled scan predicate, no join, no shuffle") {
+    // the rates table is a plan-time when-chain; a SortMergeJoin or any
+    // Exchange here means the rebalance stopped being a scan predicate
+    val p = plan("corpus_temperature_mix")
+    assert(!p.contains("Join"), s"rates joined, not compiled:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"rebalance shuffles:\n${p.take(2000)}")
+  }
   test("text_entropy is scan-stage only: no exchange, codegen'd") {
     val p = plan("text_entropy")
     assert(!p.contains("Exchange"), s"entropy shuffles:\n${p.take(2000)}")
