@@ -954,6 +954,15 @@ object SparkEntry {
         chunkTokens = 32, strideTokens = 24)
     }),
 
+    // Exact segment dedup with document rewriting (Lee et al. 2022,
+    // fixed 8-token windows): later copies of any segment are erased
+    // corpus-wide, survivors stitched back per doc — two content-sized
+    // exchanges, exact-string decisions, no floats
+    "corpus_segment_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Dedup.segmentDedup(d, "doc_id", "text", segTokens = 8)
+    }),
+
     // Code-point Shannon entropy (compressibility proxy): scan-stage
     // codegen'd kernel, zero shuffle — the gibberish/boilerplate signal
     // of a quality-filter stack
@@ -1863,6 +1872,28 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY prio DESC, doc_id) AS rn
         |  FROM p
         |) WHERE rn <= 7""".stripMargin,
+
+    // chunk-count formula and list slicing mirrored from text_chunks;
+    // first-occurrence = row_number over exact segment text
+    "corpus_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, toks, 1 + (greatest(len(toks) - 8, 0) + 7) // 8 AS n_segs FROM t
+        |), x AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_segs)) AS i FROM w
+        |), s AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+        |         array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+        |  FROM x
+        |), k AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+        |       count(*) AS n_kept
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     // the window form IS the oracle for the bounded-heap sample; the key
     // ln((h+0.5)/2^32)/w feeds ln an exact dyadic double in both engines

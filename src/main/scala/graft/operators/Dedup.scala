@@ -66,6 +66,52 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
   /**
+   * Exact segment-level dedup with document rewriting (the fixed-window
+   * form of Lee et al. 2022's exact substring deduplication): documents
+   * are cut into consecutive `segTokens`-token segments, every segment
+   * whose exact text already occurred at a lexicographically smaller
+   * (id, position) — in ANY document — is removed, and surviving
+   * segments are stitched back into the document. Duplicated boilerplate
+   * is erased corpus-wide while its first occurrence survives; a fully
+   * duplicated document keeps nothing and disappears from the output.
+   *
+   * Tokenization is whitespace-exact (`\s+` on trimmed text) and all
+   * comparisons are exact strings — no floats, no hashing in the
+   * dedup decision, engine-portable bit-for-bit.
+   *
+   * Scale shape: two content-sized exchanges — segments shuffle once by
+   * segment text (the first-occurrence window) and once by document id
+   * (reassembly). A rewriting dedup cannot shuffle less than its output;
+   * the decision itself adds no joins and no driver state. Window skew is
+   * bounded by the most-duplicated segment's copy count (boilerplate —
+   * exactly what the operator deletes).
+   */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 50): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // ceil(n/seg) with a floor of 1: same chunk-count formula (stride ==
+    // chunk) as TextAnalysis.chunkPassages, mirrored in the oracle
+    val nSegs = (lit(1) + floor((greatest(n - segTokens, lit(0))
+      + lit(segTokens - 1)).cast(LongType) / segTokens).cast(IntegerType))
+    val segs = df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))))
+      .toDF(idCol, "seg_idx", "seg")
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col(idCol), col("seg_idx"))
+    segs.withColumn("_rn", row_number().over(firstOcc))
+      .filter(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg")), " ").as(textCol),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /**
    * LSH candidate pairs + exact-Jaccard verification in one dataflow:
    *   docs -> (shingles, signature) -> explode bands -> self-join on
    *   (band_id, band_signature) -> distinct pairs -> verify jaccard.

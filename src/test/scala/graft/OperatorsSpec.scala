@@ -344,6 +344,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Curate.sampleKPerStratum(tiny, "doc_id", "source", k = 10).count() === 3L)
   }
 
+  test("segmentDedup: first occurrence survives, docs rewritten, full dup vanishes") {
+    import graft.operators.Dedup
+    // seg size 2: doc 1 = [a b][c d], doc 2 = [c d][e f] (loses "c d"),
+    // doc 3 = [a b][c d] (loses everything), doc 4 repeats its own
+    // segment ([g h][g h] -> keeps only the first)
+    val df = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b c d"), (4L, "g h g h"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "a b c d", 2L), (2L, "e f", 1L), (4L, "g h", 1L)))
+    // partition-layout invariance
+    val out2 = Dedup.segmentDedup(df.repartition(5), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === out2.toSeq)
+    // trailing short segment participates: "a b c" = [a b][c]; doc 6's
+    // lone "c" duplicates doc 5's tail and is erased
+    val tail = Seq((5L, "a b c"), (6L, "x y c")).toDF("doc_id", "text")
+    val t2 = Dedup.segmentDedup(tail, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(t2.toSeq === Seq((5L, "a b c"), (6L, "x y")))
+  }
+
   test("weightedSampleK: equals the window form, skips bad weights, partition-invariant") {
     import graft.operators.Curate
     val df = spark.range(300).select(col("id").as("doc_id"),
