@@ -954,6 +954,22 @@ object SparkEntry {
         chunkTokens = 32, strideTokens = 24)
     }),
 
+    // PageRank (5 iterations, d = 0.85) over the symmetrized
+    // customer-supplier interaction graph: edges+outdeg checkpointed
+    // once, 2 O(edges) exchanges per iteration, rank mass conserved
+    "graph_pagerank" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.Graph.pageRank(e, "src", "dst",
+          iterations = 5, damping = 0.85, symmetrize = true)
+        .select(col("node"), round(col("r"), 6).as("rank"))
+    }),
+
     // Exact segment dedup with document rewriting (Lee et al. 2022,
     // fixed 8-token windows): later copies of any segment are erased
     // corpus-wide, survivors stitched back per doc — two content-sized
@@ -1872,6 +1888,36 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY prio DESC, doc_id) AS rn
         |  FROM p
         |) WHERE rn <= 7""".stripMargin,
+
+    // 5 unrolled iterations (no recursive aggregate needed); constants
+    // computed as (1.0 - 0.85) in doubles on BOTH sides so the literal
+    // is the identical IEEE value; round 6 hides sum-order ulps
+    "graph_pagerank" -> {
+      val base =
+        """WITH e AS (
+          |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |), ee AS (
+          |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+          |), deg AS (SELECT src, count(*) AS outdeg FROM ee GROUP BY src),
+          |n AS (SELECT DISTINCT src AS node FROM ee),
+          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n)""".stripMargin
+      val steps = (1 to 5).map { i =>
+        s""",
+           |r$i AS (
+           |  SELECT n.node,
+           |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |           + CAST(0.85 AS DOUBLE)
+           |             * coalesce(sum(r.r / CAST(deg.outdeg AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS r
+           |  FROM n LEFT JOIN ee ON ee.dst = n.node
+           |         LEFT JOIN r${i - 1} r ON r.node = ee.src
+           |         LEFT JOIN deg ON deg.src = ee.src
+           |  GROUP BY n.node
+           |)""".stripMargin
+      }.mkString
+      base + steps + "\nSELECT node, round(r, 6) AS rank FROM r5"
+    },
 
     // chunk-count formula and list slicing mirrored from text_chunks;
     // first-occurrence = row_number over exact segment text

@@ -344,6 +344,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Curate.sampleKPerStratum(tiny, "doc_id", "source", k = 10).count() === 3L)
   }
 
+  test("pageRank: regular graphs stay at 1.0, hubs outrank leaves, mass conserved") {
+    import graft.operators.Graph
+    // 2-cycle: every iteration maps 1.0 -> 0.15 + 0.85*1.0 = 1.0 exactly
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val cr = Graph.pageRank(cycle, "s", "d", iterations = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(cr === Map("a" -> 1.0, "b" -> 1.0))
+    // star (symmetrized): hub h linked to 3 leaves — hub must outrank,
+    // and on a symmetric graph total rank is exactly #nodes
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("s", "d")
+    val sr = Graph.pageRank(star, "s", "d", iterations = 5, symmetrize = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(sr("h") > sr("l1") && sr("l1") === sr("l2") && sr("l2") === sr("l3"))
+    assert(math.abs(sr.values.sum - 4.0) < 1e-9, s"mass not conserved: $sr")
+    // symmetrize must not double-count a graph already holding both
+    // directions: same input as `cycle` -> same ranks
+    val both = Graph.pageRank(cycle, "s", "d", iterations = 3, symmetrize = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(both === cr)
+    // dangling destination (no out-edges) floors at 1-d once upstream
+    // rank stops arriving; here after 2 iters sink keeps only 0.15+0.85*c
+    val chain = Seq(("x", "y")).toDF("s", "d")
+    val dr = Graph.pageRank(chain, "s", "d", iterations = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(dr("x") - 0.15) < 1e-12)
+    assert(math.abs(dr("y") - (0.15 + 0.85 * 0.15)) < 1e-12)
+  }
+
   test("segmentDedup: first occurrence survives, docs rewritten, full dup vanishes") {
     import graft.operators.Dedup
     // seg size 2: doc 1 = [a b][c d], doc 2 = [c d][e f] (loses "c d"),
