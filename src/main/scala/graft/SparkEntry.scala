@@ -954,6 +954,14 @@ object SparkEntry {
         chunkTokens = 32, strideTokens = 24)
     }),
 
+    // TF-IDF keyword extraction: top-3 terms per doc on the ROUNDED
+    // score (term-text tie-break) — one (doc,term) exchange, a
+    // vocabulary-sized df broadcast, per-doc windows
+    "text_tfidf_terms" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Search.tfidfTopTerms(d, "doc_id", "text", k = 3)
+    }),
+
     // PageRank (5 iterations, d = 0.85) over the symmetrized
     // customer-supplier interaction graph: edges+outdeg checkpointed
     // once, 2 O(edges) exchanges per iteration, rank mass conserved
@@ -1888,6 +1896,29 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY prio DESC, doc_id) AS rn
         |  FROM p
         |) WHERE rn <= 7""".stripMargin,
+
+    // smoothed-idf formula mirrored op-for-op; ranking on the rounded
+    // score keeps order identical under 1-ulp ln drift
+    "text_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(CAST(tf.tf AS DOUBLE)
+        |               * (ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0), 4) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |)
+        |SELECT doc_id, term, score, rank FROM (
+        |  SELECT doc_id, term, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM s
+        |) WHERE rank <= 3""".stripMargin,
 
     // 5 unrolled iterations (no recursive aggregate needed); constants
     // computed as (1.0 - 0.85) in doubles on BOTH sides so the literal

@@ -71,4 +71,39 @@ object Search {
       .select(explode(col("_top")).as("_e"))
       .select(col("_e.c_id").as(idCol), col("_e.sim").as("bm25"))
   }
+
+  /**
+   * TF-IDF keyword extraction: the top `k` terms of every document by
+   * `tf * (ln((N+1)/(df+1)) + 1)` (smoothed idf, sklearn's form) — the
+   * corpus-feature sibling of [[bm25TopK]]'s query scoring. Ranking uses
+   * the 4-decimal-ROUNDED score (ties broken by term text) so the order
+   * is the same in any engine whose `ln` is within 1 ulp.
+   *
+   * Scale shape: term frequencies are one map-side-combinable
+   * aggregation (the (doc, term) exchange); document frequencies reduce
+   * to a vocabulary-sized table that AQE broadcasts back onto tf; the
+   * per-doc top-k window partitions by document — millions of small
+   * groups, no global sort, skew bounded by the longest document. N is
+   * one count job folded into a plan literal (the bm25 stats-pass
+   * pattern).
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = docs.count().toDouble
+    val tf = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", round(col("tf").cast("double") *
+        (log((lit(n) + lit(1.0)) / (col("df").cast("double") + lit(1.0)))
+          + lit(1.0)), 4))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
 }

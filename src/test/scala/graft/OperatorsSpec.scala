@@ -344,6 +344,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Curate.sampleKPerStratum(tiny, "doc_id", "source", k = 10).count() === 3L)
   }
 
+  test("tfidfTopTerms: rare terms outrank common at equal tf; ties by term text") {
+    import graft.operators.Search
+    // "kiwi" hits 1 of 4 docs, "apple" hits all 4: at equal tf the rare
+    // term must score higher in doc 1
+    val docs = Seq(
+      (1L, "apple kiwi apple kiwi"), (2L, "apple pear"),
+      (3L, "apple pear plum"), (4L, "apple plum plum"))
+      .toDF("doc_id", "text")
+    val out = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(3)), r.getString(1))).toMap
+    assert(out((1L, 1L)) === "kiwi", s"rare term not ranked first: $out")
+    assert(out((1L, 2L)) === "apple")
+    // doc 2: pear (df=2) outranks apple (df=4) at tf=1
+    assert(out((2L, 1L)) === "pear")
+    // doc 4: plum tf=2 beats apple tf=1 despite equal-ish idf
+    assert(out((4L, 1L)) === "plum")
+    // every doc yields at most k rows, ranks dense from 1
+    val ranks = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(ranks.forall(_ <= 2))
+  }
+
   test("pageRank: regular graphs stay at 1.0, hubs outrank leaves, mass conserved") {
     import graft.operators.Graph
     // 2-cycle: every iteration maps 1.0 -> 0.15 + 0.85*1.0 = 1.0 exactly
