@@ -1030,6 +1030,43 @@ object SparkEntry {
       val d = s.read.parquet(t(dir, "documents"))
       graft.operators.Search.bm25TopK(d, "doc_id", "text",
         terms = Seq("spark", "vector", "customer"), k = 20)
+    }),
+
+    // Gopher hard quality gates (arXiv:2112.11446 Table A1): integer-count
+    // ratios + rule conjunction, one scan, zero shuffle. minStopHits=1
+    // because this synthetic corpus tops out at one stopword per doc —
+    // the paper's 2 would reject everything (real deployments keep 2)
+    "text_gopher_rules" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.TextAnalysis.gopherRules(d, "doc_id", "text",
+        minWords = 50, maxWords = 100000, minStopHits = 1)
+    }),
+
+    // CCNet-style LM quality: add-alpha bigram model trained on the src0
+    // slice, every document scored by per-bigram negative log-likelihood
+    "text_perplexity" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.LangModel.bigramScore(d,
+        d.filter(col("source") === "src0"), "doc_id", "text", alpha = 0.1)
+    }),
+
+    // Hybrid retrieval: BM25 candidate pool fused with a dense cosine
+    // pool by reciprocal-rank fusion — both pools are bounded (<= poolK
+    // rows), so fusion cost is constant at any corpus size
+    "text_hybrid_rrf" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val e = s.read.parquet(t(dir, "embeddings"))
+      graft.operators.Search.hybridRrf(d, e, "doc_id", "text",
+        "vec_id", "embedding", terms = Seq("spark", "vector", "customer"),
+        queryVecId = 7L, k = 20, poolK = 50)
+    }),
+
+    // Per-label embedding centroids via the bounded-state vector-sum
+    // aggregate: the exchange carries one dim-double sum per (partition,
+    // label), not dim× the corpus rows like posexplode+groupBy would
+    "embed_centroids" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      graft.operators.Similarity.labelCentroids(e, "label", "embedding")
     })
   )
 
@@ -2030,6 +2067,135 @@ object SparkEntry {
         |)
         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // every ratio is one IEEE division of exact integer counts, so the
+    // unrounded gate comparisons are bit-identical across engines; the
+    // rounded columns are display-only
+    "text_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w,
+        |    len(regexp_replace(text, '\s', '', 'g')) AS nc,
+        |    len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.|…')) AS nsym,
+        |    len([x for x in string_split_regex(trim(text), '\s+')
+        |         if regexp_matches(x, '[A-Za-z]')]) AS nalpha,
+        |    len([s for s in ['the','be','to','of','and','that','have','with']
+        |         if list_contains(string_split_regex(trim(text), '\s+'), s)]) AS nstops
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round(nc / greatest(len(w), 1), 4) AS mean_word_len,
+        |  round(nsym / greatest(len(w), 1), 4) AS symbol_ratio,
+        |  round(nalpha / greatest(len(w), 1), 4) AS alpha_word_ratio,
+        |  CAST(nstops AS BIGINT) AS n_stop_hits,
+        |  (len(w) BETWEEN 50 AND 100000
+        |    AND nc / greatest(len(w), 1) BETWEEN 3.0 AND 10.0
+        |    AND nsym / greatest(len(w), 1) <= 0.1
+        |    AND nalpha / greatest(len(w), 1) >= 0.8
+        |    AND nstops >= 1) AS keep
+        |FROM f""".stripMargin,
+
+    // add-alpha bigram LM trained on the src0 slice; counts are exact
+    // integers, each ln() agrees within 1 ulp, the per-doc sum's
+    // association error (~1e-12) hides under round 4, and ppl
+    // exponentiates the already-rounded nll
+    "text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |), tr AS (
+        |  SELECT w FROM tok WHERE source = 'src0'
+        |), uni AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS w1 FROM tr) GROUP BY w1
+        |), v AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+        |), big AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM (
+        |    SELECT p[1] AS w1, p[2] AS w2
+        |    FROM (SELECT unnest(list_zip(w, w[2:])) AS p FROM tr)
+        |    WHERE p[2] IS NOT NULL) GROUP BY w1, w2
+        |), db AS (
+        |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(w, w[2:])) AS p
+        |        FROM tok WHERE len(w) >= 2)
+        |  WHERE p[2] IS NOT NULL
+        |), sc AS (
+        |  SELECT doc_id,
+        |         ln((coalesce(c2, 0) + 0.1) / (coalesce(c1, 0) + 0.1 * v)) AS lp
+        |  FROM db LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+        |       CROSS JOIN v
+        |), ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         round(-sum(lp) / count(*), 4) AS nll
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM ag""".stripMargin,
+
+    // rank lists are integer-total-ordered (round-4 score desc, id asc);
+    // each RRF term is one IEEE division, summed in fixed order
+    "text_hybrid_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), s AS (
+        |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl,
+        |         count(*) FILTER (list_contains(w, 'spark')) AS df0,
+        |         count(*) FILTER (list_contains(w, 'vector')) AS df1,
+        |         count(*) FILTER (list_contains(w, 'customer')) AS df2
+        |  FROM t
+        |), sc AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |        * (len([x for x in w if x = 'spark']) * (1.2 + 1.0))
+        |        / (len([x for x in w if x = 'spark'])
+        |           + 1.2 * ((1.0 - 0.75) + 0.75 * len(w) / avgdl))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |        * (len([x for x in w if x = 'vector']) * (1.2 + 1.0))
+        |        / (len([x for x in w if x = 'vector'])
+        |           + 1.2 * ((1.0 - 0.75) + 0.75 * len(w) / avgdl))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |        * (len([x for x in w if x = 'customer']) * (1.2 + 1.0))
+        |        / (len([x for x in w if x = 'customer'])
+        |           + 1.2 * ((1.0 - 0.75) + 0.75 * len(w) / avgdl)), 4) AS bm25
+        |  FROM t, s
+        |), sp AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        |           AS r_bm25
+        |  FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |        ORDER BY bm25 DESC, doc_id LIMIT 50)
+        |), dn AS (
+        |  SELECT c_id AS doc_id, CAST(rnk AS BIGINT) AS r_dense FROM (
+        |    SELECT c_id, row_number() OVER (ORDER BY sim DESC, c_id) AS rnk
+        |    FROM (
+        |      SELECT b.vec_id AS c_id,
+        |             round(list_dot_product(a.embedding, b.embedding) /
+        |                   (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |                    sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+        |               AS sim
+        |      FROM embeddings a, embeddings b
+        |      WHERE a.vec_id = 7 AND b.vec_id <> 7))
+        |  WHERE rnk <= 50
+        |)
+        |SELECT doc_id,
+        |       round(coalesce(1.0 / (60 + r_bm25), 0)
+        |             + coalesce(1.0 / (60 + r_dense), 0), 6) AS rrf,
+        |       r_bm25, r_dense
+        |FROM sp FULL OUTER JOIN dn USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // sum-then-divide mirrors the Spark side (one division after the
+    // double sum); summation order differs between engines but the
+    // association error hides under round 4
+    "embed_centroids" ->
+      """SELECT label, pos, round(s / n, 4) AS centroid, n FROM (
+        |  SELECT label, CAST(pos AS BIGINT) AS pos,
+        |         sum(CAST(x AS DOUBLE)) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |               unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY label, pos)""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

@@ -106,4 +106,53 @@ object Search {
       .select(col(idCol), col("term"), col("score"),
         col("rank").cast("long").as("rank"))
   }
+
+  /**
+   * Hybrid retrieval by reciprocal-rank fusion (Cormack et al., SIGIR
+   * 2009): fuse a sparse BM25 ranking with a dense embedding ranking —
+   * the standard RAG retrieval stack, where lexical and semantic signals
+   * cover each other's blind spots.
+   *
+   *   rrf(d) = sum over lists containing d of 1 / (kRrf + rank_list(d))
+   *
+   * Each branch is independently scale-bounded ([[bm25TopK]]'s two scans
+   * + k-bounded heap; [[Similarity.bruteForceTopK]]'s broadcast probe —
+   * swap in ivfTopK for web-scale corpora, the fusion is rank-only and
+   * does not care which retriever produced the list). The fusion itself
+   * touches only the two <= poolK-row candidate lists: the rank windows
+   * and the full-outer join run on constant-size inputs no matter how
+   * large the corpus is.
+   *
+   * Determinism: ranks are integers with total order (bm25 round-4 score
+   * desc then id; cosine round-4 desc then id), each RRF term is one IEEE
+   * division of exact integers, and the two-term sum is fixed-order —
+   * bit-identical on any engine, rounded to 6 for the contract.
+   *
+   * Output: (doc_id, rrf, r_bm25, r_dense) — top `k` by (rrf desc,
+   * doc_id), ranks null for docs absent from that branch's pool.
+   */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, idCol: String,
+      textCol: String, vecIdCol: String, vecCol: String, terms: Seq[String],
+      queryVecId: Long, k: Int, poolK: Int = 50, kRrf: Int = 60): DataFrame = {
+    require(k > 0 && poolK >= k, "need poolK >= k > 0")
+    // single-partition window is safe: bm25TopK's output is <= poolK rows
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col(idCol))
+    val sparse = bm25TopK(docs, idCol, textCol, terms, poolK)
+      .select(col(idCol).cast("long").as("doc_id"),
+        row_number().over(byScore).cast("long").as("r_bm25"))
+    val dense = Similarity.bruteForceTopK(
+        embs.filter(col(vecIdCol) === queryVecId),
+        embs.filter(col(vecIdCol) =!= queryVecId), vecIdCol, vecCol, poolK)
+      .select(col("c_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("r_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_dense")), lit(0.0)), 6).as("rrf"),
+        col("r_bm25"), col("r_dense"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -373,4 +373,28 @@ object Similarity {
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
     rankTopK(scored, k)
   }
+
+  /**
+   * Per-group mean embedding (class centroids / per-source embedding
+   * profiles / drift baselines), long-form output:
+   * (labelCol, pos 1-based, centroid = round(mean, 4), n).
+   *
+   * ONE exchange via the bounded-state [[graft.functions.VecSumAgg]]:
+   * each input partition reduces every group to a single dim-double sum
+   * vector before the shuffle. The textbook posexplode ->
+   * groupBy(label, pos) -> avg form shuffles dim× the corpus row count —
+   * at 100 TB that is the difference between exchanging kilobytes per
+   * partition and exchanging 64× the table. The long (label, pos) output
+   * shape is chosen for the oracle hash; `groupBy(pos)`-free consumers
+   * can collect_list it back into vectors.
+   */
+  def labelCentroids(embs: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    embs.groupBy(col(labelCol))
+      .agg(graft.functions.VecSumAgg.vec_sum_agg(col(vecCol)).as("_vs"))
+      .select(col(labelCol), col("_vs.n").as("n"),
+        posexplode(col("_vs.sums")).as(Seq("_pos", "_sum")))
+      .select(col(labelCol),
+        (col("_pos") + 1).cast(LongType).as("pos"),
+        round(col("_sum") / col("n"), 4).as("centroid"),
+        col("n").as("n"))
 }

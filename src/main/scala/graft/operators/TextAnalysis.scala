@@ -224,6 +224,68 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style hard quality gates (the rule table of Rae et al. 2021,
+   * arXiv:2112.11446, Table A1 — the standard pretraining first-pass
+   * filter), computed entirely in the scan stage: a 100 TB corpus pays
+   * one scan, no shuffle, no UDF.
+   *
+   * Every ratio derives from INTEGER counts and a single IEEE division,
+   * so the unrounded comparison in each gate is bit-identical on any
+   * engine (the rounded columns are for human consumption only):
+   *   - word count in [minWords, maxWords]
+   *   - mean word length in [3, 10] (total non-whitespace chars / words)
+   *   - symbol-to-word ratio ('#' chars + non-overlapping '...'/'…'
+   *     runs, over words) <= 0.1
+   *   - fraction of words containing an alphabetic character >= 0.8
+   *   - at least minStopHits distinct Gopher stopwords present (the
+   *     paper uses 2)
+   *
+   * The alpha-word count runs in-row via the codegen'd match_count
+   * kernel — after a leading space is prepended, the pattern
+   * `\s\S*[A-Za-z]` consumes exactly one match per whitespace-delimited
+   * token containing a letter (greedy \S* runs through the token's last
+   * letter; the token's tail has no letters and the next match needs a
+   * new whitespace anchor). OperatorsSpec pins this count equal to the
+   * naive per-token filter on both testdata and adversarial strings.
+   */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = size(toks)
+    // total non-whitespace chars == sum of token lengths (exact integer)
+    val nChars = length(regexp_replace(text, "\\s", ""))
+    val nSymbols = graft.functions.match_count(text, "#") +
+      graft.functions.match_count(text, "\\.\\.\\.|…")
+    val nAlphaWords =
+      graft.functions.match_count(concat(lit(" "), trim(text)), "\\s\\S*[A-Za-z]")
+    val nStops = GopherStopwords
+      .map(s => when(array_contains(toks, s), 1).otherwise(0))
+      .reduce(_ + _)
+    val meanLen = nChars.cast(DoubleType) / greatest(nWords, lit(1))
+    val symRatio = nSymbols.cast(DoubleType) / greatest(nWords, lit(1))
+    val alphaRatio = nAlphaWords.cast(DoubleType) / greatest(nWords, lit(1))
+    df.select(col(idCol),
+      nWords.cast(LongType).as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_ratio"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      nStops.cast(LongType).as("n_stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        symRatio <= 0.1 &&
+        alphaRatio >= 0.8 &&
+        nStops >= minStopHits).as("keep"))
+  }
+
+  /** Gopher's stopword list (arXiv:2112.11446 Table A1) — distinct from
+    * the langid/quality EnStopwords on purpose: the rule asks for two of
+    * THESE words, the paper's own set. */
+  val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
    * Language ID: CJK character presence, then per-language stopword-hit
    * majority with a fixed precedence (zh > de > fr > es > en). A simple
    * n-gram/stopword heuristic — cheap enough to run on every document of

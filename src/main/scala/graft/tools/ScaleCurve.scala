@@ -157,6 +157,25 @@ object ScaleCurve {
           "vec_id", "embedding", threshold = 0.9,
           nlist = math.max(8, (n / 1000).toInt), maxTrainRows = 20000).count()
       },
+      "segment_dedup" -> { n =>
+        // consume BOTH outputs (rewritten text length + kept counts) so
+        // neither the reassembly string_agg nor the window is pruned;
+        // duplicate density is constant (1 near-dup per 50 docs), so
+        // erased segments grow linearly with the corpus
+        Dedup.segmentDedup(docs(spark, n), "doc_id", "text", segTokens = 8)
+          .agg(sum(length(col("text"))), sum(col("n_kept"))).head().getLong(1)
+      },
+      "pagerank" -> { n =>
+        // constant-degree bipartite graph: n edges, n/50 left nodes,
+        // n/500 right nodes — per-iteration join+agg must scale with
+        // edges. sum(r) consumes the rank column so no iteration prunes
+        val e = spark.range(n).select(
+          concat(lit("c"), pmod(col("id"), lit(math.max(1L, n / 50)))).as("src"),
+          concat(lit("s"), pmod(col("id") * 7 + 3, lit(math.max(1L, n / 500)))).as("dst"))
+        graft.operators.Graph.pageRank(e, "src", "dst",
+          iterations = 5, symmetrize = true)
+          .agg(sum(col("r"))).head().getDouble(0).round
+      },
       "decontaminate_bloom" -> { n =>
         // eval = the first 20 generator docs, so corpus ids 0..19 are
         // exact copies: ~20 contaminated docs at ANY corpus size (plus

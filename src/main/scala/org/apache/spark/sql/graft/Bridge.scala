@@ -42,3 +42,10 @@ trait StringInputTypes extends ImplicitCastInputTypes { self: Expression =>
   override def inputTypes: Seq[AbstractDataType] =
     Seq(org.apache.spark.sql.types.StringType)
 }
+
+/** Single float-array input contract (same namespace reason) — the
+  * embedding-column type every vector kernel shares. */
+trait FloatArrayInputTypes extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+}

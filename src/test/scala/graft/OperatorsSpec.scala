@@ -955,4 +955,105 @@ class OperatorsSpec extends AnyFunSuite {
       binWidth = 60L * 1000000L).count()
     assert(hit === 1)
   }
+
+  test("gopher rules: codegen'd alpha-word count equals the naive per-token filter") {
+    // adversarial shapes: letters mid-token, digit-only tokens, unicode
+    // ellipsis, '#' runs, leading/trailing/multiple whitespace, all-symbol
+    val crafted = docs(
+      1L -> "abc 123 1a2 b3 ## … ... x",
+      2L -> "   leading  spaces 42  z9 ",
+      3L -> "999 --- #tag ...",
+      4L -> base,
+      5L -> "a1b2c3 ... … #### x-y-z 7")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(crafted, real)) {
+      val toks = TextAnalysis.tokens(col("text"))
+      val diff = df.select(
+          graft.functions.match_count(
+            concat(lit(" "), trim(col("text"))), "\\s\\S*[A-Za-z]").as("kernel"),
+          size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("int").as("naive"))
+        .filter(col("kernel") =!= col("naive"))
+      assert(diff.count() === 0, s"alpha-word kernel drifts from naive form")
+    }
+  }
+
+  test("gopher rules: each gate rejects its own violation") {
+    val good = "the quick brown fox jumps over a lazy dog and that dog " +
+      "sat down with care to have a very long rest " + base
+    val df = docs(
+      1L -> good,                        // passes every gate
+      2L -> "the short one",             // < minWords
+      3L -> (good + " ###### ## # # # #"), // symbol spam
+      4L -> base)                        // no Gopher stopwords
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text",
+        minWords = 10, maxWords = 100, minStopHits = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out(1L) === true)
+    assert(out(2L) === false)
+    assert(out(3L) === false)
+    assert(out(4L) === false)
+  }
+
+  test("bigram LM: closed-form NLL on a planted corpus, short docs excluded") {
+    import graft.operators.LangModel
+    val train = docs(100L -> "a b a c")
+    // uni: a=2 b=1 c=1, V=3; bigrams: (a,b)=1 (b,a)=1 (a,c)=1; alpha=0.1
+    val scoreDoc = docs(1L -> "a b a c x", 2L -> "solo")
+    val out = LangModel.bigramScore(scoreDoc, train, "doc_id", "text", alpha = 0.1)
+      .collect()
+    assert(out.length === 1, "single-token doc must be excluded")
+    val r = out.head
+    val lp = math.log(1.1 / 2.3) + math.log(1.1 / 1.3) +
+      math.log(1.1 / 2.3) + math.log(0.1 / 1.3) // (a,b)(b,a)(a,c)(c,x)
+    val nll = BigDecimal(-lp / 4).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_bigrams") === 4L)
+    assert(r.getAs[Double]("nll") === nll)
+    assert(r.getAs[Double]("ppl") ===
+      BigDecimal(math.exp(nll)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("label centroids equal the posexplode reference; mixed dims fail loudly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.labelCentroids(e, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val ref = e.select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy(col("label"), col("p"))
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), (col("p") + 1).cast("long").as("pos"),
+        round(col("s") / col("n"), 4).as("c"), col("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got === ref)
+    val mixed = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(1.0f)))
+      .toDF("label", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.labelCentroids(mixed, "label", "embedding").collect()
+    }
+    assert(SparkSuite.causeMessages(ex).exists(_.contains("mixed vector dimensions")))
+  }
+
+  test("hybrid RRF: fused score is exactly the reciprocal-rank arithmetic") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = graft.operators.Search.hybridRrf(d, e, "doc_id", "text",
+      "vec_id", "embedding", terms = Seq("spark", "vector", "customer"),
+      queryVecId = 7L, k = 20, poolK = 50).collect()
+    assert(rows.length === 20)
+    // rrf column must equal the arithmetic over its own rank columns
+    rows.foreach { r =>
+      val rb = Option(r.getAs[java.lang.Long]("r_bm25")).map(_.toLong)
+      val rd = Option(r.getAs[java.lang.Long]("r_dense")).map(_.toLong)
+      assert(rb.isDefined || rd.isDefined)
+      val expect = BigDecimal(
+        rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") === expect)
+    }
+    // best-first, ties by doc_id
+    val scores = rows.map(r => (r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy(s => (-s._1, s._2))))
+  }
 }

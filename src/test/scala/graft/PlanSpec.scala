@@ -261,4 +261,32 @@ class PlanSpec extends AnyFunSuite {
     } finally old.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
   }
+
+  test("text_gopher_rules is scan-stage only: no exchange, kernel counts in-row") {
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("Exchange"), s"gopher gates shuffle:\n${p.take(2000)}")
+    assert(p.contains("match_count"), s"alpha/symbol kernel missing:\n${p.take(2000)}")
+  }
+
+  test("embed_centroids: ONE exchange of dim-double sums, explode after the agg") {
+    // the posexplode->groupBy(label,pos) form would shuffle dim× the
+    // corpus; the vec_sum_agg form must show a map-side partial before a
+    // single hash exchange (the post-agg posexplode runs on #labels rows)
+    val p = plan("embed_centroids")
+    assert(p.contains("partial_vec_sum_agg"),
+      s"no map-side vector-sum partial:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"centroids should shuffle exactly once:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastExchange"), s"unexpected join:\n${p.take(2000)}")
+  }
+
+  test("text_perplexity: count tables broadcast back onto the bigram stream") {
+    // at oracle scale the two LM count tables are broadcast (AQE picks
+    // shuffle-hash at web scale — the shape to avoid is a sort-merge of
+    // the full bigram stream) and the per-doc NLL aggregates partially
+    val p = plan("text_perplexity")
+    assert(!p.contains("SortMergeJoin"),
+      s"bigram stream sort-merges against tiny count tables:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n${p.take(2000)}")
+  }
 }
