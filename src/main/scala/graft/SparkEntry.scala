@@ -1067,6 +1067,43 @@ object SparkEntry {
     "embed_centroids" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       graft.operators.Similarity.labelCentroids(e, "label", "embedding")
+    }),
+
+    // Outlier screen: cosine to the (un-normalized) own-label sum vector;
+    // threshold 0.0 flags the ~10% of vectors anti-correlated with their
+    // class mean in this corpus
+    "embed_outliers" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      graft.operators.Similarity.centroidOutliers(
+        e, "vec_id", "label", "embedding", simThreshold = 0.0)
+    }),
+
+    // Cross-source contamination matrix: exact pairwise Jaccard of
+    // distinct 3-gram sets, computed via bounded source-set aggregation
+    // (never a shingle self-join)
+    "source_overlap" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.sourceOverlap(d, "source", "text")
+    }),
+
+    // Naive Bayes language routing: closed-form multinomial NB trained
+    // on the 20% doc_id%5==0 slice (lang as label), every doc scored and
+    // argmax'd — the fasttext-style classifier shape with reproducible
+    // training
+    "classify_nb" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Classify.naiveBayes(d,
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text", "lang",
+        alpha = 1.0)
+    }),
+
+    // Centroid drift of the odd-id slice against the full-corpus
+    // baseline — the batch form of the streaming drift monitor
+    "embed_drift" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val base = graft.streaming.DriftMonitor.labelSums(e, "label", "embedding")
+      graft.streaming.DriftMonitor.centroidDrift(
+        e.filter(col("vec_id") % 2 === 1), base, "label", "embedding")
     })
   )
 
@@ -2196,6 +2233,114 @@ object SparkEntry {
         |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
         |               unnest(embedding) AS x FROM embeddings)
         |  GROUP BY label, pos)""".stripMargin,
+
+    // same un-normalized sum-vector arithmetic as the Spark side (cosine
+    // is scale-invariant, so sums ARE centroids); is_outlier compares the
+    // already-rounded cosine so the flag is derived from the hashed value
+    "embed_outliers" ->
+      """WITH ps AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding) AS x FROM embeddings
+        |), sv AS (
+        |  SELECT label, list(s ORDER BY pos) AS csum, CAST(max(n) AS BIGINT) AS n_label
+        |  FROM (SELECT label, pos, sum(CAST(x AS DOUBLE)) AS s, count(*) AS n
+        |        FROM ps GROUP BY label, pos)
+        |  GROUP BY label
+        |)
+        |SELECT vec_id, label, n_label, sim_centroid, sim_centroid < 0.0 AS is_outlier
+        |FROM (
+        |  SELECT e.vec_id, e.label, sv.n_label,
+        |         round(list_dot_product(e.embedding, sv.csum) /
+        |               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+        |                sqrt(list_dot_product(sv.csum, sv.csum))), 4) AS sim_centroid
+        |  FROM embeddings e JOIN sv USING (label))""".stripMargin,
+
+    // the oracle takes the textbook shingle self-join (fine at oracle
+    // scale); counts are exact integers, jaccard one IEEE division
+    "source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 3 THEN
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), sz AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+        |), cm AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.source < b.source GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        |FROM cm
+        |JOIN sz sa ON sa.source = cm.src_a
+        |JOIN sz sb ON sb.source = cm.src_b""".stripMargin,
+
+    // mirrors the operator's log-space decomposition term for term
+    // (prior + per-token floor + seen-word evidence); counts are exact
+    // integers, each ln() within 1 ulp, sum association error under
+    // round 4; ties on the rounded score break by label asc
+    "classify_nb" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents
+        |), tr AS (
+        |  SELECT * FROM tok WHERE doc_id % 5 = 0
+        |), lw AS (
+        |  SELECT lang AS l, w, count(*) AS clw FROM tr GROUP BY 1, 2
+        |), lt AS (
+        |  SELECT l, sum(clw) AS cl FROM lw GROUP BY 1
+        |), v AS (
+        |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM lw
+        |), pri AS (
+        |  SELECT lang AS l, count(*) AS nd
+        |  FROM (SELECT DISTINCT doc_id, lang FROM documents WHERE doc_id % 5 = 0)
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(nd) AS DOUBLE) AS t FROM pri
+        |), ntok AS (
+        |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM tok GROUP BY 1
+        |), ev AS (
+        |  SELECT t.doc_id, lw.l, sum(ln((CAST(clw AS DOUBLE) + 1.0) / 1.0)) AS s
+        |  FROM tok t JOIN lw ON lw.w = t.w GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT n.doc_id, p.l,
+        |         round(ln(CAST(p.nd AS DOUBLE) / tot.t)
+        |               + n.n * (ln(1.0) - ln(CAST(lt.cl AS DOUBLE) + 1.0 * v.v))
+        |               + coalesce(ev.s, 0.0), 4) AS score
+        |  FROM ntok n
+        |  CROSS JOIN pri p CROSS JOIN tot CROSS JOIN v
+        |  JOIN lt ON lt.l = p.l
+        |  LEFT JOIN ev ON ev.doc_id = n.doc_id AND ev.l = p.l
+        |)
+        |SELECT doc_id, l AS pred_label, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, l) AS rn FROM sc)
+        |WHERE rn = 1""".stripMargin,
+
+    // both sides are un-normalized per-label sum vectors (cosine is
+    // scale-invariant); drift = 1 - cos, one subtraction after the
+    // rounded-under-4 division chain
+    "embed_drift" ->
+      """WITH ps AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding) AS x FROM embeddings
+        |), base AS (
+        |  SELECT label, list(s ORDER BY pos) AS bsum FROM
+        |    (SELECT label, pos, sum(CAST(x AS DOUBLE)) AS s
+        |     FROM ps GROUP BY label, pos) GROUP BY label
+        |), slice AS (
+        |  SELECT label, list(s ORDER BY pos) AS ssum, max(n) AS n_batch FROM
+        |    (SELECT label, pos, sum(CAST(x AS DOUBLE)) AS s, count(*) AS n
+        |     FROM ps WHERE vec_id % 2 = 1 GROUP BY label, pos) GROUP BY label
+        |)
+        |SELECT s.label, CAST(s.n_batch AS BIGINT) AS n_batch,
+        |       round(1.0 - list_dot_product(s.ssum, b.bsum) /
+        |             (sqrt(list_dot_product(s.ssum, s.ssum)) *
+        |              sqrt(list_dot_product(b.bsum, b.bsum))), 4) AS drift
+        |FROM slice s JOIN base b USING (label)""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

@@ -202,6 +202,55 @@ object Curate {
   }
 
   /**
+   * Pairwise source-overlap matrix: for every pair of sources, the exact
+   * Jaccard similarity of their distinct word-n-gram sets — the corpus
+   * forensics behind "is src_a scraped from src_b" / "how much will
+   * cross-source dedup remove" decisions.
+   *
+   * Scale shape — critically NOT the textbook self-join of the
+   * (source, shingle) relation on shingle (the oracle's form), which at
+   * 100 TB re-shuffles the full shingle stream into a join whose output
+   * is quadratic in per-shingle source frequency. Instead:
+   *   1. distinct (source, shingle) — ONE shuffle with map-side combine;
+   *   2. groupBy(shingle) -> collect_set(source): aggregation state
+   *      bounded by the SOURCE CARDINALITY (a config-bounded dimension,
+   *      like languages — tens to hundreds, never corpus-scale);
+   *   3. in-row pair expansion of each source set (<= |S| choose 2 per
+   *      shingle) -> count per (src_a, src_b): the exchange carries
+   *      pre-aggregated pair counts, not shingles;
+   *   4. per-source set sizes (a #sources-row table) broadcast back for
+   *      the Jaccard denominator.
+   * Pairs with zero shared shingles are omitted (their Jaccard is 0).
+   *
+   * Jaccard = n_common / (n_a + n_b - n_common): exact integers and one
+   * IEEE division, bit-identical on any engine, rounded to 6.
+   *
+   * Output: (src_a, src_b, n_a, n_b, n_common, jaccard), src_a < src_b.
+   */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(sourceCol).as("_src"),
+        explode(Dedup.shingles(col(textCol), n)).as("_sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val pairs = sh.groupBy(col("_sh"))
+      .agg(sort_array(collect_set(col("_src"))).as("_srcs"))
+      .filter(size(col("_srcs")) >= 2)
+      // in-row ordered-pair expansion: element i with every element > i
+      .select(explode(flatten(transform(col("_srcs"), (x, i) =>
+        transform(slice(col("_srcs"), i + 2, size(col("_srcs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("_p"))
+      .groupBy(col("_p.a").as("src_a"), col("_p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("_src").as("src_a"), col("_n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("_src").as("src_b"), col("_n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
+  /**
    * Deterministic k-per-stratum sample ("give me exactly 10 docs per
    * source"): each row's priority is an md5-derived hash of its id, and
    * the k highest-priority rows per stratum win — a uniform sample that,

@@ -397,4 +397,37 @@ object Similarity {
         (col("_pos") + 1).cast(LongType).as("pos"),
         round(col("_sum") / col("n"), 4).as("centroid"),
         col("n").as("n"))
+
+  /**
+   * Embedding outliers by cosine-to-own-centroid — the standard "does
+   * this vector belong to its labeled cluster" screen (mislabeled or
+   * corrupted embeddings score low against their class mean and get
+   * flagged before training).
+   *
+   * Cosine is scale-invariant, so the UN-normalized [[graft.functions.VecSumAgg]]
+   * sum vector IS the centroid direction — no per-element division, and
+   * the oracle reproduces the exact same arithmetic from its own per-pos
+   * sums. Two stages at any corpus size: one bounded-state aggregation
+   * (dim-double sums per label, merged map-side), then the #labels-row
+   * sum table broadcast back onto the scan — the corpus rows themselves
+   * never shuffle.
+   *
+   * The centroid includes the scored point itself (the usual bulk-screen
+   * form; at corpus scale one vector's contribution to its class mean is
+   * noise). `is_outlier` compares the ROUNDED cosine so the flag is a
+   * pure function of the hash-checked `sim_centroid` value.
+   *
+   * Output: (idCol, labelCol, n_label, sim_centroid, is_outlier).
+   */
+  def centroidOutliers(embs: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, simThreshold: Double): DataFrame = {
+    val sums = embs.groupBy(col(labelCol))
+      .agg(graft.functions.VecSumAgg.vec_sum_agg(col(vecCol)).as("_vs"))
+      .select(col(labelCol), col("_vs.sums").as("_csum"),
+        col("_vs.n").as("n_label"))
+    embs.join(broadcast(sums), labelCol)
+      .select(col(idCol), col(labelCol), col("n_label"),
+        round(cosine(col(vecCol), col("_csum")), 4).as("sim_centroid"))
+      .withColumn("is_outlier", col("sim_centroid") < simThreshold)
+  }
 }

@@ -213,28 +213,52 @@ object ScaleCurve {
           .select(explode(col("top"))).count()
       })
 
-    // warm codegen/broadcast/shuffle machinery off the clock
-    queries.foreach { case (_, run) => run(2000L) }
+    // SPARK_GRAFT_SCALE_ONLY=<csv of names>: re-measure a subset (e.g.
+    // points known to have run under external load) and MERGE into the
+    // existing json — other entries survive verbatim, provided the file
+    // was measured at the same base/factor
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    require(selected.nonEmpty, "SPARK_GRAFT_SCALE_ONLY matched no curve entries")
 
-    val results = queries.map { case (name, run) =>
+    // warm codegen/broadcast/shuffle machinery off the clock
+    selected.foreach { case (_, run) => run(2000L) }
+
+    val results = selected.map { case (name, run) =>
       val (tBase, rowsBase) = time(run(base))
       val (tBig, rowsBig) = time(run(base * factor))
       val exp = math.log(tBig / tBase) / math.log(factor.toDouble)
       System.err.println(f"[scale] $name: $tBase%.1fs @ $base -> $tBig%.1fs " +
         f"@ ${base * factor} (exp $exp%.2f, rows $rowsBase -> $rowsBig)")
-      f""""$name":{"base_sec":$tBase%.2f,"big_sec":$tBig%.2f,""" +
-        f""""exponent":$exp%.2f,"base_rows":$rowsBase,"big_rows":$rowsBig}"""
+      name ->
+        (f""""$name":{"base_sec":$tBase%.2f,"big_sec":$tBig%.2f,""" +
+          f""""exponent":$exp%.2f,"base_rows":$rowsBase,"big_rows":$rowsBig}""")
+    }.toMap
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_curve.json")
+    // prior entries (our own fixed format) parsed by name; kept only when
+    // the scales match, so a partial run can never mix incomparable points
+    val prior: Map[String, String] = {
+      val p = java.nio.file.Paths.get(out)
+      if (only.isDefined && java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sameScale = s.contains(s""""base":$base,"factor":$factor,""")
+        if (!sameScale) Map.empty
+        else """"(\w+)":\{"base_sec[^}]*\}""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.matched).toMap
+      } else Map.empty
     }
+    val merged = queries.map(_._1).flatMap(n => results.get(n).orElse(prior.get(n)))
     // the timestamp keeps a stale committed artifact honest: Bench embeds
     // this JSON verbatim, so a reader can see WHEN the curve was measured
     val json = s"""{"base":$base,"factor":$factor,""" +
       s""""measured_at":"${java.time.Instant.now()}",""" +
-      s""""queries":{${results.mkString(",")}}}"""
+      s""""queries":{${merged.mkString(",")}}}"""
     println(json)
     // persist next to the repo so graft.Bench can fold the latest measured
     // exponents into its per-round JSON (scale regressions then surface in
     // BENCH_r{N}, not only on re-audit)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_curve.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

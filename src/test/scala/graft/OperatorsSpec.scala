@@ -1056,4 +1056,54 @@ class OperatorsSpec extends AnyFunSuite {
     val scores = rows.map(r => (r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
     assert(scores.sameElements(scores.sortBy(s => (-s._1, s._2))))
   }
+
+  test("centroid outliers: planted geometry flags only the anti-correlated vector") {
+    // label 1: sum = (1,0) -> the two +x vectors score 1.0, the -x one -1.0
+    // label 2: sum = (4,6) -> cos((0,3)) = 18/(3*sqrt(52)), cos((4,3)) = 34/(5*sqrt(52))
+    val e = Seq(
+      (1L, 1, Seq(1.0f, 0.0f)), (2L, 1, Seq(1.0f, 0.0f)), (3L, 1, Seq(-1.0f, 0.0f)),
+      (4L, 2, Seq(0.0f, 3.0f)), (5L, 2, Seq(4.0f, 3.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidOutliers(e, "vec_id", "label", "embedding", 0.0)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_label"), r.getAs[Double]("sim_centroid"),
+          r.getAs[Boolean]("is_outlier"))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((3L, 1.0, false)) && got(2L) === ((3L, 1.0, false)))
+    assert(got(3L) === ((3L, -1.0, true)))
+    assert(got(4L) === ((2L, r4(18.0 / (3.0 * math.sqrt(52))), false)))
+    assert(got(5L) === ((2L, r4(34.0 / (5.0 * math.sqrt(52))), false)))
+  }
+
+  test("source overlap: exact planted Jaccard, zero-overlap pairs omitted, 3-way sets expand") {
+    // A/B/C all share "a b c"; D shares nothing -> exactly the 3 A-B-C
+    // pairs, each 1 common over (2+2-1) distinct shingles
+    val df = Seq(
+      ("srcA", "a b c d"), ("srcB", "a b c e"), ("srcC", "a b c q"),
+      ("srcD", "x y z"))
+      .toDF("source", "text")
+    val got = graft.operators.Curate.sourceOverlap(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet === Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    val j = BigDecimal(1.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.values.foreach(v => assert(v === ((2L, 2L, 1L, j))))
+  }
+
+  test("naive Bayes: closed-form scores on a planted corpus, unseen-word tie breaks by label") {
+    // train: A = "x x y" (c_A=3), B = "z z y" (c_B=3), V = {x,y,z} = 3,
+    // priors 1/2 each. score(d,l) = ln(nd_l/N) + n(ln a - ln(c_l+aV)) + S
+    val train = Seq(("A", "x x y"), ("B", "z z y")).toDF("lang", "text")
+    val test = Seq((1L, "x y"), (2L, "q q")).toDF("doc_id", "text")
+    val got = graft.operators.Classify.naiveBayes(
+        test, train, "doc_id", "text", "lang", alpha = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val floor2 = math.log(0.5) - 2 * math.log(6.0) // prior + 2-token floor
+    // "x y" under A sees x (c=2) and y (c=1); under B only y -> A wins
+    assert(got(1L) === (("A", r4(floor2 + math.log(3.0) + math.log(2.0)))))
+    // "q q" matches no training word: identical scores, tie -> min label A
+    assert(got(2L) === (("A", r4(floor2))))
+  }
 }

@@ -280,6 +280,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastExchange"), s"unexpected join:\n${p.take(2000)}")
   }
 
+  test("embed_outliers: corpus rows never shuffle — centroid sums broadcast back") {
+    // the corpus side must reach the scoring projection straight from the
+    // scan; only the #labels-row sum table may move (one hash exchange
+    // inside its aggregation, then a broadcast back onto the scan)
+    val p = plan("embed_outliers")
+    assert(p.contains("partial_vec_sum_agg"),
+      s"no map-side vector-sum partial:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n${p.take(2000)}")
+  }
+
+  test("source_overlap: no shingle self-join — bounded source-set agg + broadcasts") {
+    // the oracle's self-join on shingle is quadratic in per-shingle source
+    // frequency; the operator must show collect_set aggregation plus
+    // broadcast size joins, and no sort-merge/cartesian anywhere
+    val p = plan("source_overlap")
+    assert(p.contains("collect_set"), s"source-set agg missing:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"shingle stream re-joined:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"size join not broadcast:\n${p.take(2000)}")
+  }
+
+  test("embed_drift: two bounded sum aggregations, baseline broadcast back") {
+    val p = plan("embed_drift")
+    assert(p.contains("partial_vec_sum_agg"),
+      s"no map-side vector-sum partial:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"baseline join not broadcast:\n${p.take(2000)}")
+  }
+
+  test("classify_nb: aggregate argmax (no corpus window), no cartesian blowup") {
+    // the argmax must be the min-struct aggregate (map-side partial),
+    // never a row_number window over doc × label scores; the only
+    // intended fan-out is the broadcast #labels frame
+    val p = plan("classify_nb")
+    assert(!p.contains("Window"), s"argmax via window shuffle:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n${p.take(2000)}")
+    assert(p.contains("partial_min"), s"no map-side argmax partial:\n${p.take(2000)}")
+  }
+
   test("text_perplexity: count tables broadcast back onto the bigram stream") {
     // at oracle scale the two LM count tables are broadcast (AQE picks
     // shuffle-hash at web scale — the shape to avoid is a sort-merge of

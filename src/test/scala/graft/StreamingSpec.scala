@@ -277,4 +277,54 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally cluster.stop()
   }
+
+  test("streaming centroid drift equals the batch form; planted geometry reads exactly") {
+    import graft.streaming.DriftMonitor
+    // baseline: label A along +x, label B along +y
+    val baseline = Seq(
+      (1L, "A", Seq(1.0f, 0.0f)), (2L, "A", Seq(1.0f, 0.0f)),
+      (3L, "B", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val baseSums = DriftMonitor.labelSums(baseline, "label", "embedding").cache()
+    // file 1: A still +x (drift 0); file 2: A rotated to +y (drift 1),
+    // B anti-parallel (drift 2), label C has no baseline -> omitted
+    val b1 = Seq((10L, "A", Seq(2.0f, 0.0f)))
+    val b2 = Seq((11L, "A", Seq(0.0f, 3.0f)), (12L, "B", Seq(0.0f, -1.0f)),
+      (13L, "C", Seq(1.0f, 1.0f)))
+    val inDir = Files.createTempDirectory("graft-drift-in").toString
+    b1.toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    b2.toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("vec_id LONG, label STRING, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    // one result SET per micro-batch, keyed by batch id
+    val got = scala.collection.mutable.Map.empty[Long, Set[(String, Long, Double)]]
+    val q = DriftMonitor.centroidDriftWriter(stream, baseSums, "label", "embedding",
+      sink = (df, id) => got.synchronized {
+        got(id) = df.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        ()
+      }).start()
+    q.awaitTermination(60000)
+    assert(got.size === 2, s"expected two micro-batches, got ${got.keySet}")
+
+    // stream == batch on each micro-batch's input (file order = id order)
+    val perBatch = Seq(b1, b2).map(rows =>
+      DriftMonitor.centroidDrift(rows.toDF("vec_id", "label", "embedding"),
+          baseSums, "label", "embedding")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet)
+    // (file→batch order is mod-time-based, so match sets, not indices)
+    assert(got.values.toSet === perBatch.toSet,
+      s"stream drift diverged from batch: $got vs $perBatch")
+    // planted geometry: exact drift values, no-baseline label omitted
+    assert(perBatch.toSet === Set(
+      Set(("A", 1L, 0.0)),
+      Set(("A", 1L, 1.0), ("B", 1L, 2.0))))
+    baseSums.unpersist()
+    ()
+  }
 }
