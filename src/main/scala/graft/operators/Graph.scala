@@ -46,10 +46,19 @@ object Graph {
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     else e0
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, "src").localCheckpoint(eager = false)
+    // hash-partition the edge table by the iteration join key BEFORE
+    // checkpointing: localCheckpoint preserves outputPartitioning, so
+    // every iteration's join re-shuffles only the #nodes-row ranks side —
+    // the O(edges) side (the whole cost at link-graph scale) stays put
+    val withDeg = e.join(deg, "src")
+      .repartition(col("src")).localCheckpoint(eager = false)
+    // same partition-reuse trick for the rank-update join: nodes sit
+    // hash-partitioned on the join key, and contribs arrives already
+    // hash-partitioned on dst from its aggregation exchange, so the
+    // left join adds NO exchange on either side
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = false)
+      .repartition(col("node")).localCheckpoint(eager = false)
     var ranks = nodes.withColumn("r", lit(1.0))
     for (_ <- 1 to iterations) {
       val contribs = withDeg

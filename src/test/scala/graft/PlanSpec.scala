@@ -302,6 +302,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"size join not broadcast:\n${p.take(2000)}")
   }
 
+  test("pageRank iteration: edge side never re-shuffles (one exchange per iteration)") {
+    import spark.implicits._
+    // both checkpointed inputs are pre-partitioned on their join keys and
+    // localCheckpoint preserves outputPartitioning, so the last
+    // iteration's plan (lineage cut at the prior checkpoint) may contain
+    // ONLY the contribution aggregation's exchange: ranks joins edges
+    // co-partitioned (src vs node hash), and the rank-update join reads
+    // contribs straight out of that agg's partitioning (node vs dst)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("src", "dst")
+    val p = graft.operators.Graph.pageRank(e, "src", "dst", iterations = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"iteration re-shuffles a checkpointed side:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("embed_drift: two bounded sum aggregations, baseline broadcast back") {
     val p = plan("embed_drift")
     assert(p.contains("partial_vec_sum_agg"),
