@@ -210,16 +210,20 @@ object Curate {
    * Scale shape — critically NOT the textbook self-join of the
    * (source, shingle) relation on shingle (the oracle's form), which at
    * 100 TB re-shuffles the full shingle stream into a join whose output
-   * is quadratic in per-shingle source frequency. Instead:
-   *   1. distinct (source, shingle) — ONE shuffle with map-side combine;
-   *   2. groupBy(shingle) -> collect_set(source): aggregation state
-   *      bounded by the SOURCE CARDINALITY (a config-bounded dimension,
-   *      like languages — tens to hundreds, never corpus-scale);
-   *   3. in-row pair expansion of each source set (<= |S| choose 2 per
-   *      shingle) -> count per (src_a, src_b): the exchange carries
-   *      pre-aggregated pair counts, not shingles;
-   *   4. per-source set sizes (a #sources-row table) broadcast back for
-   *      the Jaccard denominator.
+   * is quadratic in per-shingle source frequency. The corpus is scanned
+   * and the shingle stream exchanged exactly ONCE:
+   *   1. explode shingles -> groupBy(shingle) -> collect_set(source):
+   *      one shuffle with map-side combine; aggregation state bounded by
+   *      the SOURCE CARDINALITY (a config-bounded dimension, like
+   *      languages — tens to hundreds, never corpus-scale). The result
+   *      is lazily localCheckpoint'ed because BOTH derivations below
+   *      read it (without it Catalyst would re-run the scan+exchange per
+   *      consumer — the 3-scan shape this operator had at first cut);
+   *   2. per-source sizes = explode the source sets and count — a
+   *      #sources-row table, broadcast back for the Jaccard denominator;
+   *   3. in-row pair expansion of each multi-source set (<= |S| choose 2
+   *      per shingle) -> count per (src_a, src_b): the exchange carries
+   *      pre-aggregated pair counts, not shingles.
    * Pairs with zero shared shingles are omitted (their Jaccard is 0).
    *
    * Jaccard = n_common / (n_a + n_b - n_common): exact integers and one
@@ -229,12 +233,16 @@ object Curate {
    */
   def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = df.select(col(sourceCol).as("_src"),
+    // collect_set absorbs duplicate (source, shingle) pairs, so no
+    // separate distinct pass is needed before the aggregation
+    val bySrc = df.select(col(sourceCol).as("_src"),
         explode(Dedup.shingles(col(textCol), n)).as("_sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
-    val pairs = sh.groupBy(col("_sh"))
+      .groupBy(col("_sh"))
       .agg(sort_array(collect_set(col("_src"))).as("_srcs"))
+      .localCheckpoint(eager = false)
+    val sizes = bySrc.select(explode(col("_srcs")).as("_src"))
+      .groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val pairs = bySrc
       .filter(size(col("_srcs")) >= 2)
       // in-row ordered-pair expansion: element i with every element > i
       .select(explode(flatten(transform(col("_srcs"), (x, i) =>

@@ -291,12 +291,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n${p.take(2000)}")
   }
 
-  test("source_overlap: no shingle self-join — bounded source-set agg + broadcasts") {
-    // the oracle's self-join on shingle is quadratic in per-shingle source
-    // frequency; the operator must show collect_set aggregation plus
-    // broadcast size joins, and no sort-merge/cartesian anywhere
+  test("source_overlap: one corpus pass — sizes and pairs read the checkpointed agg") {
+    // the collect_set aggregation is lazily checkpointed and BOTH
+    // derivations read it, so the final plan must contain NO parquet
+    // scan at all (the single scan+exchange lives behind the LogicalRDD
+    // lineage cut — the first-cut shape re-scanned the corpus 3 times);
+    // the oracle's quadratic shingle self-join must not appear either
     val p = plan("source_overlap")
-    assert(p.contains("collect_set"), s"source-set agg missing:\n${p.take(2000)}")
+    assert(!p.contains("Scan parquet"),
+      s"a consumer re-scans the corpus past the checkpoint:\n${p.take(2000)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"shingle stream re-joined:\n${p.take(2000)}")
     assert(p.contains("BroadcastHashJoin"), s"size join not broadcast:\n${p.take(2000)}")
