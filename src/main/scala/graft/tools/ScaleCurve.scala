@@ -176,6 +176,23 @@ object ScaleCurve {
           iterations = 5, symmetrize = true)
           .agg(sum(col("r"))).head().getDouble(0).round
       },
+      "source_overlap" -> { n =>
+        // 20 sources at any n: per-shingle source-set state is bounded
+        // while the shingle stream grows linearly; sum(n_common)
+        // consumes the pair aggregation so nothing prunes
+        Curate.sourceOverlap(docs(spark, n), "source", "text")
+          .agg(sum(col("n_common"))).head().getLong(0)
+      },
+      "classify_nb" -> { n =>
+        // 20 classes; vocabulary grows ~n/250 (the planted CHANGED
+        // tokens) — the realistic open-vocabulary regime for the
+        // (label, word) table; sum(score) consumes the argmax so every
+        // stage (two count jobs included) is on the clock
+        val d = docs(spark, n)
+        graft.operators.Classify.naiveBayes(d,
+          d.filter(col("doc_id") % 5 === 0), "doc_id", "text", "source")
+          .agg(sum(col("score"))).head().getDouble(0).round
+      },
       "decontaminate_bloom" -> { n =>
         // eval = the first 20 generator docs, so corpus ids 0..19 are
         // exact copies: ~20 contaminated docs at ANY corpus size (plus
