@@ -1091,6 +1091,33 @@ class OperatorsSpec extends AnyFunSuite {
     got.values.foreach(v => assert(v === ((2L, 2L, 1L, j))))
   }
 
+  test("source overlap: single source yields no pairs; duplicate docs never inflate counts") {
+    val one = Seq(("srcA", "a b c d"), ("srcA", "a b c d"), ("srcA", "b c d e"))
+      .toDF("source", "text")
+    assert(graft.operators.Curate.sourceOverlap(one, "source", "text").count() === 0)
+    // identical docs repeated within a source count each shingle once
+    val dup = Seq(("srcA", "a b c d"), ("srcB", "a b c d"), ("srcB", "a b c d"))
+      .toDF("source", "text")
+    val r = graft.operators.Curate.sourceOverlap(dup, "source", "text").collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_a") === 2L && r.head.getAs[Long]("n_b") === 2L &&
+      r.head.getAs[Long]("n_common") === 2L && r.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("naive Bayes: alpha generalizes — closed form re-derived at alpha = 0.5") {
+    // train A = "x x" (c_A=2), B = "y" (c_B=1), V = {x,y} = 2, priors 1/2
+    // doc "x": A = ln .5 + (ln .5 - ln 3) + ln((2+.5)/.5) = -0.8755
+    //          B = ln .5 + (ln .5 - ln 2) + 0            = -2.0794
+    val train = Seq(("A", "x x"), ("B", "y")).toDF("lang", "text")
+    val test = Seq((1L, "x")).toDF("doc_id", "text")
+    val r = graft.operators.Classify.naiveBayes(
+        test, train, "doc_id", "text", "lang", alpha = 0.5)
+      .collect().map(x => (x.getString(1), x.getDouble(2)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === Array(("A",
+      r4(math.log(0.5) + (math.log(0.5) - math.log(3.0)) + math.log(5.0)))))
+  }
+
   test("naive Bayes: closed-form scores on a planted corpus, unseen-word tie breaks by label") {
     // train: A = "x x y" (c_A=3), B = "z z y" (c_B=3), V = {x,y,z} = 3,
     // priors 1/2 each. score(d,l) = ln(nd_l/N) + n(ln a - ln(c_l+aV)) + S
