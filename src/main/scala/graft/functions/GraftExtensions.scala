@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e, bits, k) => BloomAggExpr(e,
         foldToInt(bits, "bloom_agg(expr, numBits, numHashes)"),
         foldToInt(k, "bloom_agg(expr, numBits, numHashes)")) })
+    register(ext, "vec_dot", "double-precision dot product of two float/double arrays",
+      { case Seq(a, b) => VectorDotExpr(a, b) })
+    register(ext, "vec_sum_agg", "elementwise vector-sum aggregate -> struct(n, sums)",
+      { case Seq(e) => VecSumAgg(e) })
     register(ext, "bloom_contains", "Bloom-blob membership probe",
       { case Seq(b, s) => BloomContainsExpr(b, s) })
     register(ext, "bloom_any", "true when any array element probes a Bloom blob positive",

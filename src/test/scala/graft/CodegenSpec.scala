@@ -138,5 +138,16 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bl.getBoolean(0) && !bl.getBoolean(1) && bl.getBoolean(2))
     // char_entropy from SQL: "ab" -> 1 bit
     assert(s.sql("SELECT char_entropy('ab') AS e").head().getDouble(0) === 1.0)
+    // vec_dot + vec_sum_agg from SQL: exact small-integer arithmetic
+    assert(s.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0) === 11.0)
+    val vs = s.sql(
+      """SELECT vec_sum_agg(v) AS s FROM (
+        |  VALUES (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        |         (array(CAST(3.0 AS FLOAT), CAST(5.0 AS FLOAT)))) t(v)""".stripMargin)
+      .head().getStruct(0)
+    assert(vs.getLong(0) === 2L && vs.getSeq[Double](1) === Seq(4.0, 7.0))
   }
 }
