@@ -1097,6 +1097,13 @@ object SparkEntry {
         alpha = 1.0)
     }),
 
+    // Gopher duplicate-n-gram repetition gates: fraction of characters
+    // covered by repeat 2/3/4-gram occurrences, O(tokens) kernel per n
+    "text_gopher_repetition" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.TextAnalysis.gopherRepetition(d, "doc_id", "text")
+    }),
+
     // Centroid drift of the odd-id slice against the full-corpus
     // baseline — the batch form of the streaming drift monitor
     "embed_drift" -> ((s, dir) => {
@@ -2319,6 +2326,50 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |                               ORDER BY score DESC, l) AS rn FROM sc)
         |WHERE rn = 1""".stripMargin,
+
+    // the oracle re-derives each dup-gram char count by grouping the
+    // NON-distinct gram stream (the kernel's hash-probe equivalent:
+    // occurrences beyond the first x the gram's no-space char length);
+    // numerators/denominators are exact integers, one IEEE division each
+    "text_gopher_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |         len(regexp_replace(text, '\s', '', 'g')) AS nc
+        |  FROM documents
+        |), d2 AS (
+        |  SELECT doc_id, sum((cnt - 1) * glen) AS dup FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt,
+        |           len(replace(gram, ' ', '')) AS glen
+        |    FROM (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |                  for i in range(1, len(w))]) AS gram FROM tok)
+        |    GROUP BY doc_id, gram) GROUP BY doc_id
+        |), d3 AS (
+        |  SELECT doc_id, sum((cnt - 1) * glen) AS dup FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt,
+        |           len(replace(gram, ' ', '')) AS glen
+        |    FROM (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                  for i in range(1, len(w) - 1)]) AS gram FROM tok)
+        |    GROUP BY doc_id, gram) GROUP BY doc_id
+        |), d4 AS (
+        |  SELECT doc_id, sum((cnt - 1) * glen) AS dup FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt,
+        |           len(replace(gram, ' ', '')) AS glen
+        |    FROM (SELECT doc_id,
+        |                 unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |                  for i in range(1, len(w) - 2)]) AS gram FROM tok)
+        |    GROUP BY doc_id, gram) GROUP BY doc_id
+        |), f AS (
+        |  SELECT t.doc_id, CAST(t.nc AS BIGINT) AS n_chars,
+        |         round(coalesce(d2.dup, 0) / greatest(t.nc, 1), 4) AS dup2_frac,
+        |         round(coalesce(d3.dup, 0) / greatest(t.nc, 1), 4) AS dup3_frac,
+        |         round(coalesce(d4.dup, 0) / greatest(t.nc, 1), 4) AS dup4_frac
+        |  FROM tok t LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+        |       LEFT JOIN d4 USING (doc_id)
+        |)
+        |SELECT doc_id, n_chars, dup2_frac, dup3_frac, dup4_frac,
+        |       (dup2_frac <= 0.20 AND dup3_frac <= 0.18 AND dup4_frac <= 0.16)
+        |         AS keep
+        |FROM f""".stripMargin,
 
     // both sides are un-normalized per-label sum vectors (cosine is
     // scale-invariant); drift = 1 - cos, one subtraction after the

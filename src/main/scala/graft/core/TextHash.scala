@@ -212,6 +212,74 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /**
+   * Characters (code points, whitespace excluded) covered by REPEAT
+   * occurrences of word n-grams: for every n-gram occurrence beyond that
+   * gram's first, add the gram's token character count. The Gopher
+   * duplicate-n-gram repetition signal (Rae et al. 2021, Table A1),
+   * O(tokens) with one hash probe per gram — the per-gram
+   * filter-and-count form any SQL expression would plan is O(grams²)
+   * per row.
+   *
+   * Char counts are code points (UTF-8 continuation bytes excluded), so
+   * CJK text measures the same as an engine counting characters.
+   */
+  def dupGramChars(s: UTF8String, n: Int): Long = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nTok = starts.size()
+    if (nTok < n) return 0L
+    // per-token code-point counts, computed once
+    val charLens = new Array[Int](nTok)
+    var t = 0
+    while (t < nTok) {
+      var c = 0
+      var p = starts.get(t)
+      while (p < ends.get(t)) { if ((bytes(p) & 0xC0) != 0x80) c += 1; p += 1 }
+      charLens(t) = c
+      t += 1
+    }
+    val seen = new java.util.HashSet[UTF8String]()
+    var dup = 0L
+    t = 0
+    while (t + n <= nTok) {
+      var size = n - 1
+      var j = 0
+      while (j < n) { size += ends.get(t + j) - starts.get(t + j); j += 1 }
+      val out = new Array[Byte](size)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { out(pos) = ' '; pos += 1 }
+        val l = ends.get(t + j) - starts.get(t + j)
+        System.arraycopy(bytes, starts.get(t + j), out, pos, l)
+        pos += l
+        j += 1
+      }
+      if (!seen.add(UTF8String.fromBytes(out))) {
+        var cl = 0L
+        j = 0
+        while (j < n) { cl += charLens(t + j); j += 1 }
+        dup += cl
+      }
+      t += 1
+    }
+    dup
+  }
+
   /** Sum of an array<long> (null elements skipped) — value-equal to
     * `aggregate(arr, 0L, (acc, x) -> acc + x)`, whose higher-order form
     * is CodegenFallback and defeats subexpression elimination for every

@@ -62,6 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e) => DedupLinesExpr(e) })
     register(ext, "char_entropy", "Shannon entropy (bits) of a string's code points",
       { case Seq(e) => CharEntropyExpr(e) })
+    register(ext, "dup_gram_chars", "code points covered by repeat word-n-gram occurrences",
+      { case Seq(e, n) => DupGramCharsExpr(e, foldToInt(n, "dup_gram_chars(expr, n)")) })
     register(ext, "bloom_agg", "mergeable fixed-size Bloom filter over strings",
       { case Seq(e, bits, k) => BloomAggExpr(e,
         foldToInt(bits, "bloom_agg(expr, numBits, numHashes)"),

@@ -384,6 +384,30 @@ case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Code points covered by repeat word-n-gram occurrences (the Gopher
+  * duplicate-n-gram repetition signal) — O(tokens) hash-probe kernel;
+  * the SQL-expressible per-gram filter-count form is O(grams²) per row. */
+case class DupGramCharsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dup_gram_chars expects string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dup_gram_chars"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.dupGramChars(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.dupGramChars($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sum of array<long> (codegen'd; null elements skipped) — keeps the
   * whole projection inside whole-stage codegen where the higher-order
   * `aggregate` form would fall back and re-pay shared subtrees. */

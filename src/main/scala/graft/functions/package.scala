@@ -82,6 +82,8 @@ package object functions {
   /** Shannon entropy (bits) of a string's code points (codegen'd). */
   def char_entropy(s: Column): Column = col(CharEntropyExpr(expr(s)))
 
+  def dup_gram_chars(s: Column, n: Int): Column = col(DupGramCharsExpr(expr(s), n))
+
   /** Bloom-blob membership probe (blob, string) -> boolean (codegen'd). */
   def bloom_contains(blob: Column, item: Column): Column =
     col(BloomContainsExpr(expr(blob), expr(item)))

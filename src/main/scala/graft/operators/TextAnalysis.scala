@@ -286,6 +286,37 @@ object TextAnalysis {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /**
+   * Gopher repetition gates (arXiv:2112.11446 Table A1's duplicate-n-gram
+   * signals): fraction of a document's characters covered by REPEAT
+   * occurrences of word 2/3/4-grams — machine-generated and boilerplate
+   * text repeats itself at exactly these scales. Thresholds are the
+   * paper's: dup-2-gram <= 0.20, dup-3-gram <= 0.18, dup-4-gram <= 0.16.
+   *
+   * Each fraction is the codegen'd O(tokens) [[graft.functions.dup_gram_chars]]
+   * kernel (one hash probe per gram; the SQL-expressible per-gram
+   * filter-count form is O(grams²) per row) over the doc's no-whitespace
+   * code-point count — one scan-stage projection, zero shuffle at any
+   * corpus size. Numerator and denominator are exact integers; each
+   * fraction is one IEEE division, so gate comparisons are bit-identical
+   * cross-engine and `keep` derives from the rounded hashed values.
+   */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      maxDup2: Double = 0.20, maxDup3: Double = 0.18,
+      maxDup4: Double = 0.16): DataFrame = {
+    val text = col(textCol)
+    val nChars = length(regexp_replace(text, "\\s", ""))
+    def frac(n: Int) = round(
+      graft.functions.dup_gram_chars(text, n).cast(DoubleType) /
+        greatest(nChars, lit(1)), 4)
+    df.select(col(idCol),
+      nChars.cast(LongType).as("n_chars"),
+      frac(2).as("dup2_frac"), frac(3).as("dup3_frac"), frac(4).as("dup4_frac"))
+      .withColumn("keep",
+        col("dup2_frac") <= maxDup2 && col("dup3_frac") <= maxDup3 &&
+          col("dup4_frac") <= maxDup4)
+  }
+
+  /**
    * Language ID: CJK character presence, then per-language stopword-hit
    * majority with a fixed precedence (zh > de > fr > es > en). A simple
    * n-gram/stopword heuristic — cheap enough to run on every document of

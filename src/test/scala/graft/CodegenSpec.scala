@@ -56,9 +56,12 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         dedup_lines(concat_ws("\n", col("k"), col("k"), lit("x"))).as("dl"),
         bloom_contains(lit(fooBloom), col("k")).as("bc"),
         bloom_any(lit(fooBloom), array(col("k"), lit("zzz"))).as("ba"),
-        char_entropy(concat(col("k"), lit("ab"))).as("ce"))
+        char_entropy(concat(col("k"), lit("ab"))).as("ce"),
+        dup_gram_chars(concat_ws(" ", col("k"), col("k"), col("k")), 1).as("dg"))
     val rows = df.collect()
     assert(rows.length === 3)
+    // "foo foo foo": two repeat 1-gram occurrences x 3 chars each
+    assert(rows(0).getAs[Long]("dg") === 6L)
     assert(rows(0).getLong(0) === -2129773440516405919L)
     assert(rows(0).getAs[String]("dl") === "foo\nx")
     assert(rows(0).getAs[Boolean]("bc") && rows(0).getAs[Boolean]("ba"))
@@ -138,6 +141,8 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bl.getBoolean(0) && !bl.getBoolean(1) && bl.getBoolean(2))
     // char_entropy from SQL: "ab" -> 1 bit
     assert(s.sql("SELECT char_entropy('ab') AS e").head().getDouble(0) === 1.0)
+    // dup_gram_chars from SQL: "a b a b a" repeats "a b" and "b a" once each
+    assert(s.sql("SELECT dup_gram_chars('a b a b a', 2) AS d").head().getLong(0) === 4L)
     // vec_dot + vec_sum_agg from SQL: exact small-integer arithmetic
     assert(s.sql(
       "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +

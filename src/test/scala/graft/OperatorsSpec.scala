@@ -1091,6 +1091,39 @@ class OperatorsSpec extends AnyFunSuite {
     got.values.foreach(v => assert(v === ((2L, 2L, 1L, j))))
   }
 
+  test("gopher repetition: kernel equals the naive gram accounting; gates fire exactly") {
+    // naive reference: occurrences beyond a gram's first add its no-space
+    // code-point count
+    def naive(text: String, n: Int): Long = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < n) 0L
+      else {
+        val seen = scala.collection.mutable.Set.empty[String]
+        toks.sliding(n).map(_.mkString(" ")).map { g =>
+          if (seen.add(g)) 0L
+          else { val ns = g.replace(" ", ""); ns.codePointCount(0, ns.length).toLong }
+        }.sum
+      }
+    }
+    val cases = Seq("a b a b a", "x", "", "  \t ", "foo\tfoo\nfoo",
+      "一 二 一 二", "a a a a a a", "ab ab ba ab ba")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- 1 to 4) {
+      val got = df.select(col("id"), graft.functions.dup_gram_chars(col("text"), n).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cases.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) === naive(t, n), s"n=$n text='$t'")
+      }
+    }
+    // gate behavior: an all-repeats doc rejected, an all-unique doc kept
+    val gated = TextAnalysis.gopherRepetition(
+      Seq((1L, "unique words only here today friend"),
+        (2L, "spam spam spam spam spam spam")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(gated(1L) === true && gated(2L) === false)
+  }
+
   test("source overlap: single source yields no pairs; duplicate docs never inflate counts") {
     val one = Seq(("srcA", "a b c d"), ("srcA", "a b c d"), ("srcA", "b c d e"))
       .toDF("source", "text")

@@ -280,6 +280,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastExchange"), s"unexpected join:\n${p.take(2000)}")
   }
 
+  test("text_gopher_repetition is scan-stage only: in-row kernels, no shuffle") {
+    val p = plan("text_gopher_repetition")
+    assert(!p.contains("Exchange"), s"repetition gates shuffle:\n${p.take(2000)}")
+    assert(p.contains("dup_gram_chars"), s"kernel missing:\n${p.take(2000)}")
+  }
+
   test("embed_outliers: corpus rows never shuffle — centroid sums broadcast back") {
     // the corpus side must reach the scoring projection straight from the
     // scan; only the #labels-row sum table may move (one hash exchange
