@@ -76,12 +76,19 @@ object Bloom {
   }
 
   /** Membership probe straight off the blob bytes — no deserialization,
-    * no allocation: k header-relative word reads per call. */
+    * no allocation: k header-relative word reads per call. The header is
+    * validated against the blob's actual length first: bloom_contains is
+    * a general SQL function over any binary column, and a truncated or
+    * foreign blob must fail LOUDLY, not read past the array or (k <= 0)
+    * silently answer true for everything. */
   def mightContain(blob: Array[Byte], s: UTF8String): Boolean = {
+    require(blob.length >= 8, s"malformed bloom blob: ${blob.length} bytes, need >= 8")
     val k = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
       ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
     val words = ((blob(4) & 0xff) << 24) | ((blob(5) & 0xff) << 16) |
       ((blob(6) & 0xff) << 8) | (blob(7) & 0xff)
+    require(k >= 1 && words >= 1 && blob.length >= 8 + words.toLong * 8,
+      s"malformed bloom blob: header k=$k words=$words but ${blob.length} bytes")
     val m = words.toLong * 64
     val a = h1(s); val b = h2(s)
     var i = 0

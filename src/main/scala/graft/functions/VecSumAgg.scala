@@ -86,9 +86,13 @@ case class VecSumAgg(
     buf.n,
     if (buf.sums == null) null else new GenericArrayData(buf.sums))
 
+  // d = -1 encodes "no vector seen" (sums == null); d = 0 is a REAL
+  // zero-dimension sum (rows held empty arrays) and must round-trip with
+  // its count intact, or n would depend on whether an exchange sat
+  // between partial and final aggregation
   override def serialize(buf: VecSumBuf): Array[Byte] = {
-    val d = if (buf.sums == null) 0 else buf.sums.length
-    val bb = ByteBuffer.allocate(12 + 8 * d)
+    val d = if (buf.sums == null) -1 else buf.sums.length
+    val bb = ByteBuffer.allocate(12 + 8 * math.max(d, 0))
     bb.putLong(buf.n)
     bb.putInt(d)
     var i = 0
@@ -100,7 +104,7 @@ case class VecSumAgg(
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getLong()
     val d = bb.getInt()
-    if (d == 0) new VecSumBuf(n, null)
+    if (d < 0) new VecSumBuf(n, null)
     else {
       val sums = new Array[Double](d)
       var i = 0

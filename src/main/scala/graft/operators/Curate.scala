@@ -279,6 +279,7 @@ object Curate {
   def sampleKPerStratum(df: DataFrame, idCol: String, strataCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    Ids.requireIntegral(df, idCol, "sampleKPerStratum")
     val prio = conv(substring(md5(concat(lit("sample:"),
         col(idCol).cast("string"))), 1, 8), 16, 10)
       .cast("long").cast("double")
@@ -314,6 +315,7 @@ object Curate {
   def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    Ids.requireIntegral(df, idCol, "weightedSampleK")
     val u = ((conv(substring(md5(concat(lit("wsample:"),
         col(idCol).cast("string"))), 1, 8), 16, 10)
       .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0))
@@ -351,7 +353,11 @@ object Curate {
   def temperatureMixKeep(df: DataFrame, idCol: String, sourceCol: String,
       targetRows: Long, alpha: Double = 0.5): DataFrame = {
     require(targetRows > 0, "targetRows must be positive")
-    val counts = df.groupBy(col(sourceCol)).count()
+    // the source is compared AS STRING on both the driver and executor
+    // side so non-string source columns work; null-source rows have no
+    // quota and are dropped (they match no threshold branch)
+    val src = col(sourceCol).cast("string")
+    val counts = df.filter(src.isNotNull).groupBy(src.as("_src")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def powA(c: Long): Double =
       if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
@@ -362,8 +368,8 @@ object Curate {
     }
     val h = conv(substring(md5(concat(lit("tmix:"),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
-    val thr = thresholds.foldLeft(lit(0L)) { case (acc, (src, t)) =>
-      when(col(sourceCol) === src, lit(t)).otherwise(acc)
+    val thr = thresholds.foldLeft(lit(0L)) { case (acc, (sv, t)) =>
+      when(src === sv, lit(t)).otherwise(acc)
     }
     df.filter(h < thr)
   }
@@ -390,8 +396,11 @@ object Curate {
       idCol: String, textCol: String, n: Int = 3,
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
     import graft.functions.BloomAgg.bloom_agg
+    // no distinct before the agg: bloom insertion is idempotent, so a
+    // dedup pass would add a full shuffle of the eval shingle stream for
+    // a bit-identical blob
     val blob = evalDocs
-      .select(explode(Dedup.shingles(col(textCol), n)).as("sh")).distinct()
+      .select(explode(Dedup.shingles(col(textCol), n)).as("sh"))
       .agg(bloom_agg(col("sh"), numBits, numHashes)).head().getAs[Array[Byte]](0)
     val candidates = corpus.filter(
       graft.functions.bloom_any(lit(blob), Dedup.shingles(col(textCol), n)))

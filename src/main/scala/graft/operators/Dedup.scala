@@ -89,7 +89,7 @@ object Dedup {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 50): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = TextAnalysis.tokens(col(textCol))
     val n = size(toks)
     // ceil(n/seg) with a floor of 1: same chunk-count formula (stride ==
     // chunk) as TextAnalysis.chunkPassages, mirrored in the oracle

@@ -35,6 +35,7 @@ object Search {
     * excluded (they match no term). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    Ids.requireIntegral(docs, idCol, "bm25TopK")
     require(terms.nonEmpty, "need at least one query term")
     require(k > 0, "k must be positive")
     val toks = TextAnalysis.tokens(col(textCol))
@@ -92,7 +93,7 @@ object Search {
     require(k > 0, "k must be positive")
     val n = docs.count().toDouble
     val tf = docs
-      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term")
@@ -135,6 +136,7 @@ object Search {
       textCol: String, vecIdCol: String, vecCol: String, terms: Seq[String],
       queryVecId: Long, k: Int, poolK: Int = 50, kRrf: Int = 60): DataFrame = {
     require(k > 0 && poolK >= k, "need poolK >= k > 0")
+    Ids.requireIntegral(embs, vecIdCol, "hybridRrf")
     // single-partition window is safe: bm25TopK's output is <= poolK rows
     val byScore = org.apache.spark.sql.expressions.Window
       .orderBy(col("bm25").desc, col(idCol))

@@ -52,6 +52,7 @@ object Similarity {
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    Ids.requireIntegral(corpus, idCol, "bruteForceTopK")
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
@@ -202,6 +203,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L, maxTrainRows: Long = 100000L): DataFrame = {
+    Ids.requireIntegral(corpus, idCol, "ivfTopK")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -365,6 +367,7 @@ object Similarity {
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
+    Ids.requireIntegral(corpus, idCol, "lshTopK")
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       signBucket(col(vecCol), dim, planes).as("bucket"))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),

@@ -143,6 +143,12 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.sql("SELECT char_entropy('ab') AS e").head().getDouble(0) === 1.0)
     // dup_gram_chars from SQL: "a b a b a" repeats "a b" and "b a" once each
     assert(s.sql("SELECT dup_gram_chars('a b a b a', 2) AS d").head().getLong(0) === 4L)
+    // a truncated/foreign binary blob must fail loudly, never probe true
+    val mex = intercept[Exception] {
+      s.sql("SELECT bloom_contains(CAST('ab' AS BINARY), 'x') AS h").head()
+    }
+    assert(SparkSuite.causeMessages(mex).exists(_.contains("malformed bloom blob")),
+      SparkSuite.causeMessages(mex).mkString("; "))
     // vec_dot + vec_sum_agg from SQL: exact small-integer arithmetic
     assert(s.sql(
       "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +

@@ -1034,6 +1034,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkSuite.causeMessages(ex).exists(_.contains("mixed vector dimensions")))
   }
 
+  test("heap-ranked operators reject non-integral id columns loudly") {
+    // a string id would cast to null inside TopKAgg and rows would
+    // silently vanish — the guard turns that into a plan-build error
+    val df = Seq(("doc-1", "src", "text here", 1.0))
+      .toDF("id", "source", "text", "w")
+    for (thunk <- Seq[() => Any](
+      () => graft.operators.Curate.sampleKPerStratum(df, "id", "source", 1),
+      () => graft.operators.Curate.weightedSampleK(df, "id", "w", 1),
+      () => graft.operators.Search.bm25TopK(df, "id", "text", Seq("x"), 1),
+      () => Similarity.bruteForceTopK(df, df, "id", "text", 1))) {
+      val ex = intercept[IllegalArgumentException](thunk())
+      assert(ex.getMessage.contains("integral id"), ex.getMessage)
+    }
+  }
+
+  test("vec_sum_agg: zero-dimension vectors keep their count across an exchange") {
+    // rows holding empty arrays must aggregate to (n = rowCount, sums = [])
+    // regardless of whether a partial/final serialize round-trip sits in
+    // the plan — d=0 is a real state, distinct from "no vector seen"
+    val df = Seq((1, Seq.empty[Float]), (1, Seq.empty[Float]), (1, Seq.empty[Float]))
+      .toDF("label", "embedding").repartition(4)
+    val r = df.groupBy(col("label"))
+      .agg(graft.functions.VecSumAgg.vec_sum_agg(col("embedding")).as("s"))
+      .head().getStruct(1)
+    assert(r.getLong(0) === 3L)
+    assert(r.getSeq[Double](1) === Seq.empty[Double])
+  }
+
   test("hybrid RRF: fused score is exactly the reciprocal-rank arithmetic") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
