@@ -1097,6 +1097,16 @@ object SparkEntry {
         alpha = 1.0)
     }),
 
+    // Epoch-style source upsampling: src0 docs appear 2-3x (factor 2.5),
+    // src1 exactly 2x, src2 deterministically downsampled to 25%, the
+    // rest once — one scan-stage pass, copy index carried
+    "corpus_upsample" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Curate.upsampleBySource(d, "doc_id", "source",
+        factors = Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.25))
+        .select(col("doc_id"), col("source"), col("copy"))
+    }),
+
     // Gopher duplicate-n-gram repetition gates: fraction of characters
     // covered by repeat 2/3/4-gram occurrences, O(tokens) kernel per n
     "text_gopher_repetition" -> ((s, dir) => {
@@ -2326,6 +2336,25 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |                               ORDER BY score DESC, l) AS rn FROM sc)
         |WHERE rn = 1""".stripMargin,
+
+    // same md5-uniform arithmetic as the operator: u exact in double,
+    // copies = floor(f) + (u < frac(f)), rows exploded by range(copies)
+    "corpus_upsample" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+        |                WHEN 'src2' THEN 0.25 ELSE 1.0 END AS fac,
+        |    (CAST('0x' || substr(md5('upsample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |          AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(fac) AS INT)
+        |           + CASE WHEN u < fac - floor(fac) THEN 1 ELSE 0 END AS copies
+        |  FROM f
+        |)
+        |SELECT doc_id, source, CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+        |FROM c WHERE copies > 0""".stripMargin,
 
     // the oracle re-derives each dup-gram char count by grouping the
     // NON-distinct gram stream (the kernel's hash-probe equivalent:

@@ -202,6 +202,48 @@ object Curate {
   }
 
   /**
+   * Deterministic source-repeat upsampling — data mixing with "epochs
+   * > 1" (the UniMax / Llama-style recipe where high-quality sources
+   * repeat 2-4x while bulk web text is sampled down, all in one pass):
+   * a source with factor f emits every doc floor(f) times, plus one more
+   * copy for a deterministic md5-chosen fraction frac(f) of its docs.
+   * Factors below 1 degrade to deterministic downsampling (floor 0 +
+   * fractional keep), so one primitive covers both directions.
+   *
+   * Scan-stage only: the factor compiles to a plan-time when-chain, the
+   * copy fan-out is an in-row sequence explode — zero shuffle at any
+   * corpus size, and the output carries `copy` (0-based repeat index) so
+   * downstream packing/shuffling can treat copies independently.
+   *
+   * Determinism: u = (first-8-hex-digits-of-md5 + 0.5) / 2^32 is exact
+   * in double on any engine; the fractional-copy comparison u < frac(f)
+   * is one IEEE compare of exact values — the [[withSplit]] contract.
+   *
+   * Output: (all input columns, copy), rows with zero copies dropped.
+   */
+  def upsampleBySource(df: DataFrame, idCol: String, sourceCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0.0),
+      "repeat factors must be >= 0")
+    val factor = factors.foldLeft(lit(defaultFactor)) { case (acc, (src, f)) =>
+      when(col(sourceCol).cast("string") === src, lit(f)).otherwise(acc)
+    }
+    val base = floor(factor).cast("int")
+    val u = ((conv(substring(md5(concat(lit("upsample:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0))
+    val copies = base + when(u < factor - base.cast("double"), 1).otherwise(0)
+    df.withColumn("_copies", copies)
+      // sequence(0, -1) would helpfully count DOWN; empty-array explode
+      // is the correct zero-copy behavior
+      .withColumn("copy", explode(when(col("_copies") > 0,
+        sequence(lit(0), col("_copies") - 1))
+        .otherwise(array().cast("array<int>"))))
+      .drop("_copies")
+      .withColumn("copy", col("copy").cast("long"))
+  }
+
+  /**
    * Pairwise source-overlap matrix: for every pair of sources, the exact
    * Jaccard similarity of their distinct word-n-gram sets — the corpus
    * forensics behind "is src_a scraped from src_b" / "how much will

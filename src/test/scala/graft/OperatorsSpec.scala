@@ -1034,6 +1034,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkSuite.causeMessages(ex).exists(_.contains("mixed vector dimensions")))
   }
 
+  test("upsampling: integer copies exact, fractional copies deterministic, <1 downsamples") {
+    val df = (0L until 400L).map(i => (i, if (i < 200) "hi" else "lo"))
+      .toDF("doc_id", "source")
+    def run() = graft.operators.Curate
+      .upsampleBySource(df, "doc_id", "source", Map("hi" -> 2.5, "lo" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = run()
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // hi docs: 2 or 3 copies, indexes 0..n-1; lo docs: 0 or 1 copies
+    for (i <- 0L until 200L) {
+      val c = byId.getOrElse(i, Seq.empty)
+      assert(c.length == 2 || c.length == 3, s"hi doc $i: $c")
+      assert(c === (0L until c.length.toLong))
+    }
+    for (i <- 200L until 400L) {
+      val c = byId.getOrElse(i, Seq.empty)
+      assert(c.isEmpty || c === Seq(0L), s"lo doc $i: $c")
+    }
+    // fractional rates land near their targets (md5 uniforms, 200 draws)
+    val hi3 = (0L until 200L).count(i => byId(i).length == 3)
+    val loKept = (200L until 400L).count(i => byId.contains(i))
+    assert(hi3 > 60 && hi3 < 140, s"hi third-copy rate off: $hi3/200")
+    assert(loKept > 60 && loKept < 140, s"lo keep rate off: $loKept/200")
+    // deterministic: identical output on re-run
+    assert(run().toSet === out.toSet)
+  }
+
   test("heap-ranked operators reject non-integral id columns loudly") {
     // a string id would cast to null inside TopKAgg and rows would
     // silently vanish — the guard turns that into a plan-build error

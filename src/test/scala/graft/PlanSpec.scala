@@ -280,6 +280,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastExchange"), s"unexpected join:\n${p.take(2000)}")
   }
 
+  test("corpus_upsample is scan-stage only: in-row copy fan-out, no shuffle") {
+    val p = plan("corpus_upsample")
+    assert(!p.contains("Exchange"), s"upsampling shuffles:\n${p.take(2000)}")
+    assert(p.contains("Generate"), s"copy explode missing:\n${p.take(2000)}")
+  }
+
   test("text_gopher_repetition is scan-stage only: in-row kernels, no shuffle") {
     val p = plan("text_gopher_repetition")
     assert(!p.contains("Exchange"), s"repetition gates shuffle:\n${p.take(2000)}")
