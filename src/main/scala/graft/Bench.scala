@@ -82,21 +82,36 @@ object Bench {
     val noise =
       if (sentinelRuns.size > 1 && sentinelRuns.min > 0) sentinelRuns.max / sentinelRuns.min
       else 1.0
-    def render(f: Double => String, withNorm: Boolean): String = {
-      val qs = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    def render(f: Double => String, entries: Seq[(String, Double)],
+        omitted: Int, withNorm: Boolean): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val norm =
         if (!withNorm) ""
-        else mins.map { case (k, v) =>
+        else entries.map { case (k, v) =>
           "\"" + k + "\":" + f(if (sentinelMin > 0) v / sentinelMin else Double.NaN)
         }.mkString(""","queries_norm":{""", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec"""" +
-        s""","queries":$qs,"sf":"$sfDir","runs":$runs""" +
+        s""","queries":$qs$om,"sf":"$sfDir","runs":$runs""" +
         s""","sentinel":{"name":"$SentinelQuery","sec":${f(sentinelMin)}""" +
         s""","passes":[${sentinelRuns.map(f).mkString(",")}]}""" +
         s""","noise":${f(noise)}$norm}"""
     }
-    val line = render(fmt, withNorm = false)
+    // The query count outgrew the tail window at r11 (84 entries ≈ 2.3k
+    // chars — the line's HEAD was cut off and the driver parsed null). The
+    // stdout "queries" map now adaptively drops the CHEAPEST entries until
+    // the line fits, with a "queries_omitted" count; "value" stays the sum
+    // over ALL queries and the file copy always carries the full map.
+    val StdoutBudget = 1650
+    var kept = mins
+    var line = render(fmt, kept, mins.size - kept.size, withNorm = false)
+    while (line.length > StdoutBudget && kept.size > 1) {
+      val dropIdx = kept.zipWithIndex
+        .filter(_._1._1 != SentinelQuery).minBy(_._1._2)._2
+      kept = kept.patch(dropIdx, Nil, 1)
+      line = render(fmt, kept, mins.size - kept.size, withNorm = false)
+    }
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
         "may outgrow the driver's 2000-char tail capture")
@@ -116,7 +131,7 @@ object Bench {
       else ""
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val full = render(fmt6, withNorm = true)
+    val full = render(fmt6, mins, 0, withNorm = true)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full.dropRight(1) + scale + "}\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -978,6 +978,24 @@ object SparkEntry {
         .select(col("node"), round(col("r"), 6).as("rank"))
     }),
 
+    // Blocked fuzzy entity matching: distinct-name candidate pairs from
+    // a prefix equi-join block, thresholded levenshtein verify — work is
+    // sum(block²), never corpus², oversized blocks excluded loudly
+    "entity_pairs" -> ((s, dir) => {
+      val p = s.read.parquet(t(dir, "part"))
+      graft.operators.Entity.fuzzyNamePairs(p, "p_name",
+        blockPrefix = 2, maxDist = 3, maxBlock = 10000L)
+    }),
+
+    // Full entity resolution: fuzzy pairs -> min-label connected
+    // components -> canonical name; singletons re-attach via left join
+    // so the iterative loop only ever sees the matched-pair graph
+    "entity_resolve" -> ((s, dir) => {
+      val p = s.read.parquet(t(dir, "part"))
+      graft.operators.Entity.resolveEntities(p, "p_name",
+        blockPrefix = 2, maxDist = 3, maxBlock = 10000L)
+    }),
+
     // Exact segment dedup with document rewriting (Lee et al. 2022,
     // fixed 8-token windows): later copies of any segment are erased
     // corpus-wide, survivors stitched back per doc — two content-sized
@@ -2040,6 +2058,43 @@ object SparkEntry {
       }.mkString
       base + steps + "\nSELECT node, round(r, 6) AS rank FROM r5"
     },
+
+    // DuckDB levenshtein is unthresholded but agrees with Spark's
+    // thresholded form on every kept row (dist <= maxDist there)
+    "entity_pairs" ->
+      """WITH n AS (
+        |  SELECT DISTINCT lower(trim(p_name)) AS nm FROM part
+        |  WHERE length(lower(trim(p_name))) > 0
+        |)
+        |SELECT a.nm AS name_a, b.nm AS name_b,
+        |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON substring(a.nm, 1, 2) = substring(b.nm, 1, 2) AND a.nm < b.nm
+        |WHERE levenshtein(a.nm, b.nm) <= 3""".stripMargin,
+
+    // transitive closure over the fuzzy-pair graph (the dedup_clusters
+    // recursive-CTE pattern); singletons fall through the left join
+    "entity_resolve" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT lower(trim(p_name)) AS nm FROM part
+        |  WHERE length(lower(trim(p_name))) > 0
+        |), pairs AS (
+        |  SELECT a.nm AS name_a, b.nm AS name_b
+        |  FROM n a JOIN n b
+        |    ON substring(a.nm, 1, 2) = substring(b.nm, 1, 2) AND a.nm < b.nm
+        |  WHERE levenshtein(a.nm, b.nm) <= 3
+        |), edges AS (
+        |  SELECT name_a AS a, name_b AS b FROM pairs
+        |  UNION SELECT name_b, name_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), canon AS (
+        |  SELECT a, least(a, min(b)) AS canon FROM reach GROUP BY a
+        |)
+        |SELECT n.nm AS name, coalesce(c.canon, n.nm) AS canon
+        |FROM n LEFT JOIN canon c ON c.a = n.nm""".stripMargin,
 
     // chunk-count formula and list slicing mirrored from text_chunks;
     // first-occurrence = row_number over exact segment text

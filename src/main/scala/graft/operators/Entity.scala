@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,10 +18,18 @@ import org.apache.spark.sql.types._
  *     stream — a map-side-combinable distinct first, so a billion rows
  *     with a million distinct names do a million-row match;
  *   - candidates come from a cheap equi-join on a blocking key (name
- *     prefix by default) — work is sum(block²), never corpus²;
- *   - oversized blocks (a degenerate prefix like "the ") are EXCLUDED,
- *     loudly, by `maxBlock` — the df-cap contract `ngramJaccardPairs`
- *     uses: bounded work, documented recall loss on pathological keys;
+ *     prefix by default) — work is sum over blocks of block²/2
+ *     thresholded-levenshtein calls, never corpus². With the defaults
+ *     (blockPrefix = 2, maxBlock = 10,000) no single block exceeds
+ *     5·10⁷ comparisons ≈ one bounded task, the same df-cap contract
+ *     `ngramJaccardPairs` uses;
+ *   - oversized blocks (a degenerate prefix like "th") are EXCLUDED —
+ *     bounded work, documented recall loss on pathological keys. The
+ *     exclusion is observable two ways: an `observe()` metric
+ *     (`excluded_blocks` / `excluded_names`, delivered to any
+ *     QueryExecutionListener when the query runs) and the
+ *     [[oversizedBlocks]] diagnostic, which returns the excluded
+ *     (block, size) rows directly;
  *   - the edit-distance predicate uses Spark's thresholded levenshtein
  *     (early-exit row-wise; returns -1 past the cap) so the verifier
  *     costs O(maxDist * len) per candidate, not O(len²).
@@ -29,26 +39,64 @@ object Entity {
   /** lower(trim(name)), the normalization both match and resolve share. */
   private def norm(nameCol: String): Column = lower(trim(col(nameCol)))
 
+  /** Unique observe() names — Spark rejects duplicate observation names
+   *  when one query composes several fuzzyNamePairs calls. */
+  private val obsSeq = new AtomicLong(0L)
+
+  /** Distinct normalized non-empty names with their blocking key. */
+  private def blockedNames(df: DataFrame, nameCol: String,
+      blockPrefix: Int): DataFrame =
+    df.select(norm(nameCol).as("_nm"))
+      .filter(length(col("_nm")) > 0).distinct()
+      .withColumn("_blk", substring(col("_nm"), 1, blockPrefix))
+
+  /**
+   * Diagnostic for the bounded-work contract: the blocks [[fuzzyNamePairs]]
+   * would EXCLUDE at these settings, as (block, n_names) rows ordered
+   * largest first. Run it when recall on pathological prefixes matters —
+   * a non-empty result is the signal to raise `maxBlock` or lengthen
+   * `blockPrefix`.
+   */
+  def oversizedBlocks(df: DataFrame, nameCol: String, blockPrefix: Int = 2,
+      maxBlock: Long = 10000L): DataFrame = {
+    require(blockPrefix >= 1, "blockPrefix must be >= 1")
+    require(maxBlock >= 1, "maxBlock must be >= 1")
+    blockedNames(df, nameCol, blockPrefix)
+      .groupBy(col("_blk").as("block")).agg(count(lit(1)).as("n_names"))
+      .filter(col("n_names") > maxBlock)
+      .orderBy(col("n_names").desc, col("block"))
+  }
+
   /**
    * Candidate fuzzy pairs over the distinct normalized names of
    * `nameCol`: same `blockPrefix`-char prefix, Levenshtein distance
    * <= `maxDist`. Output (name_a, name_b, dist) with name_a < name_b,
    * one row per unordered pair. Blocks larger than `maxBlock` distinct
-   * names are excluded (bounded-work contract; raise `maxBlock` or use a
-   * longer prefix when precision on pathological prefixes matters).
+   * names are excluded (bounded-work contract: per-block cost is
+   * block²/2 thresholded-levenshtein calls, so the worst single task is
+   * maxBlock²/2 ≈ 5·10⁷ at the default). Exclusions surface through the
+   * `graft.entity.N` observe() metric on the result and through
+   * [[oversizedBlocks]].
    */
-  def fuzzyNamePairs(df: DataFrame, nameCol: String, blockPrefix: Int = 1,
-      maxDist: Int = 3, maxBlock: Long = 1000000L): DataFrame = {
+  def fuzzyNamePairs(df: DataFrame, nameCol: String, blockPrefix: Int = 2,
+      maxDist: Int = 3, maxBlock: Long = 10000L): DataFrame = {
     require(blockPrefix >= 1, "blockPrefix must be >= 1")
     require(maxDist >= 1, "maxDist must be >= 1")
-    val names = df.select(norm(nameCol).as("_nm"))
-      .filter(length(col("_nm")) > 0).distinct()
+    require(maxBlock >= 1, "maxBlock must be >= 1")
+    val blocked = blockedNames(df, nameCol, blockPrefix)
     // block cap via a windowless count join: the block-count aggregate is
-    // tiny (one row per block) and broadcast back onto the name set
-    val blocked = names.withColumn("_blk", substring(col("_nm"), 1, blockPrefix))
+    // tiny (one row per block) and broadcast back onto the name set. The
+    // observe() sits BEFORE the size filter so excluded blocks are
+    // counted in the metrics even though they never reach the join.
     val sized = blocked.groupBy(col("_blk")).agg(count(lit(1)).as("_bn"))
+      .observe(s"graft.entity.${obsSeq.incrementAndGet()}",
+        sum(when(col("_bn") > maxBlock, 1L).otherwise(0L)).as("excluded_blocks"),
+        sum(when(col("_bn") > maxBlock, col("_bn")).otherwise(0L)).as("excluded_names"))
       .filter(col("_bn") <= maxBlock).drop("_bn")
-    val inBlock = blocked.join(sized, Seq("_blk"))
+    // the filtered name set feeds BOTH sides of the self-join; a lazy
+    // localCheckpoint computes the distinct + sizing join once and the
+    // self-join re-reads materialized blocks (the dedup-family pattern)
+    val inBlock = blocked.join(sized, Seq("_blk")).localCheckpoint(eager = false)
     val a = inBlock.select(col("_blk"), col("_nm").as("name_a"))
     val b = inBlock.select(col("_blk"), col("_nm").as("name_b"))
     a.join(b, Seq("_blk"))
@@ -70,8 +118,8 @@ object Entity {
    * names never enter the loop — they are re-attached with a left join,
    * so the iterative job only ever sees the (small) matched-pair graph.
    */
-  def resolveEntities(df: DataFrame, nameCol: String, blockPrefix: Int = 1,
-      maxDist: Int = 3, maxBlock: Long = 1000000L): DataFrame = {
+  def resolveEntities(df: DataFrame, nameCol: String, blockPrefix: Int = 2,
+      maxDist: Int = 3, maxBlock: Long = 10000L): DataFrame = {
     val pairs = fuzzyNamePairs(df, nameCol, blockPrefix, maxDist, maxBlock)
       .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
     val clusters = Dedup.dupClusters(pairs)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Entity, Multimodal, Similarity, TextAnalysis}
 
 /** Behavior specs for the LLM-pipeline operators on planted fixtures. */
 class OperatorsSpec extends AnyFunSuite {
@@ -1220,5 +1220,77 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) === (("A", r4(floor2 + math.log(3.0) + math.log(2.0)))))
     // "q q" matches no training word: identical scores, tie -> min label A
     assert(got(2L) === (("A", r4(floor2))))
+  }
+
+  test("entity: fuzzy pairs found within a block, never across blocks") {
+    // "smith"/"smyth" share prefix "sm" at dist 1; "bb"/"ab" are dist 1
+    // but different blocks -> blocking (by design) never compares them
+    val df = Seq("Smith", "smyth", "ab", "bb").toDF("name")
+    val got = Entity.fuzzyNamePairs(df, "name", blockPrefix = 2, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("smith", "smyth", 1L)))
+  }
+
+  test("entity: normalization folds case/whitespace before matching") {
+    // "  Smith " and "smith" are the SAME distinct name -> no self-pair
+    val df = Seq("  Smith ", "smith", "smyth").toDF("name")
+    val got = Entity.fuzzyNamePairs(df, "name", blockPrefix = 2, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("smith", "smyth")))
+  }
+
+  test("entity: threshold boundary keeps dist == maxDist, drops maxDist + 1") {
+    val df = Seq("aaaa", "aabb", "abbb").toDF("name") // dist(aaaa,aabb)=2, dist(aaaa,abbb)=3
+    val got = Entity.fuzzyNamePairs(df, "name", blockPrefix = 1, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("aaaa", "aabb", 2L), ("aabb", "abbb", 1L)))
+  }
+
+  test("entity: oversized blocks are excluded and visible via oversizedBlocks") {
+    // block "aa" has 3 names, block "zz" has 2; maxBlock = 2 excludes "aa"
+    val df = Seq("aa1", "aa2", "aa3", "zz1", "zz2").toDF("name")
+    val got = Entity.fuzzyNamePairs(df, "name", blockPrefix = 2,
+        maxDist = 1, maxBlock = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("zz1", "zz2")))
+    val diag = Entity.oversizedBlocks(df, "name", blockPrefix = 2, maxBlock = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(diag.toSeq === Seq(("aa", 3L)))
+    // raising the cap re-admits the block and empties the diagnostic
+    assert(Entity.oversizedBlocks(df, "name", blockPrefix = 2, maxBlock = 3)
+      .isEmpty)
+  }
+
+  test("entity: invalid knobs fail fast") {
+    val df = Seq("a").toDF("name")
+    intercept[IllegalArgumentException](
+      Entity.fuzzyNamePairs(df, "name", maxBlock = 0L))
+    intercept[IllegalArgumentException](
+      Entity.fuzzyNamePairs(df, "name", blockPrefix = 0))
+    intercept[IllegalArgumentException](
+      Entity.fuzzyNamePairs(df, "name", maxDist = 0))
+    intercept[IllegalArgumentException](
+      Entity.oversizedBlocks(df, "name", maxBlock = 0L))
+  }
+
+  test("entity: resolution picks min canon transitively, singletons map to themselves") {
+    // "data"/"date" pair up in block "d" (dist 1, canon = min = "data");
+    // "gate" is dist 1 from "date" but sits in block "g" -> singleton;
+    // "unrelated" has no neighbor at all -> maps to itself
+    val df = Seq("date", "gate", "data", "unrelated").toDF("name")
+    val got = Entity.resolveEntities(df, "name", blockPrefix = 1, maxDist = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("data" -> "data", "date" -> "data",
+      "gate" -> "gate", "unrelated" -> "unrelated"))
+  }
+
+  test("entity: transitive closure spans pairs within one block") {
+    // aab - abb - abc: d(aab,abb)=1, d(abb,abc)=1, d(aab,abc)=2 -> with
+    // maxDist=1 the pair graph is a chain and closure still unifies all 3
+    val df = Seq("aab", "abb", "abc", "axyz").toDF("name")
+    val got = Entity.resolveEntities(df, "name", blockPrefix = 1, maxDist = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("aab" -> "aab", "abb" -> "aab", "abc" -> "aab",
+      "axyz" -> "axyz"))
   }
 }
