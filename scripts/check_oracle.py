@@ -26,6 +26,14 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        # Verify writes an _ERROR.txt marker instead of parquet when the
+        # query threw — surface it as a FAIL, never silently skip (r12 lost
+        # 5 broken queries to exactly that silence).
+        errf = os.path.join(d, "_ERROR.txt")
+        if os.path.exists(errf):
+            print(f"[FAIL] {name}: query error: {open(errf).read().strip()[:300]}")
+            n_fail += 1
+            continue
         got = pd.read_parquet(d)
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")

@@ -57,14 +57,20 @@ object Bench {
       .sorted
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // A pass that throws records NO time (r12 recorded five broken queries
+    // at their time-to-throw, ~0.06s, which read as absurdly-fast results);
+    // queries with zero successful passes surface in a "failed" list.
+    val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
     for (pass <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+        failedNames += name
       }
-      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
     }
 
     // The driver parses the JSON line out of a 2000-char TAIL of this
@@ -75,7 +81,7 @@ object Bench {
     // included, goes to the file copy instead.
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def fmt6(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
-    val mins = names.map(n => n -> times(n).min)
+    val mins = names.filter(times(_).nonEmpty).map(n => n -> times(n).min)
     val total = mins.map(_._2).sum
     val sentinelRuns = times(SentinelQuery)
     val sentinelMin = if (sentinelRuns.nonEmpty) sentinelRuns.min else Double.NaN
@@ -87,13 +93,17 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      val fl =
+        if (failedNames.isEmpty) ""
+        else failedNames.map("\"" + _ + "\"")
+          .mkString(""","failed":[""", ",", "]")
       val norm =
         if (!withNorm) ""
         else entries.map { case (k, v) =>
           "\"" + k + "\":" + f(if (sentinelMin > 0) v / sentinelMin else Double.NaN)
         }.mkString(""","queries_norm":{""", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec"""" +
-        s""","queries":$qs$om,"sf":"$sfDir","runs":$runs""" +
+        s""","queries":$qs$om$fl,"sf":"$sfDir","runs":$runs""" +
         s""","sentinel":{"name":"$SentinelQuery","sec":${f(sentinelMin)}""" +
         s""","passes":[${sentinelRuns.map(f).mkString(",")}]}""" +
         s""","noise":${f(noise)}$norm}"""

@@ -204,11 +204,11 @@ object SparkEntry {
     }),
 
     // Events: hourly windowed aggregation (batch shape of the streaming
-    // ingest; ns timestamps read as long via the legacy conf)
+    // ingest; event time normalized to epoch-micros whatever type the
+    // parquet `ts` column reads as — see core.EventTime)
     "q9_events_hourly" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(t(dir, "events"))
-        .withColumn("hour_epoch", expr("ts div 3600000000000") * 3600)
+      graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .withColumn("hour_epoch", expr("ts_us div 3600000000") * 3600)
         .groupBy(col("hour_epoch"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
@@ -485,7 +485,6 @@ object SparkEntry {
     // extraction; VARIANT is what a 100 TB semi-structured column should
     // land as, shredded once instead of re-parsed per expression)
     "q31_variant_json" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(t(dir, "events"))
         .withColumn("v", parse_json(col("props")))
         .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
@@ -628,7 +627,6 @@ object SparkEntry {
 
     // Semi-structured: JSON property extraction + aggregation
     "q12_json_props" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(t(dir, "events"))
         .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
         .groupBy(col("event_type"))
@@ -683,13 +681,12 @@ object SparkEntry {
     }),
 
     // Sessionization (batch form; streaming flatMapGroupsWithState form is
-    // proven equivalent in StreamingSpec). Timestamps are truncated to
-    // micros for the oracle contract — DuckDB's parquet reader coerces
-    // TIMESTAMP(NANOS) to micro precision.
+    // proven equivalent in StreamingSpec). Event time rides as epoch-micros
+    // BIGINT (the oracle contract, epoch_us(ts) in DuckDB), whatever
+    // physical type the parquet scan yields — see core.EventTime.
     "q14_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(t(dir, "events"))
-        .withColumn("ts", expr("ts div 1000")) // ns -> us
+      val e = graft.core.EventTime
+        .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
       graft.streaming.Sessionize.sessionizeBatch(e, gapNanos = 3600L * 1000000L)
         .withColumnRenamed("start_ns", "start_us")
         .withColumnRenamed("end_ns", "end_us")
@@ -699,11 +696,9 @@ object SparkEntry {
     // same user's most recent purchase at-or-before it — one keyed
     // shuffle + window pass, no inequality nested loop. Ties (same ts)
     // break by largest purchase event_id, mirrored in the oracle's
-    // row_number ordering. Times ride as microsecond longs (ns parquet).
+    // row_number ordering. Times ride as microsecond longs.
     "q18_asof_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(t(dir, "events"))
-        .withColumn("ts_us", expr("ts div 1000"))
+      val e = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
       val views = e.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val purchases = e.filter(col("event_type") === "purchase")
@@ -723,9 +718,7 @@ object SparkEntry {
     // BroadcastNestedLoopJoin. Every click matches at least itself, so the
     // inner interval join keeps all clicks and `count - 1` excludes self.
     "q19_range_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(t(dir, "events"))
-        .withColumn("ts_us", expr("ts div 1000"))
+      val e = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"),
           (col("ts_us") - 300L * 1000000L).as("w_start"),
@@ -899,9 +892,8 @@ object SparkEntry {
     // type (tiny dimension), left-join the sparse aggregates, zero-fill.
     // The generated axis is dimension-sized, so the join broadcasts.
     "q28_gap_fill" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(t(dir, "events"))
-        .withColumn("hour", expr("ts div 3600000000000").cast(LongType))
+      val e = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .withColumn("hour", expr("ts_us div 3600000000").cast(LongType))
       val sparse = e.groupBy(col("event_type"), col("hour"))
         .agg(count(lit(1)).as("n"))
       val bounds = e.groupBy(col("event_type"))
@@ -2060,11 +2052,20 @@ object SparkEntry {
     },
 
     // DuckDB levenshtein is unthresholded but agrees with Spark's
-    // thresholded form on every kept row (dist <= maxDist there)
+    // thresholded form on every kept row (dist <= maxDist there). The
+    // `kept` CTE mirrors fuzzyNamePairs' maxBlock=10000 exclusion (blocks
+    // with more distinct names are DROPPED by both engines — without it
+    // the oracle would keep pairs Spark excludes on any dataset with a
+    // degenerate 2-char prefix).
     "entity_pairs" ->
-      """WITH n AS (
+      """WITH n0 AS (
         |  SELECT DISTINCT lower(trim(p_name)) AS nm FROM part
         |  WHERE length(lower(trim(p_name))) > 0
+        |), kept AS (
+        |  SELECT substring(nm, 1, 2) AS blk FROM n0
+        |  GROUP BY 1 HAVING count(*) <= 10000
+        |), n AS (
+        |  SELECT nm FROM n0 JOIN kept ON substring(n0.nm, 1, 2) = kept.blk
         |)
         |SELECT a.nm AS name_a, b.nm AS name_b,
         |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
@@ -2073,15 +2074,23 @@ object SparkEntry {
         |WHERE levenshtein(a.nm, b.nm) <= 3""".stripMargin,
 
     // transitive closure over the fuzzy-pair graph (the dedup_clusters
-    // recursive-CTE pattern); singletons fall through the left join
+    // recursive-CTE pattern); singletons fall through the left join.
+    // `kept` mirrors the maxBlock=10000 exclusion: oversized blocks
+    // generate NO pairs (their names still appear, as singletons) —
+    // matching resolveEntities, where every distinct name is emitted but
+    // excluded blocks contribute no edges.
     "entity_resolve" ->
       """WITH RECURSIVE n AS (
         |  SELECT DISTINCT lower(trim(p_name)) AS nm FROM part
         |  WHERE length(lower(trim(p_name))) > 0
+        |), kept AS (
+        |  SELECT substring(nm, 1, 2) AS blk FROM n
+        |  GROUP BY 1 HAVING count(*) <= 10000
         |), pairs AS (
         |  SELECT a.nm AS name_a, b.nm AS name_b
         |  FROM n a JOIN n b
         |    ON substring(a.nm, 1, 2) = substring(b.nm, 1, 2) AND a.nm < b.nm
+        |  JOIN kept k ON substring(a.nm, 1, 2) = k.blk
         |  WHERE levenshtein(a.nm, b.nm) <= 3
         |), edges AS (
         |  SELECT name_a AS a, name_b AS b FROM pairs

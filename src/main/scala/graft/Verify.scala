@@ -18,13 +18,24 @@ object Verify {
     // local-iteration subset (comma-separated names); driver never sets it
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A failed query must NEVER silently vanish from the correctness
+    // report (r12 lost 5 broken queries that way): on exception, write the
+    // output dir anyway with an _ERROR.txt marker so every declared query
+    // yields a visible row — `err`, not absence. The marker also lands in
+    // errors.json for one-glance triage.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -77,9 +77,24 @@ object Entity {
    * maxBlock²/2 ≈ 5·10⁷ at the default). Exclusions surface through the
    * `graft.entity.N` observe() metric on the result and through
    * [[oversizedBlocks]].
+   *
+   * '''Recall-affecting default change (round 12):''' `blockPrefix` went
+   * 1→2 and `maxBlock` 1,000,000→10,000. Callers relying on the old
+   * defaults silently lose (a) all cross-prefix-2 matches and (b) ALL
+   * pairs inside any block of 10k–1M distinct names. If your name
+   * distribution has hot prefixes, check [[oversizedBlocks]] (or the
+   * observe() metric) and raise `maxBlock` / lengthen `blockPrefix`
+   * explicitly.
+   *
+   * `reliableCheckpoint = true` swaps the lazy localCheckpoint of the
+   * blocked name set for a reliable `checkpoint()` (requires
+   * `sparkContext.setCheckpointDir`) — localCheckpoint lineage truncation
+   * is unrecoverable on executor loss, the same trade the dedup family
+   * exposes.
    */
   def fuzzyNamePairs(df: DataFrame, nameCol: String, blockPrefix: Int = 2,
-      maxDist: Int = 3, maxBlock: Long = 10000L): DataFrame = {
+      maxDist: Int = 3, maxBlock: Long = 10000L,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     require(blockPrefix >= 1, "blockPrefix must be >= 1")
     require(maxDist >= 1, "maxDist must be >= 1")
     require(maxBlock >= 1, "maxBlock must be >= 1")
@@ -93,10 +108,18 @@ object Entity {
         sum(when(col("_bn") > maxBlock, 1L).otherwise(0L)).as("excluded_blocks"),
         sum(when(col("_bn") > maxBlock, col("_bn")).otherwise(0L)).as("excluded_names"))
       .filter(col("_bn") <= maxBlock).drop("_bn")
-    // the filtered name set feeds BOTH sides of the self-join; a lazy
-    // localCheckpoint computes the distinct + sizing join once and the
-    // self-join re-reads materialized blocks (the dedup-family pattern)
-    val inBlock = blocked.join(sized, Seq("_blk")).localCheckpoint(eager = false)
+    // the filtered name set feeds BOTH sides of the self-join; a (lazy
+    // local, or reliable on request) checkpoint computes the distinct +
+    // sizing join once and the self-join re-reads materialized blocks
+    // (the dedup-family pattern)
+    if (reliableCheckpoint)
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true requires sparkContext.setCheckpointDir " +
+          "to be called first")
+    val joined = blocked.join(sized, Seq("_blk"))
+    val inBlock =
+      if (reliableCheckpoint) joined.checkpoint()
+      else joined.localCheckpoint(eager = false)
     val a = inBlock.select(col("_blk"), col("_nm").as("name_a"))
     val b = inBlock.select(col("_blk"), col("_nm").as("name_b"))
     a.join(b, Seq("_blk"))
@@ -117,12 +140,19 @@ object Entity {
    * (edge-sized rounds, O(component diameter) iterations); singleton
    * names never enter the loop — they are re-attached with a left join,
    * so the iterative job only ever sees the (small) matched-pair graph.
+   *
+   * Shares [[fuzzyNamePairs]]' defaults — including the round-12
+   * recall-affecting change documented there — and its
+   * `reliableCheckpoint` contract (threaded through to
+   * [[Dedup.dupClusters]]'s per-round checkpoints as well).
    */
   def resolveEntities(df: DataFrame, nameCol: String, blockPrefix: Int = 2,
-      maxDist: Int = 3, maxBlock: Long = 10000L): DataFrame = {
-    val pairs = fuzzyNamePairs(df, nameCol, blockPrefix, maxDist, maxBlock)
+      maxDist: Int = 3, maxBlock: Long = 10000L,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    val pairs = fuzzyNamePairs(df, nameCol, blockPrefix, maxDist, maxBlock,
+        reliableCheckpoint)
       .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
-    val clusters = Dedup.dupClusters(pairs)
+    val clusters = Dedup.dupClusters(pairs, reliableCheckpoint)
       .select(col("doc_id").as("_nm"), col("cluster_id").as("_canon"))
     df.select(norm(nameCol).as("_nm"))
       .filter(length(col("_nm")) > 0).distinct()

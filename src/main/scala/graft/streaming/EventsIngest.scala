@@ -23,21 +23,20 @@ import graft.sinks.{BulkSink, LoaderPlan, StreamLoader}
  */
 object EventsIngest {
 
-  /** Schema of the events stream (ts kept as epoch-nanos long — the
-    * testdata parquet carries TIMESTAMP(NANOS), which Spark reads as long
-    * under the legacy conf; a production source would be Kafka/json). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Schema of the events stream as mounted on disk. `readStream` needs an
+    * explicit schema; the `ts` physical type varies by writer/runtime
+    * (epoch-nanos BIGINT under the old legacy-conf read, TIMESTAMP_NTZ
+    * under current Spark), so it is resolved from the parquet footers and
+    * normalized downstream by [[graft.core.EventTime]] — a one-footer
+    * driver read, same cost as any schema inference. */
+  def eventsSchema(spark: SparkSession, eventsDir: String): StructType =
+    spark.read.parquet(eventsDir).schema
 
-  /** Windowed per-type aggregation with a watermark for bounded state. */
+  /** Windowed per-type aggregation with a watermark for bounded state.
+    * Accepts `ts` as epoch-nanos long OR timestamp (schema-adaptive). */
   def windowedCounts(events: DataFrame): DataFrame = {
-    val withTime = events.withColumn("event_time",
-      timestamp_micros(expr("ts div 1000")))
+    val withTime = graft.core.EventTime.withTsUs(events)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
     withTime
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -92,8 +91,8 @@ object EventsIngest {
   private def runIngest(spark: SparkSession, eventsDir: String, outDir: String,
       numBuckets: Int, mode: String,
       target: Option[StreamTarget] = None): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val stream = spark.readStream
+      .schema(eventsSchema(spark, eventsDir)).parquet(eventsDir)
     val agg = windowedCounts(stream)
     val query = agg.writeStream
       .outputMode(mode)

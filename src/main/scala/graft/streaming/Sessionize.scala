@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
 object Sessionize {
 
   /**
-   * Batch sessionization over (user_id, ts-nanos, event_id): a session
-   * breaks when the gap to the previous event exceeds `gapNanos`.
-   * Deterministic ordering tiebreak on event_id.
+   * Batch sessionization over (user_id, ts, event_id): a session breaks
+   * when the gap to the previous event exceeds `gapNanos`. `ts` must be an
+   * integral epoch column; the time UNIT is the caller's — `gapNanos` is
+   * interpreted in the same unit as `ts` (callers on the epoch-micros
+   * contract pass a micros gap; see core.EventTime). Deterministic
+   * ordering tiebreak on event_id.
    */
   def sessionizeBatch(events: DataFrame, gapNanos: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -246,11 +246,15 @@ object ScaleCurve {
       val (tBase, rowsBase) = time(run(base))
       val (tBig, rowsBig) = time(run(base * factor))
       val exp = math.log(tBig / tBase) / math.log(factor.toDouble)
+      // "out" is each body's consuming value — a row COUNT for count()-
+      // shaped bodies, a rounded checksum for sum()-shaped ones (it can be
+      // negative); its only job is proving the two points computed
+      // comparable work. It is NOT a row count, hence not named one.
       System.err.println(f"[scale] $name: $tBase%.1fs @ $base -> $tBig%.1fs " +
-        f"@ ${base * factor} (exp $exp%.2f, rows $rowsBase -> $rowsBig)")
+        f"@ ${base * factor} (exp $exp%.2f, out $rowsBase -> $rowsBig)")
       name ->
         (f""""$name":{"base_sec":$tBase%.2f,"big_sec":$tBig%.2f,""" +
-          f""""exponent":$exp%.2f,"base_rows":$rowsBase,"big_rows":$rowsBig}""")
+          f""""exponent":$exp%.2f,"base_out":$rowsBase,"big_out":$rowsBig}""")
     }.toMap
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_curve.json")
     // prior entries (our own fixed format) parsed by name; kept only when

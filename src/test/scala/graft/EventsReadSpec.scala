@@ -1,12 +1,36 @@
 package graft
 import org.scalatest.funsuite.AnyFunSuite
+import graft.core.EventTime
+
+/** The events `ts` physical type varies by writer/runtime (epoch-nanos
+  * BIGINT under old Spark's legacy conf, TIMESTAMP_NTZ under current
+  * Spark). What every query and oracle actually depends on is the
+  * normalized contract: EventTime yields epoch-MICROS BIGINT either way. */
 class EventsReadSpec extends AnyFunSuite {
-  test("events ns timestamps readable with nanosAsLong") {
+  test("EventTime normalizes events ts to epoch-micros long") {
     val spark = SparkSuite.spark
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    assert(e.schema("ts").dataType.typeName == "long")
-    assert(e.count() > 0)
-    e.show(2, false)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val e = EventTime.withTsUs(raw)
+    assert(e.schema("ts_us").dataType.typeName == "long")
+    val row = e.selectExpr("min(ts_us)", "max(ts_us)", "count(*)").head()
+    assert(row.getLong(2) > 0)
+    // sane epoch-micros range: between 2000-01-01 and 2100-01-01
+    assert(row.getLong(0) > 946684800000000L, s"min ts_us ${row.getLong(0)}")
+    assert(row.getLong(1) < 4102444800000000L, s"max ts_us ${row.getLong(1)}")
+  }
+
+  test("EventTime is exact on a synthetic epoch-nanos long column") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val ns = Seq(1700000000123456789L, 1700000001000000000L).toDF("ts")
+    val got = EventTime.withTsUs(ns).select("ts_us").as[Long].collect().sorted
+    assert(got.sameElements(Array(1700000000123456L, 1700000001000000L)))
+  }
+
+  test("EventTime rejects non-temporal ts types") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val bad = Seq("x").toDF("ts")
+    intercept[IllegalArgumentException](EventTime.withTsUs(bad))
   }
 }

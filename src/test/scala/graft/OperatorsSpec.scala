@@ -1261,6 +1261,33 @@ class OperatorsSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("entity: reliableCheckpoint threads through and preserves results") {
+    val df = Seq("smith", "smyth", "date", "data", "zz").toDF("name")
+    // no checkpoint dir set -> fail fast, not a late executor error
+    val hadDir = spark.sparkContext.getCheckpointDir
+    if (hadDir.isEmpty) {
+      intercept[IllegalArgumentException](
+        Entity.fuzzyNamePairs(df, "name", reliableCheckpoint = true))
+      intercept[IllegalArgumentException](
+        Entity.resolveEntities(df, "name", reliableCheckpoint = true))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-entity-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val local = Entity.resolveEntities(df, "name")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val reliable = Entity.resolveEntities(df, "name", reliableCheckpoint = true)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(reliable === local)
+      val pairs = Entity.fuzzyNamePairs(df, "name", reliableCheckpoint = true)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs === Set(("smith", "smyth"), ("data", "date")))
+    } finally {
+      // restore: a stale temp checkpoint dir must not leak into other tests
+      spark.sparkContext.setCheckpointDir(hadDir.orNull)
+    }
+  }
+
   test("entity: invalid knobs fail fast") {
     val df = Seq("a").toDF("name")
     intercept[IllegalArgumentException](

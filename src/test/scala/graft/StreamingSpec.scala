@@ -14,11 +14,11 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   import spark.implicits._
 
-  val gap = 3600L * 1000000000L // 1h in ns
+  val gap = 3600L * 1000000L // 1h in µs (the core.EventTime contract)
 
   test("flatMapGroupsWithState sessions match batch sessionization (closed sessions)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = graft.core.EventTime.readEventsTsUsAs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
 
     // batch truth: all sessions per user
     val truth = Sessionize.sessionizeBatch(batch, gap)
@@ -29,9 +29,10 @@ class StreamingSpec extends AnyFunSuite {
     val inDir = Files.createTempDirectory("graft-sess-in")
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       inDir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema(graft.streaming.EventsIngest.eventsSchema)
-      .parquet(inDir.toString)
+    val stream = graft.core.EventTime.readEventsTsUsAs(
+      spark.readStream
+        .schema(graft.streaming.EventsIngest.eventsSchema(spark, inDir.toString))
+        .parquet(inDir.toString), "ts")
       .select(col("event_id"), col("ts"), col("user_id")).as[Event]
     val sessions = Sessionize.sessionizeStream(stream, gap)
     val qname = "sessions_out_" + System.nanoTime()
@@ -59,7 +60,6 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.HeavyHitters.{GroupTop, Item}
     // derive (group, item) pairs from events: group = event_type, item =
     // the user id bucket — skewed enough that top-k is non-trivial
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_type").as("group"),
         concat(lit("u"), pmod(col("user_id"), lit(7))).as("item"))
