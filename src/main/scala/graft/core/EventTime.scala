@@ -18,9 +18,13 @@ import org.apache.spark.sql.types._
  * yields, so no query depends on removed legacy confs or on which Spark
  * minor version mounted the data.
  *
- * The TIMESTAMP_NTZ branch uses `timestampdiff` against an NTZ epoch
- * literal — a timezone-free computation, deterministic regardless of
- * `spark.sql.session.timeZone` (an NTZ→LTZ cast would not be).
+ * The TIMESTAMP_NTZ branch decomposes the wall-clock value directly
+ * (exact day count from the epoch DATE + hour/minute/fractional-second
+ * parts) — genuinely timezone-free, deterministic regardless of
+ * `spark.sql.session.timeZone`. A `timestampdiff`/`unix_micros` form
+ * would NOT be: Catalyst coerces NTZ operands to TIMESTAMP via the
+ * session zone, which shifts epochs by the 1970-vs-event offset delta
+ * under a DST zone. All parts stay inside whole-stage codegen.
  */
 object EventTime {
 
@@ -31,8 +35,13 @@ object EventTime {
     val us = df.schema(tsCol).dataType match {
       case LongType => // legacy read: epoch-nanos long
         expr(s"$tsCol div 1000")
-      case TimestampNTZType => // tz-free diff from the NTZ epoch
-        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $tsCol)")
+      case TimestampNTZType =>
+        // tz-free: the NTZ wall clock IS the UTC instant (the oracle's
+        // epoch_us semantics). datediff on DATEs is an exact day count;
+        // extract(SECOND) carries the sub-second fraction as DECIMAL.
+        expr(s"""datediff(cast($tsCol as date), DATE '1970-01-01') * 86400000000L
+                |  + hour($tsCol) * 3600000000L + minute($tsCol) * 60000000L
+                |  + cast(extract(SECOND FROM $tsCol) * 1000000 AS BIGINT)""".stripMargin)
       case TimestampType =>
         expr(s"unix_micros($tsCol)")
       case other =>

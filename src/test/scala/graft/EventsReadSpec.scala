@@ -27,6 +27,26 @@ class EventsReadSpec extends AnyFunSuite {
     assert(got.sameElements(Array(1700000000123456L, 1700000001000000L)))
   }
 
+  test("EventTime on TIMESTAMP_NTZ is session-timezone invariant (DST zone)") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    // NTZ wall clock taken as UTC: 2021-07-01T12:00:00.123456 (DST in
+    // America/New_York; its 1970 offset differs from its July offset, the
+    // exact case an NTZ->LTZ session-zone coercion gets wrong by 1h)
+    val df = Seq("2021-07-01 12:00:00.123456", "1969-12-31 23:59:59.5")
+      .toDF("s").selectExpr("cast(s as timestamp_ntz) as ts")
+    assert(df.schema("ts").dataType.typeName == "timestamp_ntz")
+    val expect = Array(-500000L, 1625140800123456L)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/New_York", "Asia/Kolkata")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val got = EventTime.withTsUs(df).select("ts_us").as[Long].collect().sorted
+        assert(got.sameElements(expect), s"tz=$tz: ${got.toSeq}")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("EventTime rejects non-temporal ts types") {
     val spark = SparkSuite.spark
     import spark.implicits._
