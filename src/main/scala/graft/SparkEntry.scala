@@ -692,6 +692,23 @@ object SparkEntry {
         .withColumnRenamed("end_ns", "end_us")
     }),
 
+    // Same sessionization contract via the BUILT-IN session_window
+    // operator (the Spark-first form; also the streaming watermark-closed
+    // path). gap+1µs reproduces the lag form's <=-gap merge exactly; the
+    // ordinal session_id is a per-user window over one-row-per-session.
+    "q14b_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.core.EventTime
+        .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
+      graft.streaming.Sessionize
+        .sessionizeWindows(e, gapMicros = 3600L * 1000000L + 1L)
+        .withColumn("session_id",
+          (row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("start_us"))) - 1).cast(LongType))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us"))
+    }),
+
     // As-of join (pandas merge_asof / kdb aj): each view event picks the
     // same user's most recent purchase at-or-before it — one keyed
     // shuffle + window pass, no inequality nested loop. Ties (same ts)
@@ -1757,6 +1774,28 @@ object SparkEntry {
     },
 
     "q14_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+        |), flagged AS (
+        |  SELECT user_id, tsu,
+        |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |              > 3600000000 THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events,
+        |       min(tsu) AS start_us, max(tsu) AS end_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // the session_window form must land on the IDENTICAL session set as
+    // the lag/cumsum form (gap+1µs boundary alignment) — same oracle
+    "q14b_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
         |), flagged AS (

@@ -77,4 +77,40 @@ object Sessionize {
           closed.iterator
       }
   }
+
+  // ---- built-in session_window form ----------------------------------
+
+  /**
+   * Spark-first sessionization via the native `session_window` operator —
+   * the form to prefer when the per-session output is an aggregate (the
+   * custom-state form above exists for arbitrary per-session logic).
+   * Works identically over batch frames and streams; on a stream, pass
+   * `watermark` (e.g. `Some("1 hour")`) and sessions CLOSE when the
+   * watermark passes gap beyond their last event — including each key's
+   * trailing session, which the flatMapGroupsWithState form can only
+   * close on a later event's arrival.
+   *
+   * Gap-boundary semantics differ from [[sessionizeBatch]] by design of
+   * the built-in: `session_window` merges an event at strictly LESS than
+   * gap after the previous one, while the lag form merges at <=. Pass
+   * `gapMicros + 1` here to reproduce `sessionizeBatch(gapMicros)`
+   * exactly (pinned in StreamingSpec).
+   *
+   * Input contract: `ts` is epoch-micros BIGINT (core.EventTime). Output
+   * (user_id, start_us, end_us, n_events), session bounds as observed
+   * event times (min/max ts), not the padded window struct — matching
+   * the batch form and the q14 oracle.
+   */
+  def sessionizeWindows(events: DataFrame, gapMicros: Long,
+      watermark: Option[String] = None): DataFrame = {
+    require(gapMicros >= 1, "gapMicros must be >= 1")
+    val timed = events.withColumn("_event_time", timestamp_micros(col("ts")))
+    val bounded = watermark.fold(timed)(timed.withWatermark("_event_time", _))
+    bounded
+      .groupBy(col("user_id"),
+        session_window(col("_event_time"), s"$gapMicros microseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_us"), max(col("ts")).as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
 }

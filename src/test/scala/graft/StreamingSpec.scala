@@ -55,6 +55,72 @@ class StreamingSpec extends AnyFunSuite {
       "a non-trailing session failed to close")
   }
 
+  test("session_window form equals the lag form, including the exact-gap boundary") {
+    // diff == gap merges in the lag form (<= gap); session_window merges
+    // strictly-below-gap, so gap+1 aligns the boundary. Planted: user 1's
+    // second event lands EXACTLY gap after the first.
+    val g = 1000L
+    val planted = Seq(
+      (1L, 1L, 0L), (2L, 1L, g), (3L, 1L, 2 * g + 2),
+      (4L, 2L, 50L)).toDF("event_id", "user_id", "ts")
+    val lagForm = Sessionize.sessionizeBatch(planted, gapNanos = g)
+      .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val swForm = Sessionize.sessionizeWindows(planted, gapMicros = g + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(lagForm === Set((1L, 0L, g, 2L), (1L, 2 * g + 2, 2 * g + 2, 1L),
+      (2L, 50L, 50L, 1L)))
+    assert(swForm === lagForm)
+
+    // and on the real events table
+    val batch = graft.core.EventTime.readEventsTsUsAs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+    val a = Sessionize.sessionizeBatch(batch, gap)
+      .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Sessionize.sessionizeWindows(batch, gap + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(b === a)
+  }
+
+  test("streaming session_window closes sessions by watermark, trailing included") {
+    val batch = graft.core.EventTime.readEventsTsUsAs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+    val truth = Sessionize.sessionizeBatch(batch, gap)
+      .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val maxTs = batch.agg(max(col("ts"))).head().getLong(0)
+
+    val inDir = Files.createTempDirectory("graft-sw-in")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val stream = graft.core.EventTime.readEventsTsUsAs(
+      spark.readStream
+        .schema(graft.streaming.EventsIngest.eventsSchema(spark, inDir.toString))
+        .parquet(inDir.toString), "ts")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val qname = "sw_out_" + System.nanoTime()
+    val q = Sessionize.sessionizeWindows(stream, gap + 1,
+        watermark = Some("0 seconds"))
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(qname)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // watermark semantics: a session emits when watermark (final = global
+    // max event time at 0s delay) passes its window end (= last event +
+    // gap). Only sessions still inside that horizon may be withheld —
+    // UNLIKE flatMapGroupsWithState, which withholds EVERY user's
+    // trailing session regardless of age.
+    assert(streamed.subsetOf(truth), s"phantom sessions: ${streamed -- truth}")
+    val missing = truth -- streamed
+    assert(missing.forall(s => s._3 + gap + 1 > maxTs),
+      s"sessions beyond the watermark horizon failed to close: " +
+        s"${missing.filter(s => s._3 + gap + 1 <= maxTs)}")
+  }
+
   test("streaming heavy hitters equal the batch topk_freq aggregate after the last batch") {
     import graft.streaming.HeavyHitters
     import graft.streaming.HeavyHitters.{GroupTop, Item}
