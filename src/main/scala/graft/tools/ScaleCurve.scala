@@ -145,6 +145,29 @@ object ScaleCurve {
         graft.operators.TemporalJoin.intervalJoin(iv, pts, "s", "e", "t",
           keyCols = Nil, binWidth = 100).count()
       },
+      "sessionize" -> { n =>
+        // event-shaped: n events over n/500 users (events-per-user
+        // constant at 500 as n grows, like a real fleet). The native
+        // session_window agg is one keyed shuffle + sorted aggregation;
+        // sum(n_events) consumes the result so nothing prunes.
+        val ev = spark.range(n).select(col("id").as("event_id"),
+          pmod(col("id"), lit(math.max(1L, n / 500))).as("user_id"),
+          (pmod(xxhash64(col("id")), lit(1000000L)) * 1000L).as("ts"))
+        graft.streaming.Sessionize.sessionizeWindows(ev, gapMicros = 1000000L)
+          .agg(sum(col("n_events"))).head().getLong(0)
+      },
+      "entity_resolve" -> { n =>
+        // constant-density record linkage: n records over n/100 distinct
+        // names, 10 name-variants per 4-hex-char prefix block and the
+        // BLOCK COUNT (n/1000) growing with n — per-block comparison work
+        // stays a constant 45 thresholded-levenshtein calls, so the whole
+        // distinct -> block -> pair -> cluster chain must scale linearly.
+        val names = spark.range(n).select(concat(
+          format_string("%04x", pmod(xxhash64(col("id")), lit(math.max(1L, n / 1000)))),
+          lit("_v"), pmod(xxhash64(col("id") * 3), lit(10))).as("name"))
+        graft.operators.Entity.resolveEntities(names, "name", blockPrefix = 4)
+          .count()
+      },
       "dedup_semantic" -> { n =>
         // nlist grows with n (constant ~1000-vector cluster occupancy —
         // the paper's fixed-occupancy setup), so the within-cluster pair
