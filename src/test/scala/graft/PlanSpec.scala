@@ -190,6 +190,22 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected 1 exchange (the key partitioning), got $exchanges")
   }
 
+  test("q14b session_window: one keyed exchange shared by the session agg and the ordinal window") {
+    // session-window aggregation partitions by the NON-window grouping
+    // keys (user_id) — a user's events must co-locate to merge sessions —
+    // and the ordinal-session-id window partitions by user_id too, so the
+    // whole query must reuse ONE hashpartitioning(user_id) exchange (plus
+    // the single-partition gather AQE may add for nothing at this scale).
+    val p = plan("q14b_session_window")
+    assert(p.contains("Window"), s"no ordinal window:\n${p.take(1500)}")
+    val keyed = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.size === 1,
+      s"expected 1 keyed exchange, got ${keyed.size}:\n${keyed.mkString("\n")}")
+    assert(keyed.head.contains("user_id"),
+      s"keyed exchange not on user_id:\n${keyed.head}")
+  }
+
   test("q19 range join: bin equi-join (hash/merge), never BroadcastNestedLoopJoin") {
     // a raw time-range predicate with no equi-key can only nested-loop;
     // the bin trick turns it into an equi-join on the bin column
