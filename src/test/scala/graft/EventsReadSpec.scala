@@ -47,6 +47,31 @@ class EventsReadSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("EventTime NTZ decomposition round-trips arbitrary epoch micros") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    // deterministic pseudo-random micros across 1970..2100, negative
+    // (pre-epoch) values included, plus exact boundary instants
+    val rng = new scala.util.Random(13)
+    val bounds = Seq(0L, -1L, 1L, 86400000000L - 1, 86400000000L,
+      -86400000000L, 4102444799999999L)
+    val micros = bounds ++ Seq.fill(500)(
+      rng.between(-86400000000L * 365, 4102444800000000L))
+    // the LTZ->NTZ cast interprets via the session zone: pin UTC so the
+    // NTZ wall clock IS the instant being round-tripped
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      val df = micros.toDF("us")
+        .selectExpr("us", "cast(timestamp_micros(us) as timestamp_ntz) as ts")
+      val bad = EventTime.withTsUs(df)
+        .filter(org.apache.spark.sql.functions.col("ts_us") =!=
+          org.apache.spark.sql.functions.col("us"))
+        .select("us", "ts_us").collect()
+      assert(bad.isEmpty, s"round-trip mismatches: ${bad.take(5).toSeq}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("EventTime rejects non-temporal ts types") {
     val spark = SparkSuite.spark
     import spark.implicits._
