@@ -98,13 +98,16 @@ object Bench {
         else failedNames.map("\"" + _ + "\"")
           .mkString(""","failed":[""", ",", "]")
       val norm =
-        if (!withNorm) ""
+        if (!withNorm || !(sentinelMin > 0)) "" // no sentinel -> no norm map
         else entries.map { case (k, v) =>
-          "\"" + k + "\":" + f(if (sentinelMin > 0) v / sentinelMin else Double.NaN)
+          "\"" + k + "\":" + f(v / sentinelMin)
         }.mkString(""","queries_norm":{""", ",", "}")
+      // a sentinel that failed every pass must not emit bare NaN (invalid
+      // JSON would zero the whole round's bench parse) — emit null
+      val sentinelJson = if (sentinelMin.isNaN) "null" else f(sentinelMin)
       s"""{"metric":"total","value":${f(total)},"unit":"sec"""" +
         s""","queries":$qs$om$fl,"sf":"$sfDir","runs":$runs""" +
-        s""","sentinel":{"name":"$SentinelQuery","sec":${f(sentinelMin)}""" +
+        s""","sentinel":{"name":"$SentinelQuery","sec":$sentinelJson""" +
         s""","passes":[${sentinelRuns.map(f).mkString(",")}]}""" +
         s""","noise":${f(noise)}$norm}"""
     }
