@@ -203,6 +203,31 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // §2.5 skew path: the salted join must land on the IDENTICAL row set
+    // as the plain inner join (the oracle IS the plain join) — salting
+    // spreads each hot key over `factor` tasks for the case AQE's skew
+    // split can't fix (a shuffled build side). Deterministic hash salt,
+    // so retried tasks route rows identically.
+    "q34_salted_join" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+        .withColumnRenamed("c_custkey", "o_custkey")
+        .select(col("o_custkey"), col("c_name"))
+      graft.operators.Skew.saltedJoin(o, c, "o_custkey", factor = 4)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+    }),
+
+    // two-phase salted aggregation == plain aggregation (the explicit
+    // form for states partial agg can't reduce when one key dominates)
+    "q35_salted_agg" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      graft.operators.Skew
+        .saltedCountSum(o, Seq("o_orderstatus"), "o_totalprice", factor = 4)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+    }),
+
     // Events: hourly windowed aggregation (batch shape of the streaming
     // ingest; event time normalized to epoch-micros whatever type the
     // parquet `ts` column reads as — see core.EventTime)
@@ -1384,6 +1409,18 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+
+    // the salted forms must be INDISTINGUISHABLE from the plain ones —
+    // the oracle is the unsalted join/aggregation
+    "q34_salted_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name,
+        |       round(o.o_totalprice, 2) AS totalprice
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "q35_salted_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_value
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q9_events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
