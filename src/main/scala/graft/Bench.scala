@@ -59,8 +59,9 @@ object Bench {
       .withDefaultValue(Nil)
     // A pass that throws records NO time (r12 recorded five broken queries
     // at their time-to-throw, ~0.06s, which read as absurdly-fast results);
-    // queries with zero successful passes surface in a "failed" list.
-    val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    // queries with ZERO successful passes surface in a "failed" list — a
+    // query that threw once but measured on other passes keeps its min and
+    // stays out of the list (the per-pass stderr line still records it).
     for (pass <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -69,9 +70,9 @@ object Bench {
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
-        failedNames += name
       }
     }
+    val failedNames = names.filter(times(_).isEmpty)
 
     // The driver parses the JSON line out of a 2000-char TAIL of this
     // process's output (BENCH_r04 failed to parse because the r4 line,

@@ -712,9 +712,9 @@ object SparkEntry {
     "q14_sessionize" -> ((s, dir) => {
       val e = graft.core.EventTime
         .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
-      graft.streaming.Sessionize.sessionizeBatch(e, gapNanos = 3600L * 1000000L)
-        .withColumnRenamed("start_ns", "start_us")
-        .withColumnRenamed("end_ns", "end_us")
+      graft.streaming.Sessionize.sessionizeBatch(e, gap = 3600L * 1000000L)
+        .withColumnRenamed("start_ts", "start_us")
+        .withColumnRenamed("end_ts", "end_us")
     }),
 
     // Same sessionization contract via the BUILT-IN session_window

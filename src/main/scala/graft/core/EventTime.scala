@@ -33,8 +33,11 @@ object EventTime {
   def withTsUs(df: DataFrame, tsCol: String = "ts",
       outCol: String = "ts_us"): DataFrame = {
     val us = df.schema(tsCol).dataType match {
-      case LongType => // legacy read: epoch-nanos long
-        expr(s"$tsCol div 1000")
+      case LongType =>
+        // legacy read: epoch-nanos long. FLOOR division (div truncates
+        // toward zero) so a pre-epoch sub-microsecond instant lands on
+        // the same micro as the NTZ branch and DuckDB's epoch_us do.
+        expr(s"($tsCol div 1000) + (CASE WHEN $tsCol % 1000 < 0 THEN -1 ELSE 0 END)")
       case TimestampNTZType =>
         // tz-free: the NTZ wall clock IS the UTC instant (the oracle's
         // epoch_us semantics). datediff on DATEs is an exact day count;

@@ -23,14 +23,31 @@ import graft.sinks.{BulkSink, LoaderPlan, StreamLoader}
  */
 object EventsIngest {
 
+  /** Fallback stream schema for a directory with no parquet yet (the 24/7
+    * ingest may start BEFORE the first file lands): current Spark mounts
+    * the events `ts` parquet column as TIMESTAMP_NTZ, and EventTime
+    * normalizes either flavor downstream anyway. */
+  val fallbackEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Schema of the events stream as mounted on disk. `readStream` needs an
     * explicit schema; the `ts` physical type varies by writer/runtime
     * (epoch-nanos BIGINT under the old legacy-conf read, TIMESTAMP_NTZ
-    * under current Spark), so it is resolved from the parquet footers and
-    * normalized downstream by [[graft.core.EventTime]] — a one-footer
-    * driver read, same cost as any schema inference. */
+    * under current Spark), so it is resolved from the parquet footers —
+    * a one-footer driver read, same cost as any schema inference — and
+    * normalized downstream by [[graft.core.EventTime]]. An empty or
+    * not-yet-created directory falls back to [[fallbackEventsSchema]] so
+    * stream startup never races the first file. */
   def eventsSchema(spark: SparkSession, eventsDir: String): StructType =
-    spark.read.parquet(eventsDir).schema
+    try spark.read.parquet(eventsDir).schema
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      fallbackEventsSchema
+    }
 
   /** Windowed per-type aggregation with a watermark for bounded state.
     * Accepts `ts` as epoch-nanos long OR timestamp (schema-adaptive). */

@@ -20,38 +20,38 @@ object Sessionize {
 
   /**
    * Batch sessionization over (user_id, ts, event_id): a session breaks
-   * when the gap to the previous event exceeds `gapNanos`. `ts` must be an
-   * integral epoch column; the time UNIT is the caller's — `gapNanos` is
+   * when the gap to the previous event exceeds `gap`. `ts` must be an
+   * integral epoch column; the time UNIT is the caller's — `gap` is
    * interpreted in the same unit as `ts` (callers on the epoch-micros
    * contract pass a micros gap; see core.EventTime). Deterministic
    * ordering tiebreak on event_id.
    */
-  def sessionizeBatch(events: DataFrame, gapNanos: Long): DataFrame = {
+  def sessionizeBatch(events: DataFrame, gap: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val newSession = when(
-      col("ts") - lag(col("ts"), 1).over(w) > gapNanos, 1).otherwise(0)
+      col("ts") - lag(col("ts"), 1).over(w) > gap, 1).otherwise(0)
     events
       .withColumn("_new", newSession)
       .withColumn("session_id",
         sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("start_ns"), max(col("ts")).as("end_ns"))
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
   }
 
   // ---- streaming form -------------------------------------------------
 
   case class Event(event_id: Long, ts: Long, user_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)
-  case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
+  case class Session(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long)
 
   /**
    * Streaming sessionization: per-user state carries the open session;
-   * events extending it merge in, a gap beyond `gapNanos` closes and emits
+   * events extending it merge in, a gap beyond `gap` closes and emits
    * it. State is one small record per active user — bounded by active
    * users, not event volume.
    */
-  def sessionizeStream(events: Dataset[Event], gapNanos: Long): Dataset[Session] = {
+  def sessionizeStream(events: Dataset[Event], gap: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -64,7 +64,7 @@ object Sessionize {
           val closed = scala.collection.mutable.ListBuffer.empty[Session]
           sorted.foreach { e =>
             open match {
-              case Some(s) if e.ts - s.end <= gapNanos =>
+              case Some(s) if e.ts - s.end <= gap =>
                 open = Some(s.copy(end = e.ts, n = s.n + 1))
               case Some(s) =>
                 closed += Session(userId, s.start, s.end, s.n)

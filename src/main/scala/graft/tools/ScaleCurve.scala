@@ -290,6 +290,9 @@ object ScaleCurve {
         val sameScale = s.contains(s""""base":$base,"factor":$factor,""")
         if (!sameScale) Map.empty
         else """"(\w+)":\{"base_sec[^}]*\}""".r.findAllMatchIn(s)
+          // drop pre-rename (base_rows-era) entries rather than merging a
+          // mixed-field-name file; they re-measure on the next full run
+          .filter(_.matched.contains("\"base_out\""))
           .map(m => m.group(1) -> m.matched).toMap
       } else Map.empty
     }

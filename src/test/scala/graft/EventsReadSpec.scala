@@ -27,6 +27,18 @@ class EventsReadSpec extends AnyFunSuite {
     assert(got.sameElements(Array(1700000000123456L, 1700000001000000L)))
   }
 
+  test("EventTime long branch FLOORS pre-epoch nanos (matching NTZ and epoch_us)") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    // -1500 ns is inside micro -2 under floor semantics (DuckDB epoch_us
+    // and the NTZ decomposition agree); div-toward-zero would say -1
+    val ns = Seq(-1500L, -1000L, -999L, -1L, 0L, 999L, 1000L).toDF("ts")
+    val got = EventTime.withTsUs(ns).select("ts", "ts_us").as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(-1500L -> -2L, -1000L -> -1L, -999L -> -1L,
+      -1L -> -1L, 0L -> 0L, 999L -> 0L, 1000L -> 1L))
+  }
+
   test("EventTime on TIMESTAMP_NTZ is session-timezone invariant (DST zone)") {
     val spark = SparkSuite.spark
     import spark.implicits._

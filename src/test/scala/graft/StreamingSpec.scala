@@ -22,7 +22,7 @@ class StreamingSpec extends AnyFunSuite {
 
     // batch truth: all sessions per user
     val truth = Sessionize.sessionizeBatch(batch, gap)
-      .select("user_id", "start_ns", "end_ns", "n_events")
+      .select("user_id", "start_ts", "end_ts", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
 
     // streaming: drive the same events through flatMapGroupsWithState
@@ -42,7 +42,7 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
 
     val streamed = spark.table(qname).as[Session].collect()
-      .map(s => (s.user_id, s.start_ns, s.end_ns, s.n_events)).toSet
+      .map(s => (s.user_id, s.start_ts, s.end_ts, s.n_events)).toSet
 
     // the stream never closes each user's LAST session (no more input), so
     // streamed == truth minus exactly one trailing open session per user
@@ -63,8 +63,8 @@ class StreamingSpec extends AnyFunSuite {
     val planted = Seq(
       (1L, 1L, 0L), (2L, 1L, g), (3L, 1L, 2 * g + 2),
       (4L, 2L, 50L)).toDF("event_id", "user_id", "ts")
-    val lagForm = Sessionize.sessionizeBatch(planted, gapNanos = g)
-      .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
+    val lagForm = Sessionize.sessionizeBatch(planted, gap = g)
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val swForm = Sessionize.sessionizeWindows(planted, gapMicros = g + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -76,7 +76,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.core.EventTime.readEventsTsUsAs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
     val a = Sessionize.sessionizeBatch(batch, gap)
-      .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val b = Sessionize.sessionizeWindows(batch, gap + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -87,7 +87,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.core.EventTime.readEventsTsUsAs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
     val truth = Sessionize.sessionizeBatch(batch, gap)
-      .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val maxTs = batch.agg(max(col("ts"))).head().getLong(0)
 
@@ -119,6 +119,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(missing.forall(s => s._3 + gap + 1 > maxTs),
       s"sessions beyond the watermark horizon failed to close: " +
         s"${missing.filter(s => s._3 + gap + 1 <= maxTs)}")
+  }
+
+  test("eventsSchema falls back when the directory has no parquet yet (24/7 startup)") {
+    val empty = Files.createTempDirectory("graft-empty-events").toString
+    assert(graft.streaming.EventsIngest.eventsSchema(spark, empty) ===
+      graft.streaming.EventsIngest.fallbackEventsSchema)
+    val missing = empty + "/not-created-yet"
+    assert(graft.streaming.EventsIngest.eventsSchema(spark, missing) ===
+      graft.streaming.EventsIngest.fallbackEventsSchema)
+    // and a populated directory still resolves from the footers
+    val real = graft.streaming.EventsIngest.eventsSchema(spark,
+      "/root/testdata/sf0.001/events.parquet")
+    assert(real.fieldNames.contains("ts"))
   }
 
   test("streaming heavy hitters equal the batch topk_freq aggregate after the last batch") {
