@@ -409,6 +409,16 @@ object SparkEntry {
       graft.operators.Dedup.dupClusters(pairs)
     }),
 
+    // Leakage-safe split: near-dup cluster members always land on the
+    // same train/val/test side (split keyed on the cluster representative)
+    "corpus_leakage_split" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val pairs = graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, threshold = 0.8)
+      graft.operators.Curate.leakageSafeSplit(d, "doc_id", pairs)
+        .select(col("doc_id"), col("source"), col("split_rep"), col("split"))
+    }),
+
     // Blocked n-gram Jaccard pairs (blocking key = source). maxDf=100 is
     // the explicit scale-path cap (bounded candidates; identical-set
     // copies rescued) — the API default is exhaustive.
@@ -1257,6 +1267,17 @@ object SparkEntry {
       |)
       |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Queries deliberately WITHOUT a DuckDB oracle — the driver records a
+    * rows-only check for these. Every entry must say why here, and
+    * PipelineSpec pins `queries.keySet == oracleSql.keySet ++ rowsOnly`
+    * so a query can never silently lose (or never gain) its oracle.
+    *
+    *  - g1/g2: ring-aligned repartition+sort on Murmur3/RandomPartitioner
+    *    token math — no DuckDB expression computes Cassandra tokens; the
+    *    byte-exact contract is pinned against reference-derived golden
+    *    hashes in KernelSpec instead. */
+  val rowsOnly: Set[String] = Set("g1_ring_align", "g2_random_ring_align")
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
@@ -1633,6 +1654,37 @@ object SparkEntry {
         |)
         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin,
+
+    // same recursive reachability as dedup_clusters, then a per-CLUSTER
+    // md5 bucket — every member inherits its representative's side, so
+    // the oracle re-derives leakage-freedom from first principles
+    "corpus_leakage_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), cl AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        |), rep AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS split_rep
+        |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, source, split_rep,
+        |  CASE WHEN CAST('0x' || substr(md5('lsplit:' || CAST(split_rep AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('lsplit:' || CAST(split_rep AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 950 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rep""".stripMargin,
 
     "dedup_ngram" ->
       """WITH sh AS (

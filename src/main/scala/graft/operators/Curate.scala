@@ -125,8 +125,51 @@ object Curate {
   /** md5-derived bucket in [0, 1000): first 8 hex chars of
     * md5(salt:id) as an integer, mod 1000 — portable to any engine. */
   private def splitBucket(idCol: String, salt: String): org.apache.spark.sql.Column =
-    (conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+    bucketOf(col(idCol), salt)
+
+  private def bucketOf(id: org.apache.spark.sql.Column,
+      salt: String): org.apache.spark.sql.Column =
+    (conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long") % 1000)
+
+  /**
+   * Leakage-safe train/val/test split: members of the same near-duplicate
+   * cluster ALWAYS land on the same side. A plain per-document split
+   * ([[withSplit]]) leaks — when a test document has a near-copy in
+   * train, the eval measures memorization, not generalization. Here the
+   * split is keyed on the cluster REPRESENTATIVE (min doc id reachable
+   * through the duplicate-pair graph; a document in no pair represents
+   * itself), so the whole cluster moves together by construction.
+   *
+   * `pairs` is any near-dup pair frame (`doc_a`, `doc_b`) — MinHash+LSH
+   * ([[Dedup.minhashLshPairs]]), SimHash bands, n-gram Jaccard — letting
+   * the caller pick the similarity notion that defines "leak".
+   *
+   * Scale: the cluster map from [[Dedup.dupClusters]] holds one row per
+   * document that appears in a pair — bounded by true duplicates, orders
+   * of magnitude smaller than the corpus — so the left join is
+   * AQE-broadcastable and the corpus never shuffles; bucket assignment is
+   * a scan-stage md5 (deterministic across engines/runs/cluster sizes,
+   * same contract as [[withSplit]], distinct salt so the two stay
+   * independent events). `reliableCheckpoint` follows the dedup-family
+   * contract (localCheckpoint is fast but unrecoverable on executor loss).
+   */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPerMille: Int = 900, valPerMille: Int = 50,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    require(trainPerMille + valPerMille <= 1000, "split fractions exceed 1")
+    val clusters = Dedup.dupClusters(pairs, reliableCheckpoint)
+      .withColumnRenamed("doc_id", idCol).withColumnRenamed("cluster_id", "_cl")
+    val rep = coalesce(col("_cl"), col(idCol).cast("long"))
+    val bucket = bucketOf(rep, "lsplit")
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("split_rep", rep)
+      .withColumn("split",
+        when(bucket < trainPerMille, "train")
+          .when(bucket < trainPerMille + valPerMille, "val")
+          .otherwise("test"))
+      .drop("_cl")
+  }
 
   /**
    * Sequence packing: assign every document (in `idCol` order) its global

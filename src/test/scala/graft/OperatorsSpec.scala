@@ -1320,4 +1320,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map("aab" -> "aab", "abb" -> "aab", "abc" -> "aab",
       "axyz" -> "axyz"))
   }
+
+  test("leakage-safe split: cluster members share a side, everyone is assigned once") {
+    // planted chain 1~2, 2~4 (transitively one cluster {1,2,4}); 3 and 5
+    // are singletons. Whatever side md5 picks, the cluster moves together.
+    val nearDup = base.replace("delta", "DELTA")
+    val unrelated = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val far = "red orange yellow green blue indigo violet cyan magenta teal " +
+      "maroon olive navy coral amber jade ruby pearl onyx quartz"
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base, 5L -> far)
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5)
+    val split = graft.operators.Curate.leakageSafeSplit(df, "doc_id", pairs)
+      .select("doc_id", "split_rep", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // exactly one assignment per input document
+    assert(split.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // the {1,2,4} cluster shares the min-id representative AND the side
+    assert(split(1L)._1 === 1L && split(2L)._1 === 1L && split(4L)._1 === 1L)
+    assert(split(2L)._2 === split(1L)._2 && split(4L)._2 === split(1L)._2)
+    // singletons represent themselves
+    assert(split(3L)._1 === 3L && split(5L)._1 === 5L)
+    // sides come from the declared per-mille bands
+    assert(split.values.map(_._2).forall(Set("train", "val", "test")))
+    // determinism: a second evaluation produces identical assignments
+    val again = graft.operators.Curate.leakageSafeSplit(df, "doc_id",
+        Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5))
+      .select("doc_id", "split_rep", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again === split)
+  }
+
+  test("leakage-safe split: fraction bounds validated; empty pair graph = plain split reps") {
+    val df = docs(1L -> "a b c", 2L -> "d e f")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      graft.operators.Curate.leakageSafeSplit(df, "doc_id", noPairs,
+        trainPerMille = 900, valPerMille = 200)
+    }
+    val got = graft.operators.Curate.leakageSafeSplit(df, "doc_id", noPairs)
+      .select("doc_id", "split_rep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+  }
 }

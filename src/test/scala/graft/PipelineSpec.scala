@@ -197,9 +197,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("oracle keys are a subset of query keys") {
+  test("query set == oracle set + declared rows-only set") {
+    // r12 lost 5 broken queries because nothing pinned the DECLARED set:
+    // a query that drops its oracle (or is renamed on one side only) must
+    // fail the build, not shrink the correctness report.
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
+    val unaccounted =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- SparkEntry.rowsOnly
+    assert(unaccounted.isEmpty,
+      s"queries with neither an oracle nor a rowsOnly declaration: $unaccounted")
+    val stale = SparkEntry.rowsOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rowsOnly names without queries: $stale")
+    val shadowed = SparkEntry.rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(shadowed.isEmpty, s"rowsOnly names that DO have an oracle: $shadowed")
   }
 
   test("edge keys: null, empty, and unicode rowkeys flow through the sink") {
