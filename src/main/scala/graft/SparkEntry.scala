@@ -409,6 +409,22 @@ object SparkEntry {
       graft.operators.Dedup.dupClusters(pairs)
     }),
 
+    // Incremental near-dup: nightly-ingest shape — an md5-chosen ~20%
+    // "delta" dedups against the persisted LSH band index of the other
+    // ~80% "corpus" plus itself; corpus text is read back only for
+    // colliding candidate ids
+    "dedup_incremental" -> ((s, dir) => {
+      val d0 = s.read.parquet(t(dir, "documents"))
+      val isDelta = (conv(substring(md5(concat(lit("delta:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 800
+      val corpus = d0.filter(!isDelta)
+      val delta = d0.filter(isDelta)
+      val index = graft.operators.Dedup.lshBandIndex(corpus, "doc_id", "text",
+        bands = 4, rowsPerBand = 2)
+      graft.operators.Dedup.incrementalNearDupPairs(delta, corpus, "doc_id", "text",
+        index, bands = 4, rowsPerBand = 2, threshold = 0.8)
+    }),
+
     // Leakage-safe split: near-dup cluster members always land on the
     // same train/val/test side (split keyed on the cluster representative)
     "corpus_leakage_split" -> ((s, dir) => {
@@ -1635,6 +1651,21 @@ object SparkEntry {
         |JOIN sh sb ON sb.doc_id = doc_b
         |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8""".stripMargin,
+
+    // the one-shot pair derivation over the FULL set, restricted to pairs
+    // touching the md5-chosen delta — the incremental operator's contract
+    "dedup_incremental" ->
+      s"""WITH $minhashCtes
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jac
+        |FROM cand
+        |JOIN sh sa ON sa.doc_id = doc_a
+        |JOIN sh sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8
+        |  AND (CAST('0x' || substr(md5('delta:' || CAST(doc_a AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 800
+        |    OR CAST('0x' || substr(md5('delta:' || CAST(doc_b AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 800)""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -140,12 +140,7 @@ object Dedup {
     // band signature is an 8-byte xxhash64 of the band's minima, not a
     // concat string: ~5x fewer shuffle bytes, and a hash collision can
     // only ADD a candidate pair, which exact-Jaccard verification drops.
-    val banded = withSig.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band_id"),
-          xxhash64((0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("band_sig"))): _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
+    val banded = bandSigs(withSig, bands, rowsPerBand)
 
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -173,6 +168,123 @@ object Dedup {
     // the materialized pairs instead of re-running the LSH dataflow.
     try verified.localCheckpoint()
     finally { withSh.unpersist(); () }
+  }
+
+  /** (doc_id, band_id, band_sig) rows from a minhash-signature frame:
+    * only ids + 8-byte band hashes travel through any downstream shuffle
+    * (an xxhash64 collision can only ADD a candidate, which exact-Jaccard
+    * verification drops). Shared by the one-shot and incremental paths so
+    * their band semantics cannot drift. */
+  private def bandSigs(withSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    withSig.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64((0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("band_sig"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
+
+  /**
+   * The persisted LSH index of a corpus: `(doc_id, band_id, band_sig)`,
+   * `bands * |docs|` rows of ids + 8-byte hashes. Build it ONCE when the
+   * corpus is ingested, write it to storage, and every later delta dedups
+   * against it via [[incrementalNearDupPairs]] without touching corpus
+   * text — the 100 TB corpus is re-read only for the (duplicate-bounded)
+   * candidate ids a delta actually collides with.
+   */
+  def lshBandIndex(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(shingleHashes(col("sh")), k))
+    bandSigs(withSig, bands, rowsPerBand)
+  }
+
+  /**
+   * Incremental near-dup detection — the nightly-ingest shape: find every
+   * near-dup pair TOUCHING the new `delta` batch (delta-vs-corpus and
+   * delta-vs-delta) without reprocessing the corpus. Result is exactly
+   * `minhashLshPairs(corpus ∪ delta)` restricted to pairs with at least
+   * one delta member (canonical `doc_a < doc_b` order, same `jac` values)
+   * — pinned as an equivalence spec, and the contract the DuckDB oracle
+   * re-derives from first principles.
+   *
+   * `index` is [[lshBandIndex]] of `corpus` at the SAME `bands` /
+   * `rowsPerBand` (typically read back from storage, not recomputed).
+   * `corpus` and `delta` must carry disjoint id sets (a delta id also
+   * present in the index would pair with itself and be dropped, not
+   * flagged).
+   *
+   * Scale: only delta text is shingled; candidates against the corpus
+   * come from an equi-join of delta band hashes vs the index (ids + 8
+   * bytes per row, never text). Corpus TEXT is then read back only for
+   * the distinct candidate ids — a duplicate-bounded set, so that join
+   * broadcasts under AQE and prunes the corpus scan instead of rescanning
+   * 100 TB. Verification is exact Jaccard on full shingle sets, so hash
+   * collisions anywhere upstream only cost work, never correctness.
+   */
+  def incrementalNearDupPairs(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, index: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val k = bands * rowsPerBand
+    val deltaSh = delta
+      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", shingleHashes(col("sh")))
+      .persist()
+    val deltaBands = bandSigs(
+      deltaSh.withColumn("sig", minhashSignature(col("hs"), k)), bands, rowsPerBand)
+
+    // delta vs corpus: band-hash equi-join against the index
+    val d = deltaBands.alias("d")
+    val i = index.alias("i")
+    val candCross = d.join(i,
+        col("d.band_id") === col("i.band_id") &&
+        col("d.band_sig") === col("i.band_sig") &&
+        col("d.doc_id") =!= col("i.doc_id"))
+      .select(col("d.doc_id").as("delta_id"), col("i.doc_id").as("corpus_id"))
+      .distinct()
+    // corpus text ONLY for colliding ids: candIds is duplicate-bounded,
+    // so this join prunes the corpus scan rather than re-shingling it
+    val candIds = candCross.select(col("corpus_id").as("doc_id")).distinct()
+    val corpusSh = corpus
+      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .join(candIds, "doc_id")
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+    val crossVerified = candCross
+      .join(deltaSh.select(col("doc_id").as("delta_id"), col("sh").as("sh_d")), "delta_id")
+      .join(corpusSh, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_d"), col("sh_c"))))
+      .withColumn("jac", round(col("inter").cast(DoubleType) /
+        (size(col("sh_d")) + size(col("sh_c")) - col("inter")), 4))
+      .filter(col("jac") >= threshold)
+      .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("delta_id"), col("corpus_id")).as("doc_b"), col("jac"))
+
+    // delta vs delta: the one-shot operator's dataflow over just the batch
+    val da = deltaBands.alias("da")
+    val db = deltaBands.alias("db")
+    val candDelta = da.join(db,
+        col("da.band_id") === col("db.band_id") &&
+        col("da.band_sig") === col("db.band_sig") &&
+        col("da.doc_id") < col("db.doc_id"))
+      .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"))
+      .distinct()
+    val deltaVerified = candDelta
+      .join(deltaSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(deltaSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+
+    // disjoint by construction (cross pairs have exactly one delta member,
+    // delta pairs two) — union, materialize, release the shingle cache
+    val out = crossVerified.unionByName(deltaVerified)
+    try out.localCheckpoint()
+    finally { deltaSh.unpersist(); () }
   }
 
   /**

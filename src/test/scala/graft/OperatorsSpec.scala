@@ -1351,6 +1351,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again === split)
   }
 
+  test("incremental dedup == one-shot pairs restricted to delta-touching pairs") {
+    // corpus {1: base, 2: near-dup, 3: unrelated}; delta {10: exact copy of
+    // base, 11: near-dup, 12: novel}. Expect cross pairs (1,10),(2,10)...,
+    // delta-delta (10,11), and NO corpus-corpus pair (1,2) even though the
+    // one-shot operator finds it.
+    val nearDup = base.replace("delta", "DELTA")
+    val unrelated = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val novel = "red orange yellow green blue indigo violet cyan magenta teal " +
+      "maroon olive navy coral amber jade ruby pearl onyx quartz"
+    val corpus = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val delta = docs(10L -> base, 11L -> nearDup, 12L -> novel)
+    val thr = 0.5
+    val index = Dedup.lshBandIndex(corpus, "doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(delta, corpus, "doc_id", "text",
+        index, threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLshPairs(corpus.unionByName(delta), "doc_id", "text",
+        threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val deltaIds = Set(10L, 11L, 12L)
+    val expected = full.filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(got === expected)
+    // the planted structure actually exercised all three pair classes
+    assert(got.exists(p => p._1 == 1L && p._2 == 10L && p._3 == 1.0)) // cross exact
+    assert(got.exists(p => p._1 == 10L && p._2 == 11L))               // delta-delta
+    assert(!got.exists(p => !deltaIds(p._1) && !deltaIds(p._2)))      // no corpus-corpus
+    assert(expected.nonEmpty && got.size < full.size)
+  }
+
+  test("incremental dedup: novel delta doc pairs with nothing; empty delta is empty") {
+    val corpus = docs(1L -> base)
+    val novel = "red orange yellow green blue indigo violet cyan magenta teal " +
+      "maroon olive navy coral amber jade ruby pearl onyx quartz"
+    val index = Dedup.lshBandIndex(corpus, "doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(docs(10L -> novel), corpus,
+      "doc_id", "text", index, threshold = 0.5).count()
+    assert(got === 0L)
+    val empty = Dedup.incrementalNearDupPairs(docs(), corpus,
+      "doc_id", "text", index, threshold = 0.5).count()
+    assert(empty === 0L)
+  }
+
   test("leakage-safe split: fraction bounds validated; empty pair graph = plain split reps") {
     val df = docs(1L -> "a b c", 2L -> "d e f")
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
