@@ -760,6 +760,41 @@ object SparkEntry {
           col("start_us"), col("end_us"))
     }),
 
+    // First-touch funnel view -> click -> purchase within 24h of the
+    // first view: per stage one user-keyed equi-join (time bounds as
+    // residual) + min aggregation — entrants shrink monotonically, the
+    // event log is scanned once per stage with the type filter pushed
+    // down, and no per-user event list is ever collected
+    "q36_funnel" -> ((s, dir) => {
+      val e = graft.core.EventTime
+        .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
+      graft.operators.Funnel.funnel(e, "user_id", "ts", "event_type",
+        stages = Seq("view", "click", "purchase"),
+        windowMicros = 86400000000L)
+    }),
+
+    // CDC latest-wins compaction: one surviving row per (user, type) key
+    // — max_by(struct) hash aggregation, partial-combined map-side, so
+    // the exchange carries one candidate per key per partition, never the
+    // full changelog (the row_number()=1 window form would)
+    "cdc_compact" -> ((s, dir) => {
+      val e = graft.core.EventTime
+        .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
+        .withColumn("value", round(col("value"), 2))
+      graft.operators.Cdc.latestByKey(e, Seq("user_id", "event_type"),
+        versionCol = "ts", tieBreakCols = Seq("event_id"))
+    }),
+
+    // SCD Type 2 history: per-user event_type run compression into
+    // [valid_from, valid_to) validity intervals, open-ended current row —
+    // one exchange, two same-ordering window passes
+    "cdc_scd2" -> ((s, dir) => {
+      val e = graft.core.EventTime
+        .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
+      graft.operators.Cdc.scd2(e, Seq("user_id"), versionCol = "ts",
+        trackCols = Seq("event_type"), tieBreakCols = Seq("event_id"))
+    }),
+
     // As-of join (pandas merge_asof / kdb aj): each view event picks the
     // same user's most recent purchase at-or-before it — one keyed
     // shuffle + window pass, no inequality nested loop. Ties (same ts)
@@ -1036,6 +1071,20 @@ object SparkEntry {
       graft.operators.Graph.pageRank(e, "src", "dst",
           iterations = 5, damping = 0.85, symmetrize = true)
         .select(col("node"), round(col("r"), 6).as("rank"))
+    }),
+
+    // Triangle census of the part co-occurrence graph (parts bought in
+    // the same order): compact-forward degree orientation bounds the
+    // wedge join at O(E^1.5) whatever the hub skew — the naive shared-
+    // neighbor self-join is quadratic in max degree
+    "graph_triangles" -> ((s, dir) => {
+      val l = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val la = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val lb = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
+      val edges = la.join(lb, col("ok") === col("ok2") && col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+      graft.operators.Graph.triangleStats(edges, "pa", "pb")
     }),
 
     // Blocked fuzzy entity matching: distinct-name candidate pairs from
@@ -1938,6 +1987,61 @@ object SparkEntry {
     // As-of semantics as an independent formulation: inequality LEFT JOIN
     // + row_number picking the latest (ties: largest event_id) — the same
     // contract the window carry-forward implements in one shuffle.
+    // stage-chained min-ts CTEs mirror the first-touch semantics: stage i
+    // is the earliest matching event at-or-after stage i-1's match,
+    // chain bounded by t1 + 24h; stalls propagate as nulls
+    "q36_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts, event_type FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts >= s1.t1 AND e.ts <= s1.t1 + 86400000000
+        |  GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |  FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND e.ts >= s2.t2 AND e.ts <= s2.t1 + 86400000000
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, t1, t2, t3,
+        |       CAST(1 + CAST(t2 IS NOT NULL AS INT)
+        |              + CAST(t3 IS NOT NULL AS INT) AS BIGINT) AS stages_reached
+        |FROM s3""".stripMargin,
+
+    // latest (ts, event_id) per key via row_number — the textbook oracle
+    // form; (user_id, event_type, ts) is unique in this data but the
+    // event_id tiebreak mirrors the Spark ordering anyway
+    "cdc_compact" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, round(value, 2) AS value,
+        |         props, epoch_us(ts) AS ts
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, value, props, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |WHERE rn = 1""".stripMargin,
+
+    "cdc_scd2" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts FROM events
+        |), ch AS (
+        |  SELECT user_id, event_type, ts,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM ev
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |FROM ch WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
     "q18_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
@@ -2209,6 +2313,29 @@ object SparkEntry {
       }.mkString
       base + steps + "\nSELECT node, round(r, 6) AS rank FROM r5"
     },
+
+    // textbook a<b<c three-way self-join (fine at oracle scale; the
+    // Spark side earns its keep via the degree orientation)
+    "graph_triangles" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT la.l_partkey AS a, lb.l_partkey AS b
+        |  FROM lineitem la JOIN lineitem lb
+        |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+        |), deg AS (
+        |  SELECT n, count(*) AS d
+        |  FROM (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed)
+        |  GROUP BY 1
+        |), tri AS (
+        |  SELECT count(*) AS t FROM ed e1, ed e2, ed e3
+        |  WHERE e1.a = e2.a AND e1.b < e2.b
+        |    AND e3.a = e1.b AND e3.b = e2.b
+        |)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM ed) AS n_edges,
+        |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       (SELECT t FROM tri) AS n_triangles,
+        |       round(3.0 * (SELECT t FROM tri) /
+        |             (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS global_clustering""".stripMargin,
 
     // DuckDB levenshtein is unthresholded but agrees with Spark's
     // thresholded form on every kept row (dist <= maxDist there). The

@@ -2,14 +2,78 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /**
  * Iterative graph analytics over edge-list DataFrames — the link-graph
  * side of corpus curation (domain authority for quality weighting,
  * citation/link ranking). Connected components live in
- * [[Dedup.dupClusters]]; this adds fixed-iteration PageRank.
+ * [[Dedup.dupClusters]]; this adds fixed-iteration PageRank and
+ * degree-oriented triangle counting.
  */
 object Graph {
+
+  /**
+   * Global triangle census of an undirected graph: one row with
+   * `(n_nodes, n_edges, n_wedges, n_triangles, global_clustering)`,
+   * where wedges are connected node triples counted as Σ d(d-1)/2 and
+   * `global_clustering = 3·triangles / wedges` (the transitivity ratio
+   * — how often a friend-of-a-friend closes the loop; on a near-dup or
+   * co-occurrence graph a high ratio means the pair generator's clusters
+   * are coherent rather than chains).
+   *
+   * Input edges are canonicalized (self-loops dropped, both directions
+   * collapsed to `a < b`, duplicates distinct'ed), so callers can pass a
+   * raw, possibly-directed edge list.
+   *
+   * Scale shape — the compact-forward orientation: every edge is oriented
+   * from its lower-(degree, id) endpoint to the higher one, which bounds
+   * each node's OUT-degree by O(√E) on any graph. Wedge candidates come
+   * from the oriented self-join on the source (Σ outdeg² work, the
+   * algorithm's proven O(E^1.5) bound — NOT the unoriented Σ deg² which a
+   * hub node turns quadratic), and each candidate closes by one hash
+   * equi-join against the oriented edge set. No driver state; the census
+   * row is the only thing collected.
+   */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+    val e = raw.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b")).distinct()
+      .localCheckpoint(eager = false) // reused 4x: degrees, orientation, close join
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient a<b edge toward the (deg, id)-greater endpoint; carry both
+    // endpoints' ranks so the wedge join can order neighbors without
+    // another degree lookup
+    val withDeg = e
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .localCheckpoint(eager = false) // reused: two wedge sides + closing join
+    // wedge at u: unordered out-neighbor pair, ordered by the orientation
+    // rank so the closing edge (v1 -> v2) is itself oriented
+    val o2 = oriented.select(col("u").as("u2"), col("v").as("v2"), col("dv").as("dv2"))
+    val candidates = oriented.join(o2, col("u") === col("u2") &&
+      (col("dv") < col("dv2") || (col("dv") === col("dv2") && col("v") < col("v2"))))
+      .select(col("v").as("x"), col("v2").as("y"))
+    // closing edges are distinct, so the inner join counts each closed
+    // wedge exactly once (a semi join would be equivalent here but hides
+    // that invariant)
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val nTri = candidates.join(closing, Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodesEdges = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum((col("deg") * (col("deg") - 1) / 2).cast(LongType)).as("n_wedges")))
+    nodesEdges.crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(col("n_triangles") * lit(3.0) / col("n_wedges"), 4).as("global_clustering"))
+  }
 
   /**
    * PageRank, fixed iteration count, simplified model (no dangling-mass

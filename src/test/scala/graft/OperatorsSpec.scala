@@ -1406,4 +1406,92 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("funnel: first-touch chaining, window bound, and stall propagation") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // user 1 completes A->B->C in order
+      (1L, 100L, "A"), (1L, 200L, "B"), (1L, 300L, "C"),
+      // user 2: B precedes first A -> stalls at stage 1 (first-touch, not
+      // any-order); a later B at 500 continues the chain, C outside window
+      (2L, 50L, "B"), (2L, 400L, "A"), (2L, 500L, "B"), (2L, 9999L, "C"),
+      // user 3 never enters (no A)
+      (3L, 10L, "B"), (3L, 20L, "C"),
+      // user 4: same-ts A and B — >= admits the tie
+      (4L, 700L, "A"), (4L, 700L, "B"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(ev, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), windowMicros = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getAs[Long]("stages_reached"))).toMap
+    assert(got.keySet === Set(1L, 2L, 4L))
+    assert(got(1L) === ((Some(100L), Some(200L), Some(300L), 3L)))
+    // user 2: t1=400, earliest B >= 400 within [400,1400] is 500; C at
+    // 9999 is outside the window -> null
+    assert(got(2L) === ((Some(400L), Some(500L), None, 2L)))
+    assert(got(4L) === ((Some(700L), Some(700L), None, 2L)))
+  }
+
+  test("cdc latestByKey keeps greatest (version, tiebreak) row per key") {
+    import graft.operators.Cdc
+    val log = Seq(
+      ("k1", 1L, 10L, "a"), ("k1", 3L, 11L, "b"), ("k1", 3L, 12L, "c"),
+      ("k2", 5L, 20L, "x"))
+      .toDF("key", "ver", "seq", "payload")
+    val got = Cdc.latestByKey(log, Seq("key"), "ver", Seq("seq"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("ver"), r.getAs[String]("payload"))).toMap
+    // k1: ver tie at 3 broken by seq 12 > 11
+    assert(got === Map("k1" -> ((3L, "c")), "k2" -> ((5L, "x"))))
+    intercept[IllegalArgumentException] {
+      Cdc.latestByKey(log, Seq("key"), "missing")
+    }
+  }
+
+  test("cdc scd2 compresses unchanged runs into validity intervals") {
+    import graft.operators.Cdc
+    val log = Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "bronze"), (1L, 30L, "gold"),
+      (1L, 40L, "gold"), (1L, 50L, "bronze"),
+      (2L, 5L, "silver"))
+      .toDF("user_id", "ts", "tier")
+    val got = Cdc.scd2(log, Seq("user_id"), "ts", Seq("tier"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)))).toSet
+    assert(got === Set(
+      (1L, "bronze", 10L, Some(30L)),
+      (1L, "gold", 30L, Some(50L)),
+      (1L, "bronze", 50L, None),       // value can RECUR in a later interval
+      (2L, "silver", 5L, None)))
+  }
+
+  test("triangleStats: planted K4 plus a pendant edge, dirty input") {
+    import graft.operators.Graph
+    // K4 on {1,2,3,4} = 4 triangles, 6 edges; pendant 4-5 adds one node
+    // and one edge; input arrives directed-both-ways with a self-loop
+    // and duplicates to exercise canonicalization
+    val raw = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 3L), (4L, 5L), (5L, 5L), (1L, 2L))
+      .toDF("s", "d")
+    val r = Graph.triangleStats(raw, "s", "d").collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    // degrees: 1,2->3; 3,4->3,4... deg(1)=3 deg(2)=3 deg(3)=3 deg(4)=4
+    // deg(5)=1 -> wedges = 3+3+3+6+0 = 15
+    assert(r.getAs[Long]("n_wedges") === 15L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("global_clustering") === 0.8)
+  }
+
+  test("funnelCounts summarizes stage reach") {
+    import graft.operators.Funnel
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 5L, "A"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelCounts(ev, "user_id", "ts", "event_type",
+        Seq("A", "B"), windowMicros = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L))
+  }
 }
