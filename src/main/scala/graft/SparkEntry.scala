@@ -946,6 +946,15 @@ object SparkEntry {
         "event_type", "n")
     }),
 
+    // Data-card column profile: every column's counts/nulls/cardinality/
+    // range in ONE scan (one Aggregate, stack()'d afterwards) — the fact
+    // sheet a dataset release ships with
+    "profile_stats" -> ((s, dir) => {
+      graft.operators.Profile.profile(s.read.parquet(t(dir, "lineitem")),
+        numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+        strCols = Seq("l_returnflag", "l_linestatus"))
+    }),
+
     // Corpus profiling: the per-source shape stats a pipeline reads before
     // deciding mixing rates — counts, length distribution, token mass
     "q25_source_stats" -> ((s, dir) => {
@@ -1194,6 +1203,26 @@ object SparkEntry {
     "embed_centroids" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       graft.operators.Similarity.labelCentroids(e, "label", "embedding")
+    }),
+
+    // Population covariance of the embedding corpus from ONE
+    // vec_outer_agg scan (bounded d+d² state per partition, merged
+    // map-side) — the d² explode happens on the single aggregated row,
+    // never per input vector; round-6 is the matrix's downstream contract
+    "embed_covariance" -> ((s, dir) => {
+      graft.operators.Stats.covariance(
+        s.read.parquet(t(dir, "embeddings")), "embedding")
+    }),
+
+    // PCA projection: 16 unnormalized power-method multiplies on the
+    // round-6 covariance (fixed iteration count like pageRank's 5, so an
+    // independent engine reproduces it exactly), one final normalize +
+    // round-8 + sign fix, then a codegen'd vec_dot scan — the corpus
+    // never shuffles; the d×d collect is the legitimate driver step
+    "embed_pca_project" -> ((s, dir) => {
+      graft.operators.Stats.pcaProject(
+        s.read.parquet(t(dir, "embeddings")),
+        Seq("vec_id", "label"), "embedding", iterations = 16)
     }),
 
     // Outlier screen: cosine to the (un-normalized) own-label sum vector;
@@ -2152,6 +2181,29 @@ object SparkEntry {
         |UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
         |UNION ALL SELECT user_id, 'n_error', n_error FROM wide""".stripMargin,
 
+    // one UNION ALL branch per profiled column (fine at oracle scale;
+    // the Spark side is the one-scan form)
+    "profile_stats" -> {
+      val num = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      val str = Seq("l_returnflag", "l_linestatus")
+      (num.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+           |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      } ++ str.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM lineitem""".stripMargin
+      }).mkString("\nUNION ALL\n")
+    },
+
     "q25_source_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       round(avg(n_chars), 2) AS avg_chars,
@@ -2600,6 +2652,65 @@ object SparkEntry {
         |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
         |               unnest(embedding) AS x FROM embeddings)
         |  GROUP BY label, pos)""".stripMargin,
+
+    // covar_pop over unnest pairs — numerically a different path than
+    // the one-pass moment formula, identical at the shared round-6
+    "embed_covariance" ->
+      """WITH px AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |)
+        |SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.x, b.x), 6) AS cov
+        |FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the same fixed-16-iteration power method, unrolled as chained CTEs
+    // (the graph_pagerank oracle pattern) on the SAME round-6 covariance;
+    // both engines then normalize once, round the component to 8, fix the
+    // sign by the largest-|entry| rule, and round projections to 4
+    "embed_pca_project" -> {
+      val base =
+        """WITH px AS (
+          |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+          |         CAST(unnest(embedding) AS DOUBLE) AS x
+          |  FROM embeddings
+          |), cov AS (
+          |  SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.x, b.x), 6) AS c
+          |  FROM px a JOIN px b ON a.vec_id = b.vec_id
+          |  GROUP BY 1, 2
+          |), v0 AS (
+          |  SELECT DISTINCT i AS pos,
+          |         1.0 / sqrt((SELECT count(DISTINCT i) FROM cov)) AS val
+          |  FROM cov
+          |)""".stripMargin
+      val steps = (1 to 16).map { k =>
+        s""",
+           |v$k AS (
+           |  SELECT c.i AS pos, sum(c.c * v.val) AS val
+           |  FROM cov c JOIN v${k - 1} v ON c.j = v.pos
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString
+      val tail =
+        """,
+          |nv AS (
+          |  SELECT pos, val / sqrt((SELECT sum(val * val) FROM v16)) AS val
+          |  FROM v16
+          |), vr AS (
+          |  SELECT pos, round(val, 8) AS val FROM nv
+          |), sgn AS (
+          |  SELECT CASE WHEN (SELECT val FROM vr
+          |                    ORDER BY abs(val) DESC, pos ASC LIMIT 1) < 0
+          |              THEN -1.0 ELSE 1.0 END AS s
+          |)
+          |SELECT p.vec_id, e.label,
+          |       round((SELECT s FROM sgn) * sum(p.x * v.val), 4) AS pc1
+          |FROM px p JOIN vr v ON p.pos = v.pos
+          |JOIN embeddings e ON e.vec_id = p.vec_id
+          |GROUP BY 1, 2""".stripMargin
+      base + steps + tail
+    },
 
     // same un-normalized sum-vector arithmetic as the Spark side (cosine
     // is scale-invariant, so sums ARE centroids); is_outlier compares the

@@ -72,6 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a, b) => VectorDotExpr(a, b) })
     register(ext, "vec_sum_agg", "elementwise vector-sum aggregate -> struct(n, sums)",
       { case Seq(e) => VecSumAgg(e) })
+    register(ext, "vec_outer_agg", "second-moment aggregate -> struct(n, sums, outer)",
+      { case Seq(e) => VecOuterAgg(e) })
     register(ext, "bloom_contains", "Bloom-blob membership probe",
       { case Seq(b, s) => BloomContainsExpr(b, s) })
     register(ext, "bloom_any", "true when any array element probes a Bloom blob positive",

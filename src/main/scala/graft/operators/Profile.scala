@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Data-card column profiling — the per-column fact sheet (row counts,
+ * null rates, cardinalities, ranges) a dataset release ships with and an
+ * ingest gate alerts on. One row out per profiled column.
+ *
+ * Scale shape: counts/nulls/min/max for ALL columns come from ONE scan
+ * (a single HashAggregate with k×3 expressions, melted afterwards from
+ * the one aggregated row — never an unpivot of the input). Exact
+ * distinct counts deliberately do NOT join that scan: k exact
+ * count(DISTINCT) in one Aggregate makes Catalyst plan an Expand that
+ * multiplies every input row k-fold through a SortAggregate (measured
+ * 12s vs <1s at sf0.1). Instead each column gets its own pruned
+ * single-column scan + two-phase distinct aggregate — on columnar
+ * storage k column scans read the same bytes as one k-column scan, each
+ * stays a HashAggregate, and the k tiny results assemble driver-free
+ * via union + a k-row broadcast join. `exactDistinct = false` swaps in
+ * approx_count_distinct (HLL++, no Expand, single scan) for the 100 TB
+ * nightly where exactness isn't worth a per-column pass.
+ */
+object Profile {
+
+  /**
+   * @param numCols columns profiled numerically (min/max as round-4
+   *                doubles; any numeric type)
+   * @param strCols columns profiled lexically (min/max as strings)
+   * @return (column, n_rows, n_nulls, n_distinct, min_num, max_num,
+   *         min_str, max_str) — the num/str min-max pair not applicable
+   *         to a column's kind is null
+   */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require((numCols ++ strCols).nonEmpty, "profile needs at least one column")
+    require(numCols.intersect(strCols).isEmpty,
+      "a column cannot be profiled both numerically and lexically")
+    val all = numCols ++ strCols
+    val aggs =
+      count(lit(1)).as("_rows") +:
+        (all.map { c => count(col(c)).as(s"_nn_$c") } ++
+          numCols.flatMap { c =>
+            Seq(round(min(col(c)).cast("double"), 4).as(s"_min_$c"),
+              round(max(col(c)).cast("double"), 4).as(s"_max_$c"))
+          } ++
+          strCols.flatMap { c =>
+            Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"))
+          } ++
+          (if (exactDistinct) Nil
+           else all.map { c =>
+             approx_count_distinct(col(c)).cast(LongType).as(s"_nd_$c")
+           }))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // melt the single aggregated row: one struct per profiled column,
+    // exploded — cheap (k structs), type-unified up front
+    val entries = all.map { c =>
+      val isNum = numCols.contains(c)
+      struct(
+        lit(c).as("column"),
+        col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_nn_$c")).as("n_nulls"),
+        (if (exactDistinct) lit(null).cast(LongType) else col(s"_nd_$c"))
+          .as("n_distinct"),
+        (if (isNum) col(s"_min_$c") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"_max_$c") else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else col(s"_min_$c")).as("min_str"),
+        (if (isNum) lit(null).cast("string") else col(s"_max_$c")).as("max_str"))
+    }
+    val base = one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    if (!exactDistinct) base
+    else {
+      // one pruned-column scan + two-phase HashAggregate per column; the
+      // k one-row results union into a tiny frame the melt joins against
+      val nds = all.map { c =>
+        df.select(col(c)).agg(countDistinct(col(c)).as("_nd"))
+          .select(lit(c).as("column"), col("_nd"))
+      }.reduce(_.unionByName(_))
+      base.drop("n_distinct").join(broadcast(nds), Seq("column"))
+        .withColumnRenamed("_nd", "n_distinct")
+        .select("column", "n_rows", "n_nulls", "n_distinct",
+          "min_num", "max_num", "min_str", "max_str")
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.VecOuterAgg.vec_outer_agg
+import graft.functions.vec_dot
+
+/**
+ * Distributed second-moment statistics over embedding columns:
+ * covariance matrices and fixed-iteration PCA — the whitening /
+ * dimension-reduction / drift-analysis primitives an embedding pipeline
+ * runs before ANN indexing or quantization.
+ *
+ * Everything reduces to ONE corpus scan through [[graft.functions.VecOuterAgg]]
+ * (bounded d+d² state per partition, merged map-side); the d×d result is
+ * a driver-side matrix small enough to eigensolve locally (d=64 → 32 KB)
+ * — the same "aggregate distributed, solve tiny problem on driver,
+ * broadcast back" shape as k-means in [[Similarity.semanticDedup]].
+ */
+object Stats {
+
+  /**
+   * Population covariance upper triangle as rows `(i, j, cov)`, 1-based,
+   * `i <= j`, rounded to `roundTo` decimals (the rounding is part of the
+   * contract: downstream fixed-iteration solvers on BOTH engines iterate
+   * on identical matrices, so float-summation-order noise cannot leak
+   * into compared results).
+   *
+   * cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n), computed from one
+   * vec_outer_agg pass; the d² explode happens on the single aggregated
+   * row, never per input vector.
+   */
+  def covariance(embs: DataFrame, vecCol: String, roundTo: Int = 6): DataFrame =
+    embs.agg(vec_outer_agg(col(vecCol)).as("_o"))
+      .select(col("_o.n").as("_n"), col("_o.sums").as("_s"),
+        posexplode(col("_o.outer")).as(Seq("_idx", "_xy")))
+      .withColumn("_d", size(col("_s")))
+      .withColumn("_i", expr("_idx div _d"))
+      .withColumn("_j", expr("_idx % _d"))
+      .filter(col("_i") <= col("_j"))
+      .select((col("_i") + 1).cast(LongType).as("i"),
+        (col("_j") + 1).cast(LongType).as("j"),
+        round(col("_xy") / col("_n") -
+          (element_at(col("_s"), (col("_i") + 1).cast("int")) / col("_n")) *
+          (element_at(col("_s"), (col("_j") + 1).cast("int")) / col("_n")),
+          roundTo).as("cov"))
+
+  /**
+   * Top principal component by the power method: exactly `iterations`
+   * unnormalized multiplies v ← Cv from the uniform start 1/√d, one
+   * final L2 normalization, rounded to 8 decimals, sign fixed so the
+   * largest-|·| entry (lowest index on ties) is positive. Deterministic
+   * by construction — fixed iteration count (like [[Graph.pageRank]]'s
+   * fixed 5), covariance pre-rounded by [[covariance]]'s contract, and
+   * the driver loop sums in index order — so an independent engine
+   * running the same recipe reproduces it bit-for-bit at the rounding
+   * precision.
+   *
+   * The d×d collect is the legitimate driver step (2080 upper-triangle
+   * rows at d=64), mirrored to a full matrix locally.
+   */
+  def topComponent(embs: DataFrame, vecCol: String,
+      iterations: Int = 16): Array[Double] = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val tri = covariance(embs, vecCol).collect()
+    require(tri.nonEmpty, "topComponent: no vectors")
+    val d = tri.iterator.map(_.getLong(1)).max.toInt
+    val c = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iterations) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      v = w
+    }
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    require(norm > 0, "topComponent: power iteration collapsed to zero " +
+      "(rank-deficient rounded covariance orthogonal to the start vector)")
+    val vr = v.map(x => BigDecimal(x / norm)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val lead = vr.indices.maxBy(i => (math.abs(vr(i)), -i))
+    if (vr(lead) < 0) vr.map(-_) else vr
+  }
+
+  /**
+   * Projects every vector onto the [[topComponent]] direction:
+   * `(carryCols..., pc1)` with pc1 rounded to 4 decimals. One aggregate
+   * pass to learn the component, one codegen'd vec_dot scan to apply it
+   * — the corpus never shuffles.
+   */
+  def pcaProject(embs: DataFrame, carryCols: Seq[String], vecCol: String,
+      iterations: Int = 16): DataFrame = {
+    val v = topComponent(embs, vecCol, iterations)
+    embs.select(carryCols.map(col) :+
+      round(vec_dot(col(vecCol), typedLit(v.toSeq)), 4).as("pc1"): _*)
+  }
+}

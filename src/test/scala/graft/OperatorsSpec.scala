@@ -1485,6 +1485,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("global_clustering") === 0.8)
   }
 
+  test("covariance matches the closed form on a tiny planted set") {
+    import graft.operators.Stats
+    // vectors (1,2), (3,4), (5,12): means (3,6); var_x = 8/3... use exact
+    // round-6 expectations computed by hand:
+    // cov_xx = ((1-3)^2+(3-3)^2+(5-3)^2)/3 = 8/3 = 2.666667
+    // cov_xy = ((-2)(-4)+0(-2)+2*6)/3 = 20/3 = 6.666667
+    // cov_yy = (16+4+36)/3 = 56/3 = 18.666667
+    val df = Seq(
+      Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 4.0f)),
+      Tuple1(Array(5.0f, 12.0f)))
+      .toDF("v")
+    val got = Stats.covariance(df, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map((1L, 1L) -> 2.666667, (1L, 2L) -> 6.666667,
+      (2L, 2L) -> 18.666667))
+  }
+
+  test("topComponent recovers a planted dominant direction") {
+    import graft.operators.Stats
+    // points spread along (3,4)/5 with tiny orthogonal jitter -> the top
+    // component must align with (0.6, 0.8) to high precision
+    val pts = (-10 to 10).flatMap { k =>
+      Seq(Array(0.6f * k + 0.01f * (k % 3), 0.8f * k - 0.0075f * (k % 3)))
+    }
+    val df = pts.map(Tuple1(_)).toDF("v")
+    val v = Stats.topComponent(df, "v", iterations = 32)
+    assert(math.abs(v(0) - 0.6) < 0.02 && math.abs(v(1) - 0.8) < 0.02,
+      s"got ${v.toSeq}")
+    // sign rule: largest-|entry| is positive
+    assert(v.maxBy(math.abs) > 0)
+    val proj = Stats.pcaProject(df, Seq.empty, "v", iterations = 32)
+    assert(proj.columns.toSeq === Seq("pc1"))
+    assert(proj.count() === pts.size.toLong)
+  }
+
+  test("vec_outer_agg merges across partitions and skips null-element vectors") {
+    import graft.functions.VecOuterAgg.vec_outer_agg
+    val df = Seq(
+      Tuple1(Array(1.0f, 0.0f)), Tuple1(Array(0.0f, 2.0f)),
+      Tuple1(null.asInstanceOf[Array[Float]]))
+      .toDF("v").repartition(3)
+    val r = df.agg(vec_outer_agg(col("v")).as("o")).select("o.*").collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Seq[Double]]("sums") === Seq(1.0, 2.0))
+    assert(r.getAs[Seq[Double]]("outer") === Seq(1.0, 0.0, 0.0, 4.0))
+  }
+
+  test("profile emits one fact row per column with nulls and ranges") {
+    import graft.operators.Profile
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(5L), None), (None, Some("a")))
+      .toDF("num", "s")
+    val got = Profile.profile(df, Seq("num"), Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = got("num")
+    assert(n.getAs[Long]("n_rows") === 3L && n.getAs[Long]("n_nulls") === 1L)
+    assert(n.getAs[Long]("n_distinct") === 2L)
+    assert(n.getAs[Double]("min_num") === 1.0 && n.getAs[Double]("max_num") === 5.0)
+    assert(n.isNullAt(n.fieldIndex("min_str")))
+    val s = got("s")
+    assert(s.getAs[Long]("n_nulls") === 1L && s.getAs[Long]("n_distinct") === 2L)
+    assert(s.getAs[String]("min_str") === "a" && s.getAs[String]("max_str") === "b")
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("num"), Seq("num"))
+    }
+  }
+
   test("funnelCounts summarizes stage reach") {
     import graft.operators.Funnel
     val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 5L, "A"))
