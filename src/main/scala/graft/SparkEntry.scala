@@ -773,6 +773,23 @@ object SparkEntry {
         windowMicros = 86400000000L)
     }),
 
+    // Cohort retention: users bucketed by first-seen week, counted once
+    // per (cohort, week-offset) they return in — first-touch agg, one
+    // user-keyed join back (broadcast/AQE at this cardinality), distinct,
+    // count; integer `div` on micros so both engines floor identically
+    "q37_retention" -> ((s, dir) => {
+      val e = graft.core.EventTime
+        .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
+      val first = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      e.join(first, "user_id")
+        .select(col("user_id"),
+          expr("first_ts div 604800000000").as("cohort_week"),
+          expr("(ts - first_ts) div 604800000000").as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // CDC latest-wins compaction: one surviving row per (user, type) key
     // — max_by(struct) hash aggregation, partial-combined map-side, so
     // the exchange carries one candidate per key per partition, never the
@@ -2042,6 +2059,22 @@ object SparkEntry {
         |       CAST(1 + CAST(t2 IS NOT NULL AS INT)
         |              + CAST(t3 IS NOT NULL AS INT) AS BIGINT) AS stages_reached
         |FROM s3""".stripMargin,
+
+    // `//` is DuckDB floor division — equal to Spark's `div` truncation
+    // on these non-negative micros
+    "q37_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts FROM events
+        |), f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM ev GROUP BY 1
+        |), c AS (
+        |  SELECT DISTINCT e.user_id,
+        |         f.first_ts // 604800000000 AS cohort_week,
+        |         (e.ts - f.first_ts) // 604800000000 AS week_offset
+        |  FROM ev e JOIN f USING (user_id)
+        |)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // latest (ts, event_id) per key via row_number — the textbook oracle
     // form; (user_id, event_type, ts) is unique in this data but the

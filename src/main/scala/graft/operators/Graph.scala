@@ -111,23 +111,38 @@ object Graph {
       symmetrize: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping >= 0.0 && damping <= 1.0, "damping must be in [0, 1]")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val e = if (symmetrize)
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    else e0
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // ONE distinct covers both paths (the symmetrize path used to
+    // distinct twice — the r13 probe showed edge/node PREP, not the
+    // iterations, was ~all of this operator's wall time)
+    val undirected =
+      if (symmetrize)
+        base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      else base
     // hash-partition the edge table by the iteration join key BEFORE
-    // checkpointing: localCheckpoint preserves outputPartitioning, so
-    // every iteration's join re-shuffles only the #nodes-row ranks side —
-    // the O(edges) side (the whole cost at link-graph scale) stays put
-    val withDeg = e.join(deg, "src")
-      .repartition(col("src")).localCheckpoint(eager = false)
+    // checkpointing: localCheckpoint preserves outputPartitioning, so the
+    // degree aggregation, the degree join, and (symmetrized) the node
+    // extraction ALL reuse this one exchange — and every iteration's join
+    // re-shuffles only the #nodes-row ranks side, the O(edges) side (the
+    // whole cost at link-graph scale) staying put
+    // repartition FIRST: HashPartitioning(src) co-locates every (src,dst)
+    // duplicate, so the distinct's aggregate is satisfied by this same
+    // exchange (clustered-distribution-by-subset) and adds none of its
+    // own — one full-edge shuffle total, output still partitioned by src
+    val e = undirected.repartition(col("src")).distinct()
+      .localCheckpoint(eager = false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src").localCheckpoint(eager = false)
     // same partition-reuse trick for the rank-update join: nodes sit
     // hash-partitioned on the join key, and contribs arrives already
     // hash-partitioned on dst from its aggregation exchange, so the
-    // left join adds NO exchange on either side
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // left join adds NO exchange on either side. On a symmetrized graph
+    // every node appears as a src — the dst-side union (which costs
+    // another full-edge distinct) is only needed for directed sinks.
+    val nodes0 =
+      if (symmetrize) e.select(col("src").as("node"))
+      else e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+    val nodes = nodes0.distinct()
       .repartition(col("node")).localCheckpoint(eager = false)
     var ranks = nodes.withColumn("r", lit(1.0))
     for (_ <- 1 to iterations) {

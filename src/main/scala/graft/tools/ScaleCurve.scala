@@ -251,6 +251,39 @@ object ScaleCurve {
           // the Misra-Gries update path
           .agg(topk_freq(col("gram"), 4096, 20).as("top"))
           .select(explode(col("top"))).count()
+      },
+      "triangles" -> { n =>
+        // constant-degree random graph: n edges over n/50 nodes (~100
+        // average degree at any n) — oriented out-degrees stay bounded,
+        // so adjacency lists and per-edge intersection work are constant
+        // per node and the census must scale linearly with edges
+        val e = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(math.max(2L, n / 50))).as("a"),
+          pmod(xxhash64(col("id") * 7 + 1), lit(math.max(2L, n / 50))).as("b"))
+        graft.operators.Graph.triangleStats(e, "a", "b")
+          .head().getAs[Long]("n_triangles")
+      },
+      "funnel" -> { n =>
+        // n events over n/500 users, three stage types round-robin —
+        // entrants grow with users, per-stage join inputs stay linear;
+        // sum(stages_reached) consumes every stage column
+        val ev = spark.range(n).select(col("id"),
+          pmod(col("id"), lit(math.max(1L, n / 500))).as("user_id"),
+          pmod(xxhash64(col("id")), lit(1000000L)).as("ts"),
+          element_at(array(lit("A"), lit("B"), lit("C")),
+            (pmod(col("id"), lit(3)) + 1).cast("int")).as("event_type"))
+        graft.operators.Funnel.funnel(ev, "user_id", "ts", "event_type",
+            Seq("A", "B", "C"), windowMicros = 1000000L)
+          .agg(sum(col("stages_reached"))).head().getLong(0)
+      },
+      "cdc_compact" -> { n =>
+        // n-version changelog over n/100 keys: the map-side max_by must
+        // keep the exchange at O(keys × partitions) whatever the version
+        // count — wall time scales with the scan, not the shuffle
+        val log = spark.range(n).select(col("id"),
+          pmod(col("id"), lit(math.max(1L, n / 100))).as("k"),
+          xxhash64(col("id")).as("payload"))
+        graft.operators.Cdc.latestByKey(log, Seq("k"), "id").count()
       })
 
     // SPARK_GRAFT_SCALE_ONLY=<csv of names>: re-measure a subset (e.g.

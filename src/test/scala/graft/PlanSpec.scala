@@ -376,4 +376,65 @@ class PlanSpec extends AnyFunSuite {
       s"bigram stream sort-merges against tiny count tables:\n${p.take(2000)}")
     assert(p.contains("HashAggregate"), s"no hash aggregation:\n${p.take(2000)}")
   }
+
+  test("cdc_scd2: both window passes share ONE exchange") {
+    // lag-compress and lead-intervals use the same partitioning+ordering;
+    // the filter between them preserves both, so a second Exchange (or a
+    // second Sort) appearing here is a regression
+    val p = plan("cdc_scd2")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"scd2 re-shuffles between windows:\n${p.take(2500)}")
+    assert(p.sliding("Window".length).count(_ == "Window") == 2, p.take(2500))
+  }
+
+  test("cdc_compact: partial max_by aggregation before the exchange, no window") {
+    // the row_number()=1 form would sort-shuffle every version of every
+    // key; max_by must aggregate partially map-side instead
+    val p = plan("cdc_compact")
+    assert(!p.contains("Window"), s"compaction ranks via window:\n${p.take(2000)}")
+    assert(p.contains("partial_max_by"),
+      s"no map-side compaction partial:\n${p.take(2000)}")
+  }
+
+  test("q36_funnel: stage joins add no exchange beyond the stage-1 aggregation") {
+    // the entrant frame is hash-partitioned by user_id after stage 1's
+    // groupBy; each later stage joins on user_id (broadcast at this
+    // scale) and re-aggregates on (user_id, t..) — co-located by the
+    // existing partitioning, so exactly ONE shuffle in the whole plan
+    val p = plan("q36_funnel")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"funnel re-shuffles per stage:\n${p.take(3000)}")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("embed_covariance: ONE exchange of the d+d^2 moment buffer") {
+    // the posexplode-twice form would shuffle d^2 rows per vector; the
+    // vec_outer_agg form exchanges one object buffer per partition and
+    // explodes AFTER the final aggregation
+    val p = plan("embed_covariance")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"covariance shuffles more than the moment buffer:\n${p.take(2500)}")
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("ObjectHashAggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      s"explode did not stay above the final aggregate:\n${p.take(2500)}")
+  }
+
+  test("embed_pca_project: pure scan-stage projection — component learned at plan time") {
+    val p = plan("embed_pca_project")
+    assert(!p.contains("Exchange"), s"projection shuffles:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"projection joins:\n${p.take(2000)}")
+  }
+
+  test("profile_stats: no Expand — exact distincts ride per-column pruned scans") {
+    // k exact count(DISTINCT) in one Aggregate plans an Expand that
+    // multiplies every input row k-fold (measured 12s vs 1.3s at sf0.1);
+    // the per-column form must keep every aggregate a hash aggregate
+    // (min/max over STRING buffers legitimately plan SortAggregate — with
+    // zero grouping keys no sort actually runs, so only Expand is pinned)
+    val p = plan("profile_stats")
+    assert(!p.contains("Expand"), s"multi-distinct Expand is back:\n${p.take(2500)}")
+  }
 }
