@@ -2091,17 +2091,21 @@ object SparkEntry {
         |  FROM ev)
         |WHERE rn = 1""".stripMargin,
 
+    // BOTH windows order by (ts, event_id) — the Spark side tiebreaks the
+    // lead the same way, and dropping the tiebreak from either one makes
+    // valid_to nondeterministic on same-ts change rows
     "cdc_scd2" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts FROM events
         |), ch AS (
-        |  SELECT user_id, event_type, ts,
+        |  SELECT user_id, event_type, ts, event_id,
         |         lag(event_type) OVER (PARTITION BY user_id
         |                               ORDER BY ts, event_id) AS prev
         |  FROM ev
         |)
         |SELECT user_id, event_type, ts AS valid_from,
-        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |       lead(ts) OVER (PARTITION BY user_id
+        |                      ORDER BY ts, event_id) AS valid_to
         |FROM ch WHERE prev IS NULL OR prev <> event_type""".stripMargin,
 
     "q18_asof_join" ->

@@ -32,21 +32,24 @@ object EventTime {
     * other columns. Works on batch and streaming frames alike. */
   def withTsUs(df: DataFrame, tsCol: String = "ts",
       outCol: String = "ts_us"): DataFrame = {
+    // backquote the spliced name: an unquoted `expr()` splice would break
+    // (or worse, misparse) on column names that aren't bare identifiers
+    val q = "`" + tsCol.replace("`", "``") + "`"
     val us = df.schema(tsCol).dataType match {
       case LongType =>
         // legacy read: epoch-nanos long. FLOOR division (div truncates
         // toward zero) so a pre-epoch sub-microsecond instant lands on
         // the same micro as the NTZ branch and DuckDB's epoch_us do.
-        expr(s"($tsCol div 1000) + (CASE WHEN $tsCol % 1000 < 0 THEN -1 ELSE 0 END)")
+        expr(s"($q div 1000) + (CASE WHEN $q % 1000 < 0 THEN -1 ELSE 0 END)")
       case TimestampNTZType =>
         // tz-free: the NTZ wall clock IS the UTC instant (the oracle's
         // epoch_us semantics). datediff on DATEs is an exact day count;
         // extract(SECOND) carries the sub-second fraction as DECIMAL.
-        expr(s"""datediff(cast($tsCol as date), DATE '1970-01-01') * 86400000000L
-                |  + hour($tsCol) * 3600000000L + minute($tsCol) * 60000000L
-                |  + cast(extract(SECOND FROM $tsCol) * 1000000 AS BIGINT)""".stripMargin)
+        expr(s"""datediff(cast($q as date), DATE '1970-01-01') * 86400000000L
+                |  + hour($q) * 3600000000L + minute($q) * 60000000L
+                |  + cast(extract(SECOND FROM $q) * 1000000 AS BIGINT)""".stripMargin)
       case TimestampType =>
-        expr(s"unix_micros($tsCol)")
+        expr(s"unix_micros($q)")
       case other =>
         throw new IllegalArgumentException(
           s"unsupported event-time type for column '$tsCol': $other")

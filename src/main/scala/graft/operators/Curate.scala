@@ -160,7 +160,11 @@ object Curate {
     require(trainPerMille + valPerMille <= 1000, "split fractions exceed 1")
     val clusters = Dedup.dupClusters(pairs, reliableCheckpoint)
       .withColumnRenamed("doc_id", idCol).withColumnRenamed("cluster_id", "_cl")
-    val rep = coalesce(col("_cl"), col(idCol).cast("long"))
+    // the singleton fallback stays in the ID's OWN type: a long cast here
+    // would null out non-numeric ids (UUID/URL corpora) and silently dump
+    // every singleton into 'test'; bucketOf hashes the string form either
+    // way, so long-id corpora bucket identically
+    val rep = coalesce(col("_cl").cast(docs.schema(idCol).dataType), col(idCol))
     val bucket = bucketOf(rep, "lsplit")
     docs.join(clusters, Seq(idCol), "left")
       .withColumn("split_rep", rep)

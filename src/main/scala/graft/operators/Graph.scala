@@ -75,7 +75,10 @@ object Graph {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val nodesEdges = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
-        sum((col("deg") * (col("deg") - 1) / 2).cast(LongType)).as("n_wedges")))
+        // integer `div`, not `/`: double division loses low bits once
+        // deg(deg-1) exceeds 2^53 — a hub that big would silently skew
+        // the census where the exact-integer oracle doesn't
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
     nodesEdges.crossJoin(nTri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         round(col("n_triangles") * lit(3.0) / col("n_wedges"), 4).as("global_clustering"))

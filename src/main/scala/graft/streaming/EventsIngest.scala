@@ -42,10 +42,20 @@ object EventsIngest {
     * a one-footer driver read, same cost as any schema inference — and
     * normalized downstream by [[graft.core.EventTime]]. An empty or
     * not-yet-created directory falls back to [[fallbackEventsSchema]] so
-    * stream startup never races the first file. */
+    * stream startup never races the first file — with the caveat that a
+    * structured stream's schema is FIXED at start: if the writer's ts
+    * flavor differs from the fallback's TIMESTAMP_NTZ guess (legacy
+    * INT64-nanos), a stream started against the empty directory stays
+    * bound to the guess; start (or restart) after the first file lands
+    * to resolve the real footer schema. The catch is NonFatal, not just
+    * AnalysisException: a corrupt stray file must also degrade to the
+    * fallback rather than crash 24/7 ingest startup. */
   def eventsSchema(spark: SparkSession, eventsDir: String): StructType =
     try spark.read.parquet(eventsDir).schema
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    catch { case scala.util.control.NonFatal(e) =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"eventsSchema: probe of $eventsDir failed (${e.getMessage}); " +
+          "using fallback schema")
       fallbackEventsSchema
     }
 
