@@ -1242,6 +1242,17 @@ object SparkEntry {
         Seq("vec_id", "label"), "embedding", iterations = 16)
     }),
 
+    // Top-2 PCA via Hotelling deflation: component 2 comes from
+    // C − λ₁v₁v₁ᵀ RE-ROUNDED to the covariance contract's 6 decimals, so
+    // the whole decomposition — both power chains, the Rayleigh λ, the
+    // deflation products (kept left-associative) — is reproducible
+    // cross-engine; still one aggregate pass + one projection scan
+    "embed_pca2" -> ((s, dir) => {
+      graft.operators.Stats.pcaProjectK(
+        s.read.parquet(t(dir, "embeddings")),
+        Seq("vec_id", "label"), "embedding", k = 2, iterations = 16)
+    }),
+
     // Outlier screen: cosine to the (un-normalized) own-label sum vector;
     // threshold 0.0 flags the ~10% of vectors anti-correlated with their
     // class mean in this corpus
@@ -2708,11 +2719,11 @@ object SparkEntry {
     // sign by the largest-|entry| rule, and round projections to 4
     "embed_pca_project" -> {
       val base =
-        """WITH px AS (
+        """WITH px AS MATERIALIZED (
           |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
           |         CAST(unnest(embedding) AS DOUBLE) AS x
           |  FROM embeddings
-          |), cov AS (
+          |), cov AS MATERIALIZED (
           |  SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.x, b.x), 6) AS c
           |  FROM px a JOIN px b ON a.vec_id = b.vec_id
           |  GROUP BY 1, 2
@@ -2747,6 +2758,74 @@ object SparkEntry {
           |JOIN embeddings e ON e.vec_id = p.vec_id
           |GROUP BY 1, 2""".stripMargin
       base + steps + tail
+    },
+
+    // two unrolled power chains with the SAME recipe; vr1/vr2 carry the
+    // sign IN the component values (±1 multiply is IEEE-exact either
+    // side of the dot), and cov1's deflation mirrors the Scala side's
+    // left-associative λ·vᵢ·vⱼ with round-8 λ and round-6 re-rounding
+    "embed_pca2" -> {
+      def chain(covName: String, pfx: String, start: String): String =
+        (1 to 16).map { kk =>
+          val prev = if (kk == 1) start else s"$pfx${kk - 1}"
+          s""",
+             |$pfx$kk AS (
+             |  SELECT c.i AS pos, sum(c.c * v.val) AS val
+             |  FROM $covName c JOIN $prev v ON c.j = v.pos
+             |  GROUP BY 1
+             |)""".stripMargin
+        }.mkString
+      def finish(pfx: String, vr: String): String =
+        s""",
+           |${vr}n AS (
+           |  SELECT pos, val / sqrt((SELECT sum(val * val) FROM ${pfx}16) ) AS val
+           |  FROM ${pfx}16
+           |), ${vr}r AS (
+           |  SELECT pos, round(val, 8) AS val FROM ${vr}n
+           |), $vr AS MATERIALIZED (
+           |  SELECT pos, CASE WHEN (SELECT val FROM ${vr}r
+           |                         ORDER BY abs(val) DESC, pos ASC LIMIT 1) < 0
+           |              THEN -val ELSE val END AS val
+           |  FROM ${vr}r
+           |)""".stripMargin
+      val base =
+        """WITH px AS MATERIALIZED (
+          |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+          |         CAST(unnest(embedding) AS DOUBLE) AS x
+          |  FROM embeddings
+          |), cov AS MATERIALIZED (
+          |  SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.x, b.x), 6) AS c
+          |  FROM px a JOIN px b ON a.vec_id = b.vec_id
+          |  GROUP BY 1, 2
+          |), v0 AS MATERIALIZED (
+          |  SELECT DISTINCT i AS pos,
+          |         1.0 / sqrt((SELECT count(DISTINCT i) FROM cov)) AS val
+          |  FROM cov
+          |)""".stripMargin
+      val deflate =
+        """,
+          |lam1 AS (
+          |  SELECT round(sum(a.val * c.c * b.val), 8) AS l
+          |  FROM cov c JOIN vr1 a ON c.i = a.pos JOIN vr1 b ON c.j = b.pos
+          |), cov1 AS MATERIALIZED (
+          |  SELECT c.i, c.j,
+          |         round(c.c - (SELECT l FROM lam1) * a.val * b.val, 6) AS c
+          |  FROM cov c JOIN vr1 a ON c.i = a.pos JOIN vr1 b ON c.j = b.pos
+          |)""".stripMargin
+      val tail =
+        """
+          |SELECT d1.vec_id, e.label, d1.pc1, d2.pc2
+          |FROM (
+          |  SELECT p.vec_id, round(sum(p.x * v.val), 4) AS pc1
+          |  FROM px p JOIN vr1 v ON p.pos = v.pos GROUP BY 1
+          |) d1
+          |JOIN (
+          |  SELECT p.vec_id, round(sum(p.x * v.val), 4) AS pc2
+          |  FROM px p JOIN vr2 v ON p.pos = v.pos GROUP BY 1
+          |) d2 ON d1.vec_id = d2.vec_id
+          |JOIN embeddings e ON e.vec_id = d1.vec_id""".stripMargin
+      base + chain("cov", "p", "v0") + finish("p", "vr1") +
+        deflate + chain("cov1", "q", "v0") + finish("q", "vr2") + tail
     },
 
     // same un-normalized sum-vector arithmetic as the Spark side (cosine

@@ -62,36 +62,69 @@ object Stats {
    * rows at d=64), mirrored to a full matrix locally.
    */
   def topComponent(embs: DataFrame, vecCol: String,
-      iterations: Int = 16): Array[Double] = {
+      iterations: Int = 16): Array[Double] =
+    topComponents(embs, vecCol, k = 1, iterations).head
+
+  /**
+   * Top-k principal components by power iteration + Hotelling deflation:
+   * after extracting component v with Rayleigh eigenvalue λ = vᵀCv
+   * (rounded to 8), the matrix deflates to C − λ·vvᵀ and is RE-ROUNDED
+   * to [[covariance]]'s 6 decimals before the next component's
+   * iterations — every matrix any engine iterates on is a pure function
+   * of already-rounded values, so the whole decomposition reproduces
+   * bit-for-bit at the rounding precision (deflation arithmetic is kept
+   * left-associative `λ·vᵢ·vⱼ`, matching the SQL oracle's evaluation
+   * order). Same per-component recipe as [[topComponent]]: exactly
+   * `iterations` unnormalized multiplies from the uniform 1/√d start,
+   * one final L2 normalization, round-8, largest-|entry|-positive sign.
+   */
+  def topComponents(embs: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 16): Seq[Array[Double]] = {
+    require(k >= 1, "k must be >= 1")
     require(iterations >= 1, "iterations must be >= 1")
     val tri = covariance(embs, vecCol).collect()
-    require(tri.nonEmpty, "topComponent: no vectors")
+    require(tri.nonEmpty, "topComponents: no vectors")
     val d = tri.iterator.map(_.getLong(1)).max.toInt
     val c = Array.ofDim[Double](d, d)
     tri.foreach { r =>
       val (i, j, v) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
       c(i)(j) = v; c(j)(i) = v
     }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    for (_ <- 1 to iterations) {
-      val w = new Array[Double](d)
-      var i = 0
-      while (i < d) {
-        var s = 0.0
-        var j = 0
-        while (j < d) { s += c(i)(j) * v(j); j += 1 }
-        w(i) = s
-        i += 1
+    def round(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def power(): Array[Double] = {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 1 to iterations) {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += c(i)(j) * v(j); j += 1 }
+          w(i) = s
+          i += 1
+        }
+        v = w
       }
-      v = w
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      require(norm > 0, "topComponents: power iteration collapsed to zero " +
+        "(rank-deficient rounded covariance orthogonal to the start vector)")
+      val vr = v.map(x => round(x / norm, 8))
+      val lead = vr.indices.maxBy(i => (math.abs(vr(i)), -i))
+      if (vr(lead) < 0) vr.map(-_) else vr
     }
-    val norm = math.sqrt(v.map(x => x * x).sum)
-    require(norm > 0, "topComponent: power iteration collapsed to zero " +
-      "(rank-deficient rounded covariance orthogonal to the start vector)")
-    val vr = v.map(x => BigDecimal(x / norm)
-      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    val lead = vr.indices.maxBy(i => (math.abs(vr(i)), -i))
-    if (vr(lead) < 0) vr.map(-_) else vr
+    (1 to k).map { ki =>
+      val v = power()
+      if (ki < k) {
+        // Rayleigh quotient Σᵢⱼ vᵢ·c(i,j)·vⱼ, rounded like the oracle's
+        var lam = 0.0
+        for (i <- 0 until d; j <- 0 until d) lam += v(i) * c(i)(j) * v(j)
+        val lamR = round(lam, 8)
+        for (i <- 0 until d; j <- 0 until d)
+          c(i)(j) = round(c(i)(j) - lamR * v(i) * v(j), 6)
+      }
+      v
+    }
   }
 
   /**
@@ -101,9 +134,16 @@ object Stats {
    * — the corpus never shuffles.
    */
   def pcaProject(embs: DataFrame, carryCols: Seq[String], vecCol: String,
-      iterations: Int = 16): DataFrame = {
-    val v = topComponent(embs, vecCol, iterations)
-    embs.select(carryCols.map(col) :+
-      round(vec_dot(col(vecCol), typedLit(v.toSeq)), 4).as("pc1"): _*)
+      iterations: Int = 16): DataFrame =
+    pcaProjectK(embs, carryCols, vecCol, k = 1, iterations)
+
+  /** [[pcaProject]] for the top `k` deflated components: one codegen'd
+    * vec_dot per component (`pc1..pck`), still a single corpus scan. */
+  def pcaProjectK(embs: DataFrame, carryCols: Seq[String], vecCol: String,
+      k: Int, iterations: Int = 16): DataFrame = {
+    val comps = topComponents(embs, vecCol, k, iterations)
+    embs.select(carryCols.map(col) ++ comps.zipWithIndex.map { case (v, i) =>
+      round(vec_dot(col(vecCol), typedLit(v.toSeq)), 4).as(s"pc${i + 1}")
+    }: _*)
   }
 }

@@ -1520,6 +1520,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(proj.count() === pts.size.toLong)
   }
 
+  test("topComponents: deflation recovers the orthogonal second direction") {
+    import graft.operators.Stats
+    // strong variance along (0.6, 0.8), weaker along (-0.8, 0.6): v1 must
+    // align with the major axis, v2 (post-deflation) with the minor one
+    val pts = (-10 to 10).flatMap { k =>
+      val minor = (k % 5) * 0.1
+      Seq(Array((0.6 * k - 0.8 * minor).toFloat, (0.8 * k + 0.6 * minor).toFloat))
+    }
+    val df = pts.map(Tuple1(_)).toDF("v")
+    val Seq(v1, v2) = Stats.topComponents(df, "v", k = 2, iterations = 32)
+    assert(math.abs(math.abs(v1(0) * 0.6 + v1(1) * 0.8) - 1.0) < 0.01, v1.toSeq)
+    assert(math.abs(math.abs(v2(0) * -0.8 + v2(1) * 0.6) - 1.0) < 0.01, v2.toSeq)
+    // components are orthonormal to rounding precision
+    assert(math.abs(v1(0) * v2(0) + v1(1) * v2(1)) < 0.01)
+    val proj = Stats.pcaProjectK(df, Seq.empty, "v", k = 2)
+    assert(proj.columns.toSeq === Seq("pc1", "pc2"))
+  }
+
   test("vec_outer_agg merges across partitions and skips null-element vectors") {
     import graft.functions.VecOuterAgg.vec_outer_agg
     val df = Seq(
