@@ -1571,6 +1571,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel matches a per-user reference implementation on random logs") {
+    import graft.operators.Funnel
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 2000).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(500).toLong,
+        Seq("A", "B", "C", "D")(rnd.nextInt(4)))
+    }
+    val w = 120L
+    val got = Funnel.funnel(events.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("A", "B", "C"), w)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // independent reference: plain Scala, per user
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val byType = evs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      byType.get("A").map(_.min).map { t1 =>
+        val t2 = byType.getOrElse("B", Nil)
+          .filter(t => t >= t1 && t <= t1 + w).sorted.headOption
+        val t3 = t2.flatMap(b => byType.getOrElse("C", Nil)
+          .filter(t => t >= b && t <= t1 + w).sorted.headOption)
+        u -> ((Some(t1): Option[Any], t2.map(x => x: Any), t3.map(x => x: Any)))
+      }
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("scd2 matches a per-key reference implementation on random logs") {
+    import graft.operators.Cdc
+    val rnd = new scala.util.Random(7)
+    // unique (key, ts) by construction; small value alphabet forces runs
+    val log = (0 until 1500).map { i =>
+      (rnd.nextInt(25).toLong, i.toLong, Seq("x", "y", "z")(rnd.nextInt(3)))
+    }
+    val got = Cdc.scd2(log.toDF("k", "ts", "v"), Seq("k"), "ts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    val expected = log.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val changes = sorted.zip(None +: sorted.map(r => Some(r._3)))
+        .collect { case (r, prev) if !prev.contains(r._3) => r }
+      changes.zip(changes.drop(1).map(c => Some(c._2)) :+ None).map {
+        case ((_, ts, v), to) => (k, v, ts, to)
+      }
+    }.toSet
+    assert(got === expected)
+  }
+
   test("funnelCounts summarizes stage reach") {
     import graft.operators.Funnel
     val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 5L, "A"))
