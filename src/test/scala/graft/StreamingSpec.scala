@@ -406,4 +406,39 @@ class StreamingSpec extends AnyFunSuite {
     baseSums.unpersist()
     ()
   }
+
+  test("streaming funnel's final per-user progress equals the batch funnel") {
+    import graft.operators.Funnel
+    import graft.operators.Funnel.{FEvent, FunnelProgress}
+    val stages = Seq("view", "click", "purchase")
+    val w = 86400000000L // 24h in µs, the q36 contract
+
+    val batchEvents = graft.core.EventTime.readEventsTsUsAs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+    val truth = Funnel.funnel(batchEvents, "user_id", "ts", "event_type", stages, w)
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 3).flatMap(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+      }.toMap
+
+    val inDir = Files.createTempDirectory("graft-funnel-in")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val stream = graft.core.EventTime.readEventsTsUsAs(
+      spark.readStream
+        .schema(graft.streaming.EventsIngest.eventsSchema(spark, inDir.toString))
+        .parquet(inDir.toString), "ts")
+      .select(col("user_id"), col("ts"), col("event_type")).as[FEvent]
+    val qname = "funnel_out_" + System.nanoTime()
+    val q = Funnel.funnelStream(stream, stages, w)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // the last (deepest) progress row per user is the final chain
+    val streamed = spark.table(qname).as[FunnelProgress].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_.stages_reached).times }
+    assert(streamed === truth,
+      s"stream-final funnel differs: ${streamed.toSet -- truth.toSet}")
+  }
 }
