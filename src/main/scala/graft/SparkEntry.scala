@@ -401,6 +401,17 @@ object SparkEntry {
         bands = 4, rowsPerBand = 2, threshold = 0.8)
     }),
 
+    // LSH threshold health check: triangle census of the near-dup pair
+    // graph. High transitivity = the pair generator found coherent
+    // clusters; a chain-heavy (low-clustering) graph at the same
+    // threshold is how an over-loose LSH first shows itself
+    "dedup_graph_quality" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val pairs = graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, threshold = 0.8)
+      graft.operators.Graph.triangleStats(pairs, "doc_a", "doc_b")
+    }),
+
     // Near-dup clusters: connected components over the LSH pair graph
     "dedup_clusters" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
@@ -1757,6 +1768,34 @@ object SparkEntry {
         |JOIN sh sb ON sb.doc_id = doc_b
         |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         |        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8""".stripMargin,
+
+    // the LSH pair CTEs feed the textbook triangle count — same composed
+    // derivation as the Spark side (minhashLshPairs -> triangleStats)
+    "dedup_graph_quality" ->
+      s"""WITH $minhashCtes,
+        |pr AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8
+        |), ed AS (
+        |  SELECT DISTINCT doc_a AS a, doc_b AS b FROM pr
+        |), deg AS (
+        |  SELECT n, count(*) AS d
+        |  FROM (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed)
+        |  GROUP BY 1
+        |), tri AS (
+        |  SELECT count(*) AS t FROM ed e1, ed e2, ed e3
+        |  WHERE e1.a = e2.a AND e1.b < e2.b
+        |    AND e3.a = e1.b AND e3.b = e2.b
+        |)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM ed) AS n_edges,
+        |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       (SELECT t FROM tri) AS n_triangles,
+        |       round(3.0 * (SELECT t FROM tri) /
+        |             (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS global_clustering""".stripMargin,
 
     // the one-shot pair derivation over the FULL set, restricted to pairs
     // touching the md5-chosen delta — the incremental operator's contract
