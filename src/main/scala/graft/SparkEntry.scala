@@ -238,6 +238,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Hopping (sliding) event-time windows — the built-in `window()`
+    // form with a 1h width / 15min slide (each event lands in exactly 4
+    // windows); the same expression drives the streaming hopping-window
+    // aggregation, so the batch oracle pins the streaming shape's math
+    "q38_sliding_window" -> ((s, dir) => {
+      val e = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+      e.select(
+          window(timestamp_micros(col("ts_us")), "1 hour", "15 minutes").as("w"),
+          col("event_type"), col("value"))
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(expr("unix_micros(w.start) div 1000000").as("win_start_sec"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // P9 + G1/G2: partition-key bytes, token, ring bucket (no SQL oracle —
     // token math is validated against Cassandra's known hashes in tests)
     // P9 partition-key extraction, hash-checked: single key serializes
@@ -1580,6 +1595,24 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // each event expands to its 4 hop-aligned windows: start = 15min-
+    // aligned floor minus k slides, kept while start + 1h > t — exactly
+    // Spark's [start, start + window) membership
+    "q38_sliding_window" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS tu, event_type, value FROM events
+        |), k AS (SELECT unnest(range(0, 4)) AS k
+        |), w AS (
+        |  SELECT (tu // 900000000) * 900000000 - k.k * 900000000 AS ws,
+        |         event_type, value
+        |  FROM ev CROSS JOIN k
+        |  WHERE (tu // 900000000) * 900000000 - k.k * 900000000
+        |        + 3600000000 > tu
+        |)
+        |SELECT ws // 1000000 AS win_start_sec, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "text_tokens" ->
       ("""SELECT doc_id,

@@ -72,6 +72,25 @@ object EventsIngest {
         col("n"), col("sum_value"))
   }
 
+  /** Hopping-window variant of [[windowedCounts]] (`slide` < `width`
+    * means each event lands in width/slide overlapping windows — the
+    * trend-smoothing shape). State is bounded the same way: the
+    * watermark closes a window when it passes its END, and overlap
+    * multiplies live state only by the constant width/slide factor. The
+    * window math is pinned cross-engine by the batch `q38_sliding_window`
+    * oracle, which uses the identical `window()` expression. */
+  def windowedCountsSliding(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame = {
+    val withTime = graft.core.EventTime.withTsUs(events)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    withTime
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /**
    * Run the full ingest over a parquet directory as a bounded stream
    * (Trigger.AvailableNow): every micro-batch of aggregates is bulk-loaded

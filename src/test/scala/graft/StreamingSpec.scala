@@ -407,6 +407,34 @@ class StreamingSpec extends AnyFunSuite {
     ()
   }
 
+  test("hopping-window streaming aggregation equals the batch window() form") {
+    import graft.streaming.EventsIngest
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val batch = EventsIngest.windowedCountsSliding(spark.read.parquet(src))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), math.round(r.getDouble(3) * 100))).toSet
+
+    val inDir = Files.createTempDirectory("graft-slide-in")
+    Files.copy(java.nio.file.Paths.get(src), inDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(EventsIngest.eventsSchema(spark, inDir.toString))
+      .parquet(inDir.toString)
+    val qname = "slide_out_" + System.nanoTime()
+    // complete mode: every window emitted every trigger — one bounded
+    // trigger, so the final table IS the full aggregation
+    val q = EventsIngest.windowedCountsSliding(stream)
+      .writeStream.outputMode("complete").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(qname)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), math.round(r.getDouble(3) * 100))).toSet
+    assert(streamed === batch)
+    // every event lands in exactly width/slide = 4 windows
+    val nEvents = spark.read.parquet(src).count()
+    assert(batch.toSeq.map(_._3).sum === 4 * nEvents)
+  }
+
   test("streaming funnel's final per-user progress equals the batch funnel") {
     import graft.operators.Funnel
     import graft.operators.Funnel.{FEvent, FunnelProgress}
