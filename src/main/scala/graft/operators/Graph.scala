@@ -66,11 +66,17 @@ object Graph {
     // w ∈ N+(u) ∩ N+(v). Out-lists are ≤O(√E) by the orientation; the
     // inner adjacency joins drop edges whose v has no out-list — those
     // intersect empty anyway (hence the coalesce for the no-triangle case)
+    // shuffle_hash on the adjacency sides: sort-merge would SORT the
+    // edge stream (and its attached neighbor arrays) twice; hashing the
+    // #nodes-row adjacency build side skips both sorts and, unlike a
+    // broadcast, stays safe when the node set outgrows one executor
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
     val nTri = oriented
-      .join(adj.select(col("u").as("_a"), col("nbrs").as("na")), col("u") === col("_a"))
-      .join(adj.select(col("u").as("_b"), col("nbrs").as("nb")), col("v") === col("_b"))
+      .join(adj.select(col("u").as("_a"), col("nbrs").as("na")).hint("shuffle_hash"),
+        col("u") === col("_a"))
+      .join(adj.select(col("u").as("_b"), col("nbrs").as("nb")).hint("shuffle_hash"),
+        col("v") === col("_b"))
       .select(size(array_intersect(col("na"), col("nb"))).cast(LongType).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val nodesEdges = e.agg(count(lit(1)).as("n_edges"))
