@@ -238,6 +238,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Per-group feature normalization: winsorize to the group's
+    // [p05, p95] and z-score against the group's moments — one bounded
+    // aggregation (5 values per event_type) broadcast back onto the
+    // scan; rows never shuffle. Exact percentile anchors the oracle
+    // (the q20 contract); a 100 TB run swaps approx_percentile in
+    "curate_normalize" -> ((s, dir) => {
+      val e = graft.core.EventTime
+        .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
+      val stats = e.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"),
+        avg(col("value")).as("mu"),
+        stddev_pop(col("value")).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(greatest(col("lo"), least(col("hi"), col("value"))), 4)
+            .as("v_winsor"),
+          round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+    }),
+
     // Hopping (sliding) event-time windows — the built-in `window()`
     // form with a 1h width / 15min slide (each event lands in exactly 4
     // windows); the same expression drives the streaming hopping-window
@@ -1595,6 +1615,21 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // quantile_cont == Spark percentile (the q20 parity); a value within
+    // one ulp of a clip bound rounds to the same 4 decimals either way
+    "curate_normalize" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi,
+        |         avg(value) AS mu, stddev_pop(value) AS sd
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type,
+        |       round(greatest(st.lo, least(st.hi, e.value)), 4) AS v_winsor,
+        |       round((e.value - st.mu) / st.sd, 4) AS z
+        |FROM events e JOIN st USING (event_type)""".stripMargin,
 
     // each event expands to its 4 hop-aligned windows: start = 15min-
     // aligned floor minus k slides, kept while start + 1h > t — exactly

@@ -160,5 +160,14 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         |         (array(CAST(3.0 AS FLOAT), CAST(5.0 AS FLOAT)))) t(v)""".stripMargin)
       .head().getStruct(0)
     assert(vs.getLong(0) === 2L && vs.getSeq[Double](1) === Seq(4.0, 7.0))
+    // vec_outer_agg from SQL: n, sums, and the row-major outer sums
+    // (1,2)⊗(1,2) + (3,5)⊗(3,5) = [1+9, 2+15, 2+15, 4+25]
+    val vo = s.sql(
+      """SELECT vec_outer_agg(v) AS o FROM (
+        |  VALUES (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        |         (array(CAST(3.0 AS FLOAT), CAST(5.0 AS FLOAT)))) t(v)""".stripMargin)
+      .head().getStruct(0)
+    assert(vo.getLong(0) === 2L && vo.getSeq[Double](1) === Seq(4.0, 7.0))
+    assert(vo.getSeq[Double](2) === Seq(10.0, 17.0, 17.0, 29.0))
   }
 }
