@@ -238,6 +238,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Volume anomaly screen: hourly counts per type, each hour z-scored
+    // against its type's TRAILING-24h window (RANGE frame over the hour
+    // epoch, current hour excluded so a spike can't mask itself);
+    // |z| > 3 flags. Window partitions by type — state bounded by 24
+    // rows per partition stream
+    "events_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = graft.core.EventTime
+        .withTsUs(s.read.parquet(t(dir, "events")))
+        .withColumn("hour_epoch", expr("ts_us div 3600000000") * 3600)
+        .groupBy(col("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+        .rangeBetween(-24L * 3600, -3600)
+      hourly
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_pop(col("n")).over(w))
+        .filter(col("sd") > 0)
+        .withColumn("z", round((col("n") - col("mu")) / col("sd"), 4))
+        // flag from the ROUNDED z so it is a pure function of the
+        // hash-checked value (the embed_outliers convention)
+        .select(col("hour_epoch"), col("event_type"), col("n"), col("z"),
+          (abs(col("z")) > 3.0).as("is_anomaly"))
+    }),
+
     // Per-group feature normalization: winsorize to the group's
     // [p05, p95] and z-score against the group's moments — one bounded
     // aggregation (5 values per event_type) broadcast back onto the
@@ -1615,6 +1640,25 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // same trailing-24h RANGE frame; is_anomaly derives from the rounded
+    // z on both sides
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 * 3600 AS hour_epoch,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT hour_epoch, event_type, n,
+        |         avg(n) OVER tw AS mu, stddev_pop(n) OVER tw AS sd
+        |  FROM hourly
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_epoch
+        |                RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+        |)
+        |SELECT hour_epoch, event_type, n,
+        |       round((n - mu) / sd, 4) AS z,
+        |       abs(round((n - mu) / sd, 4)) > 3.0 AS is_anomaly
+        |FROM scored WHERE sd > 0""".stripMargin,
 
     // quantile_cont == Spark percentile (the q20 parity); a value within
     // one ulp of a clip bound rounds to the same 4 decimals either way

@@ -437,4 +437,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("profile_stats")
     assert(!p.contains("Expand"), s"multi-distinct Expand is back:\n${p.take(2500)}")
   }
+
+  test("curate_normalize: per-group stats broadcast back, rows never shuffle") {
+    val p = plan("curate_normalize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      s"event rows sort-merge against the tiny stats frame:\n${p.take(2000)}")
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }
