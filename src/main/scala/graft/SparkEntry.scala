@@ -1324,6 +1324,26 @@ object SparkEntry {
         Seq("vec_id", "label"), "embedding", k = 2, iterations = 16)
     }),
 
+    // Variance decomposition: each deflated component's Rayleigh
+    // eigenvalue against the round-6 trace — the "how many components
+    // carry this corpus" summary. The 2-row frame is built driver-side
+    // FROM the already-driver-side eigensolve (same d×d altitude as
+    // topComponents itself); corpus work is the one vec_outer_agg pass
+    "embed_pca_variance" -> ((s, dir) => {
+      import s.implicits._
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val lams = graft.operators.Stats
+        .topComponentsWithValues(e, "embedding", k = 2, iterations = 16)
+        .map(_._2)
+      val trace = graft.operators.Stats.covariance(e, "embedding")
+        .filter(col("i") === col("j"))
+        .agg(round(sum(col("cov")), 6).as("t")).head().getDouble(0)
+      lams.zipWithIndex.map { case (l, i) =>
+        (i + 1L, l, trace, BigDecimal(l / trace)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("component", "lambda", "trace", "explained")
+    }),
+
     // Outlier screen: cosine to the (un-normalized) own-label sum vector;
     // threshold 0.0 flags the ~10% of vectors anti-correlated with their
     // class mean in this corpus
@@ -1411,6 +1431,70 @@ object SparkEntry {
 
   /** Shared CTE chain reconstructing the MinHash+LSH candidate pipeline
     * (shingles -> permutation signature -> bands -> candidate pairs). */
+  /** Shared WITH-clause for the two-component PCA oracles: round-6
+    * covariance, two unrolled 16-step power chains (v0 -> vr1; deflated
+    * cov1 -> vr2), Rayleigh lam1/lam2. Hot CTEs are MATERIALIZED —
+    * DuckDB's default inlining re-opens the parquet per reference and
+    * re-runs cov per chain step. Mirrors `Stats.topComponentsWithValues`
+    * per ADR 0002 (stage-boundary rounding, fixed order, sign rule). */
+  private lazy val pcaTwoChainCtes: String = {
+    def chain(covName: String, pfx: String, start: String): String =
+      (1 to 16).map { kk =>
+        val prev = if (kk == 1) start else s"$pfx${kk - 1}"
+        s""",
+           |$pfx$kk AS (
+           |  SELECT c.i AS pos, sum(c.c * v.val) AS val
+           |  FROM $covName c JOIN $prev v ON c.j = v.pos
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString
+    def finish(pfx: String, vr: String): String =
+      s""",
+         |${vr}n AS (
+         |  SELECT pos, val / sqrt((SELECT sum(val * val) FROM ${pfx}16) ) AS val
+         |  FROM ${pfx}16
+         |), ${vr}r AS (
+         |  SELECT pos, round(val, 8) AS val FROM ${vr}n
+         |), $vr AS MATERIALIZED (
+         |  SELECT pos, CASE WHEN (SELECT val FROM ${vr}r
+         |                         ORDER BY abs(val) DESC, pos ASC LIMIT 1) < 0
+         |              THEN -val ELSE val END AS val
+         |  FROM ${vr}r
+         |)""".stripMargin
+    val base =
+      """WITH px AS MATERIALIZED (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), cov AS MATERIALIZED (
+        |  SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.x, b.x), 6) AS c
+        |  FROM px a JOIN px b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2
+        |), v0 AS MATERIALIZED (
+        |  SELECT DISTINCT i AS pos,
+        |         1.0 / sqrt((SELECT count(DISTINCT i) FROM cov)) AS val
+        |  FROM cov
+        |)""".stripMargin
+    val deflate =
+      """,
+        |lam1 AS (
+        |  SELECT round(sum(a.val * c.c * b.val), 8) AS l
+        |  FROM cov c JOIN vr1 a ON c.i = a.pos JOIN vr1 b ON c.j = b.pos
+        |), cov1 AS MATERIALIZED (
+        |  SELECT c.i, c.j,
+        |         round(c.c - (SELECT l FROM lam1) * a.val * b.val, 6) AS c
+        |  FROM cov c JOIN vr1 a ON c.i = a.pos JOIN vr1 b ON c.j = b.pos
+        |)""".stripMargin
+    val lam2 =
+      """,
+        |lam2 AS (
+        |  SELECT round(sum(a.val * c.c * b.val), 8) AS l
+        |  FROM cov1 c JOIN vr2 a ON c.i = a.pos JOIN vr2 b ON c.j = b.pos
+        |)""".stripMargin
+    base + chain("cov", "p", "v0") + finish("p", "vr1") +
+      deflate + chain("cov1", "q", "v0") + finish("q", "vr2") + lam2
+  }
+
   private lazy val minhashCtes: String = {
     val perms = (0 until 8).map(i =>
       s"list_min([(${graft.operators.Dedup.MinhashA(i)}*h + " +
@@ -2915,69 +2999,31 @@ object SparkEntry {
     // sign IN the component values (±1 multiply is IEEE-exact either
     // side of the dot), and cov1's deflation mirrors the Scala side's
     // left-associative λ·vᵢ·vⱼ with round-8 λ and round-6 re-rounding
-    "embed_pca2" -> {
-      def chain(covName: String, pfx: String, start: String): String =
-        (1 to 16).map { kk =>
-          val prev = if (kk == 1) start else s"$pfx${kk - 1}"
-          s""",
-             |$pfx$kk AS (
-             |  SELECT c.i AS pos, sum(c.c * v.val) AS val
-             |  FROM $covName c JOIN $prev v ON c.j = v.pos
-             |  GROUP BY 1
-             |)""".stripMargin
-        }.mkString
-      def finish(pfx: String, vr: String): String =
-        s""",
-           |${vr}n AS (
-           |  SELECT pos, val / sqrt((SELECT sum(val * val) FROM ${pfx}16) ) AS val
-           |  FROM ${pfx}16
-           |), ${vr}r AS (
-           |  SELECT pos, round(val, 8) AS val FROM ${vr}n
-           |), $vr AS MATERIALIZED (
-           |  SELECT pos, CASE WHEN (SELECT val FROM ${vr}r
-           |                         ORDER BY abs(val) DESC, pos ASC LIMIT 1) < 0
-           |              THEN -val ELSE val END AS val
-           |  FROM ${vr}r
-           |)""".stripMargin
-      val base =
-        """WITH px AS MATERIALIZED (
-          |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
-          |         CAST(unnest(embedding) AS DOUBLE) AS x
-          |  FROM embeddings
-          |), cov AS MATERIALIZED (
-          |  SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.x, b.x), 6) AS c
-          |  FROM px a JOIN px b ON a.vec_id = b.vec_id
-          |  GROUP BY 1, 2
-          |), v0 AS MATERIALIZED (
-          |  SELECT DISTINCT i AS pos,
-          |         1.0 / sqrt((SELECT count(DISTINCT i) FROM cov)) AS val
-          |  FROM cov
-          |)""".stripMargin
-      val deflate =
-        """,
-          |lam1 AS (
-          |  SELECT round(sum(a.val * c.c * b.val), 8) AS l
-          |  FROM cov c JOIN vr1 a ON c.i = a.pos JOIN vr1 b ON c.j = b.pos
-          |), cov1 AS MATERIALIZED (
-          |  SELECT c.i, c.j,
-          |         round(c.c - (SELECT l FROM lam1) * a.val * b.val, 6) AS c
-          |  FROM cov c JOIN vr1 a ON c.i = a.pos JOIN vr1 b ON c.j = b.pos
-          |)""".stripMargin
-      val tail =
-        """
-          |SELECT d1.vec_id, e.label, d1.pc1, d2.pc2
-          |FROM (
-          |  SELECT p.vec_id, round(sum(p.x * v.val), 4) AS pc1
-          |  FROM px p JOIN vr1 v ON p.pos = v.pos GROUP BY 1
-          |) d1
-          |JOIN (
-          |  SELECT p.vec_id, round(sum(p.x * v.val), 4) AS pc2
-          |  FROM px p JOIN vr2 v ON p.pos = v.pos GROUP BY 1
-          |) d2 ON d1.vec_id = d2.vec_id
-          |JOIN embeddings e ON e.vec_id = d1.vec_id""".stripMargin
-      base + chain("cov", "p", "v0") + finish("p", "vr1") +
-        deflate + chain("cov1", "q", "v0") + finish("q", "vr2") + tail
-    },
+    "embed_pca2" -> (pcaTwoChainCtes +
+      """
+        |SELECT d1.vec_id, e.label, d1.pc1, d2.pc2
+        |FROM (
+        |  SELECT p.vec_id, round(sum(p.x * v.val), 4) AS pc1
+        |  FROM px p JOIN vr1 v ON p.pos = v.pos GROUP BY 1
+        |) d1
+        |JOIN (
+        |  SELECT p.vec_id, round(sum(p.x * v.val), 4) AS pc2
+        |  FROM px p JOIN vr2 v ON p.pos = v.pos GROUP BY 1
+        |) d2 ON d1.vec_id = d2.vec_id
+        |JOIN embeddings e ON e.vec_id = d1.vec_id""".stripMargin),
+
+    // same two-chain derivation, summarized: per-component Rayleigh
+    // eigenvalue over the round-6 trace; lambda/trace is one IEEE
+    // division of already-hash-stable values
+    "embed_pca_variance" -> (pcaTwoChainCtes +
+      """, tr AS (SELECT round(sum(c), 6) AS t FROM cov WHERE i = j)
+        |SELECT CAST(1 AS BIGINT) AS component, (SELECT l FROM lam1) AS lambda,
+        |       tr.t AS trace, round((SELECT l FROM lam1) / tr.t, 6) AS explained
+        |FROM tr
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), (SELECT l FROM lam2),
+        |       tr.t, round((SELECT l FROM lam2) / tr.t, 6)
+        |FROM tr""".stripMargin),
 
     // same un-normalized sum-vector arithmetic as the Spark side (cosine
     // is scale-invariant, so sums ARE centroids); is_outlier compares the

@@ -79,7 +79,16 @@ object Stats {
    * one final L2 normalization, round-8, largest-|entry|-positive sign.
    */
   def topComponents(embs: DataFrame, vecCol: String, k: Int,
-      iterations: Int = 16): Seq[Array[Double]] = {
+      iterations: Int = 16): Seq[Array[Double]] =
+    topComponentsWithValues(embs, vecCol, k, iterations).map(_._1)
+
+  /** [[topComponents]] plus each component's Rayleigh eigenvalue
+    * (round-8, computed against the matrix the component was extracted
+    * FROM — the original covariance for v1, the deflated remainder for
+    * v2, ...). The same quantity the oracle's `lamK` CTEs compute, so
+    * variance-explained summaries hash-check cross-engine. */
+  def topComponentsWithValues(embs: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 16): Seq[(Array[Double], Double)] = {
     require(k >= 1, "k must be >= 1")
     require(iterations >= 1, "iterations must be >= 1")
     val tri = covariance(embs, vecCol).collect()
@@ -115,15 +124,15 @@ object Stats {
     }
     (1 to k).map { ki =>
       val v = power()
+      // Rayleigh quotient Σᵢⱼ vᵢ·c(i,j)·vⱼ, rounded like the oracle's
+      var lam = 0.0
+      for (i <- 0 until d; j <- 0 until d) lam += v(i) * c(i)(j) * v(j)
+      val lamR = round(lam, 8)
       if (ki < k) {
-        // Rayleigh quotient Σᵢⱼ vᵢ·c(i,j)·vⱼ, rounded like the oracle's
-        var lam = 0.0
-        for (i <- 0 until d; j <- 0 until d) lam += v(i) * c(i)(j) * v(j)
-        val lamR = round(lam, 8)
         for (i <- 0 until d; j <- 0 until d)
           c(i)(j) = round(c(i)(j) - lamR * v(i) * v(j), 6)
       }
-      v
+      (v, lamR)
     }
   }
 
