@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /**
  * Changelog compaction — the lakehouse ingest pair every 100 TB pipeline
@@ -37,6 +38,37 @@ object Cdc {
       .agg(max_by(struct(payload.map(col): _*), ord).as("_latest"))
       .select(keyCols.map(col) ++
         payload.map(c => col(s"_latest.`$c`").as(c)): _*)
+  }
+
+  // ---- streaming form -------------------------------------------------
+
+  /** One changelog record: `(ver, seq)` is the total per-key ordering
+    * ([[latestByKey]]'s version + tiebreak), `payload` the carried row. */
+  case class CdcRecord(key: String, ver: Long, seq: Long, payload: String)
+
+  /**
+   * Streaming latest-wins compaction — the continuously-maintained
+   * materialized view of [[latestByKey]]: per-key state holds ONLY the
+   * current winner (one small record per live key, independent of
+   * changelog volume), and a batch emits a key's row exactly when its
+   * winner CHANGED. The last emission per key therefore always equals
+   * the batch compaction over everything ingested so far (pinned in
+   * StreamingSpec); max is order-insensitive, so unlike the funnel this
+   * needs no in-order-delivery caveat.
+   */
+  def latestByKeyStream(records: Dataset[CdcRecord]): Dataset[CdcRecord] = {
+    import records.sparkSession.implicits._
+    records.groupByKey(_.key)
+      .flatMapGroupsWithState[CdcRecord, CdcRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          val cur = state.getOption
+          val best = (cur.iterator ++ it).maxBy(r => (r.ver, r.seq))
+          if (!cur.contains(best)) {
+            state.update(best)
+            Iterator.single(best)
+          } else Iterator.empty
+      }
   }
 
   /**

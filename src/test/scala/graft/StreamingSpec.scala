@@ -435,6 +435,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq.map(_._3).sum === 4 * nEvents)
   }
 
+  test("streaming latest-wins compaction equals batch latestByKey") {
+    import graft.operators.Cdc
+    import graft.operators.Cdc.CdcRecord
+    val src = "/root/testdata/sf0.001/events.parquet"
+    def asRecords(df: org.apache.spark.sql.DataFrame) =
+      graft.core.EventTime.readEventsTsUsAs(df, "ts")
+        .select(concat_ws("|", col("user_id"), col("event_type")).as("key"),
+          col("ts").as("ver"), col("event_id").as("seq"),
+          col("props").as("payload"))
+
+    val truth = Cdc.latestByKey(asRecords(spark.read.parquet(src)),
+        Seq("key"), "ver", Seq("seq"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+    val inDir = Files.createTempDirectory("graft-cdc-in")
+    Files.copy(java.nio.file.Paths.get(src), inDir.resolve("events.parquet"))
+    val stream = asRecords(spark.readStream
+        .schema(graft.streaming.EventsIngest.eventsSchema(spark, inDir.toString))
+        .parquet(inDir.toString)).as[CdcRecord]
+    val qname = "cdc_out_" + System.nanoTime()
+    val q = Cdc.latestByKeyStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // last emission per key (largest (ver, seq)) is the live view
+    val streamed = spark.table(qname).as[CdcRecord].collect()
+      .groupBy(_.key)
+      .map { case (k, rows) =>
+        val b = rows.maxBy(r => (r.ver, r.seq)); k -> ((b.ver, b.seq, b.payload))
+      }
+    assert(streamed === truth)
+  }
+
   test("streaming funnel's final per-user progress equals the batch funnel") {
     import graft.operators.Funnel
     import graft.operators.Funnel.{FEvent, FunnelProgress}
