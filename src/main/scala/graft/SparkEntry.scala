@@ -701,6 +701,22 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
     }),
 
+    // The nightly-ANN shape: index frames built once (in a deployment,
+    // read back from storage — the parquet round-trip identity is
+    // spec-pinned), searched without re-clustering; result contract is
+    // the same planted analytic top-k as embed_ivf_topk
+    "embed_ivf_persisted" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
+        graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+        .localCheckpoint()
+      val (assigned, centroids) = graft.operators.Similarity
+        .ivfIndexFrames(e.filter(col("vec_id") >= 10), "vec_id", "embedding",
+          nlist = 8)
+      graft.operators.Similarity.ivfSearchIndex(
+        e.filter(col("vec_id") < 10), assigned, centroids,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+    }),
+
     // Int8-quantized coarse ANN + exact float re-rank over the planted
     // corpus. The analytic oracle survives quantization: an in-cluster
     // member (cos t, sin t) on axes (g, g+20) quantizes to direction
@@ -2154,6 +2170,7 @@ object SparkEntry {
     // oracle is brute force over the analytically-reconstructed corpus.
     "embed_lsh_topk" -> PlantedAnnOracle,
     "embed_ivf_topk" -> PlantedAnnOracle,
+    "embed_ivf_persisted" -> PlantedAnnOracle,
     "embed_i8_topk" -> PlantedAnnOracle,
 
     "q10_intersect" ->

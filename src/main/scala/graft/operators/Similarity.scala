@@ -203,35 +203,69 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L, maxTrainRows: Long = 100000L): DataFrame = {
-    Ids.requireIntegral(corpus, idCol, "ivfTopK")
+    val (assigned, centroids) =
+      ivfIndexFrames(corpus, idCol, vecCol, nlist, seed, maxTrainRows)
+    ivfSearchIndex(queries, assigned, centroids, idCol, vecCol, k, nprobe)
+  }
+
+  /**
+   * The persistable IVF index of a corpus, as two plain frames a 100 TB
+   * deployment writes at ingest and every later query batch reads back
+   * — no re-clustering, no training scan:
+   *   - `assigned`: `(c_id, c_vec, bucket)` — the corpus partitioned
+   *     into `nlist` cells (write it bucketed/partitioned BY `bucket`
+   *     so probes prune the scan);
+   *   - `centroids`: `(bucket, centroid array<double>)` — `nlist` rows.
+   * Few k-means iterations suffice: cells only gate the candidate set,
+   * exact cosine re-ranks inside them — centroid quality is not
+   * precision. Training reads a BOUNDED sample so the iterative job
+   * never scans the full corpus.
+   */
+  def ivfIndexFrames(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): (DataFrame, DataFrame) = {
+    Ids.requireIntegral(corpus, idCol, "ivfIndexFrames")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("features", array_to_vector(col("c_vec").cast("array<double>")))
-    // few iterations suffice: cells only gate the candidate set, exact
-    // cosine re-ranks inside them — centroid quality is not precision.
-    // Train on a BOUNDED sample: the iterative k-means job must not scan
-    // the full corpus 5 times when only the assignment pass has to.
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("bucket")
       .fit(trainSample(c, maxTrainRows, seed))
     val assigned = model.transform(c).select(col("c_id"), col("c_vec"), col("bucket"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("bucket", "centroid")
+    (assigned, centroids)
+  }
 
-    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+  /** Search a (possibly storage-round-tripped) [[ivfIndexFrames]] index:
+    * the `nlist`-row centroid table collects to the driver (the same
+    * footprint the in-memory model carried) and folds into plan-literal
+    * probe expressions; the probe join against `assigned` is the only
+    * corpus-sized work. Result is identical to [[ivfTopK]] on the same
+    * index — pinned by the parquet round-trip spec. */
+  def ivfSearchIndex(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cents = centroids
+      .select(col("bucket").cast("int").as("b"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cents.nonEmpty, "ivfSearchIndex: empty centroid table")
     // per-query distances to every centroid -> nprobe nearest cells
     def l2sq(a: Column, centroid: Seq[Double]): Column =
       aggregate(zip_with(a, typedlit(centroid),
         (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
         lit(0.0), (acc, x) => acc + x)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val cellDists = array(centroids.zipWithIndex.map { case (cent, i) =>
-      struct(l2sq(col("q_vec"), cent).as("d"), lit(i).as("b"))
+    val cellDists = array(cents.map { case (b, cent) =>
+      struct(l2sq(col("q_vec"), cent).as("d"), lit(b).as("b"))
     }: _*)
     val probes = q
       .withColumn("probe", explode(slice(array_sort(cellDists), 1, nprobe)))
       .select(col("q_id"), col("q_vec"), col("probe.b").as("bucket"))
-
     val scored = assigned.join(broadcast(probes), "bucket")
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
     rankTopK(scored, k)

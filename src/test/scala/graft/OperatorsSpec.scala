@@ -1618,6 +1618,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("IVF index survives a parquet round-trip: search equals direct ivfTopK") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val direct = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (assigned, centroids) = Similarity.ivfIndexFrames(
+      corpus, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+    assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val viaStorage = Similarity.ivfSearchIndex(queries,
+        spark.read.parquet(s"$dir/assigned"),
+        spark.read.parquet(s"$dir/centroids"),
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStorage === direct)
+  }
+
   test("funnelCounts summarizes stage reach") {
     import graft.operators.Funnel
     val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 5L, "A"))
