@@ -280,7 +280,10 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"),
           round(greatest(col("lo"), least(col("hi"), col("value"))), 4)
             .as("v_winsor"),
-          round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+          // explicit sd > 0 gate: a constant-valued group z-scores to
+          // NULL on BOTH engines (Spark's /0 is NULL, DuckDB's is inf)
+          when(col("sd") > 0,
+            round((col("value") - col("mu")) / col("sd"), 4)).as("z"))
     }),
 
     // Hopping (sliding) event-time windows — the built-in `window()`
@@ -1342,22 +1345,13 @@ object SparkEntry {
 
     // Variance decomposition: each deflated component's Rayleigh
     // eigenvalue against the round-6 trace — the "how many components
-    // carry this corpus" summary. The 2-row frame is built driver-side
-    // FROM the already-driver-side eigensolve (same d×d altitude as
-    // topComponents itself); corpus work is the one vec_outer_agg pass
+    // carry this corpus" summary. ONE covariance collect serves the
+    // eigensolve AND the trace (Stats.pcaSummary); corpus work is the
+    // single vec_outer_agg pass
     "embed_pca_variance" -> ((s, dir) => {
-      import s.implicits._
-      val e = s.read.parquet(t(dir, "embeddings"))
-      val lams = graft.operators.Stats
-        .topComponentsWithValues(e, "embedding", k = 2, iterations = 16)
-        .map(_._2)
-      val trace = graft.operators.Stats.covariance(e, "embedding")
-        .filter(col("i") === col("j"))
-        .agg(round(sum(col("cov")), 6).as("t")).head().getDouble(0)
-      lams.zipWithIndex.map { case (l, i) =>
-        (i + 1L, l, trace, BigDecimal(l / trace)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("component", "lambda", "trace", "explained")
+      graft.operators.Stats.pcaSummary(
+        s.read.parquet(t(dir, "embeddings")), "embedding",
+        k = 2, iterations = 16)
     }),
 
     // Outlier screen: cosine to the (un-normalized) own-label sum vector;
@@ -1445,8 +1439,6 @@ object SparkEntry {
   // DuckDB oracle SQL — same column names, same semantics.
   // ---------------------------------------------------------------------
 
-  /** Shared CTE chain reconstructing the MinHash+LSH candidate pipeline
-    * (shingles -> permutation signature -> bands -> candidate pairs). */
   /** Shared WITH-clause for the two-component PCA oracles: round-6
     * covariance, two unrolled 16-step power chains (v0 -> vr1; deflated
     * cov1 -> vr2), Rayleigh lam1/lam2. Hot CTEs are MATERIALIZED —
@@ -1511,6 +1503,8 @@ object SparkEntry {
       deflate + chain("cov1", "q", "v0") + finish("q", "vr2") + lam2
   }
 
+  /** Shared CTE chain reconstructing the MinHash+LSH candidate pipeline
+    * (shingles -> permutation signature -> bands -> candidate pairs). */
   private lazy val minhashCtes: String = {
     val perms = (0 until 8).map(i =>
       s"list_min([(${graft.operators.Dedup.MinhashA(i)}*h + " +
@@ -1772,7 +1766,8 @@ object SparkEntry {
         |)
         |SELECT e.event_id, e.event_type,
         |       round(greatest(st.lo, least(st.hi, e.value)), 4) AS v_winsor,
-        |       round((e.value - st.mu) / st.sd, 4) AS z
+        |       CASE WHEN st.sd > 0
+        |            THEN round((e.value - st.mu) / st.sd, 4) END AS z
         |FROM events e JOIN st USING (event_type)""".stripMargin,
 
     // each event expands to its 4 hop-aligned windows: start = 15min-
@@ -2006,8 +2001,10 @@ object SparkEntry {
         |       (SELECT count(*) FROM ed) AS n_edges,
         |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
         |       (SELECT t FROM tri) AS n_triangles,
-        |       round(3.0 * (SELECT t FROM tri) /
-        |             (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS global_clustering""".stripMargin,
+        |       CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+        |            THEN round(3.0 * (SELECT t FROM tri) /
+        |                       (SELECT sum(d * (d - 1) // 2) FROM deg), 4)
+        |       END AS global_clustering""".stripMargin,
 
     // the one-shot pair derivation over the FULL set, restricted to pairs
     // touching the md5-chosen delta — the incremental operator's contract
@@ -2686,8 +2683,10 @@ object SparkEntry {
         |       (SELECT count(*) FROM ed) AS n_edges,
         |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
         |       (SELECT t FROM tri) AS n_triangles,
-        |       round(3.0 * (SELECT t FROM tri) /
-        |             (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS global_clustering""".stripMargin,
+        |       CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+        |            THEN round(3.0 * (SELECT t FROM tri) /
+        |                       (SELECT sum(d * (d - 1) // 2) FROM deg), 4)
+        |       END AS global_clustering""".stripMargin,
 
     // DuckDB levenshtein is unthresholded but agrees with Spark's
     // thresholded form on every kept row (dist <= maxDist there). The

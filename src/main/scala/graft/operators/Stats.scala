@@ -88,11 +88,22 @@ object Stats {
     * v2, ...). The same quantity the oracle's `lamK` CTEs compute, so
     * variance-explained summaries hash-check cross-engine. */
   def topComponentsWithValues(embs: DataFrame, vecCol: String, k: Int,
-      iterations: Int = 16): Seq[(Array[Double], Double)] = {
-    require(k >= 1, "k must be >= 1")
-    require(iterations >= 1, "iterations must be >= 1")
+      iterations: Int = 16): Seq[(Array[Double], Double)] =
+    solveComponents(collectCov(embs, vecCol), k, iterations)
+
+  /** ONE covariance collect feeding every driver-side solve — callers
+    * that need both components and the trace must not scan twice. */
+  private def collectCov(embs: DataFrame, vecCol: String) = {
     val tri = covariance(embs, vecCol).collect()
     require(tri.nonEmpty, "topComponents: no vectors")
+    tri
+  }
+
+  private def solveComponents(
+      tri: Array[org.apache.spark.sql.Row], k: Int,
+      iterations: Int): Seq[(Array[Double], Double)] = {
+    require(k >= 1, "k must be >= 1")
+    require(iterations >= 1, "iterations must be >= 1")
     val d = tri.iterator.map(_.getLong(1)).max.toInt
     val c = Array.ofDim[Double](d, d)
     tri.foreach { r =>
@@ -134,6 +145,30 @@ object Stats {
       }
       (v, lamR)
     }
+  }
+
+  /**
+   * k-component variance decomposition as a tiny summary frame
+   * `(component, lambda, trace, explained)` — the "how many components
+   * carry this corpus" report. ONE covariance collect serves both the
+   * eigensolve and the trace (round-6 sum of the already-round-6
+   * diagonal; the quantum dwarfs summation-order ulps so the value is
+   * engine- and order-stable). `explained = round(lambda/trace, 6)`.
+   */
+  def pcaSummary(embs: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 16): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val tri = collectCov(embs, vecCol)
+    val comps = solveComponents(tri, k, iterations)
+    var tr = 0.0
+    tri.foreach { r => if (r.getLong(0) == r.getLong(1)) tr += r.getDouble(2) }
+    val trace = BigDecimal(tr)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    comps.zipWithIndex.map { case ((_, lam), i) =>
+      (i + 1L, lam, trace, BigDecimal(lam / trace)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("component", "lambda", "trace", "explained")
   }
 
   /**

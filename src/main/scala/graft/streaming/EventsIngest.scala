@@ -60,17 +60,10 @@ object EventsIngest {
     }
 
   /** Windowed per-type aggregation with a watermark for bounded state.
-    * Accepts `ts` as epoch-nanos long OR timestamp (schema-adaptive). */
-  def windowedCounts(events: DataFrame): DataFrame = {
-    val withTime = graft.core.EventTime.withTsUs(events)
-      .withColumn("event_time", timestamp_micros(col("ts_us")))
-    withTime
-      .withWatermark("event_time", "1 hour")
-      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
-  }
+    * Accepts `ts` as epoch-nanos long OR timestamp (schema-adaptive).
+    * Tumbling = hopping with slide == width. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    windowedCountsSliding(events, width = "1 hour", slide = "1 hour")
 
   /** Hopping-window variant of [[windowedCounts]] (`slide` < `width`
     * means each event lands in width/slide overlapping windows — the
