@@ -450,6 +450,16 @@ object SparkEntry {
         .select(col("doc_id"), col("predicted_lang"), col("en_hits"), col("de_hits"))
     }),
 
+    // Confusion matrix of the langid heuristic vs the labeled lang
+    // column — the evaluation report any classifier family ships with;
+    // one scan-stage prediction + one counts aggregation
+    "text_lang_confusion" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.TextAnalysis.withLangId(d, "text")
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Exact dedup: hash-groupBy on the content fingerprint over a doubled
     // corpus (map-side combine collapses duplicates before the shuffle)
     "dedup_exact" -> ((s, dir) => {
@@ -1503,6 +1513,31 @@ object SparkEntry {
       deflate + chain("cov1", "q", "v0") + finish("q", "vr2") + lam2
   }
 
+  /** Shared stopword-hit + decision CTEs of the langid heuristic
+    * (`pred` = per-doc predicted_lang with the raw hit counts). */
+  private lazy val langidCtes: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh_chars,
+      |    len([x for x in string_split_regex(trim(text), '\s+')
+      |         if x in ('the','a','of','and','is','to','in')]) AS en,
+      |    len([x for x in string_split_regex(trim(text), '\s+')
+      |         if x in ('der','die','das','und','ist','nicht','ein')]) AS de,
+      |    len([x for x in string_split_regex(trim(text), '\s+')
+      |         if x in ('le','la','les','et','est','un','une')]) AS fr,
+      |    len([x for x in string_split_regex(trim(text), '\s+')
+      |         if x in ('el','los','las','es','y','una','para')]) AS es
+      |  FROM documents
+      |), pred AS (
+      |  SELECT doc_id, en, de,
+      |    CASE WHEN zh_chars > 0 THEN 'zh'
+      |         WHEN de > en AND de >= fr AND de >= es THEN 'de'
+      |         WHEN fr > en AND fr >= es THEN 'fr'
+      |         WHEN es > en THEN 'es'
+      |         ELSE 'en' END AS predicted_lang
+      |  FROM f
+      |)""".stripMargin
+
   /** Shared CTE chain reconstructing the MinHash+LSH candidate pipeline
     * (shingles -> permutation signature -> bands -> candidate pairs). */
   private lazy val minhashCtes: String = {
@@ -1936,27 +1971,19 @@ object SparkEntry {
         |           / greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 0.2, 4) AS quality
         |FROM documents""".stripMargin,
 
-    "text_langid" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh_chars,
-        |    len([x for x in string_split_regex(trim(text), '\s+')
-        |         if x in ('the','a','of','and','is','to','in')]) AS en,
-        |    len([x for x in string_split_regex(trim(text), '\s+')
-        |         if x in ('der','die','das','und','ist','nicht','ein')]) AS de,
-        |    len([x for x in string_split_regex(trim(text), '\s+')
-        |         if x in ('le','la','les','et','est','un','une')]) AS fr,
-        |    len([x for x in string_split_regex(trim(text), '\s+')
-        |         if x in ('el','los','las','es','y','una','para')]) AS es
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN zh_chars > 0 THEN 'zh'
-        |       WHEN de > en AND de >= fr AND de >= es THEN 'de'
-        |       WHEN fr > en AND fr >= es THEN 'fr'
-        |       WHEN es > en THEN 'es'
-        |       ELSE 'en' END AS predicted_lang,
-        |  CAST(en AS BIGINT) AS en_hits, CAST(de AS BIGINT) AS de_hits
-        |FROM f""".stripMargin,
+    "text_langid" -> (langidCtes +
+      """
+        |SELECT doc_id, predicted_lang,
+        |       CAST(en AS BIGINT) AS en_hits, CAST(de AS BIGINT) AS de_hits
+        |FROM pred""".stripMargin),
+
+    // confusion matrix of the langid heuristic vs the labeled lang
+    // column — the evaluation report a classifier family ships with
+    "text_lang_confusion" -> (langidCtes +
+      """
+        |SELECT d.lang, p.predicted_lang, count(*) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin),
 
     "dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
