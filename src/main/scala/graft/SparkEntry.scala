@@ -902,6 +902,28 @@ object SparkEntry {
         versionCol = "ts", tieBreakCols = Seq("event_id"))
     }),
 
+    // Incremental MERGE == global recompute: the log splits at Jan 16,
+    // the before-half compacts into a snapshot (tombstones retained —
+    // 'error' events deactivate a user), the after-half merges in, and
+    // the ORACLE recomputes the whole log from scratch — hash equality
+    // IS the no-drift contract every nightly upsert job needs
+    "cdc_merge" -> ((s, dir) => {
+      val cutoff = 1705363200000000L // 2024-01-16T00:00:00Z in micros
+      val e = graft.core.EventTime
+        .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
+        .withColumn("value", round(col("value"), 2))
+        .withColumn("is_delete", col("event_type") === "error")
+      val snapshot = graft.operators.Cdc.latestByKey(
+        e.filter(col("ts") < cutoff), Seq("user_id"),
+        versionCol = "ts", tieBreakCols = Seq("event_id"))
+      graft.operators.Cdc.applyChanges(snapshot,
+          e.filter(col("ts") >= cutoff), Seq("user_id"),
+          versionCol = "ts", tieBreakCols = Seq("event_id"))
+        .filter(!col("is_delete")) // serving view: live rows only
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+    }),
+
     // SCD Type 2 history: per-user event_type run compression into
     // [valid_from, valid_to) validity intervals, open-ended current row —
     // one exchange, two same-ordering window passes
@@ -2377,6 +2399,20 @@ object SparkEntry {
         |                               ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM ev)
         |WHERE rn = 1""".stripMargin,
+
+    // the GLOBAL recompute — one row_number over the whole log — against
+    // which the Spark side's snapshot+merge must hash-match exactly
+    "cdc_merge" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, round(value, 2) AS value,
+        |         epoch_us(ts) AS ts
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     // BOTH windows order by (ts, event_id) — the Spark side tiebreaks the
     // lead the same way, and dropping the tiebreak from either one makes

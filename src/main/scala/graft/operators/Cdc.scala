@@ -40,6 +40,31 @@ object Cdc {
         payload.map(c => col(s"_latest.`$c`").as(c)): _*)
   }
 
+  /**
+   * MERGE a change batch into a compacted snapshot — the nightly lakehouse
+   * upsert: union, latest-wins per key, tombstones RETAINED. The
+   * incremental contract (spec-pinned and oracle-checked): for any split
+   * of a changelog into before/after,
+   * `applyChanges(latestByKey(before), after) == latestByKey(whole log)`
+   * — the incremental job equals the global recompute, so nightly merges
+   * never drift from a from-scratch rebuild.
+   *
+   * `deleteCol` (boolean) marks tombstones. They stay in the OUTPUT
+   * (and must stay in the stored snapshot): a dropped tombstone would
+   * let an older, late-arriving change resurrect its key. Serve with
+   * `.filter(!col(deleteCol))`; compact tombstones away only once the
+   * pipeline's lateness horizon has passed (the Cassandra gc_grace
+   * discipline, reference-adjacent by design).
+   *
+   * Scale shape = [[latestByKey]]'s: one map-side-combined aggregation
+   * over snapshot ∪ changes; the snapshot side is already one row per
+   * key, the changes side a (typically much smaller) delta.
+   */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame =
+    latestByKey(snapshot.unionByName(changes), keyCols, versionCol, tieBreakCols)
+
   // ---- streaming form -------------------------------------------------
 
   /** One changelog record: `(ver, seq)` is the total per-key ordering

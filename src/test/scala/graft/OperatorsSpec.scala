@@ -1639,6 +1639,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaStorage === direct)
   }
 
+  test("applyChanges: incremental merge equals global recompute; tombstones shadow") {
+    import graft.operators.Cdc
+    val log = Seq(
+      // k1: live -> tombstone -> nothing (must stay dead in output)
+      ("k1", 1L, 1L, "a", false), ("k1", 2L, 2L, "-", true),
+      // k2: live -> tombstone -> resurrected by a NEWER change
+      ("k2", 1L, 3L, "x", false), ("k2", 2L, 4L, "-", true),
+      ("k2", 5L, 5L, "y", false),
+      // k3: appears only in the change batch
+      ("k3", 9L, 6L, "z", false))
+      .toDF("k", "ver", "seq", "payload", "is_delete")
+    for (cut <- Seq(0L, 2L, 3L, 10L)) {
+      val snapshot = Cdc.latestByKey(log.filter(col("ver") < cut),
+        Seq("k"), "ver", Seq("seq"))
+      val merged = Cdc.applyChanges(snapshot, log.filter(col("ver") >= cut),
+          Seq("k"), "ver", Seq("seq"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("ver"), r.getAs[String]("payload"),
+            r.getAs[Boolean]("is_delete"))).toMap
+      val global = Cdc.latestByKey(log, Seq("k"), "ver", Seq("seq"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("ver"), r.getAs[String]("payload"),
+            r.getAs[Boolean]("is_delete"))).toMap
+      assert(merged === global, s"split at $cut diverged")
+      // k1's winner is its tombstone; k2 resurrected; k3 inserted
+      assert(merged("k1")._3 === true && merged("k2") === ((5L, "y", false)))
+      assert(merged("k3") === ((9L, "z", false)))
+    }
+  }
+
   test("funnelCounts summarizes stage reach") {
     import graft.operators.Funnel
     val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 5L, "A"))
