@@ -1085,6 +1085,21 @@ object SparkEntry {
         "event_type", "n")
     }),
 
+    // Snapshot diff — deterministic synthetic "tomorrow": every 7th doc
+    // dropped, every 10th survivor's text amended, every 13th re-added
+    // under a shifted id; both sides reduce to 16-byte fingerprints
+    // before the full-outer join, so text never shuffles
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text"))
+      val kept = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val adds = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      graft.operators.Curate.snapshotDiff(
+        d, kept.unionByName(adds), "doc_id", "text")
+    }),
+
     // Data-card column profile: every column's counts/nulls/cardinality/
     // range in ONE scan (one Aggregate, stack()'d afterwards) — the fact
     // sheet a dataset release ships with
@@ -2540,6 +2555,25 @@ object SparkEntry {
         |UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
         |UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
         |UNION ALL SELECT user_id, 'n_error', n_error FROM wide""".stripMargin,
+
+    // text inequality in the oracle == md5 inequality on the Spark side
+    // (the exact-dedup content-identity contract)
+    "corpus_snapshot_diff" ->
+      """WITH newd AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 13 = 0
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text <> n.text THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type
+        |FROM documents o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+        |WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |           AND o.text = n.text)""".stripMargin,
 
     // one UNION ALL branch per profiled column (fine at oracle scale;
     // the Spark side is the one-scan form)

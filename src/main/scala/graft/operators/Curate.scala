@@ -495,4 +495,28 @@ object Curate {
       graft.functions.bloom_any(lit(blob), Dedup.shingles(col(textCol), n)))
     contaminationHits(candidates, evalDocs, idCol, textCol, n)
   }
+
+  /**
+   * Diff two corpus snapshots — the nightly "what changed between
+   * yesterday's crawl and today's" report: one row per doc present in
+   * either side with `change_type` ∈ added / removed / changed (and
+   * unchanged, opt-in). Each side reduces to `(id, md5 fingerprint)`
+   * BEFORE the full-outer join, so document text never shuffles — the
+   * join moves 16-byte hashes however large the documents are, and
+   * md5 equality is the same content-identity contract the exact-dedup
+   * family uses.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, includeUnchanged: Boolean = false): DataFrame = {
+    val o = oldDf.select(col(idCol).as("_oid"), md5(col(textCol)).as("_ofp"))
+    val n = newDf.select(col(idCol).as("_nid"), md5(col(textCol)).as("_nfp"))
+    val joined = o.join(n, col("_oid") === col("_nid"), "full_outer")
+      .select(coalesce(col("_oid"), col("_nid")).as(idCol),
+        when(col("_oid").isNull, "added")
+          .when(col("_nid").isNull, "removed")
+          .when(col("_ofp") =!= col("_nfp"), "changed")
+          .otherwise("unchanged").as("change_type"))
+    if (includeUnchanged) joined
+    else joined.filter(col("change_type") =!= "unchanged")
+  }
 }

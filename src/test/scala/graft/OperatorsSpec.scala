@@ -1669,6 +1669,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged opt-in") {
+    import graft.operators.Curate
+    val oldDf = docs(1L -> "same", 2L -> "will change", 3L -> "will vanish")
+    val newDf = docs(1L -> "same", 2L -> "changed!", 4L -> "brand new")
+    val got = Curate.snapshotDiff(oldDf, newDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val all = Curate.snapshotDiff(oldDf, newDf, "doc_id", "text",
+      includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) === "unchanged" && all.size === 4)
+  }
+
   test("funnelCounts summarizes stage reach") {
     import graft.operators.Funnel
     val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 5L, "A"))
