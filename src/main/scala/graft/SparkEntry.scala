@@ -3050,14 +3050,16 @@ object SparkEntry {
         |  GROUP BY label, pos)""".stripMargin,
 
     // covar_pop over unnest pairs — numerically a different path than
-    // the one-pass moment formula, identical at the shared round-6
+    // the one-pass moment formula, identical at the shared round-6.
+    // `+ 0.0` canonicalizes -0.0: DuckDB's round keeps IEEE zero sign
+    // where Spark's BigDecimal round does not (both sides add it)
     "embed_covariance" ->
       """WITH px AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
         |         CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings
         |)
-        |SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.x, b.x), 6) AS cov
+        |SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.x, b.x), 6) + 0.0 AS cov
         |FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.pos <= b.pos
         |GROUP BY 1, 2""".stripMargin,
 
@@ -3101,7 +3103,7 @@ object SparkEntry {
           |              THEN -1.0 ELSE 1.0 END AS s
           |)
           |SELECT p.vec_id, e.label,
-          |       round((SELECT s FROM sgn) * sum(p.x * v.val), 4) AS pc1
+          |       round((SELECT s FROM sgn) * sum(p.x * v.val), 4) + 0.0 AS pc1
           |FROM px p JOIN vr v ON p.pos = v.pos
           |JOIN embeddings e ON e.vec_id = p.vec_id
           |GROUP BY 1, 2""".stripMargin
@@ -3116,11 +3118,11 @@ object SparkEntry {
       """
         |SELECT d1.vec_id, e.label, d1.pc1, d2.pc2
         |FROM (
-        |  SELECT p.vec_id, round(sum(p.x * v.val), 4) AS pc1
+        |  SELECT p.vec_id, round(sum(p.x * v.val), 4) + 0.0 AS pc1
         |  FROM px p JOIN vr1 v ON p.pos = v.pos GROUP BY 1
         |) d1
         |JOIN (
-        |  SELECT p.vec_id, round(sum(p.x * v.val), 4) AS pc2
+        |  SELECT p.vec_id, round(sum(p.x * v.val), 4) + 0.0 AS pc2
         |  FROM px p JOIN vr2 v ON p.pos = v.pos GROUP BY 1
         |) d2 ON d1.vec_id = d2.vec_id
         |JOIN embeddings e ON e.vec_id = d1.vec_id""".stripMargin),

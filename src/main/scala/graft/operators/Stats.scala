@@ -42,10 +42,14 @@ object Stats {
       .filter(col("_i") <= col("_j"))
       .select((col("_i") + 1).cast(LongType).as("i"),
         (col("_j") + 1).cast(LongType).as("j"),
-        round(col("_xy") / col("_n") -
+        // + 0.0 normalizes IEEE -0.0 to +0.0 (x + 0.0 is the identity on
+        // every other double): Spark's BigDecimal-backed round already
+        // yields +0.0 but DuckDB's C round keeps the sign, so both engines
+        // pin the same canonical zero for hash comparison
+        (round(col("_xy") / col("_n") -
           (element_at(col("_s"), (col("_i") + 1).cast("int")) / col("_n")) *
           (element_at(col("_s"), (col("_j") + 1).cast("int")) / col("_n")),
-          roundTo).as("cov"))
+          roundTo) + lit(0.0)).as("cov"))
 
   /**
    * Top principal component by the power method: exactly `iterations`
@@ -187,7 +191,10 @@ object Stats {
       k: Int, iterations: Int = 16): DataFrame = {
     val comps = topComponents(embs, vecCol, k, iterations)
     embs.select(carryCols.map(col) ++ comps.zipWithIndex.map { case (v, i) =>
-      round(vec_dot(col(vecCol), typedLit(v.toSeq)), 4).as(s"pc${i + 1}")
+      // + 0.0: canonicalize -0.0 (see covariance) — a zero projection must
+      // hash identically whichever engine's round produced it
+      (round(vec_dot(col(vecCol), typedLit(v.toSeq)), 4) + lit(0.0))
+        .as(s"pc${i + 1}")
     }: _*)
   }
 }
