@@ -751,6 +751,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, refine = 10)
     }),
 
+    // Product-quantization ADC search + exact float re-rank over the
+    // planted corpus. The analytic oracle survives PQ exactly: every
+    // subspace of the planted vectors has <= 41 distinct subvectors
+    // (axis position x 5 angles + the zero vector), so ksub=64 trains in
+    // exact mode — one codeword per distinct subvector, quantization
+    // error 0 — and ADC equals the true cosine up to fp regrouping
+    // (~1e-15, vs planted margins >= 1e-5 from round-4 boundaries).
+    // Identical vectors get identical codes, hence bit-identical ADC
+    // sims, so the cos(0.4) tie family breaks by c_id exactly as the
+    // float ranker does; the re-rank then scores candidates with
+    // bruteForceTopK's own arithmetic. Coarse top-20 therefore contains
+    // the true top-5 and the result IS the analytic answer.
+    "embed_pq_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
+        graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+        .localCheckpoint()
+      graft.operators.Similarity.pqTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, refine = 20, m = 8, ksub = 64)
+    }),
+
     // mapPartitions batched decode path (the real multimodal plumbing;
     // equality with the expression path is proven in OperatorsSpec)
     "mm_decode" -> ((s, dir) => {
@@ -2233,6 +2254,7 @@ object SparkEntry {
     "embed_ivf_topk" -> PlantedAnnOracle,
     "embed_ivf_persisted" -> PlantedAnnOracle,
     "embed_i8_topk" -> PlantedAnnOracle,
+    "embed_pq_topk" -> PlantedAnnOracle,
 
     "q10_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 250000

@@ -39,6 +39,11 @@ package object functions {
   /** Double-precision dot product of two numeric arrays (codegen'd). */
   def vec_dot(a: Column, b: Column): Column = col(VectorDotExpr(expr(a), expr(b)))
 
+  /** Product-quantization codes of a vector against a plan-time codebook
+    * (`codebook(sub)(code)` = codeword vector). */
+  def pq_encode(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    col(PqEncodeExpr(expr(vec), codebook))
+
   /** 32-bit md5-derived hash per shingle (codegen'd). */
   def shingle_hashes(shingles: Column): Column = col(ShingleHashesExpr(expr(shingles)))
 

@@ -338,6 +338,157 @@ object Similarity {
   }
 
   /**
+   * Product-quantization (PQ) index of a corpus — Jégou et al., "Product
+   * Quantization for Nearest Neighbor Search" (TPAMI 2011) — as two plain
+   * persistable frames, the 100 TB ANN shape where even int8 vectors are
+   * too big to scan:
+   *
+   *   - `codes`: `(c_id, code array<int>, c_norm)` — each vector reduced
+   *     to m sub-codeword indices plus its exact L2 norm. At m=8 that is
+   *     ~12 bytes/vector against 256 for float32×64: the search scan
+   *     reads ~4% of the bytes, and the float vectors are never touched
+   *     until the final re-rank.
+   *   - `codebooks`: `(sub, code, centroid array<double>)` — at most
+   *     m*ksub rows, the driver-collectable model.
+   *
+   * Training splits each sampled vector into m contiguous dsub-dim
+   * subvectors. A subspace with <= ksub DISTINCT subvectors keeps one
+   * codeword per distinct value (quantization error exactly 0 — the
+   * property the planted-corpus oracle exploits); a richer subspace
+   * falls back to k-means over a bounded sample (same shape as
+   * [[ivfIndexFrames]]: the iterative job never scans the full corpus).
+   * Codewords order deterministically (exact mode: lexicographic;
+   * k-means: seeded center order), so codes are reproducible.
+   *
+   * Encoding is one scan through the codegen'd
+   * [[graft.functions.pq_encode]] kernel — m*ksub*dsub multiply-adds per
+   * row, codebook shipped as a plan-time reference object.
+   */
+  def pqIndexFrames(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 64, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): (DataFrame, DataFrame) = {
+    Ids.requireIntegral(corpus, idCol, "pqIndexFrames")
+    require(m >= 1 && ksub >= 1, s"need m >= 1 and ksub >= 1, got m=$m ksub=$ksub")
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+    val dims = c.select(size(col("c_vec")).as("d")).limit(1).collect()
+    require(dims.nonEmpty, "pqIndexFrames: empty corpus")
+    val dim = dims.head.getInt(0)
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+
+    val sample = trainSample(c, maxTrainRows, seed)
+    val svAll = sample.select(posexplode(array((0 until m).map(j =>
+      slice(col("c_vec"), j * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
+    val svDistinct = svAll.distinct().localCheckpoint()
+    val distinctPerSub = svDistinct.groupBy("sub").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val exactSubs = (0 until m).filter(j => distinctPerSub.getOrElse(j, 0L) <= ksub)
+    val exactWords: Map[Int, Seq[Seq[Double]]] =
+      if (exactSubs.isEmpty) Map.empty
+      else svDistinct.filter(col("sub").isin(exactSubs: _*))
+        .orderBy(col("sub"), col("sv")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (j, rows) => j -> rows.toSeq.map(_.getSeq[Double](1)) }
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      exactWords.getOrElse(j, {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val sub = svAll.filter(col("sub") === j)
+          .withColumn("features", array_to_vector(col("sv")))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+          .setFeaturesCol("features").setPredictionCol("_p").fit(sub)
+          .clusterCenters.toSeq.map(_.toArray.toSeq)
+      })
+    }
+
+    val codes = c.select(col("c_id"),
+      graft.functions.pq_encode(col("c_vec"), codebook).as("code"),
+      sqrt(dot(col("c_vec"), col("c_vec"))).as("c_norm"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebooks = codebook.zipWithIndex.flatMap { case (words, j) =>
+      words.zipWithIndex.map { case (w, k) => (j, k, w) }
+    }.toDF("sub", "code", "centroid")
+    (codes, codebooks)
+  }
+
+  /**
+   * Asymmetric-distance (ADC) search over a (possibly storage-round-
+   * tripped) [[pqIndexFrames]] index, with an exact float re-rank:
+   *
+   *  1. The `codebooks` table collects to the driver (<= m*ksub rows,
+   *     the same footprint training held) and each query precomputes its
+   *     LUT — dot(q_sub_j, codeword) for every (subspace, codeword) —
+   *     through the codegen'd vec_dot kernel on the broadcast side.
+   *  2. COARSE: the codes scan — the only corpus-sized work — scores
+   *     adc = Σ_j lut[j][code_j] per (query, vector) with m element_at
+   *     adds, cosine-normalizes by the stored norms, and reduces to
+   *     `refine` candidates per query via the bounded-heap TopKAgg
+   *     before any exchange.
+   *  3. RE-RANK: only the #queries*refine survivors join back (broadcast)
+   *     against the full-precision corpus for the exact rounded cosine
+   *     — identical arithmetic to [[bruteForceTopK]], ties by c_id.
+   *
+   * When every subspace trained in exact mode (distinct subvectors <=
+   * ksub covered by the sample), ADC equals exact cosine up to fp
+   * regrouping, so coarse order matches the true order and the result
+   * IS brute force — the planted-corpus guarantee. With k-means
+   * codebooks the coarse pass is approximate and `refine` buys recall
+   * (spec'd on organic data).
+   */
+  def pqSearchIndex(queries: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    val cb: Seq[Seq[Seq[Double]]] = codebooks
+      .select(col("sub").cast("int"), col("code").cast("int"), col("centroid"))
+      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Double](2)) }
+    require(cb.nonEmpty, "pqSearchIndex: empty codebook table")
+    val m = cb.length
+    val dsubs = cb.map(_.head.length)
+    val offsets = dsubs.scanLeft(0)(_ + _)
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val qlut = q.withColumn("_lut", array((0 until m).map { j =>
+      array(cb(j).map { cent =>
+        dot(slice(col("q_vec").cast("array<double>"),
+          offsets(j) + 1, dsubs(j)), typedlit(cent))
+      }: _*)
+    }: _*)).withColumn("_qn", sqrt(dot(col("q_vec"), col("q_vec"))))
+
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("_lut"), j + 1),
+        element_at(col("code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val coarse = codes.crossJoin(broadcast(qlut.select(col("q_id"),
+        col("_lut"), col("_qn"))))
+      .withColumn("sim", round(adc / (col("_qn") * col("c_norm")), 4))
+    val cand = rankTopK(coarse, refine).select(col("q_id"), col("c_id"))
+
+    val cfull = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val rescored = cfull.join(broadcast(cand), "c_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+    rankTopK(rescored, k)
+  }
+
+  /** Train-encode-search in one call: [[pqIndexFrames]] +
+    * [[pqSearchIndex]]. `refine < 0` defaults to `max(4*k, 20)`. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, refine: Int = -1, m: Int = 8,
+      ksub: Int = 64, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val r = if (refine < 0) math.max(4 * k, 20) else refine
+    val (codes, cbs) = pqIndexFrames(corpus, idCol, vecCol, m, ksub,
+      seed, maxTrainRows)
+    pqSearchIndex(queries, codes, cbs, corpus, idCol, vecCol, k, r)
+  }
+
+  /**
    * Bounded k-means training sample: at most ~1.1 * maxTrainRows rows
    * (expected; Bernoulli sampling has no hard cap), the full frame when it
    * is already small enough. The row-count probe is one cheap job (count

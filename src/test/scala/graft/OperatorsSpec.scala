@@ -209,6 +209,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 18, s"recall@1 too low: $hits/20")
   }
 
+  test("PQ topk: exact re-ranked sims, recall vs brute force (both codebook modes)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    val bfAll = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 1000)
+      .collect()
+    val bfSims = bfAll.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val trueTop = bfAll.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact mode: the 480-vector corpus has <= 480 distinct subvectors per
+    // subspace but ksub=512 covers them all -> quantization error 0, ADC
+    // ordering = true ordering, recall exactly 1
+    val exact = Similarity.pqTopK(q, c, "vec_id", "embedding", k = 1,
+        refine = 4, m = 8, ksub = 512)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getDouble(2)))).map(_.swap)
+    assert(exact.length === 20, "every query must return a top-1")
+    exact.foreach { case ((qid, sim), cid) => assert(bfSims((qid, cid)) === sim) }
+    assert(exact.count { case ((qid, _), cid) => trueTop(qid) == cid } === 20,
+      "exact-mode PQ must have recall 1")
+    // k-means mode: ksub=16 << distinct subvectors forces the trained
+    // codebooks; sims remain exact brute-force cosines (the float
+    // re-rank), and recall is bought by the refine margin (the PQ
+    // serving trade: coarse cut keeps refine/|corpus| = 12.5% here)
+    val km = Similarity.pqTopK(q, c, "vec_id", "embedding", k = 1,
+        refine = 60, m = 8, ksub = 16)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getDouble(2)))).map(_.swap)
+    assert(km.length === 20, "every query must return a top-1")
+    km.foreach { case ((qid, sim), cid) => assert(bfSims((qid, cid)) === sim) }
+    val hits = km.count { case ((qid, _), cid) => trueTop(qid) == cid }
+    assert(hits >= 14, s"k-means PQ recall@1 too low: $hits/20")
+  }
+
+  test("PQ exact mode reconstructs: codes decode back to the original subvectors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id"),
+        Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+    val (codes, codebooks) = Similarity.pqIndexFrames(
+      e, "vec_id", "embedding", m = 8, ksub = 64)
+    // every subspace stayed within ksub (planted corpus: <= 41 distinct)
+    assert(codebooks.groupBy("sub").count().collect().forall(_.getLong(1) <= 64))
+    // decode: codes -> codewords -> flattened vector == original (cast to
+    // double); zero quantization error is the exact-mode contract
+    val decoded = codes.select(col("c_id"), posexplode(col("code")).as(Seq("s", "cd")))
+      .join(codebooks, col("s") === codebooks("sub") && col("cd") === codebooks("code"))
+      .groupBy("c_id")
+      .agg(flatten(array_sort(collect_list(struct(col("s"), col("centroid")))
+        ).getField("centroid")).as("rebuilt"))
+    val orig = e.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val mismatches = decoded.join(orig, "c_id")
+      .filter(col("rebuilt") =!= col("v")).count()
+    assert(mismatches === 0L, "exact-mode PQ must reconstruct losslessly")
+  }
+
+  test("PQ index survives a parquet round-trip: search equals direct pqTopK") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val direct = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, refine = 20, m = 8, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (codes, codebooks) = Similarity.pqIndexFrames(
+      corpus, "vec_id", "embedding", m = 8, ksub = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    val viaStorage = Similarity.pqSearchIndex(queries,
+        spark.read.parquet(s"$dir/codes"),
+        spark.read.parquet(s"$dir/codebooks"),
+        corpus, "vec_id", "embedding", k = 5, refine = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStorage === direct)
+  }
+
   test("chunkPassages: window math, tail emission, overlap reconstruction") {
     import graft.operators.TextAnalysis
     val docs = Seq(
