@@ -898,6 +898,32 @@ object SparkEntry {
     // per (cohort, week-offset) they return in — first-touch agg, one
     // user-keyed join back (broadcast/AQE at this cardinality), distinct,
     // count; integer `div` on micros so both engines floor identically
+    // Bucketed co-located join: both sides pre-bucketed AND sorted by the
+    // join key at write time (Bucketing.writeBucketed — the one paid
+    // shuffle), so the SortMergeJoin and the per-customer aggregation
+    // both plan with ZERO shuffle Exchange (pinned in PlanSpec). The
+    // write happens eagerly at query-build time into java.io.tmpdir,
+    // keyed by a digest of the data dir so sf variants don't collide.
+    "q39_bucketed_join" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag"
+      graft.operators.Bucketing.writeBucketed(
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_custkey"), col("o_totalprice")),
+        s"graft_q39_orders_$tag", s"$base/orders", 8, Seq("o_custkey"))
+      graft.operators.Bucketing.writeBucketed(
+        s.read.parquet(t(dir, "customer"))
+          .select(col("c_custkey"), col("c_mktsegment")),
+        s"graft_q39_customer_$tag", s"$base/customer", 8, Seq("c_custkey"))
+      graft.operators.Bucketing.coLocatedJoin(s,
+        s"graft_q39_orders_$tag", s"graft_q39_customer_$tag",
+        "o_custkey", "c_custkey")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+    }),
+
     "q37_retention" -> ((s, dir) => {
       val e = graft.core.EventTime
         .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
@@ -2408,6 +2434,14 @@ object SparkEntry {
 
     // `//` is DuckDB floor division — equal to Spark's `div` truncation
     // on these non-negative micros
+    // the bucketed tables hold projections of orders/customer, so the
+    // plain-join SQL is the semantic oracle for the co-located plan
+    "q39_bucketed_join" ->
+      """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
     "q37_retention" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts FROM events

@@ -38,6 +38,17 @@ class PlanSpec extends AnyFunSuite {
         s"$q plan shape unexpected:\n${p.take(2000)}")
     }
   }
+  test("q39: bucketed join + per-key aggregation plan zero shuffle Exchange") {
+    // both tables were written bucketBy(8, custkey).sortBy(custkey): the
+    // SortMergeJoin must consume the co-partitioned buckets directly and
+    // the per-customer aggregation must reuse the join's partitioning —
+    // any Exchange (shuffle OR broadcast) is the write-once-join-free
+    // contract breaking
+    val p = plan("q39_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"co-located join degraded:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"bucketed pipeline shuffles:\n${p.take(2500)}")
+  }
+
   test("text_repetition is scan-stage only: no exchange, fully codegen'd") {
     // the top-word count comes from the in-row max_token_count kernel; the
     // explode + groupBy(doc, word) + max form it replaces would show two
