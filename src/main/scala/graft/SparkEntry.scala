@@ -352,6 +352,33 @@ object SparkEntry {
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // Encoding-quality screen over the corpus with deterministic
+    // corruption planted on every 7th doc (the synthetic corpus is
+    // clean, so the plant makes the oracle exercise the positive path:
+    // one double-encoding pair, one U+FFFD, one C0 control)
+    "text_encoding" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .withColumn("t2", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" Caf\u00c3\u00a9 \ufffd\u0007")))
+          .otherwise(col("text")))
+      graft.operators.TextAnalysis.encodingQuality(d, "doc_id", "t2")
+    }),
+
+    // Sentence-shape stats: terminal-run count, C4's ends-with-terminal-
+    // punctuation rule, mean sentence length in tokens. The synthetic
+    // corpus carries no punctuation at all, so sentence structure is
+    // planted deterministically (a period after every 5th word; every
+    // 3rd doc also ends terminally) — the screen's positive AND negative
+    // paths both reach the oracle
+    "text_sentences" -> ((s, dir) => {
+      val punct = regexp_replace(col("text"),
+        "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ")
+      val d = s.read.parquet(t(dir, "documents"))
+        .withColumn("t2", when(col("doc_id") % 3 === 0,
+          concat(rtrim(punct), lit("."))).otherwise(punct))
+      graft.operators.TextAnalysis.sentenceStats(d, "doc_id", "t2")
+    }),
+
     // Rolling-hash document fingerprinting (winnowing over char 8-grams,
     // window 4): per-doc fingerprint-set summary, codegen'd kernels
     // Passage-level dedup candidates: fingerprints shared across >= 2
@@ -1915,6 +1942,54 @@ object SparkEntry {
         """', 0)) AS BIGINT) AS n_bpe_tokens,
         |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""").stripMargin,
+
+    // same plant (chr forms of U+00C3 U+00A9, U+FFFD, BEL), same RE2
+    // patterns; ratio is one double division of exact integer counts
+    "text_encoding" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN text || ' Caf' || chr(195) || chr(169) || ' '
+        |                        || chr(65533) || chr(7)
+        |              ELSE text END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+        |    CAST(len(regexp_extract_all(t, '[\x{0080}-\x{009F}]')) AS BIGINT) AS n_c1,
+        |    CAST(len(regexp_extract_all(t, '[\x{00C2}-\x{00C3}][\x{0080}-\x{00BF}]')) AS BIGINT) AS n_mojibake,
+        |    CAST(len(regexp_extract_all(t, '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) AS BIGINT) AS n_ctl,
+        |    CAST(length(t) AS BIGINT) AS n_chars
+        |  FROM src
+        |)
+        |SELECT doc_id, n_replacement, n_c1, n_mojibake, n_ctl, n_chars,
+        |       round((n_replacement + n_c1 + n_mojibake + n_ctl)::DOUBLE
+        |             / greatest(n_chars, 1), 6) AS bad_ratio,
+        |       (n_replacement > 0 OR
+        |        round((n_replacement + n_c1 + n_mojibake + n_ctl)::DOUBLE
+        |              / greatest(n_chars, 1), 6) >= 0.001) AS flag_encoding
+        |FROM c""".stripMargin,
+
+    "text_sentences" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN rtrim(regexp_replace(text,
+        |             '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g')) || '.'
+        |      ELSE regexp_replace(text,
+        |             '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[.!?]+(\s|\z)')) AS BIGINT) AS n_sentences,
+        |    CAST(len(string_split_regex(trim(t), '\s+')) AS BIGINT) AS n_tokens,
+        |    regexp_matches(rtrim(t), '[.!?]["'']?\z') AS ends_terminal
+        |  FROM src
+        |)
+        |SELECT doc_id, n_sentences, n_tokens, ends_terminal,
+        |       round(n_tokens::DOUBLE / greatest(n_sentences, 1), 4)
+        |         AS avg_sentence_tokens
+        |FROM c""".stripMargin,
 
     "text_winnow" ->
       """WITH norm AS (

@@ -76,6 +76,62 @@ object TextAnalysis {
         Ipv4Pattern, "[IP]"),
       PhonePattern, "[PHONE]")
 
+  /**
+   * Encoding-quality screen: per-document counts of the classic mojibake
+   * and corruption signatures a web-scale ingest meets —
+   *   - U+FFFD replacement characters (a decoder already gave up),
+   *   - C1 control block [U+0080, U+009F] (UTF-8 read as CP1252/Latin-1),
+   *   - double-encoding pairs [U+00C2–U+00C3][U+0080–U+00BF] (UTF-8
+   *     bytes of an already-UTF-8 string re-decoded as Latin-1: "Ã©"),
+   *   - stray C0 controls outside \t\n\r.
+   * `bad_ratio` is their sum over the code-point length; `flag_encoding`
+   * trips on any replacement char or on ratio >= `flagRatio`.
+   *
+   * One scan-stage projection through the codegen'd match_count kernel —
+   * no shuffle, a 100 TB corpus pays one pass. Patterns are the
+   * RE2-subset shared with redactPii (`\x{..}` classes, `\z` — never `$`,
+   * whose before-final-newline rule Java applies and RE2 does not), so an
+   * independent engine reproduces the counts bit-for-bit.
+   */
+  def encodingQuality(df: DataFrame, idCol: String, textCol: String,
+      flagRatio: Double = 0.001): DataFrame = {
+    import graft.functions.match_count
+    val t = col(textCol)
+    df.select(col(idCol),
+        match_count(t, "\\x{FFFD}").as("n_replacement"),
+        match_count(t, "[\\x{0080}-\\x{009F}]").as("n_c1"),
+        match_count(t, "[\\x{00C2}-\\x{00C3}][\\x{0080}-\\x{00BF}]").as("n_mojibake"),
+        match_count(t,
+          "[\\x{0001}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]").as("n_ctl"),
+        length(t).cast(LongType).as("n_chars"))
+      .withColumn("bad_ratio", round(
+        (col("n_replacement") + col("n_c1") + col("n_mojibake") + col("n_ctl"))
+          .cast(DoubleType) / greatest(col("n_chars"), lit(1L)), 6))
+      .withColumn("flag_encoding",
+        col("n_replacement") > 0 || col("bad_ratio") >= flagRatio)
+  }
+
+  /**
+   * Sentence-shape statistics: terminal-punctuation sentence count, the
+   * C4 ends-with-terminal-punctuation rule, and mean sentence length in
+   * tokens — the document-structure quality signals next to
+   * [[withQuality]]'s character-level ones. A "sentence" is a
+   * [.!?]+ run followed by whitespace or end-of-text; documents with no
+   * terminal run count as one sentence for the mean. Scan-stage only
+   * (codegen'd match_count + split), zero shuffle; `\z` not `$` for the
+   * same Java/RE2 parity reason as [[encodingQuality]].
+   */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.match_count
+    val t = col(textCol)
+    df.select(col(idCol),
+        match_count(t, "[.!?]+(\\s|\\z)").as("n_sentences"),
+        tokenCount(t).as("n_tokens"),
+        (match_count(rtrim(t), "[.!?][\"']?\\z") > 0).as("ends_terminal"))
+      .withColumn("avg_sentence_tokens", round(
+        col("n_tokens").cast(DoubleType) / greatest(col("n_sentences"), lit(1L)), 4))
+  }
+
   /** Overlapping character k-grams of the whitespace-normalized text
     * (lookahead regex — matches overlap without consuming). (?s) so `.`
     * also crosses U+2028/U+2029/U+0085, which Java excludes by default but

@@ -930,6 +930,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("encodingQuality counts each corruption signature; clean text passes") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "perfectly clean ascii text."),
+      (2L, "lost char here: � and another �"),
+      (3L, "double-decoded cafÃ© and Â nbsp"),
+      (4L, "c1 control  inside"),
+      (5L, "bel and esc but tab\t newline\n are fine"),
+      (6L, ""))
+      .toDF("id", "t")
+    val out = TextAnalysis.encodingQuality(df, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(7)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L, false)))
+    assert(out(2L) === ((2L, 0L, 0L, 0L, true)))
+    // "Ã©" and "Â " are each one pair; neither second byte is in C1
+    assert(out(3L) === ((0L, 0L, 2L, 0L, true)))
+    assert(out(4L) === ((0L, 1L, 0L, 0L, true)))
+    // BEL + ESC count; \t and \n are exempt
+    assert(out(5L) === ((0L, 0L, 0L, 2L, true)))
+    assert(out(6L) === ((0L, 0L, 0L, 0L, false)), "empty text must not flag")
+  }
+
+  test("sentenceStats: boundary runs, terminal rule, per-sentence token mean") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "One two. Three four! Five six?"),   // 3 sentences, 6 tokens
+      (2L, "Ellipsis... counts once. Trailing"), // run collapses; no terminal
+      (3L, "no punctuation at all"),
+      (4L, "quoted end.\""),
+      (5L, "newline after dot.\n"))
+      .toDF("id", "t")
+    val out = TextAnalysis.sentenceStats(df, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((3L, 6L, true, 2.0)))
+    assert(out(2L) === ((2L, 4L, false, 2.0)))
+    assert(out(3L) === ((0L, 4L, false, 4.0)), "zero boundaries -> whole doc is one sentence")
+    // '.' before '"' is no boundary (needs \s or \z after the run), but
+    // the C4 terminal rule allows one closing quote
+    assert(out(4L) === ((0L, 2L, true, 2.0)))
+    // rtrim does not eat the newline: \z must not match before it (the
+    // Java $-before-final-newline rule this operator deliberately avoids)
+    assert(out(5L)._3 === false)
+    assert(out(5L)._1 === 1L, "dot before newline still closes a sentence via \\s")
+  }
+
   test("asofJoin: latest at-or-before match, nulls before first right, equal-time inclusive") {
     import graft.operators.TemporalJoin
     val left = Seq((1L, "u", 100L), (2L, "u", 50L), (3L, "u", 10L), (4L, "v", 100L))

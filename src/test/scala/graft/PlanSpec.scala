@@ -38,6 +38,15 @@ class PlanSpec extends AnyFunSuite {
         s"$q plan shape unexpected:\n${p.take(2000)}")
     }
   }
+  test("text_encoding and text_sentences are scan-stage only: no exchange") {
+    // both screens are per-row regex-kernel projections; an Exchange in
+    // either plan means a shuffle crept into a pure scan
+    for (q <- Seq("text_encoding", "text_sentences")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(2000)}")
+    }
+  }
+
   test("q39: bucketed join + per-key aggregation plan zero shuffle Exchange") {
     // both tables were written bucketBy(8, custkey).sortBy(custkey): the
     // SortMergeJoin must consume the co-partitioned buckets directly and
