@@ -555,6 +555,14 @@ object SparkEntry {
         maxDf = 100)
     }),
 
+    // Asymmetric containment |A∩B| / min(|A|,|B|): catches short docs
+    // quoted inside long ones, where Jaccard dilutes toward 0
+    "dedup_containment" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.operators.Dedup.containmentPairs(d, "doc_id", "text", "source",
+        0.6, maxDf = 100)
+    }),
+
     // SimHash signatures
     "dedup_simhash" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
@@ -2271,6 +2279,25 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.5""".stripMargin,
+
+    // same shingle CTE as dedup_ngram; the inter>0 guard mirrors the
+    // inverted-index contract (pairs must share a shingle) and keeps a
+    // 0/0 NaN — which DuckDB orders ABOVE the threshold — out of the set
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)])
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        least(len(a.shingles), len(b.shingles)), 4) AS containment
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+        |  AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      least(len(a.shingles), len(b.shingles)), 4) >= 0.6""".stripMargin,
 
     "dedup_simhash" ->
       """WITH toks AS (

@@ -314,19 +314,54 @@ object Dedup {
    * shingle in a block otherwise costs O(df^2) candidate rows.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+      blockCol: String, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame =
+    ngramPairs(df, idCol, textCol, blockCol, threshold, maxDf,
+      jaccardMeasure, "jac")
+
+  /**
+   * Exact n-gram CONTAINMENT over blocked pairs: |A∩B| / min(|A|, |B|) —
+   * the asymmetric near-dup measure Jaccard dilutes. A short document
+   * fully quoted inside a long one (wrapper boilerplate, syndicated
+   * excerpts, prompt/completion pairs) has jac ≈ |A|/|B| → 0 as the host
+   * grows, but containment exactly 1. Same machinery, candidate bound,
+   * df-cap semantics, and exactness argument as [[ngramJaccardPairs]]
+   * (the cap logic reasons about the INTERSECTION count, which both
+   * measures share); identical-set mass duplicates rescue at 1.0 under
+   * either measure.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame =
+    ngramPairs(df, idCol, textCol, blockCol, threshold, maxDf,
+      containmentMeasure, "containment")
+
+  private def ngramPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, maxDf: Int,
+      measure: (Column, Column, Column) => Column, outCol: String): DataFrame = {
     // shingle extraction (the regex pass) runs ONCE into a persisted frame
     val withSh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       shingles(col(textCol)).as("sh"))
       .withColumn("n", size(col("sh")))
       .persist()
     try {
-      ngramJaccardPairsImpl(withSh, threshold, maxDf)
+      ngramPairsImpl(withSh, threshold, maxDf, measure, outCol)
     } finally { withSh.unpersist(); () }
   }
 
-  private def ngramJaccardPairsImpl(withSh: DataFrame, threshold: Double,
-      maxDf: Int): DataFrame = {
+  /** round-4 Jaccard |A∩B| / |A∪B| from (intersection, |A|, |B|). */
+  private def jaccardMeasure(inter: Column, na: Column, nb: Column): Column =
+    round(inter.cast(DoubleType) / (na + nb - inter), 4)
+
+  /** round-4 containment of the smaller set: |A∩B| / min(|A|, |B|). */
+  private def containmentMeasure(inter: Column, na: Column, nb: Column): Column =
+    round(inter.cast(DoubleType) / least(na, nb), 4)
+
+  /** Shared pair engine: every `measure` must map identical sets to 1.0
+    * (the set-fingerprint rescue emits that constant directly) and be
+    * monotone in `inter` at fixed sizes (the df-cap exactness argument
+    * reasons only about the intersection count). */
+  private def ngramPairsImpl(withSh: DataFrame, threshold: Double,
+      maxDf: Int, measure: (Column, Column, Column) => Column,
+      outCol: String): DataFrame = {
     // ONE aggregation builds the posting list per (block, shingle); list
     // size is the document frequency. Shingles must stay STRINGS here —
     // the intersection counts below feed the final Jaccard, so hash
@@ -365,9 +400,8 @@ object Dedup {
     if (hotDocs.isEmpty) {
       return interKept
         .select(col("doc_a"), col("doc_b"),
-          round(col("inter_kept").cast(DoubleType) /
-            (col("na") + col("nb") - col("inter_kept")), 4).as("jac"))
-        .filter(col("jac") >= threshold)
+          measure(col("inter_kept"), col("na"), col("nb")).as(outCol))
+        .filter(col(outCol) >= threshold)
         .localCheckpoint()
     }
     val scored = interKept
@@ -379,9 +413,8 @@ object Dedup {
     // intersection; Jaccard from counts alone (the common case at scale)
     val clean = scored.filter(col("hot_a").isNull && col("hot_b").isNull)
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter_kept").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter_kept")), 4).as("jac"))
-      .filter(col("jac") >= threshold)
+        measure(col("inter_kept"), col("na"), col("nb")).as(outCol))
+      .filter(col(outCol) >= threshold)
     // hot-doc pairs (rare by construction): exact verify from full sets
     val dirty = scored.filter(col("hot_a").isNotNull || col("hot_b").isNotNull)
       .select(col("doc_a"), col("doc_b"))
@@ -389,10 +422,10 @@ object Dedup {
     val sb = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val verified = dirty.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jac", round(col("inter").cast(DoubleType) /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .withColumn(outCol,
+        measure(col("inter"), size(col("sh_a")), size(col("sh_b"))))
+      .filter(col(outCol) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col(outCol))
     // Mass-duplicate rescue: a document copied more than maxDf times per
     // block has EVERY shingle over the cap, so such copies share no
     // sub-cap shingle and would silently escape the index — yet they are
@@ -410,7 +443,7 @@ object Dedup {
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", lit(1.0))
+      .withColumn(outCol, lit(1.0))
     // materialize (tiny, threshold-bounded); the caches are released in
     // the enclosing finally blocks even when a stage throws.
     // distinct: a hot exact-duplicate pair can also surface via `verified`

@@ -930,6 +930,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("containmentPairs catches a short doc quoted in a long one that Jaccard misses") {
+    import graft.operators.Dedup
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles
+    val long  = short + " " + (100 to 150).map(i => s"x$i").mkString(" ")
+    val other = (200 to 240).map(i => s"y$i").mkString(" ")
+    val df = Seq((1L, short, "s"), (2L, long, "s"), (3L, other, "s"))
+      .toDF("doc_id", "text", "src")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", "src", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of the short doc appears in the long one
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+    // Jaccard on the same pair is diluted by the host's size: 12/63
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", "src", 0.5)
+    assert(jac.collect().isEmpty, "jaccard at 0.5 must miss the quoted pair")
+  }
+
   test("encodingQuality counts each corruption signature; clean text passes") {
     import graft.operators.TextAnalysis
     val df = Seq(
