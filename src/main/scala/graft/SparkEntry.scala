@@ -786,6 +786,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, refine = 10)
     }),
 
+    // Johnson-Lindenstrauss +-1 random projection to 8 dims over the raw
+    // organic embeddings; the oracle rebuilds the md5-derived sign matrix
+    "embed_random_projection" -> ((s, dir) => {
+      graft.operators.Similarity.randomProjection(
+        s.read.parquet(t(dir, "embeddings")),
+        Seq("vec_id", "label"), "embedding", dim = 64, k = 8)
+    }),
+
     // Product-quantization ADC search + exact float re-rank over the
     // planted corpus. The analytic oracle survives PQ exactly: every
     // subspace of the planted vectors has <= 41 distinct subvectors
@@ -2383,6 +2391,24 @@ object SparkEntry {
     "embed_ivf_persisted" -> PlantedAnnOracle,
     "embed_i8_topk" -> PlantedAnnOracle,
     "embed_pq_topk" -> PlantedAnnOracle,
+
+    // the same +-1 matrix from md5 first-hex-digit: planeComponent's
+    // `digest[0] & 0x80 == 0` IS `substr(md5, 1, 1) < '8'`
+    "embed_random_projection" -> {
+      val cols = (0 until 8).map { p =>
+        s"""round(sum(x * CASE WHEN substr(md5('$p|' || CAST(c AS VARCHAR)), 1, 1) < '8'
+           |  THEN 1.0 ELSE -1.0 END) / sqrt(8.0), 4) AS rp$p""".stripMargin
+      }.mkString(",\n")
+      s"""WITH px AS (
+         |  SELECT vec_id, label,
+         |         CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS c,
+         |         CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, label,
+         |$cols
+         |FROM px GROUP BY 1, 2""".stripMargin
+    },
 
     "q10_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 250000

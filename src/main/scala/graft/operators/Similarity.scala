@@ -84,6 +84,30 @@ object Similarity {
   }
 
   /**
+   * Johnson-Lindenstrauss random projection to `k` dimensions (Achlioptas
+   * 2003: +-1 sign matrices satisfy the JL lemma): `rp_p = (1/sqrt(k)) *
+   * dot(x, plane_p)`, rounded to 4 — the dimensionality-reduction step
+   * before clustering/ANN when 64-dim is still too wide to shuffle.
+   * Pairwise distances are preserved within ~1/sqrt(k) distortion in
+   * expectation.
+   *
+   * The planes are the SAME md5-derived [[planeComponent]] hyperplanes
+   * that [[signBucket]] uses, so `sign(rp_p)` IS bit p of the LSH bucket
+   * — a projected corpus keeps its LSH geometry for free. Deterministic
+   * and engine-reproducible (an oracle rebuilds the matrix from md5);
+   * k codegen'd vec_dot kernels per row, zero shuffle.
+   */
+  def randomProjection(df: DataFrame, carryCols: Seq[String], vecCol: String,
+      dim: Int, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val scale = math.sqrt(k.toDouble)
+    df.select(carryCols.map(col) ++ (0 until k).map { p =>
+      val plane = (0 until dim).map(c => planeComponent(p, c).toDouble)
+      round(dot(col(vecCol), typedlit(plane)) / scale, 4).as(s"rp$p")
+    }: _*)
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs within blocks: the dedup-flavored
    * use of similarity — pairs above a cosine threshold, with a blocking
    * column bounding the pair space (at 100 TB, block on a cheap partition

@@ -930,6 +930,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("randomProjection: exact recipe, JL distance preservation, LSH sign coherence") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = Similarity.randomProjection(e, Seq("vec_id"), "embedding",
+      dim = 64, k = 8)
+    val p = proj.collect().map(r => r.getLong(0) ->
+      (1 to 8).map(i => r.getDouble(i)).toArray).toMap
+    val orig = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // exact recipe on one vector: rp_p = dot(x, plane_p)/sqrt(8), round 4
+    val x = orig(0L)
+    (0 until 8).foreach { pl =>
+      val manual = BigDecimal(
+        x.indices.map(c => x(c) * Similarity.planeComponent(pl, c)).sum
+          / math.sqrt(8.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(p(0L)(pl) - manual) <= 1e-9, s"plane $pl recipe drifted")
+    }
+    // JL: mean pairwise distance-squared ratio over a 30-vector sample
+    // stays near 1 (k=8 -> ~35% per-pair distortion, averages out)
+    val ids = orig.keys.toSeq.sorted.take(30)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      d2 = orig(a).zip(orig(b)).map { case (u, v) => (u - v) * (u - v) }.sum
+      if d2 > 1e-9
+      pd2 = p(a).zip(p(b)).map { case (u, v) => (u - v) * (u - v) }.sum
+    } yield pd2 / d2
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"JL mean distortion off: $mean")
+    // coherence: sign(rp_p) is bit p of the LSH sign bucket (away from
+    // the round-4 boundary, where rounding may flip a near-zero sign)
+    val buckets = e.select(col("vec_id"),
+        Similarity.signBucket(col("embedding"), dim = 64, planes = 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      (0 until 8).foreach { pl =>
+        val rp = p(id)(pl)
+        if (math.abs(rp) > 1e-3) {
+          val bit = (buckets(id) >> pl) & 1L
+          assert((rp > 0) === (bit == 1L),
+            s"vec $id plane $pl: rp=$rp but bucket bit=$bit")
+        }
+      }
+    }
+  }
+
   test("containmentPairs catches a short doc quoted in a long one that Jaccard misses") {
     import graft.operators.Dedup
     val short = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles

@@ -38,10 +38,10 @@ class PlanSpec extends AnyFunSuite {
         s"$q plan shape unexpected:\n${p.take(2000)}")
     }
   }
-  test("text_encoding and text_sentences are scan-stage only: no exchange") {
-    // both screens are per-row regex-kernel projections; an Exchange in
-    // either plan means a shuffle crept into a pure scan
-    for (q <- Seq("text_encoding", "text_sentences")) {
+  test("text_encoding, text_sentences, embed_random_projection are scan-stage only") {
+    // per-row kernel projections; an Exchange in any of these plans means
+    // a shuffle crept into a pure scan
+    for (q <- Seq("text_encoding", "text_sentences", "embed_random_projection")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(2000)}")
     }
