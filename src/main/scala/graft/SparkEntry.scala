@@ -815,6 +815,22 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, refine = 20, m = 8, ksub = 64)
     }),
 
+    // IVF+PQ composition over the planted corpus: exactness composes —
+    // IVF probing recovers the whole cluster (same nlist/nprobe as
+    // embed_ivf_topk, whose planted recall is 1) and ksub=64 trains PQ
+    // in exact mode (see embed_pq_topk), so the cell-pruned ADC top-20
+    // contains the true top-5 and the float re-rank IS the analytic
+    // answer
+    "embed_ivfpq_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
+        graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+        .localCheckpoint()
+      graft.operators.Similarity.ivfPqTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, refine = 20,
+        nlist = 8, nprobe = 3, m = 8, ksub = 64)
+    }),
+
     // mapPartitions batched decode path (the real multimodal plumbing;
     // equality with the expression path is proven in OperatorsSpec)
     "mm_decode" -> ((s, dir) => {
@@ -2391,6 +2407,7 @@ object SparkEntry {
     "embed_ivf_persisted" -> PlantedAnnOracle,
     "embed_i8_topk" -> PlantedAnnOracle,
     "embed_pq_topk" -> PlantedAnnOracle,
+    "embed_ivfpq_topk" -> PlantedAnnOracle,
 
     // the same +-1 matrix from md5 first-hex-digit: planeComponent's
     // `digest[0] & 0x80 == 0` IS `substr(md5, 1, 1) < '8'`

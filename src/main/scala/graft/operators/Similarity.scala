@@ -274,25 +274,38 @@ object Similarity {
   def ivfSearchIndex(queries: DataFrame, assigned: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids, "ivfSearchIndex")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val probes = cellProbes(q, cents, nprobe)
+      .select(col("q_id"), col("q_vec"), col("bucket"))
+    val scored = assigned.join(broadcast(probes), "bucket")
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+    rankTopK(scored, k)
+  }
+
+  private def collectCentroids(centroids: DataFrame,
+      caller: String): Seq[(Int, Seq[Double])] = {
     val cents = centroids
       .select(col("bucket").cast("int").as("b"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    require(cents.nonEmpty, "ivfSearchIndex: empty centroid table")
-    // per-query distances to every centroid -> nprobe nearest cells
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"$caller: empty centroid table")
+    cents
+  }
+
+  /** Adds each query row's `nprobe` nearest cells as exploded `bucket`
+    * rows, keeping every other column (per-query distances to all
+    * centroids fold in as plan literals — nlist is small). */
+  private def cellProbes(q: DataFrame, cents: Seq[(Int, Seq[Double])],
+      nprobe: Int): DataFrame = {
     def l2sq(a: Column, centroid: Seq[Double]): Column =
       aggregate(zip_with(a, typedlit(centroid),
         (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
         lit(0.0), (acc, x) => acc + x)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val cellDists = array(cents.map { case (b, cent) =>
       struct(l2sq(col("q_vec"), cent).as("d"), lit(b).as("b"))
     }: _*)
-    val probes = q
-      .withColumn("probe", explode(slice(array_sort(cellDists), 1, nprobe)))
-      .select(col("q_id"), col("q_vec"), col("probe.b").as("bucket"))
-    val scored = assigned.join(broadcast(probes), "bucket")
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
-    rankTopK(scored, k)
+    q.withColumn("probe", explode(slice(array_sort(cellDists), 1, nprobe)))
+      .withColumn("bucket", col("probe.b")).drop("probe")
   }
 
   /**
@@ -466,33 +479,54 @@ object Similarity {
       codebooks: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, refine: Int): DataFrame = {
     require(refine >= k, s"refine=$refine must be >= k=$k")
-    val cb: Seq[Seq[Seq[Double]]] = codebooks
+    val cb = collectCodebooks(codebooks, "pqSearchIndex")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val qlut = withAdcLut(q, cb)
+    val coarse = codes.crossJoin(broadcast(qlut.select(col("q_id"),
+        col("_lut"), col("_qn"))))
+      .withColumn("sim", round(adcDot(cb.length) / (col("_qn") * col("c_norm")), 4))
+    val cand = rankTopK(coarse, refine).select(col("q_id"), col("c_id"))
+    exactRerank(q, cand, corpus, idCol, vecCol, k)
+  }
+
+  private def collectCodebooks(codebooks: DataFrame,
+      caller: String): Seq[Seq[Seq[Double]]] = {
+    val cb = codebooks
       .select(col("sub").cast("int"), col("code").cast("int"), col("centroid"))
       .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
         rows.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Double](2)) }
-    require(cb.nonEmpty, "pqSearchIndex: empty codebook table")
+    require(cb.nonEmpty, s"$caller: empty codebook table")
+    cb
+  }
+
+  /** Adds the per-query ADC lookup table `_lut` (dot of each q subvector
+    * against every codeword, via the codegen'd vec_dot on the broadcast
+    * side) and the exact query norm `_qn`. */
+  private def withAdcLut(q: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = cb.length
     val dsubs = cb.map(_.head.length)
     val offsets = dsubs.scanLeft(0)(_ + _)
-
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val qlut = q.withColumn("_lut", array((0 until m).map { j =>
+    q.withColumn("_lut", array((0 until m).map { j =>
       array(cb(j).map { cent =>
         dot(slice(col("q_vec").cast("array<double>"),
           offsets(j) + 1, dsubs(j)), typedlit(cent))
       }: _*)
     }: _*)).withColumn("_qn", sqrt(dot(col("q_vec"), col("q_vec"))))
+  }
 
-    val adc = (0 until m).map { j =>
-      element_at(element_at(col("_lut"), j + 1),
-        element_at(col("code"), j + 1) + 1)
-    }.reduce(_ + _)
-    val coarse = codes.crossJoin(broadcast(qlut.select(col("q_id"),
-        col("_lut"), col("_qn"))))
-      .withColumn("sim", round(adc / (col("_qn") * col("c_norm")), 4))
-    val cand = rankTopK(coarse, refine).select(col("q_id"), col("c_id"))
+  /** ADC approximate dot: sum over subspaces of lut[j][code_j] — m
+    * codegen'd element_at adds per scored row. */
+  private def adcDot(m: Int): Column = (0 until m).map { j =>
+    element_at(element_at(col("_lut"), j + 1),
+      element_at(col("code"), j + 1) + 1)
+  }.reduce(_ + _)
 
+  /** Exact float re-rank of the (q_id, c_id) candidate set — identical
+    * arithmetic to [[bruteForceTopK]], candidates broadcast so the
+    * full-precision corpus is touched by one pruning join only. */
+  private def exactRerank(q: DataFrame, cand: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val cfull = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     val rescored = cfull.join(broadcast(cand), "c_id")
       .join(broadcast(q), "q_id")
@@ -510,6 +544,64 @@ object Similarity {
     val (codes, cbs) = pqIndexFrames(corpus, idCol, vecCol, m, ksub,
       seed, maxTrainRows)
     pqSearchIndex(queries, codes, cbs, corpus, idCol, vecCol, k, r)
+  }
+
+  /**
+   * IVF+PQ composition (the FAISS IVFPQ serving shape, on raw vectors
+   * rather than cell residuals — the same codes table then serves both
+   * the global PQ scan and the cell-pruned one): the index is ONE frame
+   * `(c_id, bucket, code, c_norm)` — ~16 bytes/vector — plus the two
+   * driver-collectable model tables. Search probes `nprobe` cells and
+   * ADC-scores ONLY those cells' codes: the coarse scan reads
+   * ~nprobe/nlist of an already ~20x-smaller-than-float table, then the
+   * usual exact float re-rank on `refine` survivors. Build cost is two
+   * corpus scans (cell assignment + encode) and one build-time join —
+   * paid once at ingest, like [[Bucketing]]'s write-side shuffle; write
+   * `index` partitioned by `bucket` so probes prune the storage scan.
+   */
+  def ivfPqIndexFrames(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 64, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): (DataFrame, DataFrame, DataFrame) = {
+    val (assigned, centroids) =
+      ivfIndexFrames(corpus, idCol, vecCol, nlist, seed, maxTrainRows)
+    val (codes, codebooks) =
+      pqIndexFrames(corpus, idCol, vecCol, m, ksub, seed, maxTrainRows)
+    val index = assigned.select(col("c_id"), col("bucket")).join(codes, "c_id")
+    (index, centroids, codebooks)
+  }
+
+  /** Cell-pruned ADC search over an [[ivfPqIndexFrames]] index (possibly
+    * storage-round-tripped) + exact float re-rank. Exactness composes:
+    * when the planted corpus gives IVF probing recall 1 AND every PQ
+    * subspace trained in exact mode, the coarse candidate set contains
+    * the true top-k and the re-rank IS brute force. */
+  def ivfPqSearchIndex(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, refine: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    val cb = collectCodebooks(codebooks, "ivfPqSearchIndex")
+    val cents = collectCentroids(centroids, "ivfPqSearchIndex")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val qp = cellProbes(withAdcLut(q, cb), cents, nprobe)
+      .select(col("q_id"), col("_lut"), col("_qn"), col("bucket"))
+    val coarse = index.join(broadcast(qp), "bucket")
+      .withColumn("sim", round(adcDot(cb.length) / (col("_qn") * col("c_norm")), 4))
+    val cand = rankTopK(coarse, refine).select(col("q_id"), col("c_id"))
+    exactRerank(q, cand, corpus, idCol, vecCol, k)
+  }
+
+  /** Train-encode-search in one call: [[ivfPqIndexFrames]] +
+    * [[ivfPqSearchIndex]]. `refine < 0` defaults to `max(4*k, 20)`. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, refine: Int = -1, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, ksub: Int = 64, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val r = if (refine < 0) math.max(4 * k, 20) else refine
+    val (index, cents, cbs) = ivfPqIndexFrames(corpus, idCol, vecCol,
+      nlist, m, ksub, seed, maxTrainRows)
+    ivfPqSearchIndex(queries, index, cents, cbs, corpus, idCol, vecCol,
+      k, r, nprobe)
   }
 
   /**

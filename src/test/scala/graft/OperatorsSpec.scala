@@ -263,6 +263,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mismatches === 0L, "exact-mode PQ must reconstruct losslessly")
   }
 
+  test("IVFPQ: exact re-ranked sims, recall vs brute force, parquet round-trip") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val c = e.filter(col("vec_id") >= 20)
+    val bfAll = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 1000)
+      .collect()
+    val bfSims = bfAll.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val trueTop = bfAll.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ip = Similarity.ivfPqTopK(q, c, "vec_id", "embedding", k = 1,
+        refine = 60, nlist = 8, nprobe = 3, m = 8, ksub = 16)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getDouble(2)))).map(_.swap)
+    assert(ip.length === 20, "every query must return a top-1")
+    // the re-rank scores candidates in full float: every sim is exact
+    ip.foreach { case ((qid, sim), cid) => assert(bfSims((qid, cid)) === sim) }
+    // recall now compounds BOTH approximations (cell pruning x k-means
+    // PQ): nprobe=3/8 cells and ksub=16 codebooks with a refine margin
+    val hits = ip.count { case ((qid, _), cid) => trueTop(qid) == cid }
+    assert(hits >= 10, s"IVFPQ recall@1 too low: $hits/20")
+    // round-trip: the single index frame + model tables persist
+    val queries10 = e.filter(col("vec_id") < 10)
+    val corpus10 = e.filter(col("vec_id") >= 10)
+    val direct = Similarity.ivfPqTopK(queries10, corpus10, "vec_id", "embedding",
+        k = 5, refine = 20, nlist = 8, nprobe = 3, m = 8, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (index, cents, cbs) = Similarity.ivfPqIndexFrames(
+      corpus10, "vec_id", "embedding", nlist = 8, m = 8, ksub = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+    index.write.mode("overwrite").parquet(s"$dir/index")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    cbs.write.mode("overwrite").parquet(s"$dir/cbs")
+    val viaStorage = Similarity.ivfPqSearchIndex(queries10,
+        spark.read.parquet(s"$dir/index"), spark.read.parquet(s"$dir/cents"),
+        spark.read.parquet(s"$dir/cbs"),
+        corpus10, "vec_id", "embedding", k = 5, refine = 20, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStorage === direct)
+  }
+
   test("PQ index survives a parquet round-trip: search equals direct pqTopK") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 10)
