@@ -115,6 +115,30 @@ object ScaleCurve {
           e.filter(col("vec_id") >= 10), "vec_id", "embedding",
           k = 5, nlist = 8, nprobe = 3).count()
       },
+      "embed_pq_topk" -> { n =>
+        // k-means codebooks train on a bounded sample (8 sub-jobs, fixed
+        // cost at any n); the clock then measures the ENCODE scan
+        // (n*m*ksub*dsub madds, linear) + the codes-table ADC scan
+        val e = vecs(spark, n * 4)
+        Similarity.pqTopK(e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10), "vec_id", "embedding",
+          k = 5, refine = 50, m = 8, ksub = 64).count()
+      },
+      "embed_ivfpq_topk" -> { n =>
+        // the composed index: cell assignment + encode + build join are
+        // the linear build cost; the coarse search reads ~nprobe/nlist of
+        // the codes table — the exponent shows build dominating at these
+        // sizes while staying linear
+        val e = vecs(spark, n * 4)
+        Similarity.ivfPqTopK(e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10), "vec_id", "embedding",
+          k = 5, refine = 50, nlist = 8, nprobe = 3, m = 8, ksub = 64).count()
+      },
+      "dedup_containment" -> { n =>
+        // same engine and df-cap bound as dedup_ngram, asymmetric measure
+        Dedup.containmentPairs(docs(spark, n), "doc_id", "text", "source",
+          0.6, maxDf = 100).count()
+      },
       "asof_join" -> { n =>
         // event-shaped: n left rows as-of n/10 right rows over n/500 keys
         // (constant per-key density as n grows, like a real event stream)

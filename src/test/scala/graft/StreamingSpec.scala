@@ -171,6 +171,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateless text screens run unchanged on a stream: stream == batch") {
+    // encodingQuality / sentenceStats are pure scan-stage projections, so
+    // the SAME operator code must work on a readStream frame with no
+    // state, no watermark, and row-identical output
+    import graft.operators.TextAnalysis
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val enc = TextAnalysis.encodingQuality(batch, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val sen = TextAnalysis.sentenceStats(batch, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    // the streaming file source wants a directory, not a single file
+    val inDir = Files.createTempDirectory("graft-screens-in")
+    batch.coalesce(1).write.parquet(inDir.resolve("docs").toString)
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(inDir.resolve("docs").toString)
+    for ((name, out, truth) <- Seq(
+        ("enc", TextAnalysis.encodingQuality(stream, "doc_id", "text"), enc),
+        ("sen", TextAnalysis.sentenceStats(stream, "doc_id", "text"), sen))) {
+      val qname = s"screen_${name}_" + System.nanoTime()
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(qname).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(qname).collect().map(_.toSeq).toSet
+      assert(got === truth, s"$name diverged between stream and batch")
+    }
+  }
+
   test("append-mode ingest emits each window exactly once as the watermark passes") {
     // three bounded runs over a growing directory = a restarting 24/7
     // ingest; windows must flow to bulk loads exactly once, held until the
