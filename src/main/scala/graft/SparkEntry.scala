@@ -1206,6 +1206,14 @@ object SparkEntry {
         d, kept.unionByName(adds), "doc_id", "text")
     }),
 
+    // Equi-width price histogram (24 x 5000-wide buckets — w binary-exact
+    // so bucket bounds hash identically); the data-card distribution view
+    "profile_histogram" -> ((s, dir) => {
+      graft.operators.Profile.histogram(
+        s.read.parquet(t(dir, "lineitem")), "l_extendedprice",
+        lo = 0.0, hi = 120000.0, bins = 24)
+    }),
+
     // Data-card column profile: every column's counts/nulls/cardinality/
     // range in ONE scan (one Aggregate, stack()'d afterwards) — the fact
     // sheet a dataset release ships with
@@ -2775,6 +2783,19 @@ object SparkEntry {
         |FROM documents o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
         |WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
         |           AND o.text = n.text)""".stripMargin,
+
+    "profile_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN l_extendedprice < 0.0 THEN -1
+        |              WHEN l_extendedprice >= 120000.0 THEN 24
+        |              ELSE CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+        |                              / 5000.0) AS INTEGER) END AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT bin, count(*) AS n,
+        |       round(0.0 + bin * 5000.0, 6) AS bin_lo,
+        |       round(0.0 + (bin + 1) * 5000.0, 6) AS bin_hi
+        |FROM b GROUP BY 1""".stripMargin,
 
     // one UNION ALL branch per profiled column (fine at oracle scale;
     // the Spark side is the one-scan form)

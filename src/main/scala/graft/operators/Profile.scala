@@ -84,4 +84,35 @@ object Profile {
           "min_num", "max_num", "min_str", "max_str")
     }
   }
+  /**
+   * Equi-width histogram of a numeric column over [lo, hi): `bins`
+   * buckets of width (hi-lo)/bins, plus bucket -1 for underflow and
+   * bucket `bins` for overflow; nulls are dropped. One map-side-
+   * combinable aggregation over a scan-stage bucket expression — the
+   * numeric-distribution half of a data card, at any corpus size one
+   * shuffle of at most bins+2 rows per partition. Empty buckets emit no
+   * row (both engines agree by construction).
+   *
+   * Bucket assignment is `floor((x-lo)/w)` on doubles: both engines
+   * compute the identical IEEE expression, so boundary values land
+   * identically. Choose lo/hi/bins so w is binary-exact (e.g. 5000)
+   * when hash-identical bounds matter.
+   */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val v = col(valueCol).cast("double")
+    val bin = when(v < lo, lit(-1))
+      .when(v >= hi, lit(bins))
+      .otherwise(floor((v - lo) / w).cast("int"))
+    df.filter(v.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), col("n"),
+        round(lit(lo) + col("bin") * w, 6).as("bin_lo"),
+        round(lit(lo) + (col("bin") + 1) * w, 6).as("bin_hi"))
+  }
 }

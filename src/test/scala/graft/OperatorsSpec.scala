@@ -968,6 +968,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("histogram: bucket edges, underflow/overflow buckets, null drop") {
+    import graft.operators.Profile
+    val df = Seq(Some(-0.5), Some(0.0), Some(9.999), Some(10.0), Some(19.99),
+      Some(20.0), Some(25.0), None).toDF("v")
+    val out = Profile.histogram(df, "v", lo = 0.0, hi = 20.0, bins = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // -0.5 underflows; 0.0 and 9.999 land in [0,10); 10.0 and 19.99 in
+    // [10,20); 20.0 (the exact upper bound) and 25.0 overflow; null drops
+    assert(out(-1) === ((1L, -10.0, 0.0)))
+    assert(out(0) === ((2L, 0.0, 10.0)))
+    assert(out(1) === ((2L, 10.0, 20.0)))
+    assert(out(2) === ((2L, 20.0, 30.0)))
+    assert(out.values.map(_._1).sum === 7L, "null row must not be counted")
+  }
+
   test("randomProjection: exact recipe, JL distance preservation, LSH sign coherence") {
     import graft.operators.Similarity
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
