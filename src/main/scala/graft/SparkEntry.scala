@@ -1206,6 +1206,16 @@ object SparkEntry {
         d, kept.unionByName(adds), "doc_id", "text")
     }),
 
+    // Z-order clustering key over (orderkey, partkey), each min/max-
+    // scaled to 16 bits: the multi-column data-skipping sort key. The
+    // oracle recomputes bounds, scaling, and all 32 interleave terms
+    "q40_zorder_key" -> ((s, dir) => {
+      graft.operators.Zorder.withZKey(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_orderkey"), col("l_partkey")),
+        Seq("l_orderkey", "l_partkey"), outCol = "z", bits = 16)
+    }),
+
     // Equi-width price histogram (24 x 5000-wide buckets — w binary-exact
     // so bucket bounds hash identically); the data-card distribution view
     "profile_histogram" -> ((s, dir) => {
@@ -2783,6 +2793,29 @@ object SparkEntry {
         |FROM documents o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
         |WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
         |           AND o.text = n.text)""".stripMargin,
+
+    // the 16 interleave terms per dimension: dim j's bit b lands at
+    // output position b*2 + j (disjoint bits, so + is |)
+    "q40_zorder_key" -> {
+      val terms = (0 until 16).flatMap { b =>
+        Seq(s"(((a >> $b) & 1) << ${2 * b})",
+          s"(((c >> $b) & 1) << ${2 * b + 1})")
+      }.mkString(" + ")
+      """WITH bnd AS (
+        |  SELECT CAST(min(l_orderkey) AS DOUBLE) AS lo1,
+        |         CAST(max(l_orderkey) AS DOUBLE) AS hi1,
+        |         CAST(min(l_partkey) AS DOUBLE) AS lo2,
+        |         CAST(max(l_partkey) AS DOUBLE) AS hi2
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CAST(floor((CAST(l_orderkey AS DOUBLE) - lo1) * (65535.0 / (hi1 - lo1))) AS BIGINT) AS a,
+        |    CAST(floor((CAST(l_partkey AS DOUBLE) - lo2) * (65535.0 / (hi2 - lo2))) AS BIGINT) AS c
+        |  FROM lineitem, bnd
+        |)
+        |SELECT l_orderkey, l_partkey, """.stripMargin +
+        s"CAST($terms AS BIGINT) AS z FROM s"
+    },
 
     "profile_histogram" ->
       """WITH b AS (

@@ -70,6 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         foldToInt(k, "bloom_agg(expr, numBits, numHashes)")) })
     register(ext, "vec_dot", "double-precision dot product of two float/double arrays",
       { case Seq(a, b) => VectorDotExpr(a, b) })
+    register(ext, "z_order", "Morton interleave of 2..6 bigint dims (data-skipping key)",
+      { case es if es.size >= 2 && es.size <= 6 => ZOrderExpr(es) })
     register(ext, "vec_sum_agg", "elementwise vector-sum aggregate -> struct(n, sums)",
       { case Seq(e) => VecSumAgg(e) })
     register(ext, "vec_outer_agg", "second-moment aggregate -> struct(n, sums, outer)",

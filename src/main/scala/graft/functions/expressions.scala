@@ -218,6 +218,72 @@ case class VectorDotExpr(left: Expression, right: Expression) extends BinaryExpr
 }
 
 /**
+ * Morton (Z-order) interleave of 2..6 non-negative long dimensions — the
+ * space-filling-curve clustering key for multi-column data skipping
+ * (sort/range-partition by it and every file gets tight min/max on ALL
+ * participating columns). Each dimension must fit 62/k bits; a value
+ * outside that range throws (silently masking would fold distant points
+ * together). Null in any dimension nulls the key.
+ */
+case class ZOrderExpr(children: Seq[Expression]) extends Expression {
+  require(children.size >= 2 && children.size <= 6,
+    s"z_order takes 2..6 dimensions, got ${children.size}")
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.find(_.dataType != LongType) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"z_order expects bigint dimensions (cast/normalize first), got ${c.dataType}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "z_order"
+
+  private def bits: Int = graft.core.ZOrder.bitsPer(children.size)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    graft.core.ZOrder.interleave(vals, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val assigns = gens.zipWithIndex.map { case (g, i) =>
+      s"""
+         |if (!${ev.isNull}) {
+         |  ${g.code}
+         |  if (${g.isNull}) { ${ev.isNull} = true; } else { $arr[$i] = ${g.value}; }
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    val resultCode =
+      s"""
+         |boolean ${ev.isNull} = false;
+         |long ${ev.value} = -1L;
+         |long[] $arr = new long[${children.length}];
+         |$assigns
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.core.ZOrder.interleave($arr, $bits);
+         |}
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(resultCode)).code())
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/**
  * Product-quantization encode: array<float|double> vector -> array<int>
  * of per-subspace nearest-codeword indices (squared L2, first index on
  * ties). The codebook is a plan-time constant — precomputed once here,

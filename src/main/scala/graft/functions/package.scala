@@ -44,6 +44,11 @@ package object functions {
   def pq_encode(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
     col(PqEncodeExpr(expr(vec), codebook))
 
+  /** Morton (Z-order) interleave of 2..6 bigint dimensions — the
+    * multi-column clustering key for data skipping. */
+  def z_order(dims: Column*): Column =
+    col(ZOrderExpr(dims.map(expr)))
+
   /** 32-bit md5-derived hash per shingle (codegen'd). */
   def shingle_hashes(shingles: Column): Column = col(ShingleHashesExpr(expr(shingles)))
 

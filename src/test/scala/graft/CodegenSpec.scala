@@ -59,13 +59,17 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         char_entropy(concat(col("k"), lit("ab"))).as("ce"),
         dup_gram_chars(concat_ws(" ", col("k"), col("k"), col("k")), 1).as("dg"),
         pq_encode(array(col("v").cast("double"), lit(0.0)),
-          Seq(Seq(Seq(1.0), Seq(2.0)), Seq(Seq(0.0), Seq(5.0)))).as("pq"))
+          Seq(Seq(Seq(1.0), Seq(2.0)), Seq(Seq(0.0), Seq(5.0)))).as("pq"),
+        z_order(col("v"), col("v") * 2L).as("zo"))
     val rows = df.collect()
     assert(rows.length === 3)
     // v=1 -> sub0 nearest [1.0] (code 0); v=2 -> [2.0] (code 1); second
     // component 0.0 always codes 0. v=3 ties nothing: |3-2| < |3-1| -> 1
     assert(rows.map(_.getAs[scala.collection.Seq[Int]]("pq").toSeq).toSeq
       === Seq(Seq(0, 0), Seq(1, 0), Seq(1, 0)))
+    // z_order(v, 2v), dim0 at even bit positions: interleave(1,2) =
+    // bit0 + bit3 = 9; (2,4) = bit2 + bit5 = 36; (3,6) = 0b101101 = 45
+    assert(rows.map(_.getAs[Long]("zo")).toSeq === Seq(9L, 36L, 45L))
     // "foo foo foo": two repeat 1-gram occurrences x 3 chars each
     assert(rows(0).getAs[Long]("dg") === 6L)
     assert(rows(0).getLong(0) === -2129773440516405919L)

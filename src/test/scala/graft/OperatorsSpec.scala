@@ -968,6 +968,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("z-order layout gives every file a tight min/max on BOTH columns") {
+    import graft.operators.Zorder
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val linDir = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(linDir)
+    Zorder.writeZOrdered(li, Seq("l_orderkey", "l_partkey"), zDir, files = 8)
+    def meanSpan(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
+        .agg(avg(col("s"))).head().getDouble(0)
+    def fullSpan(c: String): Double =
+      li.agg((max(col(c)) - min(col(c))).cast("double")).head().getDouble(0)
+    val pkFull = fullSpan("l_partkey")
+    val okFull = fullSpan("l_orderkey")
+    // z-clustered rewrite preserves the rows
+    assert(spark.read.parquet(zDir).count() === li.count())
+    // the orderkey-sorted layout leaves partkey unclustered: every file
+    // spans nearly the whole partkey range — a partkey predicate prunes
+    // nothing
+    assert(meanSpan(linDir, "l_partkey") > 0.8 * pkFull,
+      "baseline layout unexpectedly clustered on the non-sort column")
+    // the z layout narrows BOTH: with 8 curve ranges the top z bits split
+    // partkey into ~quarters and orderkey into ~halves
+    assert(meanSpan(zDir, "l_partkey") < 0.5 * pkFull,
+      s"z files span ${meanSpan(zDir, "l_partkey")} of $pkFull partkey")
+    assert(meanSpan(zDir, "l_orderkey") < 0.7 * okFull,
+      s"z files span ${meanSpan(zDir, "l_orderkey")} of $okFull orderkey")
+  }
+
   test("histogram: bucket edges, underflow/overflow buckets, null drop") {
     import graft.operators.Profile
     val df = Seq(Some(-0.5), Some(0.0), Some(9.999), Some(10.0), Some(19.99),
