@@ -238,6 +238,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // OHLC hourly bars per event type: open/close via min_by/max_by over
+    // the (unique) event time — one map-side-combinable aggregation, no
+    // window
+    "events_ohlc" -> ((s, dir) => {
+      graft.operators.Resample.ohlcBars(
+        graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events"))),
+        Seq("event_type"), "ts_us", "value", bucketMicros = 3600000000L)
+    }),
+
     // Volume anomaly screen: hourly counts per type, each hour z-scored
     // against its type's TRAILING-24h window (RANGE frame over the hour
     // epoch, current hour excluded so a spike can't mask itself);
@@ -1930,6 +1939,19 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // arg_min/arg_max over the unique epoch-micros time = min_by/max_by
+    "events_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us, value FROM events
+        |)
+        |SELECT event_type,
+        |       ts_us // 3600000000 * 3600000000 AS bucket_us,
+        |       arg_min(value, ts_us) AS open,
+        |       arg_max(value, ts_us) AS close,
+        |       max(value) AS high, min(value) AS low,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     // same trailing-24h RANGE frame; is_anomaly derives from the rounded
     // z on both sides

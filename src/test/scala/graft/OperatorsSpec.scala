@@ -968,6 +968,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("ohlcBars: open/close by event time regardless of row order; bucket math") {
+    import graft.operators.Resample
+    // rows deliberately NOT in time order — open/close must follow ts
+    val ev = Seq(
+      ("a", 105L, 9.0),  // bucket 100: latest -> close
+      ("a", 101L, 3.0),  // bucket 100: earliest -> open
+      ("a", 103L, 7.0),  // bucket 100: high
+      ("a", 210L, 5.0),  // bucket 200: singleton -> open=close=high=low
+      ("b", 101L, 2.0))
+      .toDF("k", "ts_us", "v")
+    val out = Resample.ohlcBars(ev, Seq("k"), "ts_us", "v", bucketMicros = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(out(("a", 100L)) === ((3.0, 9.0, 9.0, 3.0, 3L)))
+    assert(out(("a", 200L)) === ((5.0, 5.0, 5.0, 5.0, 1L)))
+    assert(out(("b", 100L)) === ((2.0, 2.0, 2.0, 2.0, 1L)))
+  }
+
   test("z-order layout gives every file a tight min/max on BOTH columns") {
     import graft.operators.Zorder
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -47,6 +47,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("events_ohlc: one partial-agg exchange, no Window, no Sort") {
+    // open/close ride min_by/max_by inside the hash aggregate — a
+    // first_value/last_value window form would add a per-bucket sort +
+    // whole-relation window pass
+    val p = plan("events_ohlc")
+    assert(!p.contains("Window"), s"ohlc ranks via a window:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1,
+      s"ohlc should shuffle exactly once:\n${p.take(2000)}")
+  }
+
   test("q39: bucketed join + per-key aggregation plan zero shuffle Exchange") {
     // both tables were written bucketBy(8, custkey).sortBy(custkey): the
     // SortMergeJoin must consume the co-partitioned buckets directly and
