@@ -238,6 +238,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Welch t-test per event type between an md5-free deterministic A/B
+    // split (user_id parity); one moments aggregation, closed-form stats
+    "events_ab_ttest" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+      graft.operators.Stats.welchTTest(
+        ev, "event_type", "variant", "value", "A", "B")
+    }),
+
     // OHLC hourly bars per event type: open/close via min_by/max_by over
     // the (unique) event time — one map-side-combinable aggregation, no
     // window
@@ -1939,6 +1949,38 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical moment formulas; sums differ only in fp order (round-4)
+    "events_ab_ttest" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |         CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    sum(CASE WHEN variant = 'A' THEN x ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN variant = 'A' THEN x * x ELSE 0 END) AS q_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN variant = 'B' THEN x ELSE 0 END) AS s_b,
+        |    sum(CASE WHEN variant = 'B' THEN x * x ELSE 0 END) AS q_b
+        |  FROM e GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, n_a, n_b, s_a / n_a AS ma, s_b / n_b AS mb,
+        |    (q_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1) AS va,
+        |    (q_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1) AS vb
+        |  FROM m
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va / n_a + vb / n_b > 0
+        |    THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va / n_a + vb / n_b > 0
+        |    THEN round((va / n_a + vb / n_b) * (va / n_a + vb / n_b) /
+        |      ((va / n_a) * (va / n_a) / (n_a - 1)
+        |        + (vb / n_b) * (vb / n_b) / (n_b - 1)), 4) END AS df
+        |FROM d""".stripMargin,
 
     // arg_min/arg_max over the unique epoch-micros time = min_by/max_by
     "events_ohlc" ->

@@ -52,6 +52,52 @@ object Stats {
           roundTo) + lit(0.0)).as("cov"))
 
   /**
+   * Welch's unequal-variance t-test per metric group — the A/B experiment
+   * readout: for each `metricCol` group, compare `valueCol` between the
+   * two `variantCol` populations. One map-side-combinable aggregation
+   * computes (n, Σx, Σx²) per (metric, variant); mean/variance/t/df
+   * derive in closed form from those three moments — the same textbook
+   * formulas an independent engine reproduces, with the final statistics
+   * rounded for cross-engine hashing. No sampling, no iteration: the
+   * whole test is one shuffle of six numbers per (metric, variant) per
+   * partition at any event volume.
+   *
+   *   t  = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)
+   *   df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a-1) + (v_b/n_b)²/(n_b-1))
+   *
+   * Variance uses the moment form (Σx² - n·m²)/(n-1) — catastrophic
+   * cancellation is bounded by the round-4 output contract for metric
+   * scales up to ~1e6. Groups where either variant has n < 2 or both
+   * variances are 0 yield null t/df rather than ±Inf/NaN.
+   */
+  def welchTTest(df: DataFrame, metricCol: String, variantCol: String,
+      valueCol: String, variantA: String, variantB: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    def side(v: String, tag: String) = Seq(
+      sum(when(col(variantCol) === v, lit(1L)).otherwise(lit(0L))).as(s"n_$tag"),
+      sum(when(col(variantCol) === v, x).otherwise(lit(0.0))).as(s"s_$tag"),
+      sum(when(col(variantCol) === v, x * x).otherwise(lit(0.0))).as(s"q_$tag"))
+    val aggs = side(variantA, "a") ++ side(variantB, "b")
+    val m = df.filter(col(variantCol).isin(variantA, variantB) && x.isNotNull)
+      .groupBy(col(metricCol))
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) = col(s"s_$t") / col(s"n_$t")
+    def vr(t: String) =
+      (col(s"q_$t") - col(s"n_$t") * mean(t) * mean(t)) / (col(s"n_$t") - 1)
+    val se2 = vr("a") / col("n_a") + vr("b") / col("n_b")
+    val tStat = (mean("a") - mean("b")) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      ((vr("a") / col("n_a")) * (vr("a") / col("n_a")) / (col("n_a") - 1) +
+        (vr("b") / col("n_b")) * (vr("b") / col("n_b")) / (col("n_b") - 1))
+    val defined = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0
+    m.select(col(metricCol),
+      col("n_a"), col("n_b"),
+      round(mean("a"), 4).as("mean_a"), round(mean("b"), 4).as("mean_b"),
+      when(defined, round(tStat, 4)).as("t"),
+      when(defined, round(dfW, 4)).as("df"))
+  }
+
+  /**
    * Top principal component by the power method: exactly `iterations`
    * unnormalized multiplies v ← Cv from the uniform start 1/√d, one
    * final L2 normalization, rounded to 8 decimals, sign fixed so the

@@ -968,6 +968,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("welchTTest: hand-computed statistics, degenerate groups go null") {
+    import graft.operators.Stats
+    val df = Seq(
+      ("m", "A", 1.0), ("m", "A", 2.0), ("m", "A", 3.0),
+      ("m", "B", 10.0), ("m", "B", 12.0),
+      ("single", "A", 5.0), ("single", "B", 1.0), ("single", "B", 2.0),
+      ("flat", "A", 3.0), ("flat", "A", 3.0),
+      ("flat", "B", 3.0), ("flat", "B", 3.0),
+      ("m", "C", 99.0)) // unknown variant must be ignored
+      .toDF("metric", "variant", "v")
+    val out = Stats.welchTTest(df, "metric", "variant", "v", "A", "B")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)), Option(r.get(6))))).toMap
+    // ma=2 va=1, mb=11 vb=2: t = -9/sqrt(1/3 + 1) = -7.7942,
+    // df = (4/3)^2 / ((1/9)/2 + 1) = 1.6842
+    val (na, nb, ma, mb, t, dfw) = out("m")
+    assert((na, nb, ma, mb) === ((3L, 2L, 2.0, 11.0)))
+    assert(t === Some(-7.7942) && dfw === Some(1.6842))
+    // n_a < 2 -> no test, means still reported
+    assert(out("single")._5.isEmpty && out("single")._6.isEmpty)
+    assert(out("single")._3 === 5.0)
+    // zero variance on both sides -> se2 = 0 -> no test, not ±Inf
+    assert(out("flat")._5.isEmpty && out("flat")._6.isEmpty)
+  }
+
   test("ohlcBars: open/close by event time regardless of row order; bucket math") {
     import graft.operators.Resample
     // rows deliberately NOT in time order — open/close must follow ts
