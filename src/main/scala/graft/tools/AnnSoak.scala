@@ -45,13 +45,33 @@ object AnnSoak {
       planes = 8).collect()
     val lshSec = (System.nanoTime() - t1) / 1e9
 
+    // the PQ serving split: build the index once (the ingest-time cost a
+    // deployment amortizes), then search the ~12-byte/vector codes table
+    val t2 = System.nanoTime()
+    val (codes, cbs) = Similarity.pqIndexFrames(c, "vec_id", "embedding",
+      m = 8, ksub = 64)
+    val codesC = codes.localCheckpoint() // materialize = the persisted index
+    val pqBuildSec = (System.nanoTime() - t2) / 1e9
+    // refine must cover the quantization blind spot: all ~n/1000 members
+    // of a tight cluster share (nearly) one code, so the coarse cut must
+    // keep a cluster's worth of candidates for the float re-rank to see
+    // the true neighbors — 2000 here is still a 500x scan reduction
+    val t3 = System.nanoTime()
+    val pq = Similarity.pqSearchIndex(q, codesC, cbs, c, "vec_id",
+      "embedding", k = 10, refine = 2000).collect()
+    val pqSec = (System.nanoTime() - t3) / 1e9
+
     val bfTop = bf.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lshTop = lsh.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pqTop = pq.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agree = lshTop.count { case (qid, cid) => bfTop.get(qid).contains(cid) }
+    val pqAgree = pqTop.count { case (qid, cid) => bfTop.get(qid).contains(cid) }
 
     println(f"""{"corpus":$n,"bf_sec":$bfSec%.1f,"lsh_sec":$lshSec%.1f,""" +
       f""""bf_pairs_scored":${n * 10},"lsh_results":${lsh.length},""" +
-      f""""top1_agreement":$agree/${lshTop.size}}""")
+      f""""top1_agreement":$agree/${lshTop.size},""" +
+      f""""pq_build_sec":$pqBuildSec%.1f,"pq_search_sec":$pqSec%.1f,""" +
+      f""""pq_top1_agreement":$pqAgree/${pqTop.size}}""")
     spark.stop()
   }
 }

@@ -118,6 +118,8 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dedup_lines from SQL: first occurrences, order preserved
     assert(s.sql("SELECT dedup_lines('a\nb\na\n\nb') AS d").head().getString(0)
       === "a\nb\n")
+    // z_order from SQL: interleave(1, 2) = bit0 + bit3 = 9
+    assert(s.sql("SELECT z_order(1L, 2L) AS z").head().getLong(0) === 9L)
     // word_grams: SQL form matches the Scala API on the same input
     val wg = s.sql("SELECT word_grams(' the quick  brown fox ', 2) AS g").head()
     val wgApi = locally {
