@@ -171,6 +171,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming OHLC bars equal the batch bars once the watermark closes them") {
+    import graft.operators.Resample
+    val ev = graft.core.EventTime
+      .withTsUs(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("event_type"), col("ts_us"), col("value"))
+    val truth = Resample
+      .ohlcBars(ev, Seq("event_type"), "ts_us", "value", 3600000000L)
+      .collect().map(_.toSeq).toSet
+    // a far-future sentinel event drives the final watermark past every
+    // real window so append mode seals them all; its own bar is excluded
+    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val sentinel = Seq(("zzz_sentinel",
+      maxUs + 24L * 3600000000L, 0.0)).toDF("event_type", "ts_us", "value")
+    val inDir = Files.createTempDirectory("graft-ohlc-in")
+    ev.unionByName(sentinel)
+      .withColumn("tst", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .coalesce(1).write.parquet(inDir.resolve("ev").toString)
+    val stream = spark.readStream
+      .schema("event_type string, value double, tst timestamp")
+      .parquet(inDir.resolve("ev").toString)
+    val qname = "ohlc_" + System.nanoTime()
+    val q = Resample.ohlcBarsStream(stream, Seq("event_type"), "tst", "value")
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(qname)
+      .filter(col("event_type") =!= "zzz_sentinel")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === truth, "watermark-closed streaming bars diverge from batch")
+  }
+
   test("stateless text screens run unchanged on a stream: stream == batch") {
     // encodingQuality / sentenceStats are pure scan-stage projections, so
     // the SAME operator code must work on a readStream frame with no
