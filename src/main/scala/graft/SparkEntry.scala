@@ -1235,6 +1235,16 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey"), outCol = "z", bits = 16)
     }),
 
+    // Pearson correlation matrix over four lineitem measures (price
+    // scaled to O(1) so round-6 covariances sit far above summation
+    // noise) — one covariance pass, k(k+1)/2-row normalization joins
+    "profile_corr" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .withColumn("price_100k", col("l_extendedprice") / 100000.0)
+      graft.operators.Stats.corrMatrix(li,
+        Seq("l_quantity", "l_discount", "l_tax", "price_100k"))
+    }),
+
     // Equi-width price histogram (24 x 5000-wide buckets — w binary-exact
     // so bucket bounds hash identically); the data-card distribution view
     "profile_histogram" -> ((s, dir) => {
@@ -2879,6 +2889,28 @@ object SparkEntry {
         |)
         |SELECT l_orderkey, l_partkey, """.stripMargin +
         s"CAST($terms AS BIGINT) AS z FROM s"
+    },
+
+    // covar_pop per pair on the same scaled columns, then corr derived
+    // from the round-6 covariances exactly as the Scala side does
+    "profile_corr" -> {
+      val names = Seq("l_quantity", "l_discount", "l_tax", "price_100k")
+      val pairs = for (i <- 1 to 4; j <- i to 4) yield
+        s"SELECT $i AS i, $j AS j, round(covar_pop(c$i, c$j), 6) + 0.0 AS cov FROM src"
+      val nameList = names.map(n => s"'$n'").mkString("[", ", ", "]")
+      s"""WITH src AS (
+         |  SELECT CAST(l_quantity AS DOUBLE) AS c1,
+         |         CAST(l_discount AS DOUBLE) AS c2,
+         |         CAST(l_tax AS DOUBLE) AS c3,
+         |         l_extendedprice / 100000.0 AS c4
+         |  FROM lineitem
+         |), cv AS (
+         |${pairs.mkString("  ", "\n  UNION ALL ", "")}
+         |), d AS (SELECT i AS k, cov AS v FROM cv WHERE i = j)
+         |SELECT $nameList[cv.i] AS col_i, $nameList[cv.j] AS col_j,
+         |       CASE WHEN di.v > 0 AND dj.v > 0
+         |            THEN round(cv.cov / sqrt(di.v * dj.v), 6) + 0.0 END AS corr
+         |FROM cv JOIN d di ON di.k = cv.i JOIN d dj ON dj.k = cv.j""".stripMargin
     },
 
     "profile_histogram" ->

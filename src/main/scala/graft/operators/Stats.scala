@@ -52,6 +52,39 @@ object Stats {
           roundTo) + lit(0.0)).as("cov"))
 
   /**
+   * Pearson correlation matrix of k numeric columns from the SAME single
+   * [[covariance]] pass (columns pack into one array, so the corpus is
+   * scanned once whatever k is): upper triangle `(col_i, col_j, corr)`
+   * with corr = cov/sqrt(var_i*var_j) derived from the round-6
+   * covariances — a pure function of already-hash-stable values, so the
+   * matrix reproduces cross-engine. The d² normalization joins touch
+   * k(k+1)/2 rows, never the corpus.
+   *
+   * Columns should be pre-scaled to O(1)-O(100) magnitudes (correlation
+   * is scale-invariant, and round-6 covariances of ~1e9-magnitude values
+   * would carry summation-order noise past the rounding quantum).
+   * Constant columns (variance 0) yield null corr rather than ±Inf.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val packed = df.select(
+      array(cols.map(c => col(c).cast("double")): _*).as("_v"))
+    val cov = covariance(packed, "_v")
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col("i").as("_d"), col("cov").as("_var"))
+    val names = typedLit(cols)
+    cov
+      .join(diag.withColumnRenamed("_d", "i").withColumnRenamed("_var", "_vi"), "i")
+      .join(diag.withColumnRenamed("_d", "j").withColumnRenamed("_var", "_vj"), "j")
+      .select(
+        element_at(names, col("i").cast("int")).as("col_i"),
+        element_at(names, col("j").cast("int")).as("col_j"),
+        when(col("_vi") > 0 && col("_vj") > 0,
+          round(col("cov") / sqrt(col("_vi") * col("_vj")), 6) + lit(0.0))
+          .as("corr"))
+  }
+
+  /**
    * Welch's unequal-variance t-test per metric group — the A/B experiment
    * readout: for each `metricCol` group, compare `valueCol` between the
    * two `variantCol` populations. One map-side-combinable aggregation

@@ -968,6 +968,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("corrMatrix: planted perfect/anti/zero correlation; constant column nulls") {
+    import graft.operators.Stats
+    val df = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
+      (3.0, 6.0, -3.0, 7.0), (4.0, 8.0, -4.0, 7.0))
+      .toDF("a", "b2a", "neg_a", "const7")
+    val out = Stats.corrMatrix(df, Seq("a", "b2a", "neg_a", "const7"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2)))
+      .toMap
+    assert(out(("a", "a")) === Some(1.0))
+    assert(out(("a", "b2a")) === Some(1.0), "linear scaling must correlate 1")
+    assert(out(("a", "neg_a")) === Some(-1.0), "negation must correlate -1")
+    assert(out(("a", "const7")) === None, "zero-variance column must null")
+    assert(out(("const7", "const7")) === None)
+    assert(out.size === 10, "upper triangle of 4 columns")
+  }
+
   test("welchTTest: hand-computed statistics, degenerate groups go null") {
     import graft.operators.Stats
     val df = Seq(
