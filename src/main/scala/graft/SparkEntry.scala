@@ -287,6 +287,30 @@ object SparkEntry {
     // aggregation (5 values per event_type) broadcast back onto the
     // scan; rows never shuffle. Exact percentile anchors the oracle
     // (the q20 contract); a 100 TB run swaps approx_percentile in
+    // The flagship curation composition, hash-checked END TO END: quality
+    // gate -> langid gate -> exact dedup (min-id per fingerprint) ->
+    // LSH near-dup clusters (min-id survivor). The oracle re-derives the
+    // whole chain from the proven per-stage fragments
+    "corpus_curate" -> ((s, dir) => {
+      val (curated, _) = graft.operators.Curate.curateCorpus(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      curated.select(col("doc_id"), col("source"), col("quality"),
+        col("predicted_lang"))
+    }),
+
+    // the composition's funnel report (input -> quality -> lang -> exact
+    // -> near-dup counts) as a one-row frame, oracle-checked number for
+    // number
+    "corpus_curate_stats" -> ((s, dir) => {
+      val (_, st) = graft.operators.Curate.curateCorpus(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      import s.implicits._
+      Seq((st.input, st.afterQuality, st.afterLang, st.afterExact,
+        st.afterNearDup))
+        .toDF("input", "after_quality", "after_lang", "after_exact",
+          "after_near_dup")
+    }),
+
     "curate_normalize" -> ((s, dir) => {
       val e = graft.core.EventTime
         .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
@@ -1728,6 +1752,53 @@ object SparkEntry {
       |  FROM f
       |)""".stripMargin
 
+  /** The full curation chain in SQL — quality gate, langid gate, exact
+    * dedup (QUALIFY min-id per fingerprint), then the MinHash+LSH CTEs
+    * re-pointed at the exact survivors and closed into clusters by the
+    * recursive reach CTE. Shared by the survivor-set and funnel-stats
+    * oracles. */
+  private lazy val curateCtes: String = {
+    val langBody = langidCtes.stripPrefix("WITH ")
+    val mhOverExact = minhashCtes.replace("FROM documents", "FROM exact")
+    s"""WITH RECURSIVE $langBody,
+       |ql AS (
+       |  SELECT doc_id,
+       |    round(least(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0) * 0.5
+       |      + (len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(len(text), 1)) * 0.3
+       |      + (len([x for x in string_split_regex(trim(text), '\\s+')
+       |              if x in ('the','a','of','and','is','to','in')])
+       |         / greatest(len(string_split_regex(trim(text), '\\s+')), 1)) * 0.2, 4) AS quality
+       |  FROM documents
+       |), kept AS (
+       |  SELECT d.doc_id, d.text, d.source, ql.quality, pred.predicted_lang
+       |  FROM documents d JOIN ql USING (doc_id) JOIN pred USING (doc_id)
+       |  WHERE ql.quality >= 0.3 AND pred.predicted_lang = 'en'
+       |), fps AS (
+       |  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM kept
+       |), exact AS (
+       |  SELECT * FROM fps
+       |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+       |), $mhOverExact,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b
+       |  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.8
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), losers AS (
+       |  SELECT a AS doc_id FROM reach GROUP BY a
+       |  HAVING least(a, min(b)) <> a
+       |)""".stripMargin
+  }
+
   /** Shared CTE chain reconstructing the MinHash+LSH candidate pipeline
     * (shingles -> permutation signature -> bands -> candidate pairs). */
   private lazy val minhashCtes: String = {
@@ -2026,6 +2097,21 @@ object SparkEntry {
 
     // quantile_cont == Spark percentile (the q20 parity); a value within
     // one ulp of a clip bound rounds to the same 4 decimals either way
+    "corpus_curate" -> (curateCtes +
+      """
+        |SELECT doc_id, source, quality, predicted_lang
+        |FROM exact
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
+
+    "corpus_curate_stats" -> (curateCtes +
+      """
+        |SELECT (SELECT count(*) FROM documents) AS input,
+        |  (SELECT count(*) FROM ql WHERE quality >= 0.3) AS after_quality,
+        |  (SELECT count(*) FROM kept) AS after_lang,
+        |  (SELECT count(DISTINCT fp) FROM fps) AS after_exact,
+        |  (SELECT count(*) FROM exact
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS after_near_dup""".stripMargin),
+
     "curate_normalize" ->
       """WITH st AS (
         |  SELECT event_type,
