@@ -238,6 +238,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Per-type value trend over time: OLS slope/intercept/r² with x =
+    // days since the corpus-wide first event (O(10) magnitudes, so the
+    // moment cancellations sit far above round-6)
+    "events_trend" -> ((s, dir) => {
+      val e = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+      val minUs = e.agg(min(col("ts_us"))).head().getLong(0)
+      graft.operators.Stats.olsTrend(
+        e.withColumn("x_days",
+          (col("ts_us") - lit(minUs)) / lit(86400000000.0)),
+        "event_type", "x_days", "value")
+    }),
+
     // Welch t-test per event type between an md5-free deterministic A/B
     // split (user_id parity); one moments aggregation, closed-form stats
     "events_ab_ttest" -> ((s, dir) => {
@@ -2030,6 +2042,35 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical moments + identical closed forms; the min-ts offset is
+    // recomputed in SQL exactly as the Spark side's bounds job does
+    "events_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000 -
+        |      (SELECT min(epoch_ns(ts) // 1000) FROM events)) / 86400000000.0 AS x,
+        |    CAST(value AS DOUBLE) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+        |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+        |  END AS slope,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+        |    THEN round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |               / n, 6) + 0.0
+        |  END AS intercept,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |               ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  END AS r2
+        |FROM m""".stripMargin,
 
     // identical moment formulas; sums differ only in fp order (round-4)
     "events_ab_ttest" ->

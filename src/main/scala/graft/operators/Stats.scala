@@ -52,6 +52,44 @@ object Stats {
           roundTo) + lit(0.0)).as("cov"))
 
   /**
+   * Per-group ordinary-least-squares trend of `yCol` over `xCol` — the
+   * "is this metric drifting" readout: slope/intercept/r² per group from
+   * ONE map-side-combinable moment aggregation (n, Σx, Σy, Σxy, Σx²,
+   * Σy²), closed form, no iteration:
+   *
+   *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+   *   intercept = (Σy − slope·Σx) / n
+   *   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+   *
+   * Pre-scale x to O(1)-O(1e3) magnitudes (e.g. days since corpus start,
+   * not raw epoch micros) — the moment cancellations stay far above the
+   * round-6 output quantum there. Degenerate groups (n < 2, zero x
+   * variance) yield null; zero y variance yields slope 0 with null r².
+   */
+  def olsTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val xc = col(xCol).cast("double")
+    val yc = col(yCol).cast("double")
+    val m = df.filter(xc.isNotNull && yc.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(xc).as("sx"), sum(yc).as("sy"),
+        sum(xc * yc).as("sxy"), sum(xc * xc).as("sxx"),
+        sum(yc * yc).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = num / dx
+    val defined = col("n") >= 2 && dx > 0
+    m.select(col(groupCol), col("n"),
+      when(defined, round(slope, 6) + lit(0.0)).as("slope"),
+      when(defined,
+        round((col("sy") - slope * col("sx")) / col("n"), 6) + lit(0.0))
+        .as("intercept"),
+      when(defined && dy > 0,
+        round(num * num / (dx * dy), 6)).as("r2"))
+  }
+
+  /**
    * Pearson correlation matrix of k numeric columns from the SAME single
    * [[covariance]] pass (columns pack into one array, so the corpus is
    * scanned once whatever k is): upper triangle `(col_i, col_j, corr)`

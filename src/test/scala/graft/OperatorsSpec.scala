@@ -968,6 +968,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "multi: [EMAIL] then [IP] then [PHONE] end")
   }
 
+  test("olsTrend: exact planted line, flat series, degenerate groups") {
+    import graft.operators.Stats
+    val df = Seq(
+      ("line", 0.0, 1.0), ("line", 1.0, 3.0), ("line", 2.0, 5.0), ("line", 3.0, 7.0),
+      ("flat", 0.0, 5.0), ("flat", 1.0, 5.0), ("flat", 2.0, 5.0),
+      ("xconst", 2.0, 1.0), ("xconst", 2.0, 9.0),
+      ("single", 1.0, 1.0))
+      .toDF("g", "x", "y")
+    val out = Stats.olsTrend(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out("line") === ((Some(2.0), Some(1.0), Some(1.0))), "y=2x+1 exactly")
+    assert(out("flat") === ((Some(0.0), Some(5.0), None)),
+      "flat series: slope 0, r2 undefined")
+    assert(out("xconst") === ((None, None, None)), "zero x variance: no fit")
+    assert(out("single") === ((None, None, None)), "n=1: no fit")
+  }
+
   test("corrMatrix: planted perfect/anti/zero correlation; constant column nulls") {
     import graft.operators.Stats
     val df = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
