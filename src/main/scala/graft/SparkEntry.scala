@@ -1289,6 +1289,20 @@ object SparkEntry {
         lo = 0.0, hi = 120000.0, bins = 24)
     }),
 
+    // Categorical data card: top-3 most frequent values per column via
+    // the bounded-memory Misra-Gries aggregate (capacity 64 >> distinct
+    // -> exact counts; ties break count desc then value asc)
+    "profile_topvalues" -> ((s, dir) => {
+      import graft.functions.FreqAgg.topk_freq
+      val o = s.read.parquet(t(dir, "orders"))
+      def top(c: String) =
+        o.agg(topk_freq(col(c).cast(StringType), 64, 3).as("top"))
+          .select(lit(c).as("col_name"), posexplode(col("top")))
+          .select(col("col_name"), (col("pos") + 1).cast(LongType).as("rank"),
+            col("col.item").as("value"), col("col.est").as("n"))
+      top("o_orderstatus").unionByName(top("o_orderpriority"))
+    }),
+
     // Data-card column profile: every column's counts/nulls/cardinality/
     // range in ONE scan (one Aggregate, stack()'d afterwards) — the fact
     // sheet a dataset release ships with
@@ -3052,6 +3066,21 @@ object SparkEntry {
         |       round(0.0 + bin * 5000.0, 6) AS bin_lo,
         |       round(0.0 + (bin + 1) * 5000.0, 6) AS bin_hi
         |FROM b GROUP BY 1""".stripMargin,
+
+    "profile_topvalues" ->
+      """WITH s AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |), c AS (
+        |  SELECT col_name, value, count(*) AS n FROM s GROUP BY 1, 2
+        |), r AS (
+        |  SELECT col_name, value, n,
+        |    CAST(row_number() OVER (PARTITION BY col_name
+        |                            ORDER BY n DESC, value) AS BIGINT) AS rank
+        |  FROM c
+        |)
+        |SELECT col_name, rank, value, n FROM r WHERE rank <= 3""".stripMargin,
 
     // one UNION ALL branch per profiled column (fine at oracle scale;
     // the Spark side is the one-scan form)
