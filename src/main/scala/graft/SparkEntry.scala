@@ -1289,6 +1289,14 @@ object SparkEntry {
         lo = 0.0, hi = 120000.0, bins = 24)
     }),
 
+    // Equi-height (quartile) histogram of the price column — exact
+    // percentile boundaries rounded to the shared 2-decimal contract,
+    // then one bucketing scan
+    "profile_histogram_eq" -> ((s, dir) => {
+      graft.operators.Profile.equiHeightHistogram(
+        s.read.parquet(t(dir, "lineitem")), "l_extendedprice", bins = 4)
+    }),
+
     // Categorical data card: top-3 most frequent values per column via
     // the bounded-memory Misra-Gries aggregate (capacity 64 >> distinct
     // -> exact counts; ties break count desc then value asc)
@@ -3066,6 +3074,26 @@ object SparkEntry {
         |       round(0.0 + bin * 5000.0, 6) AS bin_lo,
         |       round(0.0 + (bin + 1) * 5000.0, 6) AS bin_hi
         |FROM b GROUP BY 1""".stripMargin,
+
+    // quantile_cont == Spark's exact percentile at round-2 (the q20
+    // precedent); identical rounded boundaries -> identical buckets
+    "profile_histogram_eq" ->
+      """WITH b AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS b1,
+        |         round(quantile_cont(l_extendedprice, 0.50), 2) AS b2,
+        |         round(quantile_cont(l_extendedprice, 0.75), 2) AS b3
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), x AS (
+        |  SELECT CASE WHEN l_extendedprice <= b1 THEN 0
+        |              WHEN l_extendedprice <= b2 THEN 1
+        |              WHEN l_extendedprice <= b3 THEN 2
+        |              ELSE 3 END AS bin
+        |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT x.bin, count(*) AS n,
+        |       CASE x.bin WHEN 0 THEN b.b1 WHEN 1 THEN b.b2
+        |                  WHEN 2 THEN b.b3 END AS hi_bound
+        |FROM x, b GROUP BY 1, 3""".stripMargin,
 
     "profile_topvalues" ->
       """WITH s AS (

@@ -115,4 +115,37 @@ object Profile {
         round(lit(lo) + col("bin") * w, 6).as("bin_lo"),
         round(lit(lo) + (col("bin") + 1) * w, 6).as("bin_hi"))
   }
+  /**
+   * Equi-height (quantile) histogram: `bins` buckets holding ~equal row
+   * counts. Boundaries come from one EXACT percentile aggregation,
+   * rounded to `roundTo` decimals — the hash-stable contract both
+   * engines share (exact percentile matches quantile_cont at the
+   * rounding precision; see q20_percentiles) — and fold into the
+   * bucketing scan as plan literals. Bucket b covers
+   * (q_b, q_{b+1}]; the last bucket is open above. `hi_bound` is the
+   * bucket's upper boundary (null for the last). Nulls drop. Two scans
+   * total; note exact percentile keeps per-group sorted state — at
+   * 100 TB swap the boundary pass to approx_percentile and accept
+   * sketch-dependent boundaries (the q20/q20b trade).
+   */
+  def equiHeightHistogram(df: DataFrame, valueCol: String, bins: Int = 4,
+      roundTo: Int = 2): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val v = col(valueCol).cast("double")
+    val d = df.filter(v.isNotNull)
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val row = d.agg(
+      expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))")).head()
+    val bounds = row.getSeq[Double](0).map(x =>
+      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bin = bounds.zipWithIndex.foldRight(lit(bins - 1)) {
+      case ((b, i), acc) => when(v <= b, lit(i)).otherwise(acc)
+    }
+    val hi = bounds.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (b, i)) => when(col("bin") === i, lit(b)).otherwise(acc)
+    }
+    d.select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("hi_bound", hi)
+  }
 }

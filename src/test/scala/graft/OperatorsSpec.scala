@@ -1080,6 +1080,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"z files span ${meanSpan(zDir, "l_orderkey")} of $okFull orderkey")
   }
 
+  test("equiHeightHistogram: quartile boundaries, equal buckets, null drop") {
+    import graft.operators.Profile
+    val df = ((1 to 8).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val out = Profile.equiHeightHistogram(df, "v", bins = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    // quantile_cont boundaries of 1..8: 2.75 / 4.5 / 6.25
+    assert(out(0) === ((2L, Some(2.75))))
+    assert(out(1) === ((2L, Some(4.5))))
+    assert(out(2) === ((2L, Some(6.25))))
+    assert(out(3) === ((2L, None)), "last bucket open above")
+    assert(out.values.map(_._1).sum === 8L, "null row must not be counted")
+  }
+
   test("histogram: bucket edges, underflow/overflow buckets, null drop") {
     import graft.operators.Profile
     val df = Seq(Some(-0.5), Some(0.0), Some(9.999), Some(10.0), Some(19.99),
