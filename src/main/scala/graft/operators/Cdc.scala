@@ -80,6 +80,15 @@ object Cdc {
    * the batch compaction over everything ingested so far (pinned in
    * StreamingSpec); max is order-insensitive, so unlike the funnel this
    * needs no in-order-delivery caveat.
+   *
+   * State-size contract (spec-pinned via the state-store metrics): the
+   * store holds EXACTLY one row per distinct key ever seen — O(live
+   * keys), independent of changelog volume — and uses NoTimeout BY
+   * DESIGN: a compacted view must answer for every key forever, so no
+   * row is evictable. Size the state store (RocksDB provider at scale)
+   * for the KEY population, not the event rate; if the key universe is
+   * unbounded, that unboundedness is the application's data-model
+   * problem — an eviction here would silently resurrect old versions.
    */
   def latestByKeyStream(records: Dataset[CdcRecord]): Dataset[CdcRecord] = {
     import records.sparkSession.implicits._

@@ -13,6 +13,22 @@ import org.apache.spark.sql.types.LongType
  */
 object Graph {
 
+  /** Shared lineage-truncation policy (same contract as
+    * [[Dedup.dupClusters]]): `reliable = false` uses lazy
+    * localCheckpoint — blocks on executor local disk, an executor LOSS
+    * mid-job is a fail-and-rerun; set true (with
+    * `sparkContext.setCheckpointDir` on reliable storage) when a
+    * 1000-executor run must survive executor churn. Lazy either way —
+    * materialized by the first action that touches it. */
+  private def ckpt(df: DataFrame, reliable: Boolean): DataFrame = {
+    if (reliable)
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true requires sparkContext.setCheckpointDir " +
+          "(an HDFS/object-store path that survives executor loss)")
+    if (reliable) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+  }
+
   /**
    * Global triangle census of an undirected graph: one row with
    * `(n_nodes, n_edges, n_wedges, n_triangles, global_clustering)`,
@@ -40,12 +56,13 @@ object Graph {
    * across the two joins. No driver state; the census row is the only
    * thing collected.
    */
-  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s") =!= col("d"))
-    val e = raw.select(least(col("s"), col("d")).as("a"),
-        greatest(col("s"), col("d")).as("b")).distinct()
-      .localCheckpoint(eager = false) // reused 4x: degrees, orientation, close join
+    val e = ckpt(raw.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b")).distinct(),
+      reliableCheckpoint) // reused 4x: degrees, orientation, close join
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // orient a<b edge toward the (deg, id)-greater endpoint; carry both
@@ -54,13 +71,13 @@ object Graph {
     val withDeg = e
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
-    val oriented = withDeg.select(
+    val oriented = ckpt(withDeg.select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"))
-      .localCheckpoint(eager = false) // reused: adjacency build + two probes
+      .select(col("o.u").as("u"), col("o.v").as("v")),
+      reliableCheckpoint) // reused: adjacency build + two probes
     // a triangle's three edges all point up-rank, so it is found exactly
     // once: from its lowest-rank edge (u,v), as the common out-neighbor
     // w ∈ N+(u) ∩ N+(v). Out-lists are ≤O(√E) by the orientation; the
@@ -111,13 +128,17 @@ object Graph {
    * lazy checkpoints, same pattern as Dedup.dupClusters). Hub skew is
    * bounded by max in-degree and lands in the AQE-covered aggregation.
    *
-   * Known localCheckpoint trade (as dupClusters): executor loss during
-   * the loop loses the checkpoint blocks and fails the job — acceptable
-   * for a bounded 5-iteration batch job, rerun on failure.
+   * `reliableCheckpoint` picks the lineage-truncation durability (see
+   * [[ckpt]]): the default localCheckpoint is the fail-and-rerun trade
+   * fine for a bounded 5-iteration batch job; true writes checkpoint
+   * blocks to `sparkContext.getCheckpointDir` so the loop survives
+   * executor churn on a long cluster run. Both modes produce identical
+   * output (pinned in OperatorsSpec).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, damping: Double = 0.85,
-      symmetrize: Boolean = false): DataFrame = {
+      symmetrize: Boolean = false,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping >= 0.0 && damping <= 1.0, "damping must be in [0, 1]")
     val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -138,10 +159,10 @@ object Graph {
     // duplicate, so the distinct's aggregate is satisfied by this same
     // exchange (clustered-distribution-by-subset) and adds none of its
     // own — one full-edge shuffle total, output still partitioned by src
-    val e = undirected.repartition(col("src")).distinct()
-      .localCheckpoint(eager = false)
+    val e = ckpt(undirected.repartition(col("src")).distinct(),
+      reliableCheckpoint)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, "src").localCheckpoint(eager = false)
+    val withDeg = ckpt(e.join(deg, "src"), reliableCheckpoint)
     // same partition-reuse trick for the rank-update join: nodes sit
     // hash-partitioned on the join key, and contribs arrives already
     // hash-partitioned on dst from its aggregation exchange, so the
@@ -151,8 +172,8 @@ object Graph {
     val nodes0 =
       if (symmetrize) e.select(col("src").as("node"))
       else e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
-    val nodes = nodes0.distinct()
-      .repartition(col("node")).localCheckpoint(eager = false)
+    val nodes = ckpt(nodes0.distinct().repartition(col("node")),
+      reliableCheckpoint)
     var ranks = nodes.withColumn("r", lit(1.0))
     for (_ <- 1 to iterations) {
       val contribs = withDeg
@@ -163,7 +184,7 @@ object Graph {
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
-        .localCheckpoint(eager = false)
+      ranks = ckpt(ranks, reliableCheckpoint)
     }
     ranks
   }

@@ -96,7 +96,11 @@ object Profile {
    * Bucket assignment is `floor((x-lo)/w)` on doubles: both engines
    * compute the identical IEEE expression, so boundary values land
    * identically. Choose lo/hi/bins so w is binary-exact (e.g. 5000)
-   * when hash-identical bounds matter.
+   * when hash-identical bounds matter. The in-range bin is clamped to
+   * bins-1: with an inexact w, a value one ulp below hi can round its
+   * quotient UP to exactly `bins`, which would silently merge it into
+   * the overflow bucket — the clamp keeps in-range values in-range
+   * (mirrored in the oracle SQL).
    */
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
       bins: Int): DataFrame = {
@@ -106,7 +110,7 @@ object Profile {
     val v = col(valueCol).cast("double")
     val bin = when(v < lo, lit(-1))
       .when(v >= hi, lit(bins))
-      .otherwise(floor((v - lo) / w).cast("int"))
+      .otherwise(least(floor((v - lo) / w), lit((bins - 1).toDouble)).cast("int"))
     df.filter(v.isNotNull)
       .select(bin.as("bin"))
       .groupBy(col("bin"))
@@ -136,8 +140,83 @@ object Profile {
     val ps = (1 until bins).map(i => i.toDouble / bins)
     val row = d.agg(
       expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))")).head()
+    require(!row.isNullAt(0),
+      s"equi-height histogram: column '$valueCol' has no non-null values")
     val bounds = row.getSeq[Double](0).map(x =>
       BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // duplicate rounded boundaries would make the when-chain skip a bin
+    // entirely — a data card silently missing buckets. Fail loudly: the
+    // caller should lower `bins` or raise `roundTo` for this distribution.
+    require(bounds.distinct.size == bounds.size,
+      s"equi-height histogram: percentile boundaries collide after " +
+        s"rounding to $roundTo decimals (${bounds.mkString(", ")}) — " +
+        "reduce bins or increase roundTo")
+    val bin = bounds.zipWithIndex.foldRight(lit(bins - 1)) {
+      case ((b, i), acc) => when(v <= b, lit(i)).otherwise(acc)
+    }
+    val hi = bounds.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (b, i)) => when(col("bin") === i, lit(b)).otherwise(acc)
+    }
+    d.select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("hi_bound", hi)
+  }
+
+  /**
+   * The 100 TB form of [[equiHeightHistogram]]: boundaries come from a
+   * DETERMINISTIC md5-keyed row sample (`keepPerMille`/1000 of rows, by
+   * the first 8 hex chars of md5("ehist:" + id) — the same
+   * engine-portable bucket scheme as [[Curate]]'s splits), so the exact
+   * percentile's value->count state is bounded by the SAMPLE size, not
+   * the corpus: at any data volume the boundary pass is a pruned
+   * two-column scan plus a sample-sized aggregate, never a full-corpus
+   * sorted/keyed state (the scaling hazard the exact form documents).
+   *
+   * Unlike `approx_percentile` (whose GK-sketch output is
+   * engine-specific and therefore only boolean-checkable, the q20b
+   * trade), the md5 sample is bit-reproducible in ANY engine with md5 —
+   * the oracle recomputes the same sample, the same quantile_cont
+   * boundaries, the same buckets, and the whole histogram hash-matches.
+   * Boundaries drift O(1/sqrt(sample)) from the true quantiles;
+   * bucket counts are exact counts of the full data against those
+   * sampled boundaries.
+   *
+   * @param idCol sampling key — any stable id column; rows are sampled
+   *              by md5 of its string form, so the sample (and thus the
+   *              histogram) is identical across runs, engines, and
+   *              cluster sizes
+   */
+  /** The boundary pass of [[equiHeightHistogramSampled]], exposed so
+    * PlanSpec can pin its shape: a scan-stage md5 filter into ONE
+    * percentile aggregate whose state is sample-sized — no SortAggregate,
+    * no full-corpus sorted state. */
+  private[graft] def sampledBoundaries(d: DataFrame, valueCol: String,
+      idCol: String, bins: Int, keepPerMille: Int): DataFrame = {
+    val sampled = d.filter(
+      (conv(substring(md5(concat(lit("ehist:"), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000) < keepPerMille)
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    sampled.agg(expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))"))
+  }
+
+  def equiHeightHistogramSampled(df: DataFrame, valueCol: String,
+      idCol: String, bins: Int = 4, roundTo: Int = 2,
+      keepPerMille: Int = 50): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    require(keepPerMille > 0 && keepPerMille <= 1000,
+      s"keepPerMille must be in (0, 1000]: $keepPerMille")
+    val v = col(valueCol).cast("double")
+    val d = df.filter(v.isNotNull)
+    val row = sampledBoundaries(d, valueCol, idCol, bins, keepPerMille).head()
+    require(!row.isNullAt(0),
+      s"sampled equi-height histogram: the md5 sample of '$valueCol' is " +
+        "empty — raise keepPerMille or check the input")
+    val bounds = row.getSeq[Double](0).map(x =>
+      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    require(bounds.distinct.size == bounds.size,
+      s"sampled equi-height histogram: boundaries collide after rounding " +
+        s"to $roundTo decimals (${bounds.mkString(", ")}) — reduce bins " +
+        "or increase roundTo")
     val bin = bounds.zipWithIndex.foldRight(lit(bins - 1)) {
       case ((b, i), acc) => when(v <= b, lit(i)).otherwise(acc)
     }

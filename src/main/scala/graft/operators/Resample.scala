@@ -21,6 +21,12 @@ object Resample {
    *                 [[graft.core.EventTime]]). Determinism of open/close
    *                 requires it to be unique per (key, bucket) — pass a
    *                 uniquified expression column if raw times can tie.
+   *                 Must be NON-NEGATIVE (post-1970): bucketing uses
+   *                 Spark `div` (truncation toward zero) while SQL
+   *                 engines' `//` floors, so pre-1970 micros would put
+   *                 the two engines in different buckets AND label the
+   *                 bucket above the value. Pre-1970 data needs a
+   *                 floor-division bucket expression on both sides.
    * @return (keyCols..., bucket_us, open, close, high, low, n, sum_value)
    */
   /**

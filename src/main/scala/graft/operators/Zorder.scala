@@ -37,6 +37,11 @@ object Zorder {
         max(col(c)).cast("double").as(s"hi$i"))
     }
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"z-order: column '$c' has no non-null values (empty input?) — " +
+          "cannot derive scaling bounds")
+    }
     val top = (1L << bits) - 1
     val scaled: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
       val lo = bounds.getDouble(2 * i)

@@ -506,6 +506,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(dr("y") - (0.15 + 0.85 * 0.15)) < 1e-12)
   }
 
+  test("graph: reliableCheckpoint mode fails fast without a dir and matches local mode") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("s", "d")
+    val hadDir = spark.sparkContext.getCheckpointDir
+    if (hadDir.isEmpty) {
+      // no checkpoint dir set -> fail fast at plan time, not as a late
+      // executor-side error mid-loop
+      intercept[IllegalArgumentException](
+        Graph.pageRank(edges, "s", "d", iterations = 2, reliableCheckpoint = true))
+      intercept[IllegalArgumentException](
+        Graph.triangleStats(edges, "s", "d", reliableCheckpoint = true))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      // both durability modes must produce IDENTICAL output — the flag
+      // only changes where lineage-truncation blocks live
+      val local = Graph.pageRank(edges, "s", "d", iterations = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val reliable = Graph.pageRank(edges, "s", "d", iterations = 4,
+          reliableCheckpoint = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(reliable === local)
+      val tLocal = Graph.triangleStats(edges, "s", "d").collect()(0).toSeq
+      val tReliable = Graph.triangleStats(edges, "s", "d",
+        reliableCheckpoint = true).collect()(0).toSeq
+      assert(tReliable === tLocal)
+    } finally {
+      spark.sparkContext.setCheckpointDir(hadDir.orNull)
+    }
+  }
+
   test("segmentDedup: first occurrence survives, docs rewritten, full dup vanishes") {
     import graft.operators.Dedup
     // seg size 2: doc 1 = [a b][c d], doc 2 = [c d][e f] (loses "c d"),
@@ -1080,6 +1113,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"z files span ${meanSpan(zDir, "l_orderkey")} of $okFull orderkey")
   }
 
+  test("lakehouse: manifest pruning opens fewer files than written, rows stay exact") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lakehouse").toString
+    val ev = graft.core.EventTime.withTsUs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("user_id"), col("event_type"), col("value"), col("ts_us"))
+    Lakehouse.writeClustered(ev, dir, Seq("user_id", "ts_us"), files = 16)
+    // 16 data files + a 16-row manifest on disk (sf0.001 users span 0-14,
+    // so [4,7] is the ~27% range the composed query uses at larger SFs)
+    val (kept, total) = Lakehouse.selectFiles(spark, dir, "user_id", 4, 7)
+    assert(total === 16, s"expected 16 written files, manifest says $total")
+    // the file-skipping effect: a ~27% user_id range must NOT touch every
+    // file — z-clustering makes each file a tight user_id x ts rectangle
+    assert(kept.nonEmpty && kept.size < total,
+      s"pruning read ${kept.size}/$total files — no skipping happened")
+    // no-drift contract: pruned read == full scan + exact filter, row for row
+    val pruned = Lakehouse.prunedRead(spark, dir, "user_id", 4, 7)
+    val full = spark.read.parquet(s"$dir/data")
+      .filter(col("user_id") >= 4 && col("user_id") <= 7)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "pruned read drifted from the full filtered scan")
+    // stats for a non-clustered column are absent and say so
+    val e = intercept[IllegalArgumentException](
+      Lakehouse.selectFiles(spark, dir, "value", 0, 1))
+    assert(e.getMessage.contains("no stats"))
+  }
+
   test("equiHeightHistogram: quartile boundaries, equal buckets, null drop") {
     import graft.operators.Profile
     val df = ((1 to 8).map(i => Some(i.toDouble)) :+ None).toDF("v")
@@ -1091,6 +1151,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2) === ((2L, Some(6.25))))
     assert(out(3) === ((2L, None)), "last bucket open above")
     assert(out.values.map(_._1).sum === 8L, "null row must not be counted")
+  }
+
+  test("equiHeightHistogram guards: empty input and colliding boundaries fail loudly") {
+    import graft.operators.Profile
+    // empty / all-null input: a clear message, not an NPE from getSeq
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val e1 = intercept[IllegalArgumentException](
+      Profile.equiHeightHistogram(empty, "v", bins = 4))
+    assert(e1.getMessage.contains("no non-null values"))
+    // constant column: all quartile boundaries round to the same value —
+    // silent missing buckets would corrupt a data card, so it throws
+    val const = Seq.fill(10)(5.0).toDF("v")
+    val e2 = intercept[IllegalArgumentException](
+      Profile.equiHeightHistogram(const, "v", bins = 4))
+    assert(e2.getMessage.contains("collide"))
+  }
+
+  test("equiHeightHistogramSampled: sample-derived boundaries bucket the FULL data") {
+    import graft.operators.Profile
+    // keepPerMille=1000 keeps every row -> identical to the exact form
+    val df = ((1 to 8).map(i => (i.toLong, i.toDouble))).toDF("id", "v")
+    val all = Profile.equiHeightHistogramSampled(df, "v", "id",
+        bins = 4, keepPerMille = 1000)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    val exact = Profile.equiHeightHistogram(df, "v", bins = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(all === exact)
+    // a true subsample: boundaries come from the sample, but counts cover
+    // ALL 8 rows (the full-data bucket pass)
+    val part = Profile.equiHeightHistogramSampled(df, "v", "id",
+        bins = 2, keepPerMille = 500)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(part.values.sum === 8L, s"bucket counts must cover all rows: $part")
+    // empty sample fails loudly with the remedy in the message
+    val e = intercept[IllegalArgumentException](
+      Profile.equiHeightHistogramSampled(df, "v", "id", bins = 2,
+        keepPerMille = 1))
+    assert(e.getMessage.contains("keepPerMille"))
+  }
+
+  test("zorder: all-null or empty scaling column fails with a named-column error") {
+    import graft.operators.Zorder
+    val empty = Seq.empty[(Option[Long], Option[Long])].toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException](
+      Zorder.withZKey(empty, Seq("a", "b")))
+    assert(e1.getMessage.contains("'a'"))
+    val nullCol = Seq((Some(1L), Option.empty[Long]),
+      (Some(2L), Option.empty[Long])).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException](
+      Zorder.withZKey(nullCol, Seq("a", "b")))
+    assert(e2.getMessage.contains("'b'"))
   }
 
   test("histogram: bucket edges, underflow/overflow buckets, null drop") {
@@ -1107,6 +1218,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1) === ((2L, 10.0, 20.0)))
     assert(out(2) === ((2L, 20.0, 30.0)))
     assert(out.values.map(_._1).sum === 7L, "null row must not be counted")
+    // fp top-edge clamp: with inexact w = 5.952.../5, the value one ulp
+    // below hi has floor((v-lo)/w) == bins — it must stay in bucket
+    // bins-1 (in-range), not silently merge into the overflow bucket
+    val hi = 5.952419006512908
+    val vUlp = java.lang.Math.nextDown(hi)
+    assert(math.floor(vUlp / (hi / 5)).toInt == 5, "fixture must trip the edge")
+    val clamp = Profile.histogram(Seq(vUlp).toDF("v"), "v", lo = 0.0,
+        hi = hi, bins = 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(clamp === Map(4 -> 1L), s"ulp-below-hi value misbucketed: $clamp")
   }
 
   test("randomProjection: exact recipe, JL distance preservation, LSH sign coherence") {

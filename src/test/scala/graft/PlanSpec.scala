@@ -47,6 +47,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("profile_histogram_eq_approx: boundary pass is a sampled agg, no full-sort state") {
+    import org.apache.spark.sql.functions.col
+    // the 100 TB contract: the percentile aggregate runs over the md5
+    // sample only (filter below the agg, in the scan stage) and plans as
+    // an ObjectHashAggregate — a SortAggregate would mean Catalyst chose
+    // full-sorted per-group state, the shape the sample exists to avoid
+    val d = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_extendedprice").isNotNull)
+    val p = graft.operators.Profile
+      .sampledBoundaries(d, "l_extendedprice", "l_orderkey",
+        bins = 4, keepPerMille = 50)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate"), s"boundary pass sort-aggregates:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"), s"unexpected agg shape:\n${p.take(2000)}")
+    assert(p.contains("Filter"), s"sample filter missing:\n${p.take(2000)}")
+    // the final bucket-count plan is one hash aggregation, never a sort
+    val f = plan("profile_histogram_eq_approx")
+    assert(!f.contains("Window") && !f.contains("SortAggregate"),
+      s"bucket pass shape unexpected:\n${f.take(2000)}")
+  }
+
   test("events_ohlc: one partial-agg exchange, no Window, no Sort") {
     // open/close ride min_by/max_by inside the hash aggregate — a
     // first_value/last_value window form would add a per-bucket sort +
@@ -66,6 +87,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q39_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"co-located join degraded:\n${p.take(2000)}")
     assert(!p.contains("Exchange"), s"bucketed pipeline shuffles:\n${p.take(2500)}")
+  }
+
+  test("lakehouse_pruned_join: co-located join exchange-free; only the final agg shuffles") {
+    // the pruned events subset and the customer dim are both bucketed on
+    // the join key, so the SortMergeJoin itself must add NO Exchange; the
+    // single allowed shuffle is the final (mktsegment, event_type)
+    // aggregation, whose keys differ from the bucket key by design
+    val p = plan("lakehouse_pruned_join")
+    assert(p.contains("SortMergeJoin"), s"co-located join degraded:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1,
+      s"expected exactly the final-agg exchange:\n${p.take(2500)}")
   }
 
   test("text_repetition is scan-stage only: no exchange, fully codegen'd") {

@@ -527,6 +527,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === truth)
   }
 
+  test("streaming latest-wins compaction state is O(live keys): one state row per distinct key") {
+    import graft.operators.Cdc
+    import graft.operators.Cdc.CdcRecord
+    val src = "/root/testdata/sf0.001/events.parquet"
+    def asRecords(df: org.apache.spark.sql.DataFrame) =
+      graft.core.EventTime.readEventsTsUsAs(df, "ts")
+        .select(concat_ws("|", col("user_id"), col("event_type")).as("key"),
+          col("ts").as("ver"), col("event_id").as("seq"),
+          col("props").as("payload"))
+    val nKeys = asRecords(spark.read.parquet(src))
+      .select("key").distinct().count()
+    val nRecords = spark.read.parquet(src).count()
+    assert(nRecords > nKeys, "fixture must hold multiple versions per key")
+
+    val inDir = Files.createTempDirectory("graft-cdc-state-in")
+    Files.copy(java.nio.file.Paths.get(src), inDir.resolve("events.parquet"))
+    val stream = asRecords(spark.readStream
+        .schema(graft.streaming.EventsIngest.eventsSchema(spark, inDir.toString))
+        .parquet(inDir.toString)).as[CdcRecord]
+    val qname = "cdc_state_out_" + System.nanoTime()
+    val q = Cdc.latestByKeyStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the documented contract: the store holds EXACTLY one row per
+    // distinct key ever seen — independent of how many versions the
+    // changelog carried (NoTimeout by design; nothing is evicted)
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal)
+    assert(stateRows === Some(nKeys),
+      s"state rows $stateRows != distinct keys $nKeys (of $nRecords records)")
+  }
+
   test("streaming funnel's final per-user progress equals the batch funnel") {
     import graft.operators.Funnel
     import graft.operators.Funnel.{FEvent, FunnelProgress}

@@ -52,6 +52,68 @@ class V2SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE chaos: forced coalesce + skew-join upstream never trip the sorted-run re-check") {
+    // SURVEY §7.4 risk 3: AQE rewrites shuffle partitioning at runtime
+    // (coalescing small partitions, splitting skewed ones). The sink's
+    // RequiresDistributionAndOrdering must survive BOTH modes — the
+    // writer's per-partition monotonicity re-check throwing would mean
+    // AQE handed a writer a partition violating the declared clustering
+    // or ordering. Run the full pipeline (skewed join -> token derivation
+    // -> graft-bulk write) with the skew/coalesce machinery FORCED on at
+    // aggressive thresholds, then with AQE off, and pin identical totals
+    // and on-disk sorted runs either way.
+    val sf01 = "/root/testdata/sf0.01"
+    val totals = for (aqe <- Seq("true", "false")) yield {
+      val s = spark.newSession() // conf chaos must not leak to other tests
+      s.conf.set("spark.sql.adaptive.enabled", aqe)
+      if (aqe == "true") {
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+        s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      }
+      val orders = s.read.parquet(s"$sf01/orders.parquet")
+      val cust = s.read.parquet(s"$sf01/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")).hint("merge")
+      val prepared = orders
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .withColumn("_pk", partition_key(col("o_orderkey")))
+        .withColumn("_token", cassandra_token(col("_pk")))
+        .withColumn("_bucket", token_bucket(col("_token"), 4))
+      val out = Files.createTempDirectory(s"graft-v2-aqe-$aqe").toString
+      // a spurious re-check firing surfaces here as the write throwing
+      prepared.write.format("graft-bulk")
+        .option("path", out).option("buckets", "4").mode("append").save()
+      val json = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(out, "_MANIFEST.json")))
+      assert(json.contains("\"sorted\":true"))
+      // independent on-disk verification, not just the writer's word
+      new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith("Data.db")).foreach { f =>
+          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(f)))
+          var prev = Long.MinValue
+          try {
+            while (in.available() > 0) {
+              val klen = in.readUnsignedShort()
+              val key = new Array[Byte](klen); in.readFully(key)
+              val vlen = in.readInt(); in.skipBytes(vlen)
+              val tok = CassandraTokens.token(key)
+              assert(tok >= prev, s"unsorted run under AQE=$aqe in ${f.getName}")
+              prev = tok
+            }
+          } finally in.close()
+        }
+      """"rows":(\d+)""".r.findAllMatchIn(json).map(_.group(1).toLong).sum
+    }
+    assert(totals.head === totals.last,
+      s"AQE on/off wrote different row totals: $totals")
+    assert(totals.head > 0L)
+  }
+
   test("v2 sink plan contains writer-required exchange and sort") {
     val df = prepared(4)
     // no manual repartition/sortWithinPartitions on the caller side — the
