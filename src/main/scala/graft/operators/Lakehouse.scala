@@ -47,17 +47,24 @@ object Lakehouse {
 
   /** Manifest replay: the data files whose `[min_c, max_c]` interval
     * overlaps `[lo, hi]` on `predCol`, plus the total file count.
-    * Driver-sized by construction (one manifest row per file). */
+    * Driver-sized by construction (one manifest row per file), so it is
+    * collected ONCE and filtered on the driver — planning a pruned read
+    * costs a single #files-row job, not one per derived statistic. */
   def selectFiles(spark: SparkSession, path: String, predCol: String,
       lo: Double, hi: Double): (Seq[String], Int) = {
     val m = spark.read.parquet(s"$path/_manifest")
     require(m.columns.contains(s"min_$predCol"),
       s"manifest at $path has no stats for column '$predCol' — it was " +
         "not in the write's zCols")
-    val total = m.count().toInt
-    val kept = m.filter(!(col(s"max_$predCol") < lo || col(s"min_$predCol") > hi))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    (kept, total)
+    val rows = m.select(col("file"),
+        col(s"min_$predCol").cast("double").as("lo"),
+        col(s"max_$predCol").cast("double").as("hi"))
+      .collect()
+    val kept = rows.toIndexedSeq
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        !(r.getDouble(2) < lo || r.getDouble(1) > hi))
+      .map(_.getString(0))
+    (kept, rows.length)
   }
 
   /**
@@ -71,10 +78,21 @@ object Lakehouse {
   def prunedRead(spark: SparkSession, path: String, predCol: String,
       lo: Double, hi: Double): DataFrame = {
     val (files, _) = selectFiles(spark, path, predCol, lo, hi)
-    val exact = col(predCol) >= lo && col(predCol) <= hi
     if (files.isEmpty)
-      spark.read.parquet(s"$path/data").filter(lit(false))
-    else
-      spark.read.parquet(files: _*).filter(exact)
+      return spark.read.parquet(s"$path/data").filter(lit(false))
+    val scan = spark.read.parquet(files: _*)
+    // the residual predicate must compare in the column's NATIVE type: a
+    // double bound against an integral column would cast the COLUMN,
+    // which disables parquet row-group pushdown — manifest pruning would
+    // then skip files only to decode every surviving row group. Integral
+    // bounds tighten by ceil/floor (same row set, pushdown kept).
+    import org.apache.spark.sql.types._
+    val exact = scan.schema(predCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(predCol) >= lit(math.ceil(lo).toLong) &&
+          col(predCol) <= lit(math.floor(hi).toLong)
+      case _ => col(predCol) >= lit(lo) && col(predCol) <= lit(hi)
+    }
+    scan.filter(exact)
   }
 }

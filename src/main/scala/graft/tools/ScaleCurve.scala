@@ -61,6 +61,35 @@ object ScaleCurve {
   private def vecs(spark: SparkSession, n: Long): DataFrame =
     clusteredVecs(spark, n, pmod(col("id"), lit(1000)), noiseDiv = 2000.0)
 
+  /** ~n distinct doubles — the shape that makes the EXACT equi-height
+    * boundary pass hold corpus-sized percentile state. */
+  private def histCorpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id"),
+      (pmod(xxhash64(col("id")), lit(1000000)).cast("double") / 7.0).as("v"))
+
+  /** Z-clustered lakehouse layout for `n` rows (1000-value key `k` x
+    * monotone time `t`, 32 files + manifest), written once per size; the
+    * timed bodies' min-of-2 means the write (first pass only) never
+    * lands in the reported seconds. */
+  private val lakehouseWritten = scala.collection.mutable.Set.empty[Long]
+  private def lakehousePath(spark: SparkSession, n: Long): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scale-lh-$n"
+    if (!lakehouseWritten.contains(n)) {
+      // ~120-byte payload: the consuming aggregate reads it, so scan
+      // seconds track BYTES TOUCHED — the quantity file skipping saves —
+      // rather than the per-job fixed cost a 2-column count would measure
+      val d = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(1000)).as("k"),
+        col("id").as("t"),
+        concat_ws("", transform(sequence(lit(0), lit(14)), i =>
+          hex(xxhash64(col("id") * 16 + i)))).as("payload"))
+      graft.operators.Lakehouse.writeClustered(d, path, Seq("k", "t"),
+        files = 32)
+      lakehouseWritten += n
+    }
+    path
+  }
+
   /** min-of-2 wall time: a single measurement at this runtime length is
     * hostage to one unlucky full GC or JIT recompilation — the r9 curve
     * and a r10 re-run disagreed 2x on single-shot points while their
@@ -308,6 +337,37 @@ object ScaleCurve {
           pmod(col("id"), lit(math.max(1L, n / 100))).as("k"),
           xxhash64(col("id")).as("payload"))
         graft.operators.Cdc.latestByKey(log, Seq("k"), "id").count()
+      },
+      "histogram_eq_exact" -> { n =>
+        // the scaling hazard the sampled form exists to avoid: exact
+        // percentile() state grows with the DISTINCT-value count (~n
+        // here) — its exponent should read visibly above the sampled
+        // twin's as the boundary state stops fitting cheap aggregation
+        graft.operators.Profile.equiHeightHistogram(
+            histCorpus(spark, n), "v", bins = 4)
+          .agg(sum(col("n"))).head().getLong(0)
+      },
+      "histogram_eq_sampled" -> { n =>
+        // the 100 TB path: boundary state bounded by the 5% md5 sample,
+        // wall time by the scan — exponent ~linear at any corpus size
+        graft.operators.Profile.equiHeightHistogramSampled(
+            histCorpus(spark, n), "v", "id", bins = 4, keepPerMille = 50)
+          .agg(sum(col("n"))).head().getLong(0)
+      },
+      // manifest-pruned read over a 10% key range: wall time = the
+      // manifest replay's fixed #files-row planning cost + a scan of the
+      // SELECTED bytes only, so the exponent stays well under the ~0.5
+      // a local[32] full-table scan reads at these sizes. (A wall-clock
+      // fullscan TWIN is deliberately absent: at 32 local files of one
+      // row group each, parquet's own row-group stats give a z-ordered
+      // full scan nearly the same skipping, and the A/B gap measured
+      // below run-to-run noise. The files-opened effect — the thing that
+      // matters at millions of files, where listing+footers dominate —
+      // is pinned exactly in OperatorsSpec instead.)
+      "lakehouse_prune" -> { n =>
+        graft.operators.Lakehouse.prunedRead(spark,
+            lakehousePath(spark, n * 20), "k", 0, 99)
+          .agg(sum(length(col("payload")))).head().getLong(0)
       })
 
     // SPARK_GRAFT_SCALE_ONLY=<csv of names>: re-measure a subset (e.g.

@@ -1140,6 +1140,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no stats"))
   }
 
+  test("lakehouse: pruned read == full filtered scan for a seeded sweep of ranges") {
+    import graft.operators.Lakehouse
+    // one clustered write, many predicates: fractional / integral /
+    // inverted-empty / fully-out-of-range / all-covering bounds must ALL
+    // reproduce the full scan exactly — file pruning is a superset filter
+    // whatever the residual predicate's shape (incl. the ceil/floor
+    // tightening of fractional bounds on this integral column)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-sweep").toString
+    val ev = graft.core.EventTime.withTsUs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    Lakehouse.writeClustered(ev, dir, Seq("user_id", "ts_us"), files = 8)
+    val full = spark.read.parquet(s"$dir/data")
+    val rnd = new scala.util.Random(20260814)
+    val ranges = Seq((0.0, 14.0), (14.0, 14.0), (7.0, 3.0), (100.0, 200.0),
+        (-5.0, -1.0), (0.5, 6.5), (3.9999, 4.0001)) ++
+      Seq.fill(12)((rnd.nextDouble() * 16 - 1, rnd.nextDouble() * 16 - 1))
+    for ((lo, hi) <- ranges) {
+      val pruned = Lakehouse.prunedRead(spark, dir, "user_id", lo, hi)
+      val expect = full.filter(col("user_id") >= lo && col("user_id") <= hi)
+      val (nP, nE) = (pruned.count(), expect.count())
+      assert(nP === nE, s"range [$lo,$hi]: pruned $nP rows, full scan $nE")
+      assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+        s"range [$lo,$hi]: pruned read drifted from full scan")
+    }
+  }
+
   test("equiHeightHistogram: quartile boundaries, equal buckets, null drop") {
     import graft.operators.Profile
     val df = ((1 to 8).map(i => Some(i.toDouble)) :+ None).toDF("v")
