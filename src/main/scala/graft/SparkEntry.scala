@@ -1519,13 +1519,22 @@ object SparkEntry {
     // the same order): compact-forward degree orientation bounds the
     // wedge join at O(E^1.5) whatever the hub skew — the naive shared-
     // neighbor self-join is quadratic in max degree
+    // co-purchase edge build: ONE shuffle (groupBy order) + in-row pair
+    // expansion over the per-order part set — the self-join form this
+    // replaces shuffled lineitem twice and joined. Pair count per order
+    // is bounded by basket size squared (TPC-H ≤7 items -> ≤21 pairs);
+    // a corpus with unbounded baskets needs a df-style cap first, the
+    // same contract as Dedup's posting-list expansion
     "graph_triangles" -> ((s, dir) => {
-      val l = s.read.parquet(t(dir, "lineitem"))
+      val edges = s.read.parquet(t(dir, "lineitem"))
         .select(col("l_orderkey"), col("l_partkey"))
-      val la = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-      val lb = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
-      val edges = la.join(lb, col("ok") === col("ok2") && col("pa") < col("pb"))
-        .select(col("pa"), col("pb"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("p"))
+        .select(explode(expr(
+          """flatten(transform(p, (x, i) ->
+            |  transform(slice(p, i + 2, size(p)), y -> struct(x, y))))"""
+            .stripMargin)).as("e"))
+        .select(col("e.x").as("pa"), col("e.y").as("pb"))
       graft.operators.Graph.triangleStats(edges, "pa", "pb")
     }),
 
