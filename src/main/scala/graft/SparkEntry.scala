@@ -1096,6 +1096,59 @@ object SparkEntry {
           round(sum(col("value")), 2).as("total_value"))
     }),
 
+    // The lakehouse layout's nightly-ingest shape: ~80% of events land as
+    // the initial z-clustered write, the md5-chosen ~20% delta APPENDS as
+    // a new batch (new files + new manifest rows, nothing rewritten), and
+    // the pruned read stays row-exact over the union — the oracle is the
+    // same plain filter-aggregate over ALL events, so any batch the
+    // manifest replay missed would hash-mismatch immediately
+    "lakehouse_incremental" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-inc-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val isDelta = (conv(substring(md5(concat(lit("lhinc:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 800
+      graft.operators.Lakehouse.writeClustered(ev.filter(!isDelta),
+        base, Seq("user_id", "ts_us"), files = 12)
+      graft.operators.Lakehouse.appendClustered(ev.filter(isDelta),
+        base, Seq("user_id", "ts_us"), files = 4)
+      graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // The layout's maintenance pass: initial write (n/10 rows/file) +
+    // small-file delta append (n/30 rows/file), then OPTIMIZE-style
+    // compaction with the threshold between the two (n/20, from one
+    // driver count) — only the delta debris merges, and the pruned read
+    // over the compacted layout must STILL equal the plain
+    // filter-aggregate (a lost or doubled row in the rewrite would
+    // hash-mismatch)
+    "lakehouse_compact" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-cmp-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val isDelta = (conv(substring(md5(concat(lit("lhcmp:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 800
+      graft.operators.Lakehouse.writeClustered(ev.filter(!isDelta),
+        base, Seq("user_id", "ts_us"), files = 8)
+      graft.operators.Lakehouse.appendClustered(ev.filter(isDelta),
+        base, Seq("user_id", "ts_us"), files = 6)
+      graft.operators.Lakehouse.compact(s, base, Seq("user_id", "ts_us"),
+        minRows = ev.count() / 20, files = 2)
+      graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
     "q37_retention" -> ((s, dir) => {
       val e = graft.core.EventTime
         .readEventsTsUsAs(s.read.parquet(t(dir, "events")), "ts")
@@ -2914,6 +2967,25 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE user_id BETWEEN 4 AND 7
         |GROUP BY 1, 2""".stripMargin,
+
+    // the no-drift contract of incremental ingest: initial write + delta
+    // append + manifest-pruned read must equal one plain filter-aggregate
+    // over the WHOLE table (the md5 batch split is invisible by design)
+    "lakehouse_incremental" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 7
+        |GROUP BY 1""".stripMargin,
+
+    // compaction must be row-preserving: the post-OPTIMIZE pruned read
+    // equals the same whole-table filter-aggregate as the other layouts
+    "lakehouse_compact" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 7
+        |GROUP BY 1""".stripMargin,
 
     "q37_retention" ->
       """WITH ev AS (

@@ -34,15 +34,109 @@ object Lakehouse {
       files: Int, bits: Int = 16): Unit = {
     Zorder.writeZOrdered(df, zCols, s"$path/data", files, bits)
     val spark = df.sparkSession
+    statsOf(spark.read.parquet(s"$path/data"), zCols)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** One manifest row per file of `data`: min/max of every clustered
+    * column + row count, grouped by `input_file_name()` — a column-pruned
+    * scan of just the stats columns, the analog of collecting footer
+    * stats at write time. */
+  private def statsOf(data: DataFrame, zCols: Seq[String]): DataFrame = {
     val aggs = zCols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     } :+ count(lit(1)).as("n_rows")
-    spark.read.parquet(s"$path/data")
-      .select(input_file_name().as("file") +: zCols.map(col): _*)
+    data.select(input_file_name().as("file") +: zCols.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
+  }
+
+  /** Data-file listing (driver-side, manifest-replay sized). */
+  private def listData(spark: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toUri.toString).toSet
+  }
+
+  /**
+   * The nightly-ingest shape: appends `df` as a NEW z-clustered batch of
+   * `files` parquet files to an existing [[writeClustered]] layout and
+   * appends the new files' stats rows to the manifest — no existing data
+   * file or manifest row is rewritten, and [[prunedRead]] stays exact
+   * over the union (spec-pinned). Each batch is z-scaled on its OWN
+   * min/max bounds: clustering quality is per-batch, manifest stats (the
+   * thing pruning reads) are exact regardless.
+   *
+   * The new-file set is the before/after listing diff — driver-sized
+   * here; a production writer would thread the committed file list out
+   * of the write's commit protocol instead of listing. The stats pass
+   * reads ONLY the new files.
+   */
+  def appendClustered(df: DataFrame, path: String, zCols: Seq[String],
+      files: Int, bits: Int = 16): Unit = {
+    val spark = df.sparkSession
+    require(spark.read.parquet(s"$path/_manifest").columns
+        .toSet == statsOf(df.limit(0), zCols).columns.toSet,
+      s"appendClustered: zCols $zCols do not match the manifest at $path " +
+        "— an appended batch must carry stats for the SAME clustered " +
+        "columns or pruning would silently skip it")
+    val before = listData(spark, path)
+    Zorder.writeZOrderedAppend(df, zCols, s"$path/data", files, bits)
+    val newFiles = (listData(spark, path) -- before).toSeq
+    require(newFiles.nonEmpty, "appendClustered: the write added no files")
+    statsOf(spark.read.parquet(newFiles: _*), zCols)
+      .write.mode("append").parquet(s"$path/_manifest")
+  }
+
+  /**
+   * OPTIMIZE-style compaction: data files holding fewer than `minRows`
+   * rows (the small-batch debris [[appendClustered]] accumulates) are
+   * re-clustered together into `files` new z-ordered files; every other
+   * data file — and its manifest row — is untouched. Returns
+   * (filesCompacted, filesWritten); a no-op (0 or 1 small file) returns
+   * without writing.
+   *
+   * Scale shape: the decision pass is the driver-side manifest replay
+   * (#files rows); only the small files' bytes are read and rewritten.
+   * Like the rest of this module it assumes a SINGLE writer — there is
+   * no transaction log, so a concurrent reader can observe the window
+   * between the manifest swap and the old-file deletes (it would read
+   * stale-but-correct data, never a torn manifest, because the new
+   * manifest is written before any delete).
+   */
+  def compact(spark: SparkSession, path: String, zCols: Seq[String],
+      minRows: Long, files: Int, bits: Int = 16): (Int, Int) = {
+    val m = spark.read.parquet(s"$path/_manifest")
+    require(m.columns.contains("n_rows"),
+      s"manifest at $path has no n_rows column")
+    val small = m.filter(col("n_rows") < minRows)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    if (small.size <= 1) return (0, 0)
+    val before = listData(spark, path)
+    Zorder.writeZOrderedAppend(spark.read.parquet(small: _*), zCols,
+      s"$path/data", files, bits)
+    val newFiles = (listData(spark, path) -- before).toSeq
+    // survivors + the replacement rows become the NEW manifest; it lands
+    // (staged then swapped, both driver-sized writes) BEFORE the
+    // compacted originals are deleted, so no reader window sees rows
+    // pointing at deleted files alongside missing replacements
+    val smallSet = small.toSet
+    val kept = m.filter(!col("file").isin(small: _*))
+    val replacement = kept.unionByName(
+      statsOf(spark.read.parquet(newFiles: _*), zCols).select(kept.columns.map(col): _*))
+    val staged = s"$path/_manifest_staged"
+    replacement.coalesce(1).write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    smallSet.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
+    (small.size, newFiles.size)
   }
 
   /** Manifest replay: the data files whose `[min_c, max_c]` interval

@@ -1140,6 +1140,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no stats"))
   }
 
+  test("lakehouse: append adds a batch without rewriting; pruning exact over the union") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-append").toString
+    val ev = graft.core.EventTime.withTsUs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val (batch1, batch2) =
+      (ev.filter(col("event_id") % 3 =!= 0), ev.filter(col("event_id") % 3 === 0))
+    Lakehouse.writeClustered(batch1, dir, Seq("user_id", "ts_us"), files = 6)
+    val before = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    val (_, total1) = Lakehouse.selectFiles(spark, dir, "user_id", 0, 100)
+    assert(total1 === 6)
+    Lakehouse.appendClustered(batch2, dir, Seq("user_id", "ts_us"), files = 2)
+    // existing data files untouched (names AND mtimes), manifest grew by
+    // exactly the appended batch's file count
+    val after = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "append rewrote an existing data file")
+    assert(after.size === 8, s"expected 6 + 2 data files, found ${after.size}")
+    val (kept, total2) = Lakehouse.selectFiles(spark, dir, "user_id", 0, 100)
+    assert(total2 === 8, s"manifest should cover both batches, says $total2")
+    assert(kept.size === 8)
+    // pruned read over the union == full filter over the ORIGINAL frame
+    val pruned = Lakehouse.prunedRead(spark, dir, "user_id", 4, 7)
+    val expect = ev.filter(col("user_id") >= 4 && col("user_id") <= 7)
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+      "incremental layout drifted from the source of truth")
+    // appending with different clustered columns must fail loudly, not
+    // silently write stats pruning would never consult
+    val e = intercept[IllegalArgumentException](
+      Lakehouse.appendClustered(batch2, dir, Seq("user_id"), files = 2))
+    assert(e.getMessage.contains("zCols"))
+  }
+
+  test("lakehouse: compaction merges ONLY small files, pruning exact before and after") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-compact").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 4000), dir, Seq("k", "t"), files = 4)
+    val bigBefore = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    Lakehouse.appendClustered(mk(4000, 4200), dir, Seq("k", "t"), files = 2)
+    Lakehouse.appendClustered(mk(4200, 4400), dir, Seq("k", "t"), files = 2)
+    // 4 small files (~100 rows each) merge into 1; the 4 initial
+    // 1000-row files survive with names and mtimes untouched
+    val (compacted, written) = Lakehouse.compact(spark, dir, Seq("k", "t"),
+      minRows = 500, files = 1)
+    assert(compacted === 4 && written === 1, s"compacted $compacted -> $written")
+    val after = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    assert(bigBefore.forall { case (n, m) => after.get(n).contains(m) },
+      "compaction touched a big file")
+    assert(after.size === 5, s"expected 4 big + 1 merged, found ${after.size}")
+    val (kept, total) = Lakehouse.selectFiles(spark, dir, "k", 0, 1000)
+    assert(total === 5 && kept.size === 5,
+      s"manifest should hold 5 rows covering everything: $total/${kept.size}")
+    // no-drift: pruned read over the compacted layout == the full union
+    val expect = mk(0, 4400).filter(col("k") >= 10 && col("k") <= 19)
+    val pruned = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+      "compaction drifted the data")
+    // idempotent: a second pass finds at most the one merged file -> no-op
+    assert(Lakehouse.compact(spark, dir, Seq("k", "t"), 500, 1) === ((0, 0)))
+  }
+
   test("lakehouse: pruned read == full filtered scan for a seeded sweep of ranges") {
     import graft.operators.Lakehouse
     // one clustered write, many predicates: fractional / integral /

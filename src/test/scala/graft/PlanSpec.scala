@@ -89,6 +89,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"bucketed pipeline shuffles:\n${p.take(2500)}")
   }
 
+  test("lakehouse_incremental: pruned scan keeps parquet pushdown in the column's native type") {
+    // the residual BETWEEN is rebound to the integral column's type —
+    // a double-literal compare would cast user_id and silently disable
+    // row-group pushdown on exactly the files the manifest selected
+    val p = plan("lakehouse_incremental")
+    val scanFilters = p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scanFilters.contains("GreaterThanOrEqual(user_id,4)") &&
+      scanFilters.contains("LessThanOrEqual(user_id,7)"),
+      s"residual range not pushed to the pruned parquet scan:\n$scanFilters")
+    assert(!p.contains("cast(user_id"),
+      s"predicate casts the column (pushdown lost):\n${p.take(2000)}")
+  }
+
   test("lakehouse_pruned_join: co-located join exchange-free; only the final agg shuffles") {
     // the pruned events subset and the customer dim are both bucketed on
     // the join key, so the SortMergeJoin itself must add NO Exchange; the
