@@ -145,18 +145,35 @@ object Lakehouse {
     * collected ONCE and filtered on the driver — planning a pruned read
     * costs a single #files-row job, not one per derived statistic. */
   def selectFiles(spark: SparkSession, path: String, predCol: String,
-      lo: Double, hi: Double): (Seq[String], Int) = {
+      lo: Double, hi: Double): (Seq[String], Int) =
+    selectFilesMulti(spark, path, Seq((predCol, lo, hi)))
+
+  /** Multi-range manifest replay — the reason the data is Z-ORDERED
+    * rather than sorted on one column: every file is a tight
+    * hyper-rectangle in ALL clustered columns, so each predicate prunes
+    * independently and a file survives only if it overlaps EVERY range
+    * (intersection of per-column survivors). */
+  def selectFilesMulti(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) = {
+    require(ranges.nonEmpty, "selectFilesMulti: need at least one range")
     val m = spark.read.parquet(s"$path/_manifest")
-    require(m.columns.contains(s"min_$predCol"),
-      s"manifest at $path has no stats for column '$predCol' — it was " +
-        "not in the write's zCols")
-    val rows = m.select(col("file"),
-        col(s"min_$predCol").cast("double").as("lo"),
-        col(s"max_$predCol").cast("double").as("hi"))
-      .collect()
+    ranges.foreach { case (c, _, _) =>
+      require(m.columns.contains(s"min_$c"),
+        s"manifest at $path has no stats for column '$c' — it was " +
+          "not in the write's zCols")
+    }
+    val statCols = ranges.zipWithIndex.flatMap { case ((c, _, _), i) =>
+      Seq(col(s"min_$c").cast("double").as(s"lo$i"),
+        col(s"max_$c").cast("double").as(s"hi$i"))
+    }
+    val rows = m.select(col("file") +: statCols: _*).collect()
     val kept = rows.toIndexedSeq
-      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
-        !(r.getDouble(2) < lo || r.getDouble(1) > hi))
+      .filter { r =>
+        ranges.zipWithIndex.forall { case ((_, lo, hi), i) =>
+          !r.isNullAt(2 * i + 1) && !r.isNullAt(2 * i + 2) &&
+            !(r.getDouble(2 * i + 2) < lo || r.getDouble(2 * i + 1) > hi)
+        }
+      }
       .map(_.getString(0))
     (kept, rows.length)
   }
@@ -170,23 +187,31 @@ object Lakehouse {
    * written, same rows as the full scan).
    */
   def prunedRead(spark: SparkSession, path: String, predCol: String,
-      lo: Double, hi: Double): DataFrame = {
-    val (files, _) = selectFiles(spark, path, predCol, lo, hi)
+      lo: Double, hi: Double): DataFrame =
+    prunedReadMulti(spark, path, Seq((predCol, lo, hi)))
+
+  /** [[prunedRead]] over a conjunction of ranges — manifest pruning on
+    * every clustered column at once, then the exact residual AND. */
+  def prunedReadMulti(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val (files, _) = selectFilesMulti(spark, path, ranges)
     if (files.isEmpty)
       return spark.read.parquet(s"$path/data").filter(lit(false))
     val scan = spark.read.parquet(files: _*)
-    // the residual predicate must compare in the column's NATIVE type: a
+    // each residual predicate must compare in its column's NATIVE type: a
     // double bound against an integral column would cast the COLUMN,
     // which disables parquet row-group pushdown — manifest pruning would
     // then skip files only to decode every surviving row group. Integral
     // bounds tighten by ceil/floor (same row set, pushdown kept).
     import org.apache.spark.sql.types._
-    val exact = scan.schema(predCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        col(predCol) >= lit(math.ceil(lo).toLong) &&
-          col(predCol) <= lit(math.floor(hi).toLong)
-      case _ => col(predCol) >= lit(lo) && col(predCol) <= lit(hi)
-    }
+    val exact = ranges.map { case (c, lo, hi) =>
+      scan.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(c) >= lit(math.ceil(lo).toLong) &&
+            col(c) <= lit(math.floor(hi).toLong)
+        case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
+      }
+    }.reduce(_ && _)
     scan.filter(exact)
   }
 }

@@ -1233,6 +1233,25 @@ class OperatorsSpec extends AnyFunSuite {
       assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
         s"range [$lo,$hi]: pruned read drifted from full scan")
     }
+    // 2-D conjunctions (the reason for z-order over a plain sort): exact
+    // over both ranges, and the second dimension must ELIMINATE more
+    // files than the user_id range alone
+    val tsB = full.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (t0, t1) = (tsB.getLong(0).toDouble, tsB.getLong(1).toDouble)
+    val tsMid = (t0 + (t1 - t0) * 0.3, t0 + (t1 - t0) * 0.5)
+    for ((ulo, uhi) <- Seq((0.0, 14.0), (4.0, 7.0), (2.0, 11.0))) {
+      val rangesTwoD = Seq(("user_id", ulo, uhi), ("ts_us", tsMid._1, tsMid._2))
+      val pruned = Lakehouse.prunedReadMulti(spark, dir, rangesTwoD)
+      val expect = full.filter(col("user_id") >= ulo && col("user_id") <= uhi &&
+        col("ts_us") >= tsMid._1 && col("ts_us") <= tsMid._2)
+      assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+        s"2D range user[$ulo,$uhi] x ts drifted from full scan")
+      val oneD = Lakehouse.selectFiles(spark, dir, "user_id", ulo, uhi)._1.size
+      val twoD = Lakehouse.selectFilesMulti(spark, dir, rangesTwoD)._1.size
+      assert(twoD < oneD,
+        s"adding the ts range pruned nothing extra ($twoD vs $oneD files) — " +
+          "the layout is not multi-dimension clustered")
+    }
   }
 
   test("equiHeightHistogram: quartile boundaries, equal buckets, null drop") {
