@@ -560,6 +560,52 @@ class StreamingSpec extends AnyFunSuite {
       s"state rows $stateRows != distinct keys $nKeys (of $nRecords records)")
   }
 
+  test("streaming lakehouse ingest: per-micro-batch appends equal the batch layout") {
+    import graft.operators.Lakehouse
+    // three source files + maxFilesPerTrigger=1 -> three micro-batches,
+    // so the layout is built from three separate appendClustered calls
+    val srcDir = Files.createTempDirectory("graft-lhing-src")
+    val ev = graft.core.EventTime.withTsUs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    for (i <- 0 until 3)
+      ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(s"$srcDir/chunk$i")
+    // flatten the three chunks into one glob dir of single files
+    val flat = Files.createTempDirectory("graft-lhing-flat")
+    for (i <- 0 until 3) {
+      val part = new java.io.File(s"$srcDir/chunk$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, flat.resolve(s"c$i.parquet"))
+    }
+    val layout = Files.createTempDirectory("graft-lhing-layout").toString
+    val ckpt = Files.createTempDirectory("graft-lhing-ckpt").toString
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat.toString)
+    val q = graft.streaming.LakehouseIngest.start(stream, layout,
+      Seq("user_id", "ts_us"), filesPerBatch = 2, checkpoint = ckpt)
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+      "expected three non-empty micro-batches")
+    // manifest covers 3 batches x 2 files and pruning is exact vs the
+    // original batch frame
+    val (kept, total) = Lakehouse.selectFiles(spark, layout, "user_id", 0, 1e18)
+    assert(total === 6 && kept.size === 6, s"manifest rows: $total")
+    val pruned = Lakehouse.prunedRead(spark, layout, "user_id", 4, 7)
+    val expect = ev.filter(col("user_id") >= 4 && col("user_id") <= 7)
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+      "streamed layout drifted from the batch source")
+    // the maintenance pass folds the micro-batch debris, still exact
+    val (c, w) = Lakehouse.compact(spark, layout, Seq("user_id", "ts_us"),
+      minRows = Long.MaxValue, files = 2)
+    assert(c === 6 && w === 2, s"compacted $c -> $w")
+    val pruned2 = Lakehouse.prunedRead(spark, layout, "user_id", 4, 7)
+    assert(pruned2.exceptAll(expect).isEmpty && expect.exceptAll(pruned2).isEmpty,
+      "compaction after streaming ingest drifted")
+  }
+
   test("stateful ops run on the RocksDB state store with identical output") {
     // the state backend a real cluster uses for large key populations:
     // HDFSBackedStateStore holds state on-heap (fine for tests, a
