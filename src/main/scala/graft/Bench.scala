@@ -110,8 +110,12 @@ object Bench {
         if (failedNames.isEmpty) ""
         else failedNames.map("\"" + _ + "\"")
           .mkString(""","failed":[""", ",", "]")
+      // always emitted: under SPARK_GRAFT_BENCH_ONLY an exempt query IS
+      // timed (the developer explicitly asked for it — local iteration),
+      // so the list must stay visible to flag those seconds as
+      // layout-write time, not engine throughput
       val ex =
-        if (exempt.isEmpty || only.isDefined) ""
+        if (exempt.isEmpty) ""
         else exempt.toSeq.sorted.map("\"" + _ + "\"")
           .mkString(""","exempt":[""", ",", "]")
       val norm =

@@ -31,37 +31,60 @@ object SparkEntry {
   // it per query — pure double-billing, since the intermediate is
   // deterministic (its own query, dedup_minhash_lsh / corpus_curate,
   // stays memo-free and still bills the full standalone cost, and every
-  // downstream row set is hash-checked either way). Keyed by (session,
-  // dir) so a cached plan can never leak across sessions; persisted so
-  // the second consumer reads cache, not lineage. This mirrors the real
-  // pipeline shape: one pair graph per corpus snapshot, N consumers.
+  // downstream row set is hash-checked either way). Persisted so the
+  // second consumer reads cache, not lineage. This mirrors the real
+  // pipeline shape: one pair graph per corpus snapshot, N consumers —
+  // and it defines what a consumer's BENCH minimum measures: the
+  // MARGINAL cost on top of the shared intermediate (label propagation
+  // for dedup_clusters, the census for dedup_graph_quality, the split
+  // for corpus_leakage_split). corpus_curate_stats has NO marginal work
+  // (the stats are byproducts of the curation itself), so it sits in
+  // benchExempt rather than reporting a meaningless ~0 minimum.
+  //
+  // Sessions are WEAK keys: a stopped session's cached frames must not
+  // be pinned forever by this static map (test suites and sweeps create
+  // many sessions). Per-session entries die with the session; within a
+  // live session the deterministic frames stay cached for its lifetime,
+  // which is the intent.
   // -------------------------------------------------------------------
   private val sharedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), AnyRef]]
+
+  private def memo(s: SparkSession, dir: String, tag: String)(
+      build: => AnyRef): AnyRef = sharedMemo.synchronized {
+    sharedMemo.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty[(String, String), AnyRef])
+      .getOrElseUpdate((dir, tag), build)
+  }
 
   private def lshPairsShared(s: SparkSession, dir: String): DataFrame =
-    sharedMemo.computeIfAbsent((s, dir, "lsh08"), _ =>
+    memo(s, dir, "lsh08") {
       graft.operators.Dedup.minhashLshPairs(
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
         bands = 4, rowsPerBand = 2, threshold = 0.8).persist()
-    ).asInstanceOf[DataFrame]
+    }.asInstanceOf[DataFrame]
 
   private def curateShared(s: SparkSession,
       dir: String): (DataFrame, graft.operators.Curate.CurationStats) =
-    sharedMemo.computeIfAbsent((s, dir, "curate"), _ => {
+    memo(s, dir, "curate") {
       val (curated, st) = graft.operators.Curate.curateCorpus(
         s.read.parquet(t(dir, "documents")), "doc_id", "text")
       (curated.persist(), st)
-    }).asInstanceOf[(DataFrame, graft.operators.Curate.CurationStats)]
+    }.asInstanceOf[(DataFrame, graft.operators.Curate.CurationStats)]
 
   /** Queries Bench runs once (correctness-gated, rc!=0 on failure) but
     * keeps out of the timed suite: the lakehouse layout compositions
     * spend their wall time writing tmp parquet layouts — local disk-write
-    * seconds, not engine throughput. Their scale story is measured in
-    * scale_curve.json (lakehouse_prune) and pinned in the layout specs;
-    * Verify hash-checks them like any other query. */
+    * seconds, not engine throughput — and corpus_curate_stats has no
+    * marginal work beyond the memoized curation (its min-of-passes would
+    * report a meaningless ~0; the curation cost is billed by the
+    * memo-free corpus_curate). Their scale story is measured in
+    * scale_curve.json and pinned in the layout specs; Verify hash-checks
+    * them like any other query. */
   val benchExempt: Set[String] =
-    Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact")
+    Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
+      "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1150,8 +1173,12 @@ object SparkEntry {
         base, Seq("user_id", "ts_us"), files = 8)
       graft.operators.Lakehouse.appendClustered(ev.filter(isDelta),
         base, Seq("user_id", "ts_us"), files = 6)
+      // total rows from the just-written manifest (#files rows), not
+      // another full events scan — the cheap path the module exists for
+      val nRows = s.read.parquet(s"$base/_manifest")
+        .agg(sum(col("n_rows"))).head().getLong(0)
       graft.operators.Lakehouse.compact(s, base, Seq("user_id", "ts_us"),
-        minRows = ev.count() / 20, files = 2)
+        minRows = nRows / 20, files = 2)
       graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),

@@ -19,7 +19,15 @@ object Graph {
     * mid-job is a fail-and-rerun; set true (with
     * `sparkContext.setCheckpointDir` on reliable storage) when a
     * 1000-executor run must survive executor churn. Lazy either way —
-    * materialized by the first action that touches it. */
+    * materialized by the first action that touches it.
+    *
+    * Cleanup obligation with `reliable = true`: Spark does NOT delete
+    * reliable checkpoint files by default (several land per pageRank
+    * call — one per truncation point). Long-running deployments must
+    * either set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (GC-driven delete once the frames are unreferenced) or clear the
+    * checkpoint dir between runs; otherwise repeated calls accumulate
+    * blocks on reliable storage indefinitely. */
   private def ckpt(df: DataFrame, reliable: Boolean): DataFrame = {
     if (reliable)
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,

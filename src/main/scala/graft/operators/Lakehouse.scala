@@ -162,16 +162,34 @@ object Lakehouse {
         s"manifest at $path has no stats for column '$c' — it was " +
           "not in the write's zCols")
     }
+    // integral stats compare as LONGS against ceil/floor'd bounds — a
+    // double cast would round a |value| > 2^53 min/max by up to ~1024,
+    // which can push a file's rounded min past the query's hi and
+    // silently prune a file the exact residual WOULD have matched (e.g.
+    // raw 64-bit hash keys). Fractional stats compare as doubles.
+    import org.apache.spark.sql.types._
+    val integral = ranges.map { case (c, _, _) =>
+      m.schema(s"min_$c").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     val statCols = ranges.zipWithIndex.flatMap { case ((c, _, _), i) =>
-      Seq(col(s"min_$c").cast("double").as(s"lo$i"),
-        col(s"max_$c").cast("double").as(s"hi$i"))
+      val cast = if (integral(i)) "long" else "double"
+      Seq(col(s"min_$c").cast(cast).as(s"lo$i"),
+        col(s"max_$c").cast(cast).as(s"hi$i"))
     }
     val rows = m.select(col("file") +: statCols: _*).collect()
     val kept = rows.toIndexedSeq
       .filter { r =>
         ranges.zipWithIndex.forall { case ((_, lo, hi), i) =>
-          !r.isNullAt(2 * i + 1) && !r.isNullAt(2 * i + 2) &&
-            !(r.getDouble(2 * i + 2) < lo || r.getDouble(2 * i + 1) > hi)
+          !r.isNullAt(2 * i + 1) && !r.isNullAt(2 * i + 2) && {
+            if (integral(i))
+              !(r.getLong(2 * i + 2) < math.ceil(lo).toLong ||
+                r.getLong(2 * i + 1) > math.floor(hi).toLong)
+            else
+              !(r.getDouble(2 * i + 2) < lo || r.getDouble(2 * i + 1) > hi)
+          }
         }
       }
       .map(_.getString(0))
@@ -209,6 +227,12 @@ object Lakehouse {
         case ByteType | ShortType | IntegerType | LongType =>
           col(c) >= lit(math.ceil(lo).toLong) &&
             col(c) <= lit(math.floor(hi).toLong)
+        // float bounds only when the doubles are float-exact (same row
+        // set); an inexact bound falls through to the double compare —
+        // correct, just no row-group pushdown on that one predicate
+        case FloatType
+            if lo.toFloat.toDouble == lo && hi.toFloat.toDouble == hi =>
+          col(c) >= lit(lo.toFloat) && col(c) <= lit(hi.toFloat)
         case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
       }
     }.reduce(_ && _)

@@ -162,6 +162,19 @@ object Profile {
       .withColumn("hi_bound", hi)
   }
 
+  /** The boundary pass of [[equiHeightHistogramSampled]], exposed so
+    * PlanSpec can pin its shape: a scan-stage md5 filter into ONE
+    * percentile aggregate whose state is sample-sized — no SortAggregate,
+    * no full-corpus sorted state. */
+  private[graft] def sampledBoundaries(d: DataFrame, valueCol: String,
+      idCol: String, bins: Int, keepPerMille: Int): DataFrame = {
+    val sampled = d.filter(
+      (conv(substring(md5(concat(lit("ehist:"), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000) < keepPerMille)
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    sampled.agg(expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))"))
+  }
+
   /**
    * The 100 TB form of [[equiHeightHistogram]]: boundaries come from a
    * DETERMINISTIC md5-keyed row sample (`keepPerMille`/1000 of rows, by
@@ -186,19 +199,6 @@ object Profile {
    *              histogram) is identical across runs, engines, and
    *              cluster sizes
    */
-  /** The boundary pass of [[equiHeightHistogramSampled]], exposed so
-    * PlanSpec can pin its shape: a scan-stage md5 filter into ONE
-    * percentile aggregate whose state is sample-sized — no SortAggregate,
-    * no full-corpus sorted state. */
-  private[graft] def sampledBoundaries(d: DataFrame, valueCol: String,
-      idCol: String, bins: Int, keepPerMille: Int): DataFrame = {
-    val sampled = d.filter(
-      (conv(substring(md5(concat(lit("ehist:"), col(idCol).cast("string"))),
-        1, 8), 16, 10).cast("long") % 1000) < keepPerMille)
-    val ps = (1 until bins).map(i => i.toDouble / bins)
-    sampled.agg(expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))"))
-  }
-
   def equiHeightHistogramSampled(df: DataFrame, valueCol: String,
       idCol: String, bins: Int = 4, roundTo: Int = 2,
       keepPerMille: Int = 50): DataFrame = {
