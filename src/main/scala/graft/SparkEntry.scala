@@ -84,7 +84,7 @@ object SparkEntry {
     * them like any other query. */
   val benchExempt: Set[String] =
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
-      "corpus_curate_stats")
+      "lakehouse_pruned_2d", "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1124,6 +1124,31 @@ object SparkEntry {
         s"graft_lh_events_$tag", s"graft_lh_customer_$tag",
         "user_id", "c_custkey")
         .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // The z-order SHOWCASE: a conjunction over BOTH clustered columns
+    // (user band x middle-30%-to-50% time band) prunes on each range at
+    // once — a leading-column sort could only use one. Time bounds are
+    // integer micros derived with integer arithmetic (t0 + (span*3)/10),
+    // floor-exact in both engines; the oracle is the plain two-range
+    // filter-aggregate, so pruning drift on EITHER dimension mismatches.
+    "lakehouse_pruned_2d" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-2d-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts_us"))
+      graft.operators.Lakehouse.writeClustered(ev, base,
+        Seq("user_id", "ts_us"), files = 16)
+      val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      require(!b.isNullAt(0), "lakehouse_pruned_2d: events table is empty")
+      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (t0 + (t1 - t0) * 3 / 10, t0 + (t1 - t0) * 5 / 10)
+      graft.operators.Lakehouse.prunedReadMulti(s, base, Seq(
+          ("user_id", 4.0, 7.0), ("ts_us", lo.toDouble, hi.toDouble)))
+        .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
     }),
@@ -3003,6 +3028,21 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE user_id BETWEEN 4 AND 7
         |GROUP BY 1, 2""".stripMargin,
+
+    // both pruning dimensions must be row-invisible: the 2-D pruned read
+    // equals the plain two-range filter-aggregate (integer-floor time
+    // band arithmetic identical in both engines)
+    "lakehouse_pruned_2d" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events, b
+        |WHERE user_id BETWEEN 4 AND 7
+        |  AND epoch_us(ts) >= b.t0 + (b.t1 - b.t0) * 3 // 10
+        |  AND epoch_us(ts) <= b.t0 + (b.t1 - b.t0) * 5 // 10
+        |GROUP BY 1""".stripMargin,
 
     // the no-drift contract of incremental ingest: initial write + delta
     // append + manifest-pruned read must equal one plain filter-aggregate
