@@ -1198,9 +1198,9 @@ object SparkEntry {
         base, Seq("user_id", "ts_us"), files = 8)
       graft.operators.Lakehouse.appendClustered(ev.filter(isDelta),
         base, Seq("user_id", "ts_us"), files = 6)
-      // total rows from the just-written manifest (#files rows), not
+      // total rows from the just-committed manifest (#files rows), not
       // another full events scan — the cheap path the module exists for
-      val nRows = s.read.parquet(s"$base/_manifest")
+      val nRows = graft.operators.Lakehouse.readManifest(s, base)
         .agg(sum(col("n_rows"))).head().getLong(0)
       graft.operators.Lakehouse.compact(s, base, Seq("user_id", "ts_us"),
         minRows = nRows / 20, files = 2)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,31 +12,182 @@ import org.apache.spark.sql.functions._
  * log and Iceberg's manifests provide, built from plain parquet +
  * DataFrame ops.
  *
+ * == The commit log ==
+ *
+ * Every mutation commits a NEW manifest snapshot under a versioned log:
+ *
+ * {{{
+ *   path/data/part-*.parquet          the immutable data files
+ *   path/_log/v0000000042/manifest/   full stats snapshot (1 row/file)
+ *   path/_log/v0000000042/_commit     marker: op + streamId + batchId
+ * }}}
+ *
+ * A version becomes visible atomically when its `_commit` marker lands
+ * (written to `_commit.tmp`, then renamed — rename-to-a-new-name is
+ * atomic on HDFS, object-store committers, and local FS alike). Readers
+ * resolve "latest committed version" once per read and replay exactly
+ * that snapshot, which gives SNAPSHOT ISOLATION through concurrent
+ * [[compact]]/[[appendClustered]] calls: no mutation ever rewrites or
+ * deletes a file an existing snapshot references — superseded files are
+ * reclaimed only by an explicit [[vacuum]]. A version directory without
+ * a marker is an invisible crashed attempt; the next writer (or
+ * [[vacuum]]) reclaims it. Writers are SINGLE-WRITER by contract (same
+ * as a Delta table without a coordination service); a lost race still
+ * fails loudly — the second writer's manifest write or marker rename
+ * throws rather than corrupting the log.
+ *
+ * Each `_commit` records a `(streamId, batchId)` pair, the Delta `txn`
+ * action analog: [[graft.streaming.LakehouseIngest]] fences re-delivered
+ * `foreachBatch` batches on it, upgrading streaming ingest from
+ * at-least-once to EXACTLY-ONCE (spec-pinned by replaying a batch and
+ * observing unchanged row counts).
+ *
  * Scale shape: the manifest holds one row per DATA FILE (not per row), so
  * planning a pruned read is a driver-side replay of a #files-row table —
  * exactly Delta-log/Iceberg-manifest sized, the one collect in this
- * module and legitimate for the same reason theirs is. Because the data
- * is z-ordered on the stats columns, every file covers a tight
- * hyper-rectangle in ALL of them at once, so a range predicate on ANY
- * clustered column eliminates most files before a byte of data is read.
+ * module and legitimate for the same reason theirs is. Commit markers are
+ * ~100-byte files read driver-side (#versions of them — the Delta log
+ * listing); [[vacuum]] drops superseded manifests but keeps every marker,
+ * so txn fencing survives maintenance. Because the data is z-ordered on
+ * the stats columns, every file covers a tight hyper-rectangle in ALL of
+ * them at once, so a range predicate on ANY clustered column eliminates
+ * most files before a byte of data is read.
  */
 object Lakehouse {
 
+  // ------------------------------------------------------------------
+  // log protocol
+  // ------------------------------------------------------------------
+
+  private val VersionDirRe = "^v(\\d{10})$".r
+
+  private def logDir(path: String) = s"$path/_log"
+  private def versionDir(path: String, v: Long) = f"${logDir(path)}/v$v%010d"
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed versions, ascending — a directory listing of `_log`
+    * filtered to dirs whose `_commit` marker exists (a marker-less dir is
+    * an invisible crashed attempt). Driver-sized: #versions entries. */
+  private def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    val ld = new Path(logDir(path))
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionDirRe(n) if fs.exists(new Path(st.getPath, "_commit")) =>
+          Some(n.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  /** Latest committed version, or -1 if `path` holds no log. */
+  def latestVersion(spark: SparkSession, path: String): Long =
+    committedVersions(spark, path).lastOption.getOrElse(-1L)
+
+  /** The live stats manifest (one row per data file of the latest
+    * committed snapshot). */
+  def readManifest(spark: SparkSession, path: String): DataFrame = {
+    val v = latestVersion(spark, path)
+    require(v >= 0, s"no committed lakehouse log at $path — writeClustered first")
+    manifestAt(spark, path, v)
+  }
+
+  /** The stats manifest of a PINNED version — the snapshot-isolation
+    * read path: a reader that resolved version `v` keeps replaying `v`'s
+    * manifest (and its data files, which no mutation deletes) however
+    * many commits land meanwhile. Valid until a [[vacuum]] whose
+    * `retainVersions` window has moved past `v`. */
+  def manifestAt(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.parquet(s"${versionDir(path, version)}/manifest")
+
+  /** Highest `batchId` ever committed for `streamId`, or -1 — the Delta
+    * `txn` lookup [[graft.streaming.LakehouseIngest]] fences on. Scans
+    * every commit marker (tiny, driver-side); [[vacuum]] preserves
+    * markers precisely so this survives manifest pruning. */
+  def lastCommittedBatch(spark: SparkSession, path: String,
+      streamId: String): Long = {
+    require(streamId.nonEmpty, "lastCommittedBatch: empty streamId")
+    val fs = fsOf(spark, path)
+    committedVersions(spark, path).foldLeft(-1L) { (best, v) =>
+      val c = readCommit(fs, path, v)
+      if (c.streamId == streamId) math.max(best, c.batchId) else best
+    }
+  }
+
+  private case class CommitInfo(op: String, streamId: String, batchId: Long)
+
+  private def readCommit(fs: FileSystem, path: String, v: Long): CommitInfo = {
+    val in = fs.open(new Path(versionDir(path, v), "_commit"))
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    CommitInfo(props.getProperty("op", ""), props.getProperty("streamId", ""),
+      props.getProperty("batchId", "-1").toLong)
+  }
+
+  /** Writes `manifest` as the next snapshot and makes it visible with an
+    * atomic marker rename. Fail-loud on a lost writer race: the manifest
+    * write (`mode=error`) or the rename throws before anything becomes
+    * visible. Crashed-attempt debris at this version (dir, no marker) is
+    * reclaimed first — safe under the single-writer contract. */
+  private def commitVersion(spark: SparkSession, path: String,
+      manifest: DataFrame, op: String, streamId: String,
+      batchId: Long): Long = {
+    val fs = fsOf(spark, path)
+    val v = latestVersion(spark, path) + 1
+    val vd = new Path(versionDir(path, v))
+    if (fs.exists(vd)) {
+      if (fs.exists(new Path(vd, "_commit")))
+        throw new IllegalStateException(
+          s"lakehouse log at $path: version $v committed concurrently — " +
+            "this layout is single-writer")
+      fs.delete(vd, true)
+    }
+    manifest.coalesce(1).write.mode("error")
+      .parquet(new Path(vd, "manifest").toString)
+    val props = new java.util.Properties()
+    props.setProperty("op", op)
+    props.setProperty("streamId", streamId)
+    props.setProperty("batchId", batchId.toString)
+    val tmp = new Path(vd, "_commit.tmp")
+    val out = fs.create(tmp, false)
+    try props.store(out, null) finally out.close()
+    if (!fs.rename(tmp, new Path(vd, "_commit")))
+      throw new IllegalStateException(
+        s"lakehouse log at $path: commit marker rename for version $v " +
+          "failed — concurrent writer?")
+    v
+  }
+
+  // ------------------------------------------------------------------
+  // writes
+  // ------------------------------------------------------------------
+
   /**
-   * Writes `df` z-clustered on `zCols` into `files` parquet files under
-   * `path/data`, then writes a one-row-per-file stats manifest
-   * (min/max of every `zCols` member + row count) under
-   * `path/_manifest`. The stats pass is a column-pruned scan of just the
+   * Creates a FRESH layout: writes `df` z-clustered on `zCols` into
+   * `files` parquet files under `path/data`, then commits version 0 of
+   * the one-row-per-file stats manifest (min/max of every `zCols` member
+   * + row count). Any prior log at `path` is dropped (create-table
+   * semantics). The stats pass is a column-pruned scan of just the
    * clustered columns grouped by `input_file_name()` — on columnar
    * storage it reads only those columns, the analog of collecting
    * footer stats at write time.
+   *
+   * `streamId`/`batchId` stamp the commit for txn fencing when the
+   * creating write IS a stream's first batch (see
+   * [[graft.streaming.LakehouseIngest]]); leave defaulted otherwise.
    */
   def writeClustered(df: DataFrame, path: String, zCols: Seq[String],
-      files: Int, bits: Int = 16): Unit = {
-    Zorder.writeZOrdered(df, zCols, s"$path/data", files, bits)
+      files: Int, bits: Int = 16, streamId: String = "",
+      batchId: Long = -1L): Unit = {
     val spark = df.sparkSession
-    statsOf(spark.read.parquet(s"$path/data"), zCols)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
+    fsOf(spark, path).delete(new Path(logDir(path)), true)
+    Zorder.writeZOrdered(df, zCols, s"$path/data", files, bits)
+    commitVersion(spark, path,
+      statsOf(spark.read.parquet(s"$path/data"), zCols),
+      "create", streamId, batchId)
   }
 
   /** One manifest row per file of `data`: min/max of every clustered
@@ -49,26 +201,37 @@ object Lakehouse {
     data.select(input_file_name().as("file") +: zCols.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
   }
 
   /** Data-file listing (driver-side, manifest-replay sized). */
   private def listData(spark: SparkSession, path: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/data")
+    val p = new Path(s"$path/data")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).iterator
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toUri.toString).toSet
   }
 
+  /** Scheme-insensitive file identity (`file:///x` == `file:/x`) for
+    * comparing manifest URIs (from `input_file_name()`) against listing
+    * URIs (from `FileStatus`). */
+  private def pathKey(uri: String): String = new java.net.URI(uri).getPath
+
   /**
    * The nightly-ingest shape: appends `df` as a NEW z-clustered batch of
    * `files` parquet files to an existing [[writeClustered]] layout and
-   * appends the new files' stats rows to the manifest — no existing data
-   * file or manifest row is rewritten, and [[prunedRead]] stays exact
-   * over the union (spec-pinned). Each batch is z-scaled on its OWN
-   * min/max bounds: clustering quality is per-batch, manifest stats (the
-   * thing pruning reads) are exact regardless.
+   * commits a snapshot extending the live manifest with the new files'
+   * stats rows — no existing data file or manifest row is rewritten, and
+   * [[prunedRead]] stays exact over the union (spec-pinned). Each batch
+   * is z-scaled on its OWN min/max bounds: clustering quality is
+   * per-batch, manifest stats (the thing pruning reads) are exact
+   * regardless.
+   *
+   * With a non-empty `streamId`, the commit is fenced: a `batchId` at or
+   * below the highest already committed for that stream throws instead
+   * of double-appending (callers that want skip-not-throw check
+   * [[lastCommittedBatch]] first, as [[graft.streaming.LakehouseIngest]]
+   * does).
    *
    * The new-file set is the before/after listing diff — driver-sized
    * here; a production writer would thread the committed file list out
@@ -76,19 +239,27 @@ object Lakehouse {
    * reads ONLY the new files.
    */
   def appendClustered(df: DataFrame, path: String, zCols: Seq[String],
-      files: Int, bits: Int = 16): Unit = {
+      files: Int, bits: Int = 16, streamId: String = "",
+      batchId: Long = -1L): Unit = {
     val spark = df.sparkSession
-    require(spark.read.parquet(s"$path/_manifest").columns
-        .toSet == statsOf(df.limit(0), zCols).columns.toSet,
+    val live = readManifest(spark, path)
+    require(live.columns.toSet == statsOf(df.limit(0), zCols).columns.toSet,
       s"appendClustered: zCols $zCols do not match the manifest at $path " +
         "— an appended batch must carry stats for the SAME clustered " +
         "columns or pruning would silently skip it")
+    if (streamId.nonEmpty && batchId <= lastCommittedBatch(spark, path, streamId))
+      throw new IllegalStateException(
+        s"appendClustered: batch $batchId of stream '$streamId' is already " +
+          s"committed at $path — a re-delivered batch must be skipped, " +
+          "not re-appended")
     val before = listData(spark, path)
     Zorder.writeZOrderedAppend(df, zCols, s"$path/data", files, bits)
     val newFiles = (listData(spark, path) -- before).toSeq
     require(newFiles.nonEmpty, "appendClustered: the write added no files")
-    statsOf(spark.read.parquet(newFiles: _*), zCols)
-      .write.mode("append").parquet(s"$path/_manifest")
+    val added = statsOf(spark.read.parquet(newFiles: _*), zCols)
+      .select(live.columns.map(col): _*)
+    commitVersion(spark, path, live.unionByName(added), "append",
+      streamId, batchId)
   }
 
   /**
@@ -97,19 +268,19 @@ object Lakehouse {
    * re-clustered together into `files` new z-ordered files; every other
    * data file — and its manifest row — is untouched. Returns
    * (filesCompacted, filesWritten); a no-op (0 or 1 small file) returns
-   * without writing.
+   * without committing.
    *
    * Scale shape: the decision pass is the driver-side manifest replay
    * (#files rows); only the small files' bytes are read and rewritten.
-   * Like the rest of this module it assumes a SINGLE writer — there is
-   * no transaction log, so a concurrent reader can observe the window
-   * between the manifest swap and the old-file deletes (it would read
-   * stale-but-correct data, never a torn manifest, because the new
-   * manifest is written before any delete).
+   * The compacted originals are NOT deleted — the new snapshot just stops
+   * referencing them, so a reader pinned on the previous version (or one
+   * that resolved "latest" a moment before this commit) keeps reading a
+   * consistent, complete snapshot. [[vacuum]] reclaims the superseded
+   * bytes once no retained version references them.
    */
   def compact(spark: SparkSession, path: String, zCols: Seq[String],
       minRows: Long, files: Int, bits: Int = 16): (Int, Int) = {
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = readManifest(spark, path)
     require(m.columns.contains("n_rows"),
       s"manifest at $path has no n_rows column")
     val small = m.filter(col("n_rows") < minRows)
@@ -119,25 +290,59 @@ object Lakehouse {
     Zorder.writeZOrderedAppend(spark.read.parquet(small: _*), zCols,
       s"$path/data", files, bits)
     val newFiles = (listData(spark, path) -- before).toSeq
-    // survivors + the replacement rows become the NEW manifest; it lands
-    // (staged then swapped, both driver-sized writes) BEFORE the
-    // compacted originals are deleted, so no reader window sees rows
-    // pointing at deleted files alongside missing replacements
-    val smallSet = small.toSet
     val kept = m.filter(!col("file").isin(small: _*))
     val replacement = kept.unionByName(
-      statsOf(spark.read.parquet(newFiles: _*), zCols).select(kept.columns.map(col): _*))
-    val staged = s"$path/_manifest_staged"
-    replacement.coalesce(1).write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
-    smallSet.foreach(f =>
-      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
+      statsOf(spark.read.parquet(newFiles: _*), zCols)
+        .select(kept.columns.map(col): _*))
+    commitVersion(spark, path, replacement, "compact", "", -1L)
     (small.size, newFiles.size)
   }
+
+  /**
+   * Reclaims storage the log no longer needs: data files referenced by
+   * NONE of the last `retainVersions` committed snapshots (compacted-away
+   * originals, crashed-append leftovers, any orphan under `data/`),
+   * superseded versions' manifest parquet, and marker-less
+   * crashed-attempt version dirs. Commit MARKERS are kept for every
+   * version so [[lastCommittedBatch]] fencing survives. Returns
+   * (dataFilesDeleted, manifestsPruned).
+   *
+   * Contract: snapshots older than the retained window stop being
+   * readable — the same retention trade Delta's `VACUUM` makes. Run it
+   * from the single writer (or its maintenance window), sized so
+   * `retainVersions` outlives the longest concurrent reader.
+   */
+  def vacuum(spark: SparkSession, path: String,
+      retainVersions: Int = 1): (Int, Int) = {
+    require(retainVersions >= 1,
+      s"vacuum: retainVersions must be >= 1, got $retainVersions")
+    val fs = fsOf(spark, path)
+    val committed = committedVersions(spark, path)
+    require(committed.nonEmpty, s"no committed lakehouse log at $path")
+    val retained = committed.takeRight(retainVersions)
+    val live: Set[String] = retained.flatMap { v =>
+      manifestAt(spark, path, v).select(col("file")).collect()
+        .map(r => pathKey(r.getString(0)))
+    }.toSet
+    val dead = listData(spark, path).toSeq.filterNot(f => live(pathKey(f)))
+    dead.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
+    val pruned = committed.dropRight(retainVersions).count { v =>
+      val mp = new Path(versionDir(path, v), "manifest")
+      fs.exists(mp) && fs.delete(mp, true)
+    }
+    fs.listStatus(new Path(logDir(path))).foreach { st =>
+      st.getPath.getName match {
+        case VersionDirRe(_) if !fs.exists(new Path(st.getPath, "_commit")) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    (dead.size, pruned)
+  }
+
+  // ------------------------------------------------------------------
+  // reads
+  // ------------------------------------------------------------------
 
   /** Manifest replay: the data files whose `[min_c, max_c]` interval
     * overlaps `[lo, hi]` on `predCol`, plus the total file count.
@@ -156,7 +361,7 @@ object Lakehouse {
   def selectFilesMulti(spark: SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): (Seq[String], Int) = {
     require(ranges.nonEmpty, "selectFilesMulti: need at least one range")
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = readManifest(spark, path)
     ranges.foreach { case (c, _, _) =>
       require(m.columns.contains(s"min_$c"),
         s"manifest at $path has no stats for column '$c' — it was " +

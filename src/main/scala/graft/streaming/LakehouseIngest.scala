@@ -7,44 +7,61 @@ import graft.operators.Lakehouse
 
 /**
  * Micro-batch ingest into a [[graft.operators.Lakehouse]] layout: each
- * micro-batch lands as its own z-clustered batch of files plus manifest
- * rows ([[Lakehouse.appendClustered]]; the first batch creates the
- * layout). This is the continuously-maintained form of the nightly
- * append — readers run [[Lakehouse.prunedRead]] against a layout that
- * grows file-granularly while the stream runs, and periodic
- * [[Lakehouse.compact]] folds the micro-batch debris (small files are
- * the KNOWN cost of streaming into a clustered layout; compaction is the
- * maintenance pass, exactly as in Delta/Iceberg deployments).
+ * micro-batch lands as its own z-clustered batch of files plus a new
+ * manifest snapshot ([[Lakehouse.appendClustered]]; the first batch
+ * creates the layout). This is the continuously-maintained form of the
+ * nightly append — readers run [[Lakehouse.prunedRead]] against a layout
+ * that grows file-granularly while the stream runs, and periodic
+ * [[Lakehouse.compact]] + [[Lakehouse.vacuum]] fold the micro-batch
+ * debris (small files are the KNOWN cost of streaming into a clustered
+ * layout; compaction is the maintenance pass, exactly as in
+ * Delta/Iceberg deployments).
  *
- * Delivery contract: AT-LEAST-ONCE. `foreachBatch` re-runs a batch after
- * a failure, and this sink has no transaction log to make the second
- * attempt a no-op — a re-run batch appends its rows again. Deployments
- * needing exactly-once put an idempotent key in the data and compact
- * with [[graft.operators.Cdc.latestByKey]] semantics downstream, or
- * fence on `batchId` in an external store. The spec pins the happy-path
- * stream == batch identity; the contract is stated here because the
- * failure path CANNOT be pinned without a txn log by design.
+ * Delivery contract: EXACTLY-ONCE. `foreachBatch` re-runs a batch after
+ * a crash between the sink write and the checkpoint commit; every
+ * lakehouse commit records `(streamId, batchId)` (the Delta `txn`
+ * analog), so [[processBatch]] fences the re-delivery — a batchId at or
+ * below [[Lakehouse.lastCommittedBatch]] is a no-op, and the fence
+ * SURVIVES checkpoint loss because it lives in the table's own log, not
+ * in the stream's checkpoint. Spec-pinned by replaying a batch (and by a
+ * full checkpoint-wipe restart) and observing unchanged row counts.
+ * `streamId` defaults to the checkpoint path; pass an explicit stable id
+ * when the checkpoint may move between deployments.
  */
 object LakehouseIngest {
+
+  /** The per-batch commit step, exposed so the crash-replay spec can
+    * re-deliver a batchId deterministically. Batch 0 on an empty path
+    * creates the layout (a crash mid-create left no committed version,
+    * so the retried create overwrites cleanly); a batchId already in the
+    * log is skipped — the exactly-once fence. */
+  def processBatch(batch: DataFrame, batchId: Long, path: String,
+      zCols: Seq[String], filesPerBatch: Int, streamId: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    if (Lakehouse.latestVersion(spark, path) < 0)
+      Lakehouse.writeClustered(batch, path, zCols, filesPerBatch,
+        streamId = streamId, batchId = batchId)
+    else if (batchId > Lakehouse.lastCommittedBatch(spark, path, streamId))
+      Lakehouse.appendClustered(batch, path, zCols, filesPerBatch,
+        streamId = streamId, batchId = batchId)
+    // else: fenced — this batch's commit already landed; the re-delivery
+    // (crash between sink commit and checkpoint commit) is a no-op
+  }
 
   /** Starts the ingest; caller awaits termination. `filesPerBatch` sizes
     * each micro-batch's z-range split — keep it small (micro-batches are
     * small) and let [[Lakehouse.compact]] consolidate. */
   def start(stream: DataFrame, path: String, zCols: Seq[String],
       filesPerBatch: Int, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      streamId: String = ""): StreamingQuery = {
+    val sid = if (streamId.nonEmpty) streamId else checkpoint
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-          val exists =
-            fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))
-          if (exists) Lakehouse.appendClustered(batch, path, zCols, filesPerBatch)
-          else Lakehouse.writeClustered(batch, path, zCols, filesPerBatch)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, path, zCols, filesPerBatch, sid)
       }
       .start()
   }

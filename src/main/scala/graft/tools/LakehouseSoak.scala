@@ -63,6 +63,9 @@ object LakehouseSoak {
     // below the 64 initial files' size (n/64 vs appendRows/2 = n/200)
     val ((compacted, written), tCompact) = timed(
       Lakehouse.compact(spark, base, zCols, minRows = n / 100, files = 4))
+    // compact defers deletes for snapshot isolation; vacuum is the
+    // maintenance pass that reclaims the superseded bytes
+    val ((reclaimed, _), tVacuum) = timed(Lakehouse.vacuum(spark, base))
     val (keptAfter, filesAfter) = Lakehouse.selectFiles(spark, base, "k", 0, 99)
     val (okAfter, tSweep2) = timed(sweep())
 
@@ -75,11 +78,12 @@ object LakehouseSoak {
       // maintenance pass
       s""","pruned_fraction_before":${f(kept.size.toDouble / filesBefore)}""" +
       s""","compacted":$compacted,"compact_written":$written""" +
+      s""","vacuum_reclaimed":$reclaimed""" +
       s""","files_after":$filesAfter""" +
       s""","pruned_fraction_after":${f(keptAfter.size.toDouble / filesAfter)}""" +
       s""","sweep_exact_before":$okBefore,"sweep_exact_after":$okAfter""" +
       s""","write_sec":${f(tWrite)},"append_sec":${f(tAppend)}""" +
-      s""","compact_sec":${f(tCompact)}""" +
+      s""","compact_sec":${f(tCompact)},"vacuum_sec":${f(tVacuum)}""" +
       s""","sweep_sec":[${f(tSweep1)},${f(tSweep2)}]}""")
     require(okBefore && okAfter, "pruned sweep drifted from full-scan truth")
     spark.stop()

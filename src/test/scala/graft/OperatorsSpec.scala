@@ -1195,7 +1195,18 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
     assert(bigBefore.forall { case (n, m) => after.get(n).contains(m) },
       "compaction touched a big file")
-    assert(after.size === 5, s"expected 4 big + 1 merged, found ${after.size}")
+    // deferred-delete contract: the 4 compacted originals stay on disk
+    // (a reader pinned on the pre-compact snapshot still needs them)
+    // until vacuum reclaims them; the LIVE manifest already dropped them
+    assert(after.size === 9, s"expected 4 big + 4 superseded + 1 merged, found ${after.size}")
+    val (reclaimed, prunedManifests) = Lakehouse.vacuum(spark, dir)
+    assert(reclaimed === 4, s"vacuum reclaimed $reclaimed files, expected the 4 compacted originals")
+    assert(prunedManifests === 3, s"vacuum pruned $prunedManifests superseded manifests (create + 2 appends)")
+    val afterVacuum = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    assert(afterVacuum.size === 5, s"expected 4 big + 1 merged after vacuum, found ${afterVacuum.size}")
+    assert(bigBefore.forall { case (n, m) => afterVacuum.get(n).contains(m) },
+      "vacuum touched a live file")
     val (kept, total) = Lakehouse.selectFiles(spark, dir, "k", 0, 1000)
     assert(total === 5 && kept.size === 5,
       s"manifest should hold 5 rows covering everything: $total/${kept.size}")
@@ -1252,6 +1263,84 @@ class OperatorsSpec extends AnyFunSuite {
         s"adding the ts range pruned nothing extra ($twoD vs $oneD files) — " +
           "the layout is not multi-dimension clustered")
     }
+  }
+
+  test("lakehouse: pinned snapshot reads stay consistent through compact; vacuum honors retention") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-log").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 2000), dir, Seq("k", "t"), files = 2)
+    Lakehouse.appendClustered(mk(2000, 2100), dir, Seq("k", "t"), files = 1)
+    Lakehouse.appendClustered(mk(2100, 2200), dir, Seq("k", "t"), files = 1)
+    assert(Lakehouse.latestVersion(spark, dir) === 2L)
+    // pin the pre-compact snapshot the way a reader that resolved
+    // "latest" a moment before the compact commit would
+    val pinned = Lakehouse.manifestAt(spark, dir, 2)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val truth = mk(0, 2200).filter(col("k") >= 10 && col("k") <= 19)
+    val (c, w) = Lakehouse.compact(spark, dir, Seq("k", "t"),
+      minRows = 500, files = 1)
+    assert(c === 2 && w === 1, s"compacted $c -> $w")
+    assert(Lakehouse.latestVersion(spark, dir) === 3L)
+    // the pinned reader sees EXACTLY the old snapshot — every file it
+    // references still exists (compact defers deletes to vacuum), so the
+    // read is complete and consistent, never a mix of old and new
+    val oldRead = spark.read.parquet(pinned: _*)
+      .filter(col("k") >= 10 && col("k") <= 19)
+    assert(oldRead.exceptAll(truth).isEmpty && truth.exceptAll(oldRead).isEmpty,
+      "pinned pre-compact snapshot drifted")
+    // the live reader sees exactly the new snapshot
+    val liveRead = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
+    assert(liveRead.exceptAll(truth).isEmpty && truth.exceptAll(liveRead).isEmpty,
+      "post-compact live read drifted")
+    // a 2-version retention keeps the pinned snapshot's files alive
+    val (r2, _) = Lakehouse.vacuum(spark, dir, retainVersions = 2)
+    assert(r2 === 0, s"vacuum(retain=2) deleted $r2 files still referenced by v2")
+    val oldRead2 = spark.read.parquet(pinned: _*)
+      .filter(col("k") >= 10 && col("k") <= 19)
+    assert(oldRead2.exceptAll(truth).isEmpty && truth.exceptAll(oldRead2).isEmpty,
+      "retained snapshot became unreadable after vacuum(retain=2)")
+    // moving the window past v2 reclaims exactly the compacted originals
+    val (r1, _) = Lakehouse.vacuum(spark, dir, retainVersions = 1)
+    assert(r1 === 2, s"vacuum(retain=1) reclaimed $r1 files, expected the 2 small appends")
+    val liveRead2 = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
+    assert(liveRead2.exceptAll(truth).isEmpty && truth.exceptAll(liveRead2).isEmpty,
+      "live read drifted after vacuum")
+  }
+
+  test("lakehouse: vacuum sweeps orphan data files and crashed-attempt versions") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-orphan").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 2)
+    // plant an orphan data file (what a crashed append leaves behind:
+    // bytes on disk, no manifest row) and a marker-less version dir (a
+    // crashed commit attempt)
+    val dataDir = new java.io.File(s"$dir/data")
+    val donor = dataDir.listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(donor.toPath,
+      dataDir.toPath.resolve("part-orphan-crashed-append.snappy.parquet"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_log/v0000000007"))
+    // reads go through the manifest's explicit file list, so neither
+    // plant is visible — and the marker-less dir is not "latest"
+    assert(Lakehouse.latestVersion(spark, dir) === 0L)
+    val truth = mk(0, 1000).filter(col("k") >= 10 && col("k") <= 19)
+    val before = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
+    assert(before.exceptAll(truth).isEmpty && truth.exceptAll(before).isEmpty,
+      "orphan file leaked into a manifest-pruned read")
+    val (reclaimed, prunedManifests) = Lakehouse.vacuum(spark, dir)
+    assert(reclaimed === 1, s"vacuum reclaimed $reclaimed files, expected the 1 orphan")
+    assert(prunedManifests === 0)
+    assert(!dataDir.listFiles().exists(_.getName.contains("orphan")),
+      "orphan data file survived vacuum")
+    assert(!new java.io.File(s"$dir/_log/v0000000007").exists(),
+      "crashed-attempt version dir survived vacuum")
+    val after = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
+    assert(after.exceptAll(truth).isEmpty && truth.exceptAll(after).isEmpty,
+      "vacuum changed a live read")
   }
 
   test("equiHeightHistogram: quartile boundaries, equal buckets, null drop") {

@@ -597,6 +597,21 @@ class StreamingSpec extends AnyFunSuite {
     val expect = ev.filter(col("user_id") >= 4 && col("user_id") <= 7)
     assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
       "streamed layout drifted from the batch source")
+    // the exactly-once fence lives in the TABLE's log, not the stream's
+    // checkpoint: wipe the checkpoint and replay the entire source under
+    // the same streamId (the default — the checkpoint path). Every
+    // batchId is re-delivered from 0 and every one is fenced, so the
+    // layout commits nothing and stays row-identical.
+    val vBefore = Lakehouse.latestVersion(spark, layout)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val q2 = graft.streaming.LakehouseIngest.start(stream, layout,
+      Seq("user_id", "ts_us"), filesPerBatch = 2, checkpoint = ckpt)
+    q2.awaitTermination()
+    assert(Lakehouse.latestVersion(spark, layout) === vBefore,
+      "checkpoint-wipe replay committed new versions — the fence failed")
+    val replayed = Lakehouse.prunedRead(spark, layout, "user_id", 4, 7)
+    assert(replayed.exceptAll(expect).isEmpty && expect.exceptAll(replayed).isEmpty,
+      "checkpoint-wipe replay changed the layout's rows")
     // the maintenance pass folds the micro-batch debris, still exact
     val (c, w) = Lakehouse.compact(spark, layout, Seq("user_id", "ts_us"),
       minRows = Long.MaxValue, files = 2)
@@ -604,6 +619,46 @@ class StreamingSpec extends AnyFunSuite {
     val pruned2 = Lakehouse.prunedRead(spark, layout, "user_id", 4, 7)
     assert(pruned2.exceptAll(expect).isEmpty && expect.exceptAll(pruned2).isEmpty,
       "compaction after streaming ingest drifted")
+  }
+
+  test("lakehouse ingest fences a re-delivered batch — exactly-once crash replay") {
+    import graft.operators.Lakehouse
+    import graft.streaming.LakehouseIngest
+    // processBatch is foreachBatch's body; calling it twice with the same
+    // batchId IS the crash-between-sink-commit-and-checkpoint-commit
+    // replay, deterministically
+    val dir = Files.createTempDirectory("graft-lh-fence").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    def rows() = Lakehouse.readManifest(spark, dir)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    val sid = "fence-spec"
+    LakehouseIngest.processBatch(mk(0, 500), 0, dir, Seq("k", "t"), 2, sid)
+    LakehouseIngest.processBatch(mk(500, 600), 1, dir, Seq("k", "t"), 1, sid)
+    assert(rows() === 600L)
+    val v = Lakehouse.latestVersion(spark, dir)
+    // re-delivery of batch 1: a no-op — no new version, no doubled rows
+    LakehouseIngest.processBatch(mk(500, 600), 1, dir, Seq("k", "t"), 1, sid)
+    assert(Lakehouse.latestVersion(spark, dir) === v,
+      "re-delivered batch committed a new version")
+    assert(rows() === 600L, "re-delivered batch doubled its rows")
+    // re-delivery of batch 0 (the layout-CREATING batch): also fenced
+    LakehouseIngest.processBatch(mk(0, 500), 0, dir, Seq("k", "t"), 2, sid)
+    assert(rows() === 600L, "re-delivered create batch doubled its rows")
+    // a direct append that bypasses the skip fails loudly instead
+    intercept[IllegalStateException](Lakehouse.appendClustered(
+      mk(500, 600), dir, Seq("k", "t"), 1, streamId = sid, batchId = 1))
+    // the NEXT batch still lands, and an unrelated stream is not fenced
+    LakehouseIngest.processBatch(mk(600, 650), 2, dir, Seq("k", "t"), 1, sid)
+    assert(rows() === 650L)
+    LakehouseIngest.processBatch(mk(650, 700), 0, dir, Seq("k", "t"), 1,
+      "other-stream")
+    assert(rows() === 700L, "an unrelated stream's batch 0 was fenced")
+    // and the layout's data is exactly the union of the committed batches
+    val truth = mk(0, 700)
+    val all = Lakehouse.prunedRead(spark, dir, "k", 0, 49)
+    assert(all.exceptAll(truth).isEmpty && truth.exceptAll(all).isEmpty,
+      "fenced layout drifted from the committed-batch union")
   }
 
   test("stateful ops run on the RocksDB state store with identical output") {
