@@ -84,7 +84,7 @@ object SparkEntry {
     * them like any other query. */
   val benchExempt: Set[String] =
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
-      "lakehouse_pruned_2d", "corpus_curate_stats")
+      "lakehouse_pruned_2d", "lakehouse_pruned_date", "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1206,6 +1206,36 @@ object SparkEntry {
         minRows = nRows / 20, files = 2)
       graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
         .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // The typed-pruning path — the data-card read whose first predicate
+    // is a CATEGORY and a CALENDAR DATE, not a number: events z-clustered
+    // on (event_type, event_date), read back through string-equality +
+    // date-band manifest pruning. The oracle is the plain two-predicate
+    // filter-aggregate, so a file the typed replay wrongly skips (or a
+    // residual comparing in the wrong collation/type) hash-mismatches.
+    // Dates surface as epoch-day BIGINT (the q23 convention) so the
+    // cross-engine compare is integer-exact.
+    "lakehouse_pruned_date" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-date-$tag"
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts").cast("date").as("event_date"))
+      graft.operators.Lakehouse.writeClustered(ev, base,
+        Seq("event_type", "event_date"), files = 16)
+      val b = ev.agg(min(col("event_date")), max(col("event_date"))).head()
+      require(!b.isNullAt(0), "lakehouse_pruned_date: events table is empty")
+      val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+      val (lo, hi) = (d0.plusDays(span * 3 / 10), d0.plusDays(span * 5 / 10))
+      graft.operators.Lakehouse.prunedReadTyped(s, base, Seq(
+          ("event_type", "click", "click"),
+          ("event_date", lo.toString, hi.toString)))
+        .groupBy(unix_date(col("event_date")).cast("long").as("event_day"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
     }),
@@ -3061,6 +3091,25 @@ object SparkEntry {
         |       round(sum(value), 2) AS total_value
         |FROM events
         |WHERE user_id BETWEEN 4 AND 7
+        |GROUP BY 1""".stripMargin,
+
+    // typed (string + date) manifest pruning must be row-invisible: the
+    // category-equality x date-band pruned read equals the plain
+    // two-predicate filter-aggregate; the date band is integer-floor
+    // arithmetic on day counts, identical in both engines
+    "lakehouse_pruned_date" ->
+      """WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events
+        |)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |                      CAST(ts AS DATE)) AS BIGINT) AS event_day,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events, b
+        |WHERE event_type = 'click'
+        |  AND CAST(ts AS DATE) >= b.d0 + CAST((b.d1 - b.d0) * 3 // 10 AS INTEGER)
+        |  AND CAST(ts AS DATE) <= b.d0 + CAST((b.d1 - b.d0) * 5 // 10 AS INTEGER)
         |GROUP BY 1""".stripMargin,
 
     "q37_retention" ->

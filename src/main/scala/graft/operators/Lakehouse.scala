@@ -443,4 +443,85 @@ object Lakehouse {
     }.reduce(_ && _)
     scan.filter(exact)
   }
+
+  // ------------------------------------------------------------------
+  // typed reads (string / date / timestamp clustered columns)
+  // ------------------------------------------------------------------
+
+  /** Parses each bound string in `dt` and fails loudly on a bound the
+    * type can't hold (a silent null would prune every file instead).
+    * One 1-row driver job validates ALL bounds at once. */
+  private def typedBounds(spark: SparkSession,
+      ranges: Seq[(String, String, String)],
+      dtOf: String => org.apache.spark.sql.types.DataType)
+      : Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = {
+    val lits = ranges.map { case (c, lo, hi) =>
+      val dt = dtOf(c)
+      (lit(lo).cast(dt), lit(hi).cast(dt))
+    }
+    val probe = try {
+      spark.range(1)
+        .select(lits.zipWithIndex.flatMap { case ((l, h), i) =>
+          Seq(l.as(s"lo$i"), h.as(s"hi$i")) }: _*)
+        .head()
+    } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"typed pruning: a bound does not parse in its column's type " +
+          s"(${ranges.map { case (c, lo, hi) => s"$c: ['$lo','$hi']" }
+            .mkString(", ")})", e)
+    }
+    ranges.zipWithIndex.foreach { case ((c, lo, hi), i) =>
+      require(!probe.isNullAt(2 * i) && !probe.isNullAt(2 * i + 1),
+        s"typed pruning: bound ['$lo','$hi'] does not parse as the type " +
+          s"of column '$c' (${dtOf(c).simpleString})")
+    }
+    lits
+  }
+
+  /** [[selectFilesMulti]] for string / date / timestamp clustered
+    * columns: bounds are given as strings parsed in each stat column's
+    * NATIVE type (`"2026-01-14"` against a date column, a plain string
+    * against a string column — compared with Spark's binary collation,
+    * the same order the z-writer clustered by). Equality is `lo == hi`.
+    * Exact-integral bounds work too; FRACTIONAL numeric bounds belong to
+    * the Double form, whose ceil/floor tightening this path has no need
+    * to replicate. */
+  def selectFilesTyped(spark: SparkSession, path: String,
+      ranges: Seq[(String, String, String)]): (Seq[String], Int) = {
+    require(ranges.nonEmpty, "selectFilesTyped: need at least one range")
+    val m = readManifest(spark, path)
+    ranges.foreach { case (c, _, _) =>
+      require(m.columns.contains(s"min_$c"),
+        s"manifest at $path has no stats for column '$c' — it was " +
+          "not in the write's zCols")
+    }
+    val lits = typedBounds(spark, ranges, c => m.schema(s"min_$c").dataType)
+    // a file survives only if it overlaps EVERY range; null stats mean an
+    // all-null column in that file — no row can match, prune it
+    val keep = ranges.zip(lits).map { case ((c, _, _), (loL, hiL)) =>
+      col(s"max_$c") >= loL && col(s"min_$c") <= hiL
+    }.reduce(_ && _)
+    val rows = m.select(col("file"),
+      coalesce(keep, lit(false)).as("keep")).collect()
+    (rows.toIndexedSeq.filter(_.getBoolean(1)).map(_.getString(0)),
+      rows.length)
+  }
+
+  /** [[prunedReadMulti]] with [[selectFilesTyped]] bounds — the data-card
+    * read path whose first predicate is a date or a category, not a
+    * number. The residual compares in each column's native type (the
+    * bound literal is cast, never the column), so parquet row-group
+    * pushdown survives alongside the manifest-level file skipping. */
+  def prunedReadTyped(spark: SparkSession, path: String,
+      ranges: Seq[(String, String, String)]): DataFrame = {
+    val (files, _) = selectFilesTyped(spark, path, ranges)
+    if (files.isEmpty)
+      return spark.read.parquet(s"$path/data").filter(lit(false))
+    val scan = spark.read.parquet(files: _*)
+    val lits = typedBounds(spark, ranges, c => scan.schema(c).dataType)
+    val exact = ranges.zip(lits).map { case ((c, _, _), (loL, hiL)) =>
+      col(c) >= loL && col(c) <= hiL
+    }.reduce(_ && _)
+    scan.filter(exact)
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /**
  * Z-order (space-filling-curve) clustering for multi-column data
@@ -23,6 +23,33 @@ import org.apache.spark.sql.types.LongType
  */
 object Zorder {
 
+  /** Order-preserving numeric proxy used for z-interleaving only (stats
+    * and residual predicates stay in the column's NATIVE type): numerics
+    * cast to double, dates to epoch days, timestamps to epoch micros,
+    * strings to their first-7-UTF8-bytes big-endian integer. UTF-8 byte
+    * order equals Spark's binary string order, so the string proxy
+    * preserves lexicographic order through the 7-byte prefix — longer
+    * shared prefixes collapse into one z-cell, which only costs
+    * clustering sharpness, never read correctness. TIMESTAMP_NTZ routes
+    * through the session zone (monotone for a fixed zone; Verify/Bench
+    * pin UTC), again clustering-only. */
+  private[operators] def zProxy(df: DataFrame, c: String): Column = {
+    val q = "`" + c.replace("`", "``") + "`"
+    df.schema(c).dataType match {
+      case _: NumericType => col(c).cast(DoubleType)
+      case DateType => unix_date(col(c)).cast(DoubleType)
+      case TimestampType => unix_micros(col(c)).cast(DoubleType)
+      case TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast(DoubleType)
+      case StringType =>
+        expr(s"conv(hex(rpad(encode($q, 'UTF-8'), 7, x'00')), 16, 10)")
+          .cast(DoubleType)
+      case dt => throw new IllegalArgumentException(
+        s"z-order: unsupported type $dt for column '$c' — numeric, " +
+          "date, timestamp, and string columns can be clustered")
+    }
+  }
+
   /** Adds `outCol` = the z-order key of `cols`, each min/max-scaled to
     * `bits` bits. A constant column scales to 0 (no information, no
     * divide-by-zero). */
@@ -33,8 +60,7 @@ object Zorder {
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits=$bits x ${cols.size} dims must fit 62 bits")
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).cast("double").as(s"lo$i"),
-        max(col(c)).cast("double").as(s"hi$i"))
+      Seq(min(zProxy(df, c)).as(s"lo$i"), max(zProxy(df, c)).as(s"hi$i"))
     }
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.foreach { case (c, i) =>
@@ -47,7 +73,7 @@ object Zorder {
       val lo = bounds.getDouble(2 * i)
       val hi = bounds.getDouble(2 * i + 1)
       if (hi == lo) lit(0L)
-      else floor((col(c).cast("double") - lit(lo)) * lit(top.toDouble / (hi - lo)))
+      else floor((zProxy(df, c) - lit(lo)) * lit(top.toDouble / (hi - lo)))
         .cast(LongType)
     }
     df.withColumn(outCol, graft.functions.z_order(scaled: _*))

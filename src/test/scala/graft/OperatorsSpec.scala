@@ -1343,6 +1343,55 @@ class OperatorsSpec extends AnyFunSuite {
       "vacuum changed a live read")
   }
 
+  test("lakehouse: string and date clustered columns prune files and stay row-exact") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-typed").toString
+    // the data-card shape whose first predicate is a date or a category,
+    // not a number: cluster on (event_type, event_date)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("date").as("event_date"))
+    Lakehouse.writeClustered(ev, dir, Seq("event_type", "event_date"),
+      files = 12)
+    val full = spark.read.parquet(s"$dir/data")
+    // category equality (lo == hi on the string column) skips files
+    val eq = Seq(("event_type", "click", "click"))
+    val (keptS, totalS) = Lakehouse.selectFilesTyped(spark, dir, eq)
+    assert(totalS === 12 && keptS.nonEmpty && keptS.size < totalS,
+      s"string pruning read ${keptS.size}/$totalS files — no skipping")
+    val prunedS = Lakehouse.prunedReadTyped(spark, dir, eq)
+    val expectS = full.filter(col("event_type") === "click")
+    assert(prunedS.exceptAll(expectS).isEmpty && expectS.exceptAll(prunedS).isEmpty,
+      "string-pruned read drifted from the full filtered scan")
+    // category x calendar-date band: the second dimension prunes MORE
+    val b = ev.agg(min(col("event_date")), max(col("event_date"))).head()
+    val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    val (lo, hi) = (d0.plusDays(span * 3 / 10), d0.plusDays(span * 5 / 10))
+    val both = eq :+ (("event_date", lo.toString, hi.toString))
+    assert(Lakehouse.selectFilesTyped(spark, dir, both)._1.size < keptS.size,
+      "adding the date range pruned nothing extra")
+    val pruned2 = Lakehouse.prunedReadTyped(spark, dir, both)
+    val expect2 = expectS.filter(
+      col("event_date") >= lit(lo.toString).cast("date") &&
+        col("event_date") <= lit(hi.toString).cast("date"))
+    assert(pruned2.exceptAll(expect2).isEmpty && expect2.exceptAll(pruned2).isEmpty,
+      "typed 2-D pruned read drifted from the full filtered scan")
+    // a string range over the lexicographic order also reproduces truth
+    val strRange = Seq(("event_type", "error", "signup"))
+    val pruned3 = Lakehouse.prunedReadTyped(spark, dir, strRange)
+    val expect3 = full.filter(
+      col("event_type") >= "error" && col("event_type") <= "signup")
+    assert(pruned3.exceptAll(expect3).isEmpty && expect3.exceptAll(pruned3).isEmpty,
+      "string-range pruned read drifted")
+    // a bound the column's type can't hold fails loudly — a silent null
+    // would prune every file and return an empty (wrong) result
+    val bad = intercept[IllegalArgumentException](
+      Lakehouse.selectFilesTyped(spark, dir,
+        Seq(("event_date", "not-a-date", "2099-01-01"))))
+    assert(bad.getMessage.contains("not-a-date"))
+  }
+
   test("equiHeightHistogram: quartile boundaries, equal buckets, null drop") {
     import graft.operators.Profile
     val df = ((1 to 8).map(i => Some(i.toDouble)) :+ None).toDF("v")
