@@ -1662,24 +1662,16 @@ object SparkEntry {
     // Triangle census of the part co-occurrence graph (parts bought in
     // the same order): compact-forward degree orientation bounds the
     // wedge join at O(E^1.5) whatever the hub skew — the naive shared-
-    // neighbor self-join is quadratic in max degree
-    // co-purchase edge build: ONE shuffle (groupBy order) + in-row pair
-    // expansion over the per-order part set — the self-join form this
-    // replaces shuffled lineitem twice and joined. Pair count per order
-    // is bounded by basket size squared (TPC-H ≤7 items -> ≤21 pairs);
-    // a corpus with unbounded baskets needs a df-style cap first, the
-    // same contract as Dedup's posting-list expansion
+    // neighbor self-join is quadratic in max degree. The edge build is
+    // Graph.coOccurrenceEdges: ONE shuffle + in-row pair expansion with
+    // an ENFORCED maxBasket hub cap (Dedup's maxDf contract); TPC-H
+    // baskets hold ≤7 items, so the cap is far above every real basket
+    // and the census is identical to the exhaustive build (spec-pinned)
     "graph_triangles" -> ((s, dir) => {
-      val edges = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("p"))
-        .select(explode(expr(
-          """flatten(transform(p, (x, i) ->
-            |  transform(slice(p, i + 2, size(p)), y -> struct(x, y))))"""
-            .stripMargin)).as("e"))
-        .select(col("e.x").as("pa"), col("e.y").as("pb"))
-      graft.operators.Graph.triangleStats(edges, "pa", "pb")
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        s.read.parquet(t(dir, "lineitem")), "l_orderkey", "l_partkey",
+        maxBasket = 64)
+      graft.operators.Graph.triangleStats(edges, "a", "b")
     }),
 
     // Blocked fuzzy entity matching: distinct-name candidate pairs from

@@ -38,6 +38,39 @@ object Graph {
   }
 
   /**
+   * Co-occurrence edge list: one undirected edge `(a, b)` per unordered
+   * distinct item pair sharing a group (order, basket, document) — ONE
+   * shuffle (the groupBy) plus in-row pair expansion; the self-join form
+   * this replaces shuffled the input twice and joined.
+   *
+   * `maxBasket` is an ENFORCED hub cap, the same contract as
+   * [[Dedup]]'s posting-list `maxDf`: a group holding more than
+   * `maxBasket` distinct items contributes NO pairs (its O(basket²)
+   * expansion is co-occurrence noise the way a stop-word's posting pairs
+   * are — everything co-occurs with everything, carrying no signal), so
+   * per-group pair output is bounded by `maxBasket·(maxBasket-1)/2`
+   * whatever the corpus. Defaults to Int.MaxValue — EXHAUSTIVE
+   * semantics; set a real cap for corpora with unbounded baskets.
+   * Aggregation STATE still holds each basket's distinct items before
+   * the cap filters it (one row's array, spill-safe); an adversarial
+   * single group of ~10⁸ items wants a count-first pre-pass instead —
+   * at that point the cap has already told you the group is noise.
+   */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxBasket: Int = Int.MaxValue): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_set(col("i"))).as("p"))
+      .filter(size(col("p")) <= maxBasket)
+      .select(explode(expr(
+        """flatten(transform(p, (x, i) ->
+          |  transform(slice(p, i + 2, size(p)), y -> struct(x, y))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.x").as("a"), col("e.y").as("b"))
+  }
+
+  /**
    * Global triangle census of an undirected graph: one row with
    * `(n_nodes, n_edges, n_wedges, n_triangles, global_clustering)`,
    * where wedges are connected node triples counted as Σ d(d-1)/2 and

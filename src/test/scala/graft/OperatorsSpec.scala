@@ -478,6 +478,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ranks.forall(_ <= 2))
   }
 
+  test("coOccurrenceEdges: pair expansion per group; oversized hub baskets dropped, census unchanged under a generous cap") {
+    import graft.operators.Graph
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),        // 3 pairs
+      (2L, "a"), (2L, "b"), (2L, "b"),        // dup row collapses -> 1 pair
+      (3L, "h1"), (3L, "h2"), (3L, "h3"), (3L, "h4"), (3L, "h5")) // hub: 10 pairs
+      .toDF("g", "i")
+    // exhaustive default: every group expands
+    assert(Graph.coOccurrenceEdges(df, "g", "i").count() === 14L)
+    // the cap is ENFORCED: the 5-item hub basket contributes NO pairs
+    val capped = Graph.coOccurrenceEdges(df, "g", "i", maxBasket = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(capped.length === 4, s"expected 3 + 1 pairs, got ${capped.length}")
+    assert(capped.toSet === Set(("a", "b"), ("a", "c"), ("b", "c")),
+      "capped edge set leaked a hub pair or lost a small-basket pair")
+    assert(!capped.exists(p => p._1.startsWith("h") || p._2.startsWith("h")),
+      "a hub-basket pair survived the cap")
+    intercept[IllegalArgumentException](
+      Graph.coOccurrenceEdges(df, "g", "i", maxBasket = 1))
+    // on TPC-H data (baskets <= 7 items) the production cap of 64 is
+    // inert: the full triangle census is bit-identical to exhaustive
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exhaustive = Graph.triangleStats(
+      Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), "a", "b")
+      .collect()(0).toSeq
+    val production = Graph.triangleStats(
+      Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxBasket = 64),
+      "a", "b").collect()(0).toSeq
+    assert(production === exhaustive,
+      "maxBasket=64 changed the TPC-H census — the cap must be inert here")
+  }
+
   test("pageRank: regular graphs stay at 1.0, hubs outrank leaves, mass conserved") {
     import graft.operators.Graph
     // 2-cycle: every iteration maps 1.0 -> 0.15 + 0.85*1.0 = 1.0 exactly
