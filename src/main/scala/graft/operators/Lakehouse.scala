@@ -117,6 +117,27 @@ object Lakehouse {
     }
   }
 
+  /** DESCRIBE-HISTORY analog: one row per committed version —
+    * `(version, op, stream_id, batch_id, n_files, n_rows)` — assembled
+    * driver-side from the commit markers plus each retained manifest
+    * (#versions tiny reads; a vacuumed version's file/row counts are
+    * null, its identity row survives). The observability surface a
+    * table owner audits ingest and maintenance with. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    committedVersions(spark, path).map { v =>
+      val c = readCommit(fs, path, v)
+      val counts =
+        if (fs.exists(new Path(versionDir(path, v), "manifest"))) {
+          val m = manifestAt(spark, path, v)
+            .agg(count(lit(1)), sum(col("n_rows"))).head()
+          (Some(m.getLong(0)), Some(m.getLong(1)))
+        } else (None, None)
+      (v, c.op, c.streamId, c.batchId, counts._1, counts._2)
+    }.toDF("version", "op", "stream_id", "batch_id", "n_files", "n_rows")
+  }
+
   private case class CommitInfo(op: String, streamId: String, batchId: Long)
 
   private def readCommit(fs: FileSystem, path: String, v: Long): CommitInfo = {
@@ -359,9 +380,18 @@ object Lakehouse {
     * independently and a file survives only if it overlaps EVERY range
     * (intersection of per-column survivors). */
   def selectFilesMulti(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) =
+    selectFilesIn(readManifest(spark, path), path, ranges)
+
+  /** [[selectFilesMulti]] against a PINNED version — the planning half
+    * of a time-travel read. */
+  def selectFilesMultiAt(spark: SparkSession, path: String, version: Long,
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) =
+    selectFilesIn(manifestAt(spark, path, version), path, ranges)
+
+  private def selectFilesIn(m: DataFrame, path: String,
       ranges: Seq[(String, Double, Double)]): (Seq[String], Int) = {
     require(ranges.nonEmpty, "selectFilesMulti: need at least one range")
-    val m = readManifest(spark, path)
     ranges.foreach { case (c, _, _) =>
       require(m.columns.contains(s"min_$c"),
         s"manifest at $path has no stats for column '$c' — it was " +
@@ -413,11 +443,26 @@ object Lakehouse {
       lo: Double, hi: Double): DataFrame =
     prunedReadMulti(spark, path, Seq((predCol, lo, hi)))
 
+  /** [[prunedRead]] against a PINNED version — time travel: replays the
+    * snapshot as of `version` (from [[history]] or a reader's earlier
+    * [[latestVersion]] resolve) with the same file skipping + exact
+    * residual. Readable until [[vacuum]]'s retention window moves past
+    * `version`. */
+  def prunedReadAt(spark: SparkSession, path: String, version: Long,
+      predCol: String, lo: Double, hi: Double): DataFrame =
+    prunedFrom(spark, path,
+      selectFilesMultiAt(spark, path, version, Seq((predCol, lo, hi)))._1,
+      Seq((predCol, lo, hi)))
+
   /** [[prunedRead]] over a conjunction of ranges — manifest pruning on
     * every clustered column at once, then the exact residual AND. */
   def prunedReadMulti(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame =
+    prunedFrom(spark, path, selectFilesMulti(spark, path, ranges)._1, ranges)
+
+  private def prunedFrom(spark: SparkSession, path: String,
+      files: Seq[String],
       ranges: Seq[(String, Double, Double)]): DataFrame = {
-    val (files, _) = selectFilesMulti(spark, path, ranges)
     if (files.isEmpty)
       return spark.read.parquet(s"$path/data").filter(lit(false))
     val scan = spark.read.parquet(files: _*)

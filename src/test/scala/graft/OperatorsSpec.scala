@@ -1326,6 +1326,16 @@ class OperatorsSpec extends AnyFunSuite {
     val liveRead = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
     assert(liveRead.exceptAll(truth).isEmpty && truth.exceptAll(liveRead).isEmpty,
       "post-compact live read drifted")
+    // time travel: the version-pinned read API replays v2 exactly
+    val tt = Lakehouse.prunedReadAt(spark, dir, 2, "k", 10, 19)
+    assert(tt.exceptAll(truth).isEmpty && truth.exceptAll(tt).isEmpty,
+      "prunedReadAt(v2) drifted from the pre-compact truth")
+    // the history surface: create + 2 appends + compact, live counts
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getString(1)).toSeq ===
+      Seq("create", "append", "append", "compact"))
+    assert(h.last.getLong(4) === 3L && h.last.getLong(5) === 2200L,
+      s"live version should report 3 files / 2200 rows, got ${h.last}")
     // a 2-version retention keeps the pinned snapshot's files alive
     val (r2, _) = Lakehouse.vacuum(spark, dir, retainVersions = 2)
     assert(r2 === 0, s"vacuum(retain=2) deleted $r2 files still referenced by v2")
@@ -1339,6 +1349,13 @@ class OperatorsSpec extends AnyFunSuite {
     val liveRead2 = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
     assert(liveRead2.exceptAll(truth).isEmpty && truth.exceptAll(liveRead2).isEmpty,
       "live read drifted after vacuum")
+    // vacuumed versions keep their identity row (null counts) so fencing
+    // and audit survive; their snapshots are no longer readable
+    val h2 = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h2.length === 4 && h2.init.forall(_.isNullAt(4)),
+      "vacuum must null superseded versions' counts, not drop their rows")
+    intercept[Exception](
+      Lakehouse.prunedReadAt(spark, dir, 2, "k", 10, 19).collect())
   }
 
   test("lakehouse: vacuum sweeps orphan data files and crashed-attempt versions") {
