@@ -12,6 +12,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: ["))
     assert(!p.contains("PushedFilters: []"))
   }
+  test("lakehouse typed pruning: string and date residuals pushed to the pruned scan in native types") {
+    // formatted mode: the one-line toString truncates long PushedFilters
+    // lists, hiding exactly the date bounds this test exists to pin
+    val p = SparkEntry.queries("lakehouse_pruned_date")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    // the residual predicates must reach the parquet scan as NATIVE
+    // string and date filters — a cast on the COLUMN would disable
+    // row-group pushdown and leave only manifest-level file skipping
+    assert(p.contains("GreaterThanOrEqual(event_type,click)") &&
+      p.contains("LessThanOrEqual(event_type,click)"),
+      s"string bounds not pushed:\n$pushed")
+    assert(p.contains("GreaterThanOrEqual(event_date,") &&
+      p.contains("LessThanOrEqual(event_date,"),
+      s"date bounds not pushed:\n$pushed")
+    assert(!p.contains("cast(event_date"),
+      "residual casts the data column — row-group pushdown lost")
+  }
+
   test("q3: dimension join is broadcast") {
     val p = plan("q3_join_topk")
     println(p.linesIterator.filter(_.contains("Join")).mkString("\n"))
