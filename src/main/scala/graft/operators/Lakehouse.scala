@@ -104,17 +104,23 @@ object Lakehouse {
     spark.read.parquet(s"${versionDir(path, version)}/manifest")
 
   /** Highest `batchId` ever committed for `streamId`, or -1 — the Delta
-    * `txn` lookup [[graft.streaming.LakehouseIngest]] fences on. Scans
-    * every commit marker (tiny, driver-side); [[vacuum]] preserves
-    * markers precisely so this survives manifest pruning. */
+    * `txn` lookup [[graft.streaming.LakehouseIngest]] fences on.
+    * [[vacuum]] preserves commit markers precisely so this survives
+    * manifest pruning. A stream's batchIds are committed in increasing
+    * version order ([[appendClustered]]'s fence enforces it), so the
+    * NEWEST version carrying `streamId` holds its max batchId — the
+    * scan walks versions descending and stops at the first hit: O(1)
+    * marker reads per micro-batch in steady state (the stream itself
+    * wrote the latest commit), not O(#versions), which on an object
+    * store would turn every commit into thousands of round trips. */
   def lastCommittedBatch(spark: SparkSession, path: String,
       streamId: String): Long = {
     require(streamId.nonEmpty, "lastCommittedBatch: empty streamId")
     val fs = fsOf(spark, path)
-    committedVersions(spark, path).foldLeft(-1L) { (best, v) =>
-      val c = readCommit(fs, path, v)
-      if (c.streamId == streamId) math.max(best, c.batchId) else best
-    }
+    committedVersions(spark, path).reverseIterator
+      .map(v => readCommit(fs, path, v))
+      .collectFirst { case c if c.streamId == streamId => c.batchId }
+      .getOrElse(-1L)
   }
 
   /** DESCRIBE-HISTORY analog: one row per committed version —
