@@ -205,6 +205,13 @@ object Lakehouse {
    * `streamId`/`batchId` stamp the commit for txn fencing when the
    * creating write IS a stream's first batch (see
    * [[graft.streaming.LakehouseIngest]]); leave defaulted otherwise.
+   *
+   * This is DESTRUCTIVE create-table, not an atomic REPLACE: the old
+   * log is dropped and the data dir overwritten before version 0
+   * commits, so a concurrent reader of the OLD table loses its files
+   * (an atomic replace would need versioned data subdirs — out of
+   * scope; [[appendClustered]]/[[compact]] are the snapshot-safe
+   * mutations).
    */
   def writeClustered(df: DataFrame, path: String, zCols: Seq[String],
       files: Int, bits: Int = 16, streamId: String = "",
