@@ -281,6 +281,21 @@ object Lakehouse {
       s"appendClustered: zCols $zCols do not match the manifest at $path " +
         "— an appended batch must carry stats for the SAME clustered " +
         "columns or pruning would silently skip it")
+    // the DATA schema must match too, not just the stat columns: parquet
+    // append happily lands mixed-schema files, and a later explicit-file
+    // read reconciles them to the FIRST file's schema — an extra column
+    // silently vanishes, a retyped one fails far from its cause. One
+    // footer read of a live file, fail-loud here instead.
+    val liveSchema = spark.read
+      .parquet(live.select(col("file")).head().getString(0)).schema
+    val batchSchema = df.schema
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(liveSchema) == shape(batchSchema),
+      s"appendClustered: batch schema ${batchSchema.simpleString} does " +
+        s"not match the layout's data schema ${liveSchema.simpleString} " +
+        s"at $path — schema evolution needs an explicit rewrite, not a " +
+        "silent mixed-schema append")
     if (streamId.nonEmpty && batchId <= lastCommittedBatch(spark, path, streamId))
       throw new IllegalStateException(
         s"appendClustered: batch $batchId of stream '$streamId' is already " +
@@ -545,9 +560,18 @@ object Lakehouse {
     * the Double form, whose ceil/floor tightening this path has no need
     * to replicate. */
   def selectFilesTyped(spark: SparkSession, path: String,
+      ranges: Seq[(String, String, String)]): (Seq[String], Int) =
+    selectFilesTypedIn(spark, readManifest(spark, path), path, ranges)
+
+  /** [[selectFilesTyped]] against a PINNED version. */
+  def selectFilesTypedAt(spark: SparkSession, path: String, version: Long,
+      ranges: Seq[(String, String, String)]): (Seq[String], Int) =
+    selectFilesTypedIn(spark, manifestAt(spark, path, version), path, ranges)
+
+  private def selectFilesTypedIn(spark: SparkSession, m: DataFrame,
+      path: String,
       ranges: Seq[(String, String, String)]): (Seq[String], Int) = {
     require(ranges.nonEmpty, "selectFilesTyped: need at least one range")
-    val m = readManifest(spark, path)
     ranges.foreach { case (c, _, _) =>
       require(m.columns.contains(s"min_$c"),
         s"manifest at $path has no stats for column '$c' — it was " +
@@ -571,8 +595,20 @@ object Lakehouse {
     * bound literal is cast, never the column), so parquet row-group
     * pushdown survives alongside the manifest-level file skipping. */
   def prunedReadTyped(spark: SparkSession, path: String,
+      ranges: Seq[(String, String, String)]): DataFrame =
+    prunedTypedFrom(spark, path, selectFilesTyped(spark, path, ranges)._1,
+      ranges)
+
+  /** [[prunedReadTyped]] against a PINNED version — typed time travel,
+    * same retention contract as [[prunedReadAt]]. */
+  def prunedReadTypedAt(spark: SparkSession, path: String, version: Long,
+      ranges: Seq[(String, String, String)]): DataFrame =
+    prunedTypedFrom(spark, path,
+      selectFilesTypedAt(spark, path, version, ranges)._1, ranges)
+
+  private def prunedTypedFrom(spark: SparkSession, path: String,
+      files: Seq[String],
       ranges: Seq[(String, String, String)]): DataFrame = {
-    val (files, _) = selectFilesTyped(spark, path, ranges)
     if (files.isEmpty)
       return spark.read.parquet(s"$path/data").filter(lit(false))
     val scan = spark.read.parquet(files: _*)

@@ -30,6 +30,8 @@ import graft.operators.Lakehouse
  */
 object LakehouseIngest {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The per-batch commit step, exposed so the crash-replay spec can
     * re-deliver a batchId deterministically. Batch 0 on an empty path
     * creates the layout (a crash mid-create left no committed version,
@@ -45,8 +47,14 @@ object LakehouseIngest {
     else if (batchId > Lakehouse.lastCommittedBatch(spark, path, streamId))
       Lakehouse.appendClustered(batch, path, zCols, filesPerBatch,
         streamId = streamId, batchId = batchId)
-    // else: fenced — this batch's commit already landed; the re-delivery
-    // (crash between sink commit and checkpoint commit) is a no-op
+    else
+      // fenced — this batch's commit already landed; the re-delivery
+      // (crash between sink commit and checkpoint commit) is a no-op.
+      // Logged because a LONG fenced run (vs the expected one batch
+      // after a restart) means the checkpoint regressed further than
+      // the operator thinks
+      log.warn(s"lakehouse ingest: batch $batchId of stream '$streamId' " +
+        s"already committed at $path — fenced, skipping (exactly-once)")
   }
 
   /** Starts the ingest; caller awaits termination. `filesPerBatch` sizes

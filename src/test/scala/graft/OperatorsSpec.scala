@@ -1206,6 +1206,18 @@ class OperatorsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Lakehouse.appendClustered(batch2, dir, Seq("user_id"), files = 2))
     assert(e.getMessage.contains("zCols"))
+    // a batch whose DATA schema drifted must fail loudly too — parquet
+    // append would land mixed-schema files that a later explicit-file
+    // read silently reconciles to the first file's schema
+    val e2 = intercept[IllegalArgumentException](
+      Lakehouse.appendClustered(batch2.withColumn("extra", lit(1)), dir,
+        Seq("user_id", "ts_us"), files = 2))
+    assert(e2.getMessage.contains("schema"))
+    val e3 = intercept[IllegalArgumentException](
+      Lakehouse.appendClustered(
+        batch2.withColumn("event_id", col("event_id").cast("int")), dir,
+        Seq("user_id", "ts_us"), files = 2))
+    assert(e3.getMessage.contains("schema"))
   }
 
   test("lakehouse: compaction merges ONLY small files, pruning exact before and after") {
@@ -1390,6 +1402,16 @@ class OperatorsSpec extends AnyFunSuite {
     val after = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
     assert(after.exceptAll(truth).isEmpty && truth.exceptAll(after).isEmpty,
       "vacuum changed a live read")
+    // a crashed commit attempt at the NEXT version (dir present, no
+    // marker) is reclaimed by the next writer itself — not a wedge
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_log/v0000000001/manifest"))
+    Lakehouse.appendClustered(mk(1000, 1100), dir, Seq("k", "t"), files = 1)
+    assert(Lakehouse.latestVersion(spark, dir) === 1L)
+    val truth2 = mk(0, 1100).filter(col("k") >= 10 && col("k") <= 19)
+    val after2 = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
+    assert(after2.exceptAll(truth2).isEmpty && truth2.exceptAll(after2).isEmpty,
+      "append after commit-debris reclaim drifted")
   }
 
   test("lakehouse: string and date clustered columns prune files and stay row-exact") {
@@ -1439,6 +1461,18 @@ class OperatorsSpec extends AnyFunSuite {
       Lakehouse.selectFilesTyped(spark, dir,
         Seq(("event_date", "not-a-date", "2099-01-01"))))
     assert(bad.getMessage.contains("not-a-date"))
+    // typed time travel: append a delta, then the v0-pinned typed read
+    // still returns exactly the pre-append rows while live sees both
+    val delta = ev.filter(col("user_id") === 0)
+    Lakehouse.appendClustered(delta, dir, Seq("event_type", "event_date"),
+      files = 2)
+    val pinned = Lakehouse.prunedReadTypedAt(spark, dir, 0, eq)
+    assert(pinned.exceptAll(expectS).isEmpty && expectS.exceptAll(pinned).isEmpty,
+      "typed time-travel read drifted from the pre-append snapshot")
+    val liveNow = Lakehouse.prunedReadTyped(spark, dir, eq)
+    val expectNow = expectS.union(delta.filter(col("event_type") === "click"))
+    assert(liveNow.exceptAll(expectNow).isEmpty && expectNow.exceptAll(liveNow).isEmpty,
+      "typed live read missed the appended delta")
   }
 
   test("equiHeightHistogram: quartile boundaries, equal buckets, null drop") {
