@@ -521,34 +521,34 @@ object Lakehouse {
   // typed reads (string / date / timestamp clustered columns)
   // ------------------------------------------------------------------
 
-  /** Parses each bound string in `dt` and fails loudly on a bound the
-    * type can't hold (a silent null would prune every file instead).
-    * One 1-row driver job validates ALL bounds at once. */
+  /** Parses each bound string in its column's type and fails loudly on a
+    * bound the type can't hold (a silent null would prune every file
+    * instead). Evaluated DRIVER-SIDE through Catalyst's own Cast — same
+    * parsing semantics the plan would use, zero Spark jobs: read
+    * planning stays a pure manifest replay. Returns typed literal
+    * Columns, so the residual filter carries native-type constants
+    * (parquet row-group pushdown needs no constant-folding help). */
   private def typedBounds(spark: SparkSession,
       ranges: Seq[(String, String, String)],
       dtOf: String => org.apache.spark.sql.types.DataType)
       : Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = {
-    val lits = ranges.map { case (c, lo, hi) =>
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    ranges.map { case (c, lo, hi) =>
       val dt = dtOf(c)
-      (lit(lo).cast(dt), lit(hi).cast(dt))
+      def parse(s: String): org.apache.spark.sql.Column = {
+        val v =
+          try Cast(Literal(s), dt, tz).eval()
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"typed pruning: bound '$s' does not parse as the type of " +
+              s"column '$c' (${dt.simpleString})", e) }
+        require(v != null,
+          s"typed pruning: bound '$s' does not parse as the type of " +
+            s"column '$c' (${dt.simpleString})")
+        org.apache.spark.sql.graft.Bridge.column(Literal(v, dt))
+      }
+      (parse(lo), parse(hi))
     }
-    val probe = try {
-      spark.range(1)
-        .select(lits.zipWithIndex.flatMap { case ((l, h), i) =>
-          Seq(l.as(s"lo$i"), h.as(s"hi$i")) }: _*)
-        .head()
-    } catch {
-      case e: Exception => throw new IllegalArgumentException(
-        s"typed pruning: a bound does not parse in its column's type " +
-          s"(${ranges.map { case (c, lo, hi) => s"$c: ['$lo','$hi']" }
-            .mkString(", ")})", e)
-    }
-    ranges.zipWithIndex.foreach { case ((c, lo, hi), i) =>
-      require(!probe.isNullAt(2 * i) && !probe.isNullAt(2 * i + 1),
-        s"typed pruning: bound ['$lo','$hi'] does not parse as the type " +
-          s"of column '$c' (${dtOf(c).simpleString})")
-    }
-    lits
   }
 
   /** [[selectFilesMulti]] for string / date / timestamp clustered
