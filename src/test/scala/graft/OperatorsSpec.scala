@@ -1414,6 +1414,25 @@ class OperatorsSpec extends AnyFunSuite {
       "append after commit-debris reclaim drifted")
   }
 
+  test("z-order string proxy: z-keys are monotone in Spark's binary string order") {
+    // pair the string with a CONSTANT second column (scales to 0), so the
+    // z-key is a monotone function of the string proxy alone: sorted by
+    // string, keys must be non-decreasing (ties allowed — strings sharing
+    // a 7-byte prefix collapse to one cell by design)
+    val rnd = new scala.util.Random(42)
+    val strs = (Seq("", "a", "aa", "ab", "b", "zz", "zzzzzzzzzz", "é",
+      "日本語") ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)).distinct
+    val df = strs.toDF("s").withColumn("c", lit(0L))
+    val keyed = graft.operators.Zorder.withZKey(df, Seq("s", "c"), "z", bits = 16)
+      .select(col("s"), col("z")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    keyed.sliding(2).foreach { case Array((s1, z1), (s2, z2)) =>
+      assert(z1 <= z2, s"z-order proxy inverted '$s1' ($z1) vs '$s2' ($z2)")
+    }
+  }
+
   test("lakehouse: string and date clustered columns prune files and stay row-exact") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-typed").toString
