@@ -1414,6 +1414,39 @@ class OperatorsSpec extends AnyFunSuite {
       "append after commit-debris reclaim drifted")
   }
 
+  test("lakehouse: changesSince feeds exactly the appended rows; compaction rewrites excluded") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-changes").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 2)     // v0
+    Lakehouse.appendClustered(mk(1000, 1100), dir, Seq("k", "t"), files = 1) // v1
+    Lakehouse.appendClustered(mk(1100, 1200), dir, Seq("k", "t"), files = 1) // v2
+    Lakehouse.compact(spark, dir, Seq("k", "t"), minRows = 500, files = 1)   // v3
+    Lakehouse.appendClustered(mk(1200, 1250), dir, Seq("k", "t"), files = 1) // v4
+    // the full feed is exactly every ingested row, once — the compaction
+    // rewrite (v3) contributing would double rows 1000..1200
+    val all = Lakehouse.changesSince(spark, dir, -1)
+    val truthAll = mk(0, 1250)
+    assert(all.exceptAll(truthAll).isEmpty && truthAll.exceptAll(all).isEmpty,
+      "changesSince(-1) != all ingested rows — rewrite leaked or data lost")
+    // a consumer checkpointed at v1 reads only the later appends
+    val tail = Lakehouse.changesSince(spark, dir, 1)
+    val truthTail = mk(1100, 1250)
+    assert(tail.exceptAll(truthTail).isEmpty && truthTail.exceptAll(tail).isEmpty,
+      "changesSince(1) drifted from the later appends")
+    // caught up == empty; the per-version feed skips the compact commit
+    assert(Lakehouse.changesSince(spark, dir,
+      Lakehouse.latestVersion(spark, dir)).isEmpty)
+    assert(Lakehouse.addedFilesSince(spark, dir, -1).map(_._1) ===
+      Seq(0L, 1L, 2L, 4L))
+    // consuming past the retention window fails loudly, never partially
+    Lakehouse.vacuum(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      Lakehouse.addedFilesSince(spark, dir, -1))
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("z-order string proxy: z-keys are monotone in Spark's binary string order") {
     // pair the string with a CONSTANT second column (scales to 0), so the
     // z-key is a monotone function of the string proxy alone: sorted by
