@@ -84,7 +84,8 @@ object SparkEntry {
     * them like any other query. */
   val benchExempt: Set[String] =
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
-      "lakehouse_pruned_2d", "lakehouse_pruned_date", "corpus_curate_stats")
+      "lakehouse_pruned_2d", "lakehouse_pruned_date", "lakehouse_changes",
+      "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1236,6 +1237,30 @@ object SparkEntry {
           ("event_type", "click", "click"),
           ("event_date", lo.toString, hi.toString)))
         .groupBy(unix_date(col("event_date")).cast("long").as("event_day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Incremental consumption anchored end-to-end: the ~80% initial
+    // write is v0, the md5-chosen ~20% delta appends as v1, and
+    // changesSince(0) must surface EXACTLY the delta rows — the oracle
+    // recomputes the same md5 bucket split, so a leaked initial-write
+    // row (or a compaction-style double feed) hash-mismatches at once
+    "lakehouse_changes" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-chg-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val isDelta = (conv(substring(md5(concat(lit("lhchg:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 800
+      graft.operators.Lakehouse.writeClustered(ev.filter(!isDelta),
+        base, Seq("user_id", "ts_us"), files = 12)
+      graft.operators.Lakehouse.appendClustered(ev.filter(isDelta),
+        base, Seq("user_id", "ts_us"), files = 4)
+      graft.operators.Lakehouse.changesSince(s, base, 0)
+        .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
     }),
@@ -3102,6 +3127,16 @@ object SparkEntry {
         |WHERE event_type = 'click'
         |  AND CAST(ts AS DATE) >= b.d0 + CAST((b.d1 - b.d0) * 3 // 10 AS INTEGER)
         |  AND CAST(ts AS DATE) <= b.d0 + CAST((b.d1 - b.d0) * 5 // 10 AS INTEGER)
+        |GROUP BY 1""".stripMargin,
+
+    // incremental consumption: the changes feed after the initial write
+    // must be exactly the md5-chosen delta batch, reconstructed here
+    // with the same bucket arithmetic over the raw table
+    "lakehouse_changes" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE CAST('0x' || substr(md5('lhchg:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 800
         |GROUP BY 1""".stripMargin,
 
     "q37_retention" ->
