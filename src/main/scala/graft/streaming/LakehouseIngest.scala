@@ -32,13 +32,29 @@ object LakehouseIngest {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** In-line maintenance policy: after every `every`-th COMMITTED batch,
+    * data files under `minRows` rows are re-clustered into `files` files
+    * ([[Lakehouse.compact]]) and superseded bytes reclaimed under
+    * `retainVersions` ([[Lakehouse.vacuum]]) — the full production loop
+    * (ingest + OPTIMIZE + retention) in one stream, safe because
+    * foreachBatch serializes everything through the single writer.
+    * Fenced (re-delivered) batches never trigger maintenance: no new
+    * debris, and a replay must stay a strict no-op. `retainVersions`
+    * must outlive the slowest concurrent reader's snapshot — 1 is right
+    * when readers always resolve "latest" fresh. */
+  case class Maintenance(every: Int, minRows: Long, files: Int = 4,
+      retainVersions: Int = 1) {
+    require(every >= 1, s"Maintenance.every must be >= 1, got $every")
+  }
+
   /** The per-batch commit step, exposed so the crash-replay spec can
     * re-deliver a batchId deterministically. Batch 0 on an empty path
     * creates the layout (a crash mid-create left no committed version,
     * so the retried create overwrites cleanly); a batchId already in the
     * log is skipped — the exactly-once fence. */
   def processBatch(batch: DataFrame, batchId: Long, path: String,
-      zCols: Seq[String], filesPerBatch: Int, streamId: String): Unit = {
+      zCols: Seq[String], filesPerBatch: Int, streamId: String,
+      maintenance: Option[Maintenance] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     if (Lakehouse.latestVersion(spark, path) < 0)
@@ -47,7 +63,7 @@ object LakehouseIngest {
     else if (batchId > Lakehouse.lastCommittedBatch(spark, path, streamId))
       Lakehouse.appendClustered(batch, path, zCols, filesPerBatch,
         streamId = streamId, batchId = batchId)
-    else
+    else {
       // fenced — this batch's commit already landed; the re-delivery
       // (crash between sink commit and checkpoint commit) is a no-op.
       // Logged because a LONG fenced run (vs the expected one batch
@@ -55,6 +71,18 @@ object LakehouseIngest {
       // the operator thinks
       log.warn(s"lakehouse ingest: batch $batchId of stream '$streamId' " +
         s"already committed at $path — fenced, skipping (exactly-once)")
+      return // a replay is a strict no-op: no maintenance either
+    }
+    maintenance.foreach { m =>
+      if (batchId > 0 && batchId % m.every == 0) {
+        val (c, w) = Lakehouse.compact(spark, path, zCols, m.minRows, m.files)
+        if (c > 0) {
+          val (freed, _) = Lakehouse.vacuum(spark, path, m.retainVersions)
+          log.info(s"lakehouse ingest maintenance at batch $batchId: " +
+            s"compacted $c files -> $w, vacuum reclaimed $freed")
+        }
+      }
+    }
   }
 
   /** Starts the ingest; caller awaits termination. `filesPerBatch` sizes
@@ -63,13 +91,15 @@ object LakehouseIngest {
   def start(stream: DataFrame, path: String, zCols: Seq[String],
       filesPerBatch: Int, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      streamId: String = ""): StreamingQuery = {
+      streamId: String = "",
+      maintenance: Option[Maintenance] = None): StreamingQuery = {
     val sid = if (streamId.nonEmpty) streamId else checkpoint
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, path, zCols, filesPerBatch, sid)
+        processBatch(batch, batchId, path, zCols, filesPerBatch, sid,
+          maintenance)
       }
       .start()
   }

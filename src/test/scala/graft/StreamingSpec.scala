@@ -661,6 +661,38 @@ class StreamingSpec extends AnyFunSuite {
       "fenced layout drifted from the committed-batch union")
   }
 
+  test("lakehouse ingest maintenance: periodic compact + vacuum inside the stream, rows exact") {
+    import graft.operators.Lakehouse
+    import graft.streaming.LakehouseIngest
+    val dir = Files.createTempDirectory("graft-lh-maint").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    val m = Some(LakehouseIngest.Maintenance(
+      every = 2, minRows = Long.MaxValue, files = 1))
+    val sid = "maint-spec"
+    LakehouseIngest.processBatch(mk(0, 500), 0, dir, Seq("k", "t"), 2, sid, m)
+    LakehouseIngest.processBatch(mk(500, 600), 1, dir, Seq("k", "t"), 2, sid, m)
+    // batch 2 commits, then (every=2) folds ALL six files into one and
+    // vacuums the superseded bytes — the full loop inside the stream
+    LakehouseIngest.processBatch(mk(600, 700), 2, dir, Seq("k", "t"), 2, sid, m)
+    val ops = Lakehouse.history(spark, dir).collect().map(_.getString(1))
+    assert(ops.count(_ == "compact") === 1, s"ops: ${ops.mkString(",")}")
+    val dataFiles = new java.io.File(s"$dir/data").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(dataFiles.toLong === Lakehouse.readManifest(spark, dir).count(),
+      "in-stream vacuum left superseded bytes on disk")
+    val truth = mk(0, 700)
+    val all = Lakehouse.prunedRead(spark, dir, "k", 0, 49)
+    assert(all.exceptAll(truth).isEmpty && truth.exceptAll(all).isEmpty,
+      "in-stream maintenance drifted the data")
+    // a fenced replay of batch 2 is a STRICT no-op: no append, and no
+    // second maintenance pass either
+    val v = Lakehouse.latestVersion(spark, dir)
+    LakehouseIngest.processBatch(mk(600, 700), 2, dir, Seq("k", "t"), 2, sid, m)
+    assert(Lakehouse.latestVersion(spark, dir) === v,
+      "fenced replay ran maintenance")
+  }
+
   test("stateful ops run on the RocksDB state store with identical output") {
     // the state backend a real cluster uses for large key populations:
     // HDFSBackedStateStore holds state on-heap (fine for tests, a
