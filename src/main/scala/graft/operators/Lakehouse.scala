@@ -347,6 +347,59 @@ object Lakehouse {
     (small.size, newFiles.size)
   }
 
+  /** Ops that REWRITE existing rows into new files (vs append new data).
+    * [[addedFilesSince]] skips them — feeding a rewrite downstream would
+    * double-count rows the consumer already saw. */
+  private val RewriteOps = Set("compact", "delete")
+
+  /**
+   * Copy-on-write DELETE: rows matching `pred` are removed by rewriting
+   * ONLY the data files that contain a match — survivors re-cluster into
+   * at most `files` new z-ordered files, every untouched file keeps its
+   * bytes and manifest row, and the originals stay on disk for pinned
+   * readers until [[vacuum]]. Returns (filesRewritten, rowsDeleted);
+   * no match is a no-op with no commit.
+   *
+   * SQL DELETE semantics: a row is removed iff `pred` is TRUE — rows
+   * where it evaluates null are kept. The affected-file probe is one
+   * scan over the manifest's file set with `pred` pushed down (a
+   * selective predicate on a clustered column touches few row groups);
+   * the rewrite reads only the affected files. Clustered columns are
+   * recovered from the manifest, so the caller states nothing twice.
+   */
+  def deleteWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column, files: Int = 4,
+      bits: Int = 16): (Int, Long) = {
+    val m = readManifest(spark, path)
+    val zCols = m.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSeq
+    val allFiles = m.select(col("file")).collect().map(_.getString(0)).toSeq
+    if (allFiles.isEmpty) return (0, 0L)
+    val hits = spark.read.parquet(allFiles: _*)
+      .filter(pred)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (hits.isEmpty) return (0, 0L)
+    val affected = allFiles.filter(f => hits.contains(f))
+    val before = listData(spark, path)
+    val survivors = spark.read.parquet(affected: _*)
+      .filter(!(pred <=> lit(true)))
+    val anySurvivor = !survivors.isEmpty
+    if (anySurvivor)
+      Zorder.writeZOrderedAppend(survivors, zCols, s"$path/data", files, bits)
+    val newFiles = (listData(spark, path) -- before).toSeq
+    val kept = m.filter(!col("file").isin(affected: _*))
+    val next =
+      if (newFiles.isEmpty) kept
+      else kept.unionByName(
+        statsOf(spark.read.parquet(newFiles: _*), zCols)
+          .select(kept.columns.map(col): _*))
+    commitVersion(spark, path, next, "delete", "", -1L)
+    (affected.size, hits.values.sum)
+  }
+
   /**
    * Reclaims storage the log no longer needs: data files referenced by
    * NONE of the last `retainVersions` committed snapshots (compacted-away
@@ -524,10 +577,12 @@ object Lakehouse {
   /** Data files ADDED by each committed version in `(sinceVersion,
     * latest]`, as (version, files) pairs — the manifest diff a
     * downstream incremental job replays instead of rescanning the
-    * table. `compact` versions are EXCLUDED: a compaction rewrites
-    * existing rows into new files, so its additions are not new data
-    * and double-counting them is exactly the bug this op-aware diff
-    * prevents (the reason commits record their op at all). Driver-sized:
+    * table. REWRITE versions (`compact`, `delete`) are EXCLUDED: they
+    * re-file rows the consumer already saw, and double-counting them is
+    * exactly the bug this op-aware diff prevents (the reason commits
+    * record their op at all) — so this is an APPEND feed; deletions are
+    * not retracted downstream, the Delta CDF trade this module does not
+    * take on. Driver-sized:
     * #versions manifest replays. Versions whose manifests were vacuumed
     * away fail loudly — consume before the retention window passes. */
   def addedFilesSince(spark: SparkSession, path: String,
@@ -549,7 +604,7 @@ object Lakehouse {
         else filesOf(v - 1))
       val info = readCommit(fs, path, v)
       val added =
-        if (info.op == "compact") Seq.empty
+        if (RewriteOps.contains(info.op)) Seq.empty
         else (cur -- prev).toSeq.sorted
       (acc :+ (v, added), Some(cur))
     }._1.filter(_._2.nonEmpty)

@@ -1414,6 +1414,53 @@ class OperatorsSpec extends AnyFunSuite {
       "append after commit-debris reclaim drifted")
   }
 
+  test("lakehouse: deleteWhere rewrites only matching files; snapshots, vacuum, changes feed stay honest") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-delete").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 4000), dir, Seq("k", "t"), files = 4)
+    Lakehouse.appendClustered(mk(4000, 4200), dir, Seq("k", "t"), files = 1)
+    val vPre = Lakehouse.latestVersion(spark, dir)
+    val preFiles = Lakehouse.manifestAt(spark, dir, vPre)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val (rw, nDel) = Lakehouse.deleteWhere(spark, dir, col("k") === 7, files = 1)
+    assert(nDel === 42L, s"deleted $nDel rows")  // ids ≡ 7 (mod 100) in [0,4200)
+    assert(rw >= 1 && rw < 5, s"rewrote $rw files — COW must touch only " +
+      "the z-files whose range contains k=7")
+    val truth = mk(0, 4200).filter(col("k") =!= 7)
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "post-delete live read drifted")
+    assert(Lakehouse.history(spark, dir).collect()
+      .map(_.getString(1)).contains("delete"))
+    // a reader pinned pre-delete still sees the deleted rows (deletes
+    // defer to vacuum like every other rewrite)
+    assert(spark.read.parquet(preFiles: _*)
+      .filter(col("k") === 7).count() === 42L)
+    // the changes feed is an APPEND feed: the delete rewrite is excluded,
+    // so the feed is the original ingests verbatim (no retraction)
+    val feed = Lakehouse.changesSince(spark, dir, -1)
+    val truthFeed = mk(0, 4200)
+    assert(feed.exceptAll(truthFeed).isEmpty && truthFeed.exceptAll(feed).isEmpty,
+      "delete rewrite leaked into the changes feed")
+    // no-match delete: no-op, no commit
+    val v = Lakehouse.latestVersion(spark, dir)
+    assert(Lakehouse.deleteWhere(spark, dir, col("k") === 12345) === ((0, 0L)))
+    assert(Lakehouse.latestVersion(spark, dir) === v)
+    // vacuum reclaims exactly the rewritten originals; live unchanged
+    val (freed, _) = Lakehouse.vacuum(spark, dir)
+    assert(freed === rw, s"vacuum reclaimed $freed, expected $rw")
+    val live2 = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
+    assert(live2.exceptAll(truth).isEmpty && truth.exceptAll(live2).isEmpty,
+      "vacuum after delete drifted the live read")
+    // wiping every row leaves a VALID empty table, not a broken log
+    val (_, nAll) = Lakehouse.deleteWhere(spark, dir, lit(true))
+    assert(nAll === truth.count())
+    assert(Lakehouse.prunedRead(spark, dir, "k", 0, 99).isEmpty,
+      "wipe-delete left rows behind")
+  }
+
   test("lakehouse: changesSince feeds exactly the appended rows; compaction rewrites excluded") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-changes").toString
