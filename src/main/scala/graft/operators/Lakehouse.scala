@@ -349,8 +349,73 @@ object Lakehouse {
 
   /** Ops that REWRITE existing rows into new files (vs append new data).
     * [[addedFilesSince]] skips them — feeding a rewrite downstream would
-    * double-count rows the consumer already saw. */
-  private val RewriteOps = Set("compact", "delete")
+    * double-count rows the consumer already saw. `upsert` is classified
+    * rewrite CONSERVATIVELY: its inserts never reach the append feed
+    * (insert-only flows should use [[appendClustered]]), but a consumer
+    * is never double-fed — the safe side of the trade a full CDF would
+    * resolve with per-row change types. */
+  private val RewriteOps = Set("compact", "delete", "upsert")
+
+  /**
+   * Copy-on-write UPSERT (MERGE, latest-wins by key): every existing
+   * row whose `keyCols` tuple appears in `updates` is replaced WHOLESALE
+   * by the update rows carrying that key, and update keys absent from
+   * the table are inserted. Only data files containing a matched key are
+   * rewritten (survivor rows + all updates re-cluster together);
+   * untouched files keep their bytes and manifest rows, and originals
+   * stay for pinned readers until [[vacuum]]. Returns (filesRewritten,
+   * rowsReplaced, rowsUpserted). SQL equality: null-keyed rows never
+   * match — they are never replaced, and null-keyed updates insert.
+   *
+   * Scale shape: the update batch is assumed SMALL against the table
+   * (the CDC-merge shape) — its distinct keys broadcast into both the
+   * affected-file probe and the survivor anti-join, so the table is
+   * never shuffled; the probe scan pushes nothing but reads only
+   * `keyCols` + file names (column-pruned), and the rewrite reads only
+   * the affected files.
+   */
+  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], files: Int = 4,
+      bits: Int = 16): (Int, Long, Long) = {
+    require(keyCols.nonEmpty, "upsertByKey: need at least one key column")
+    if (updates.isEmpty) return (0, 0L, 0L)
+    val m = readManifest(spark, path)
+    val zCols = m.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSeq
+    val allFiles = m.select(col("file")).collect().map(_.getString(0)).toSeq
+    val data = spark.read.parquet(allFiles: _*)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(data.schema) == shape(updates.schema),
+      s"upsertByKey: updates schema ${updates.schema.simpleString} does " +
+        s"not match the layout's ${data.schema.simpleString}")
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val probe = data
+      .select(input_file_name().as("_f") +: keyCols.map(col): _*)
+      .join(broadcast(keys), keyCols, "left_semi")
+      .groupBy(col("_f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val affected = allFiles.filter(probe.contains)
+    val replaced = probe.values.sum
+    val before = listData(spark, path)
+    val rewrite =
+      if (affected.isEmpty) updates
+      else spark.read.parquet(affected: _*)
+        .join(broadcast(keys), keyCols, "left_anti")
+        .unionByName(updates)
+    Zorder.writeZOrderedAppend(rewrite, zCols, s"$path/data", files, bits)
+    val newFiles = (listData(spark, path) -- before).toSeq
+    require(newFiles.nonEmpty, "upsertByKey: the rewrite added no files")
+    val kept =
+      if (affected.isEmpty) m
+      else m.filter(!col("file").isin(affected: _*))
+    val next = kept.unionByName(
+      statsOf(spark.read.parquet(newFiles: _*), zCols)
+        .select(kept.columns.map(col): _*))
+    commitVersion(spark, path, next, "upsert", "", -1L)
+    (affected.size, replaced, updates.count())
+  }
 
   /**
    * Copy-on-write DELETE: rows matching `pred` are removed by rewriting

@@ -1461,6 +1461,53 @@ class OperatorsSpec extends AnyFunSuite {
       "wipe-delete left rows behind")
   }
 
+  test("lakehouse: upsertByKey replaces matched keys wholesale, inserts new ones, rewrites only matched files") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-upsert").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 2).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 2000), dir, Seq("k", "t"), files = 4)
+    Lakehouse.appendClustered(mk(2000, 2200), dir, Seq("k", "t"), files = 1)
+    val preFiles = Lakehouse.readManifest(spark, dir)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    // k=5 replaced WHOLESALE by two rows, k=2100 by one, k=9999 inserted
+    val updates = Seq((5L, 0L, -1.0), (5L, 1L, -3.0), (2100L, 0L, -5.0),
+      (9999L, 0L, -7.0)).toDF("k", "t", "v")
+    val (rw, replaced, upserted) =
+      Lakehouse.upsertByKey(spark, dir, updates, Seq("k"), files = 1)
+    assert(replaced === 2L && upserted === 4L,
+      s"replaced $replaced, upserted $upserted")
+    assert(rw >= 1 && rw <= 2, s"rewrote $rw files — COW must touch only " +
+      "the files whose z-range contains a matched key")
+    val expected = mk(0, 2200).filter(!col("k").isin(5L, 2100L))
+      .unionByName(updates)
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e7)
+    assert(live.exceptAll(expected).isEmpty && expected.exceptAll(live).isEmpty,
+      "post-upsert live read drifted")
+    assert(live.filter(col("k") === 5L).count() === 2L,
+      "wholesale replacement must carry BOTH update rows for the key")
+    // pinned pre-upsert snapshot still holds the old row
+    val pinned = spark.read.parquet(preFiles: _*).filter(col("k") === 5L)
+    assert(pinned.count() === 1L &&
+      pinned.head().getDouble(2) === 10.0, "pinned snapshot changed")
+    // classified rewrite: the append feed is the original ingests only
+    assert(Lakehouse.history(spark, dir).collect()
+      .map(_.getString(1)).contains("upsert"))
+    val feed = Lakehouse.changesSince(spark, dir, -1)
+    val truthFeed = mk(0, 2200)
+    assert(feed.exceptAll(truthFeed).isEmpty && truthFeed.exceptAll(feed).isEmpty,
+      "upsert leaked into the append feed")
+    // schema drift and empty updates both stay safe
+    intercept[IllegalArgumentException](Lakehouse.upsertByKey(spark, dir,
+      updates.withColumn("extra", lit(1)), Seq("k")))
+    val v = Lakehouse.latestVersion(spark, dir)
+    assert(Lakehouse.upsertByKey(spark, dir,
+      Seq.empty[(Long, Long, Double)].toDF("k", "t", "v"),
+      Seq("k")) === ((0, 0L, 0L)))
+    assert(Lakehouse.latestVersion(spark, dir) === v)
+  }
+
   test("lakehouse: changesSince feeds exactly the appended rows; compaction rewrites excluded") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-changes").toString
