@@ -85,7 +85,7 @@ object SparkEntry {
   val benchExempt: Set[String] =
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
       "lakehouse_pruned_2d", "lakehouse_pruned_date", "lakehouse_changes",
-      "corpus_curate_stats")
+      "lakehouse_delete", "lakehouse_upsert", "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1260,6 +1260,54 @@ object SparkEntry {
       graft.operators.Lakehouse.appendClustered(ev.filter(isDelta),
         base, Seq("user_id", "ts_us"), files = 4)
       graft.operators.Lakehouse.changesSince(s, base, 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Copy-on-write DELETE anchored end-to-end: the md5-chosen ~15% of
+    // rows are deleted (only their files rewrite), then the pruned read
+    // aggregates the survivors — the oracle filters the same bucket
+    // arithmetic out of the raw table, so a row the rewrite lost OR kept
+    // wrongly hash-mismatches
+    "lakehouse_delete" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-del-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      graft.operators.Lakehouse.writeClustered(ev, base,
+        Seq("user_id", "ts_us"), files = 12)
+      val isDoomed = (conv(substring(md5(concat(lit("lhdel:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 850
+      graft.operators.Lakehouse.deleteWhere(s, base, isDoomed, files = 4)
+      graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Copy-on-write MERGE anchored end-to-end: the md5-chosen ~10% of
+    // rows are upserted with their value doubled (event_id is the unique
+    // key, so wholesale replacement is 1:1), then the pruned read
+    // aggregates — the oracle rebuilds the same CASE over the raw table;
+    // a lost survivor, a double-fed key, or a missed update mismatches
+    "lakehouse_upsert" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-ups-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      graft.operators.Lakehouse.writeClustered(ev, base,
+        Seq("user_id", "ts_us"), files = 12)
+      val isUpd = (conv(substring(md5(concat(lit("lhups:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 900
+      graft.operators.Lakehouse.upsertByKey(s, base,
+        ev.filter(isUpd).withColumn("value", col("value") * 2),
+        Seq("event_id"), files = 4)
+      graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
@@ -3137,6 +3185,26 @@ object SparkEntry {
         |       round(sum(value), 2) AS total_value
         |FROM events
         |WHERE CAST('0x' || substr(md5('lhchg:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 800
+        |GROUP BY 1""".stripMargin,
+
+    // COW delete: survivors of the same md5 bucket filter, nothing more,
+    // nothing less
+    "lakehouse_delete" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 7
+        |  AND CAST('0x' || substr(md5('lhdel:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 850
+        |GROUP BY 1""".stripMargin,
+
+    // COW merge: the same rows, with the md5-chosen keys' values doubled
+    // (exact fp doubling — no rounding before the final round)
+    "lakehouse_upsert" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(CASE WHEN CAST('0x' || substr(md5('lhups:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 900
+        |                      THEN value * 2 ELSE value END), 2) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 7
         |GROUP BY 1""".stripMargin,
 
     "q37_retention" ->
