@@ -69,6 +69,25 @@ object LakehouseSoak {
     val (keptAfter, filesAfter) = Lakehouse.selectFiles(spark, base, "k", 0, 99)
     val (okAfter, tSweep2) = timed(sweep())
 
+    // COW merge at scale: wholesale-replace the first 10k ids with
+    // IDENTICAL rows — files rewrite, row counts hold, and the sweep
+    // still matching proves the rewrite lost nothing
+    val upsBatch = math.min(10000L, totalRows)
+    val ((upsFiles, upsReplaced, _), tUpsert) = timed(
+      Lakehouse.upsertByKey(spark, base, mk(0, upsBatch), Seq("t"), files = 2))
+    val (okUpsert, tSweep3) = timed(sweep())
+    // COW delete at scale: one key band vanishes, the rest is untouched
+    val ((delFiles, delRows), tDelete) = timed(
+      Lakehouse.deleteWhere(spark, base, col("k") === 500, files = 2))
+    val okDelete = {
+      val got = Lakehouse.prunedRead(spark, base, "k", 495, 505)
+      val exp = mk(0, totalRows)
+        .filter(col("k") >= 495 && col("k") <= 505 && col("k") =!= 500)
+      got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty
+    }
+    val rowsFinal = Lakehouse.readManifest(spark, base)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+
     def f(d: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, d)
     println(s"""{"metric":"lakehouse_soak","rows":$totalRows""" +
       s""","appends":$appends,"files_before":$filesBefore""" +
@@ -79,13 +98,22 @@ object LakehouseSoak {
       s""","pruned_fraction_before":${f(kept.size.toDouble / filesBefore)}""" +
       s""","compacted":$compacted,"compact_written":$written""" +
       s""","vacuum_reclaimed":$reclaimed""" +
+      s""","upsert_files":$upsFiles,"upsert_replaced":$upsReplaced""" +
+      s""","delete_files":$delFiles,"delete_rows":$delRows""" +
+      s""","rows_final":$rowsFinal""" +
       s""","files_after":$filesAfter""" +
       s""","pruned_fraction_after":${f(keptAfter.size.toDouble / filesAfter)}""" +
       s""","sweep_exact_before":$okBefore,"sweep_exact_after":$okAfter""" +
+      s""","sweep_exact_post_upsert":$okUpsert,"delete_exact":$okDelete""" +
       s""","write_sec":${f(tWrite)},"append_sec":${f(tAppend)}""" +
       s""","compact_sec":${f(tCompact)},"vacuum_sec":${f(tVacuum)}""" +
-      s""","sweep_sec":[${f(tSweep1)},${f(tSweep2)}]}""")
+      s""","upsert_sec":${f(tUpsert)},"delete_sec":${f(tDelete)}""" +
+      s""","sweep_sec":[${f(tSweep1)},${f(tSweep2)},${f(tSweep3)}]}""")
     require(okBefore && okAfter, "pruned sweep drifted from full-scan truth")
+    require(okUpsert, "identity upsert changed the data")
+    require(okDelete, "COW delete drifted neighbors of the deleted band")
+    require(rowsFinal == totalRows - delRows,
+      s"row accounting broke: $rowsFinal != $totalRows - $delRows")
     spark.stop()
   }
 }
