@@ -85,7 +85,8 @@ object SparkEntry {
   val benchExempt: Set[String] =
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
       "lakehouse_pruned_2d", "lakehouse_pruned_date", "lakehouse_changes",
-      "lakehouse_delete", "lakehouse_upsert", "corpus_curate_stats")
+      "lakehouse_delete", "lakehouse_upsert", "lakehouse_replace",
+      "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -450,9 +451,15 @@ object SparkEntry {
 
     // G2: same ring alignment under RandomPartitioner (MD5/BigIntegerToken
     // path, CassandraPartitioner.java:46-47) — tokens ride as canonical
-    // 16-byte binary; min/max reported as hex for a stable shape check
+    // 16-byte binary; min/max reported as hex. The rowkey rides as its
+    // STRING form (the Thrift-era row-key shape), which also makes the
+    // md5 token math DuckDB-expressible: the oracle reconstructs
+    // abs(int128_be(md5(utf8(key)))) with HUGEINT arithmetic, so this is
+    // a full value check, not a rows-only shape check (g1's Murmur3
+    // variant stays rows-only — no DuckDB expression computes it).
     "g2_random_ring_align" -> ((s, dir) => {
       val o = s.read.parquet(t(dir, "orders"))
+        .withColumn("o_orderkey", col("o_orderkey").cast("string"))
       val projected = CqlPipeline.toCql(o,
         Projection(defaultTimestampMicros = DefaultWritetimeMicros))
       CqlPipeline.alignToRing(projected, Seq("rowkey"), numBuckets = 8,
@@ -1307,6 +1314,33 @@ object SparkEntry {
       graft.operators.Lakehouse.upsertByKey(s, base,
         ev.filter(isUpd).withColumn("value", col("value") * 2),
         Seq("event_id"), files = 4)
+      graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Atomic REPLACE anchored end-to-end: the table starts as the
+    // md5-chosen ~60% seed subset, then replaceClustered swaps in the
+    // FULL events frame with values doubled — one commit, old snapshot
+    // intact for pinned readers. The pruned read over the replaced
+    // layout must equal the plain doubled-value aggregate over ALL
+    // rows: a pre-replace file leaking into the manifest (stale seed
+    // rows double-count) or a lost new file hash-mismatches
+    "lakehouse_replace" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-rpl-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      val isSeed = (conv(substring(md5(concat(lit("lhrpl:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) < 600
+      graft.operators.Lakehouse.writeClustered(ev.filter(isSeed),
+        base, Seq("user_id", "ts_us"), files = 8)
+      graft.operators.Lakehouse.replaceClustered(
+        ev.withColumn("value", col("value") * 2),
+        base, Seq("user_id", "ts_us"), files = 6)
       graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -2175,13 +2209,41 @@ object SparkEntry {
     * PipelineSpec pins `queries.keySet == oracleSql.keySet ++ rowsOnly`
     * so a query can never silently lose (or never gain) its oracle.
     *
-    *  - g1/g2: ring-aligned repartition+sort on Murmur3/RandomPartitioner
-    *    token math — no DuckDB expression computes Cassandra tokens; the
-    *    byte-exact contract is pinned against reference-derived golden
-    *    hashes in KernelSpec instead. */
-  val rowsOnly: Set[String] = Set("g1_ring_align", "g2_random_ring_align")
+    *  - g1: ring-aligned repartition+sort on Murmur3 token math — no
+    *    DuckDB expression computes Cassandra's sign-extended Murmur3
+    *    x64_128 variant; the byte-exact contract is pinned against
+    *    reference-derived golden hashes in KernelSpec instead. (g2's
+    *    RandomPartitioner variant IS oracle-checked: md5 tokens are
+    *    reconstructable with DuckDB HUGEINT arithmetic.) */
+  val rowsOnly: Set[String] = Set("g1_ring_align")
 
   def oracleSql: Map[String, String] = Map(
+    // RandomPartitioner ring alignment, reconstructed from first
+    // principles: token = abs(int128_be(md5(utf8(rowkey)))) via HUGEINT
+    // arithmetic (the signed big-endian int128 is upper_u64 adjusted by
+    // 2^64 when its sign bit is set, times 2^64, plus lower_u64);
+    // bucket = token / ceil(2^127/8) (= 2^124), clamped to the last
+    // bucket; hex = the canonical 16-byte big-endian form, zero-padded
+    "g2_random_ring_align" ->
+      """WITH tok AS (
+        |  SELECT (abs(
+        |    (CAST(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,16))::UBIGINT AS HUGEINT)
+        |      - (CASE WHEN ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,16))::UBIGINT >= 9223372036854775808
+        |              THEN 18446744073709551616 ELSE 0 END))
+        |    * 18446744073709551616
+        |    + CAST(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),17,16))::UBIGINT AS HUGEINT)
+        |  )) AS token
+        |  FROM orders
+        |)
+        |SELECT CAST(least(token // 21267647932558653966460912964485513216, 7) AS INTEGER) AS _bucket,
+        |       count(*) AS n,
+        |       lpad(hex(CAST(min(token) // 18446744073709551616 AS BIGINT)),16,'0')
+        |         || lpad(hex(CAST(min(token) % 18446744073709551616 AS UBIGINT)),16,'0') AS min_token_hex,
+        |       lpad(hex(CAST(max(token) // 18446744073709551616 AS BIGINT)),16,'0')
+        |         || lpad(hex(CAST(max(token) % 18446744073709551616 AS UBIGINT)),16,'0') AS max_token_hex
+        |FROM tok
+        |GROUP BY 1""".stripMargin,
+
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
         |FROM lineitem
@@ -3203,6 +3265,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |       round(sum(CASE WHEN CAST('0x' || substr(md5('lhups:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 900
         |                      THEN value * 2 ELSE value END), 2) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 7
+        |GROUP BY 1""".stripMargin,
+
+    // atomic REPLACE: the whole table swapped for the doubled-value
+    // frame — the seed subset must leave no trace
+    "lakehouse_replace" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value * 2), 2) AS total_value
         |FROM events
         |WHERE user_id BETWEEN 4 AND 7
         |GROUP BY 1""".stripMargin,

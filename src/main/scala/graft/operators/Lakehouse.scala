@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,27 +20,44 @@ import org.apache.spark.sql.functions._
  *   path/data/part-*.parquet          the immutable data files
  *   path/_log/v0000000042/manifest/   full stats snapshot (1 row/file)
  *   path/_log/v0000000042/_commit     marker: op + streamId + batchId
+ *                                     + nFiles/nRows + commit uuid
  * }}}
  *
- * A version becomes visible atomically when its `_commit` marker lands
- * (written to `_commit.tmp`, then renamed — rename-to-a-new-name is
- * atomic on HDFS, object-store committers, and local FS alike). Readers
- * resolve "latest committed version" once per read and replay exactly
- * that snapshot, which gives SNAPSHOT ISOLATION through concurrent
- * [[compact]]/[[appendClustered]] calls: no mutation ever rewrites or
- * deletes a file an existing snapshot references — superseded files are
- * reclaimed only by an explicit [[vacuum]]. A version directory without
- * a marker is an invisible crashed attempt; the next writer (or
- * [[vacuum]]) reclaims it. Writers are SINGLE-WRITER by contract (same
- * as a Delta table without a coordination service); a lost race still
- * fails loudly — the second writer's manifest write or marker rename
- * throws rather than corrupting the log.
+ * A version is STAGED complete (manifest parquet + `_commit` marker) in a
+ * `_log/_tmp-<uuid>` directory and becomes visible atomically when the
+ * whole directory renames into place — rename-to-a-fresh-name is atomic
+ * on HDFS and local FS, and the rename runs through `FileContext` with
+ * `Rename.NONE` semantics so a destination that already exists FAILS the
+ * rename instead of merging into it. Readers resolve "latest committed
+ * version" once per read and replay exactly that snapshot, which gives
+ * SNAPSHOT ISOLATION through concurrent mutations: no mutation ever
+ * rewrites or deletes a file an existing snapshot references — superseded
+ * files are reclaimed only by an explicit [[vacuum]]. A crashed attempt
+ * leaves only `_tmp-*` staging debris (never a half-visible version);
+ * [[vacuum]] sweeps it.
+ *
+ * == Concurrency ==
+ *
+ * APPENDS are optimistically concurrent: [[appendClustered]] writes its
+ * data files once, then loops { resolve latest, extend that manifest,
+ * commit at latest+1 } — a lost race (another writer took the version
+ * slot first) re-resolves and retries, because append manifests are
+ * purely ADDITIVE: re-deriving "fresh live + my new rows" is always
+ * correct whatever landed in between. Two interleaved appenders (a
+ * stream plus a nightly backfill — the normal production shape) both
+ * land, on a linear log. REWRITE ops ([[compact]], [[deleteWhere]],
+ * [[upsertByKey]], [[writeClustered]]) stay single-writer fail-loud: a
+ * lost race throws before anything becomes visible, since replaying a
+ * rewrite against a moved base could resurrect or double rows.
+ * (On an object store without atomic rename the same caveat applies as
+ * to Delta-on-S3: the final rename needs the store's conditional-put —
+ * out of scope here.)
  *
  * Each `_commit` records a `(streamId, batchId)` pair, the Delta `txn`
  * action analog: [[graft.streaming.LakehouseIngest]] fences re-delivered
  * `foreachBatch` batches on it, upgrading streaming ingest from
- * at-least-once to EXACTLY-ONCE (spec-pinned by replaying a batch and
- * observing unchanged row counts).
+ * at-least-once to exactly-once under deterministic replay (spec-pinned
+ * by replaying a batch and observing unchanged row counts).
  *
  * Scale shape: the manifest holds one row per DATA FILE (not per row), so
  * planning a pruned read is a driver-side replay of a #files-row table —
@@ -67,9 +84,16 @@ object Lakehouse {
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A commit lost its version slot to a concurrent writer. Additive
+    * (append) commits catch this and retry against the new latest;
+    * rewrite commits let it propagate — fail-loud by design. */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Committed versions, ascending — a directory listing of `_log`
-    * filtered to dirs whose `_commit` marker exists (a marker-less dir is
-    * an invisible crashed attempt). Driver-sized: #versions entries. */
+    * filtered to dirs whose `_commit` marker exists (staging debris and
+    * torn pre-rename states carry no marker). Driver-sized: #versions
+    * entries. */
   private def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
     val fs = fsOf(spark, path)
     val ld = new Path(logDir(path))
@@ -124,68 +148,138 @@ object Lakehouse {
   }
 
   /** DESCRIBE-HISTORY analog: one row per committed version —
-    * `(version, op, stream_id, batch_id, n_files, n_rows)` — assembled
-    * driver-side from the commit markers plus each retained manifest
-    * (#versions tiny reads; a vacuumed version's file/row counts are
-    * null, its identity row survives). The observability surface a
-    * table owner audits ingest and maintenance with. */
+    * `(version, op, stream_id, batch_id, n_files, n_rows)`, the counts
+    * being each version's SNAPSHOT TOTALS (its whole manifest, not the
+    * commit's delta). They are recorded INTO each `_commit` marker at
+    * commit time — surviving [[vacuum]] alongside the marker — so this is
+    * a pure driver-side marker replay: ZERO Spark jobs however old the
+    * table (spec-pinned with a job listener) — not one manifest
+    * aggregation job per version, which on a year-old table would be
+    * hundreds of driver-blocking jobs for one DESCRIBE. Markers written
+    * before counts existed fall back to their retained manifest (null
+    * counts if vacuumed away). */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, path)
     committedVersions(spark, path).map { v =>
       val c = readCommit(fs, path, v)
-      val counts =
-        if (fs.exists(new Path(versionDir(path, v), "manifest"))) {
-          val m = manifestAt(spark, path, v)
-            .agg(count(lit(1)), sum(col("n_rows"))).head()
-          (Some(m.getLong(0)), Some(m.getLong(1)))
-        } else (None, None)
+      val counts = (c.nFiles, c.nRows) match {
+        case (Some(f), Some(r)) => (Some(f), Some(r))
+        case _ => // legacy marker without counts: one manifest replay
+          if (fs.exists(new Path(versionDir(path, v), "manifest"))) {
+            val m = manifestAt(spark, path, v)
+              .agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L))).head()
+            (Some(m.getLong(0)), Some(m.getLong(1)))
+          } else (None, None)
+      }
       (v, c.op, c.streamId, c.batchId, counts._1, counts._2)
     }.toDF("version", "op", "stream_id", "batch_id", "n_files", "n_rows")
   }
 
-  private case class CommitInfo(op: String, streamId: String, batchId: Long)
+  private case class CommitInfo(op: String, streamId: String, batchId: Long,
+      nFiles: Option[Long], nRows: Option[Long])
 
   private def readCommit(fs: FileSystem, path: String, v: Long): CommitInfo = {
     val in = fs.open(new Path(versionDir(path, v), "_commit"))
     val props = new java.util.Properties()
     try props.load(in) finally in.close()
+    def optLong(k: String) = Option(props.getProperty(k)).map(_.toLong)
     CommitInfo(props.getProperty("op", ""), props.getProperty("streamId", ""),
-      props.getProperty("batchId", "-1").toLong)
+      props.getProperty("batchId", "-1").toLong,
+      optLong("nFiles"), optLong("nRows"))
   }
 
-  /** Writes `manifest` as the next snapshot and makes it visible with an
-    * atomic marker rename. Fail-loud on a lost writer race: the manifest
-    * write (`mode=error`) or the rename throws before anything becomes
-    * visible. Crashed-attempt debris at this version (dir, no marker) is
-    * reclaimed first — safe under the single-writer contract. */
+  /** Stages `manifest` + marker as a complete version directory and
+    * renames it into the `base + 1` slot. The rename is the commit
+    * point: `FileContext` + `Rename.NONE` fails if the slot is taken
+    * (it never merges into an existing directory, unlike
+    * `FileSystem.rename`'s copy fallback), so a lost race throws
+    * [[CommitConflictException]] with NOTHING visible — the staging
+    * debris is cleaned up (best-effort; [[vacuum]] sweeps leftovers).
+    * The marker records file/row counts (one tiny read of the just-
+    * written single-file manifest — #files rows) so [[history]] never
+    * has to replay manifests. */
   private def commitVersion(spark: SparkSession, path: String,
       manifest: DataFrame, op: String, streamId: String,
-      batchId: Long): Long = {
+      batchId: Long, base: Long): Long = {
     val fs = fsOf(spark, path)
-    val v = latestVersion(spark, path) + 1
+    val v = base + 1
+    val tmp = new Path(logDir(path),
+      s"_tmp-${java.util.UUID.randomUUID().toString}")
     val vd = new Path(versionDir(path, v))
-    if (fs.exists(vd)) {
-      if (fs.exists(new Path(vd, "_commit")))
-        throw new IllegalStateException(
-          s"lakehouse log at $path: version $v committed concurrently — " +
-            "this layout is single-writer")
-      fs.delete(vd, true)
+    try {
+      manifest.coalesce(1).write.mode("error")
+        .parquet(new Path(tmp, "manifest").toString)
+      val counts = spark.read.parquet(new Path(tmp, "manifest").toString)
+        .agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L))).head()
+      val props = new java.util.Properties()
+      props.setProperty("op", op)
+      props.setProperty("streamId", streamId)
+      props.setProperty("batchId", batchId.toString)
+      props.setProperty("nFiles", counts.getLong(0).toString)
+      props.setProperty("nRows", counts.getLong(1).toString)
+      val out = fs.create(new Path(tmp, "_commit"), false)
+      try props.store(out, null) finally out.close()
+      // a version dir WITHOUT a marker cannot come from this protocol
+      // (visibility is the whole-dir rename) — it is pre-protocol debris
+      // or a torn copy; reclaim it rather than letting it wedge the slot
+      if (fs.exists(vd) && !fs.exists(new Path(vd, "_commit")))
+        fs.delete(vd, true)
+      if (fs.exists(vd))
+        throw new CommitConflictException(
+          s"lakehouse log at $path: version $v was committed concurrently")
+      val fc = FileContext.getFileContext(fs.getUri,
+        spark.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, vd, Options.Rename.NONE)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"lakehouse log at $path: lost the race for version $v: $e")
+        case e: java.io.IOException =>
+          throw new CommitConflictException(
+            s"lakehouse log at $path: commit rename for version $v " +
+              s"failed (concurrent writer?): $e")
+      }
+      v
+    } catch {
+      case e: Throwable =>
+        // leave no staging debris behind on any failure path (best-effort)
+        try fs.delete(tmp, true) catch { case _: Exception => () }
+        throw e
     }
-    manifest.coalesce(1).write.mode("error")
-      .parquet(new Path(vd, "manifest").toString)
-    val props = new java.util.Properties()
-    props.setProperty("op", op)
-    props.setProperty("streamId", streamId)
-    props.setProperty("batchId", batchId.toString)
-    val tmp = new Path(vd, "_commit.tmp")
-    val out = fs.create(tmp, false)
-    try props.store(out, null) finally out.close()
-    if (!fs.rename(tmp, new Path(vd, "_commit")))
-      throw new IllegalStateException(
-        s"lakehouse log at $path: commit marker rename for version $v " +
-          "failed — concurrent writer?")
-    v
+  }
+
+  /** The additive-commit retry loop: re-resolves latest, rebuilds the
+    * manifest via `extend` (fresh live manifest in, extended manifest
+    * out), and commits at latest+1; a [[CommitConflictException]] means
+    * another writer took the slot — re-deriving from the NEW live
+    * manifest is correct because the extension is purely additive, so
+    * back off briefly and go again. `fence` re-runs each attempt (a
+    * concurrent commit may have advanced this stream's batch high-water
+    * mark). */
+  private def commitAdditive(spark: SparkSession, path: String,
+      op: String, streamId: String, batchId: Long, maxAttempts: Int)(
+      fence: () => Unit)(extend: DataFrame => DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      fence()
+      val base = latestVersion(spark, path)
+      require(base >= 0, s"no committed lakehouse log at $path")
+      val live = manifestAt(spark, path, base)
+      try {
+        return commitVersion(spark, path, extend(live), op, streamId,
+          batchId, base)
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"lakehouse log at $path: additive commit lost $maxAttempts " +
+              s"races in a row — giving up", e)
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(5L, 50L))
+      }
+    }
+    -1L // unreachable
   }
 
   // ------------------------------------------------------------------
@@ -221,7 +315,7 @@ object Lakehouse {
     Zorder.writeZOrdered(df, zCols, s"$path/data", files, bits)
     commitVersion(spark, path,
       statsOf(spark.read.parquet(s"$path/data"), zCols),
-      "create", streamId, batchId)
+      "create", streamId, batchId, base = -1L)
   }
 
   /** One manifest row per file of `data`: min/max of every clustered
@@ -237,11 +331,14 @@ object Lakehouse {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Data-file listing (driver-side, manifest-replay sized). */
+  /** Data-file listing (driver-side, manifest-replay sized). Used only
+    * by [[vacuum]]'s orphan sweep — mutations know their own written
+    * files exactly (see [[writeBatch]]). */
   private def listData(spark: SparkSession, path: String): Set[String] = {
     val p = new Path(s"$path/data")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).iterator
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toUri.toString).toSet
   }
@@ -250,6 +347,37 @@ object Lakehouse {
     * comparing manifest URIs (from `input_file_name()`) against listing
     * URIs (from `FileStatus`). */
   private def pathKey(uri: String): String = new java.net.URI(uri).getPath
+
+  /** Writes `df` as a z-clustered batch via a private staging dir, then
+    * moves each part file into `path/data` and returns EXACTLY the moved
+    * files. The written-file set is known by construction, never inferred
+    * from a before/after listing diff — under a CONCURRENT appender a
+    * listing diff would claim the other writer's files and commit
+    * duplicate manifest rows for them (double reads). Part-file names are
+    * job-UUID unique, so the per-file renames cannot collide; a crash
+    * leaves only `_stage-*` debris outside `data/`, invisible to every
+    * reader and swept by [[vacuum]]. */
+  private def writeBatch(spark: SparkSession, path: String, df: DataFrame,
+      zCols: Seq[String], files: Int, bits: Int): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val stage = new Path(path,
+      s"_stage-${java.util.UUID.randomUUID().toString}")
+    try {
+      Zorder.writeZOrdered(df, zCols, stage.toString, files, bits)
+      val dataDir = new Path(s"$path/data")
+      fs.mkdirs(dataDir)
+      fs.listStatus(stage).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map { s =>
+          val dst = new Path(dataDir, s.getPath.getName)
+          require(fs.rename(s.getPath, dst),
+            s"writeBatch: rename ${s.getPath} -> $dst failed")
+          fs.makeQualified(dst).toUri.toString
+        }
+    } finally {
+      try fs.delete(stage, true) catch { case _: Exception => () }
+    }
+  }
 
   /**
    * The nightly-ingest shape: appends `df` as a NEW z-clustered batch of
@@ -261,23 +389,25 @@ object Lakehouse {
    * per-batch, manifest stats (the thing pruning reads) are exact
    * regardless.
    *
+   * CONCURRENT-SAFE: appends are commutative, so a lost commit race
+   * re-resolves the (now newer) live manifest and retries — see the
+   * class doc's concurrency section. Two interleaved appenders both
+   * land on a linear log (spec-pinned). The data files are written
+   * once, before the retry loop; only the #files-row manifest commit
+   * retries.
+   *
    * With a non-empty `streamId`, the commit is fenced: a `batchId` at or
    * below the highest already committed for that stream throws instead
    * of double-appending (callers that want skip-not-throw check
    * [[lastCommittedBatch]] first, as [[graft.streaming.LakehouseIngest]]
-   * does).
-   *
-   * The new-file set is the before/after listing diff — driver-sized
-   * here; a production writer would thread the committed file list out
-   * of the write's commit protocol instead of listing. The stats pass
-   * reads ONLY the new files.
+   * does). The fence re-checks on every retry.
    */
   def appendClustered(df: DataFrame, path: String, zCols: Seq[String],
       files: Int, bits: Int = 16, streamId: String = "",
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L, maxAttempts: Int = 20): Unit = {
     val spark = df.sparkSession
-    val live = readManifest(spark, path)
-    require(live.columns.toSet == statsOf(df.limit(0), zCols).columns.toSet,
+    val live0 = readManifest(spark, path)
+    require(live0.columns.toSet == statsOf(df.limit(0), zCols).columns.toSet,
       s"appendClustered: zCols $zCols do not match the manifest at $path " +
         "— an appended batch must carry stats for the SAME clustered " +
         "columns or pruning would silently skip it")
@@ -285,30 +415,35 @@ object Lakehouse {
     // append happily lands mixed-schema files, and a later explicit-file
     // read reconciles them to the FIRST file's schema — an extra column
     // silently vanishes, a retyped one fails far from its cause. One
-    // footer read of a live file, fail-loud here instead.
-    val liveSchema = spark.read
-      .parquet(live.select(col("file")).head().getString(0)).schema
-    val batchSchema = df.schema
-    def shape(s: org.apache.spark.sql.types.StructType) =
-      s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-    require(shape(liveSchema) == shape(batchSchema),
-      s"appendClustered: batch schema ${batchSchema.simpleString} does " +
-        s"not match the layout's data schema ${liveSchema.simpleString} " +
-        s"at $path — schema evolution needs an explicit rewrite, not a " +
-        "silent mixed-schema append")
-    if (streamId.nonEmpty && batchId <= lastCommittedBatch(spark, path, streamId))
-      throw new IllegalStateException(
-        s"appendClustered: batch $batchId of stream '$streamId' is already " +
-          s"committed at $path — a re-delivered batch must be skipped, " +
-          "not re-appended")
-    val before = listData(spark, path)
-    Zorder.writeZOrderedAppend(df, zCols, s"$path/data", files, bits)
-    val newFiles = (listData(spark, path) -- before).toSeq
+    // footer read of a live file, fail-loud here instead. An EMPTY
+    // manifest (legal after a delete removed every row) has no file to
+    // probe and nothing to conflict with — the append defines the schema.
+    val probeFile = live0.select(col("file")).limit(1).collect()
+    if (probeFile.nonEmpty) {
+      val liveSchema = spark.read.parquet(probeFile(0).getString(0)).schema
+      val batchSchema = df.schema
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      require(shape(liveSchema) == shape(batchSchema),
+        s"appendClustered: batch schema ${batchSchema.simpleString} does " +
+          s"not match the layout's data schema ${liveSchema.simpleString} " +
+          s"at $path — schema evolution needs an explicit rewrite, not a " +
+          "silent mixed-schema append")
+    }
+    def fence(): Unit =
+      if (streamId.nonEmpty &&
+          batchId <= lastCommittedBatch(spark, path, streamId))
+        throw new IllegalStateException(
+          s"appendClustered: batch $batchId of stream '$streamId' is already " +
+            s"committed at $path — a re-delivered batch must be skipped, " +
+            "not re-appended")
+    fence()
+    val newFiles = writeBatch(spark, path, df, zCols, files, bits)
     require(newFiles.nonEmpty, "appendClustered: the write added no files")
     val added = statsOf(spark.read.parquet(newFiles: _*), zCols)
-      .select(live.columns.map(col): _*)
-    commitVersion(spark, path, live.unionByName(added), "append",
-      streamId, batchId)
+      .select(live0.columns.map(col): _*)
+    commitAdditive(spark, path, "append", streamId, batchId,
+      maxAttempts)(() => fence())(live => live.unionByName(added))
   }
 
   /**
@@ -329,22 +464,59 @@ object Lakehouse {
    */
   def compact(spark: SparkSession, path: String, zCols: Seq[String],
       minRows: Long, files: Int, bits: Int = 16): (Int, Int) = {
-    val m = readManifest(spark, path)
+    val base = latestVersion(spark, path)
+    require(base >= 0, s"no committed lakehouse log at $path")
+    val m = manifestAt(spark, path, base)
     require(m.columns.contains("n_rows"),
       s"manifest at $path has no n_rows column")
     val small = m.filter(col("n_rows") < minRows)
       .select(col("file")).collect().map(_.getString(0)).toSeq
     if (small.size <= 1) return (0, 0)
-    val before = listData(spark, path)
-    Zorder.writeZOrderedAppend(spark.read.parquet(small: _*), zCols,
-      s"$path/data", files, bits)
-    val newFiles = (listData(spark, path) -- before).toSeq
+    val newFiles = writeBatch(spark, path,
+      spark.read.parquet(small: _*), zCols, files, bits)
     val kept = m.filter(!col("file").isin(small: _*))
     val replacement = kept.unionByName(
       statsOf(spark.read.parquet(newFiles: _*), zCols)
         .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, replacement, "compact", "", -1L)
+    commitVersion(spark, path, replacement, "compact", "", -1L, base)
     (small.size, newFiles.size)
+  }
+
+  /**
+   * Atomic REPLACE (the INSERT OVERWRITE / CREATE OR REPLACE TABLE
+   * shape): swaps the table's ENTIRE contents for `df` in one commit.
+   * The new batch lands as fresh UUID-named files first, then the commit
+   * publishes a manifest referencing ONLY those files — so a reader
+   * pinned on the previous version (or one that resolved "latest" a
+   * moment before) keeps reading its complete old snapshot, unlike
+   * [[writeClustered]]'s destructive create, which drops the old log
+   * before version 0 exists. Superseded files stay on disk for pinned
+   * readers until [[vacuum]].
+   *
+   * A replace may RE-CLUSTER: `zCols` (and the schema) need not match
+   * the current layout — the manifest is rebuilt whole, so downstream
+   * [[prunedRead]]s simply prune on the new columns. It is a REWRITE op:
+   * fail-loud on a commit race (replaying a whole-table swap against a
+   * moved base must be the caller's decision), and excluded from the
+   * incremental changes feed — a full rewrite cannot be expressed as
+   * appended rows. Replacing with an EMPTY frame is refused (use
+   * `deleteWhere(lit(true))` to empty a table); parquet needs at least
+   * one file to carry the new schema.
+   */
+  def replaceClustered(df: DataFrame, path: String, zCols: Seq[String],
+      files: Int, bits: Int = 16): Unit = {
+    val spark = df.sparkSession
+    val base = latestVersion(spark, path)
+    require(base >= 0,
+      s"no committed lakehouse log at $path — writeClustered creates one")
+    require(!df.isEmpty,
+      "replaceClustered: an empty replace is refused — " +
+        "deleteWhere(lit(true)) is the explicit way to empty a table")
+    val newFiles = writeBatch(spark, path, df, zCols, files, bits)
+    require(newFiles.nonEmpty, "replaceClustered: the write added no files")
+    commitVersion(spark, path,
+      statsOf(spark.read.parquet(newFiles: _*), zCols),
+      "replace", "", -1L, base)
   }
 
   /** Ops that REWRITE existing rows into new files (vs append new data).
@@ -353,8 +525,15 @@ object Lakehouse {
     * rewrite CONSERVATIVELY: its inserts never reach the append feed
     * (insert-only flows should use [[appendClustered]]), but a consumer
     * is never double-fed — the safe side of the trade a full CDF would
-    * resolve with per-row change types. */
-  private val RewriteOps = Set("compact", "delete", "upsert")
+    * resolve with per-row change types. `replace` swaps the whole table:
+    * by definition not expressible as appended rows. */
+  private val RewriteOps = Set("compact", "delete", "upsert", "replace")
+
+  /** Test observability hook: the number of candidate data files the
+    * last COW probe ([[deleteWhere]]/[[upsertByKey]]) actually scanned —
+    * lets a spec pin that `pruneRanges` really shrank the probe below
+    * the table's file count. */
+  @volatile private[graft] var lastProbeScannedFiles: Int = -1
 
   /**
    * Copy-on-write UPSERT (MERGE, latest-wins by key): every existing
@@ -366,46 +545,80 @@ object Lakehouse {
    * stay for pinned readers until [[vacuum]]. Returns (filesRewritten,
    * rowsReplaced, rowsUpserted). SQL equality: null-keyed rows never
    * match — they are never replaced, and null-keyed updates insert.
+   * An EMPTY table (legal after a delete removed every row) takes the
+   * insert-all path: every update row lands, nothing is replaced.
+   *
+   * `updates` is materialized ONCE at entry (`localCheckpoint`): the
+   * frame is otherwise evaluated by the probe, the rewrite union, and
+   * the final count, and a NON-DETERMINISTIC source (sampling, `rand()`,
+   * a re-read of mutating storage) could present different keys to the
+   * probe than to the rewrite — silently losing or duplicating rows,
+   * the hazard Delta's MERGE materializes its source against.
+   *
+   * `pruneRanges` (optional) pre-prunes the PROBE scan through the
+   * manifest, the same file skipping [[prunedRead]] does — correctness
+   * contract: every EXISTING row whose key appears in `updates` must lie
+   * inside the ranges (rows outside are never probed, so a matched key
+   * out there would duplicate instead of replace). Use it when the
+   * update keys bound a clustered column (the CDC shape: today's
+   * partition only).
    *
    * Scale shape: the update batch is assumed SMALL against the table
    * (the CDC-merge shape) — its distinct keys broadcast into both the
    * affected-file probe and the survivor anti-join, so the table is
-   * never shuffled; the probe scan pushes nothing but reads only
-   * `keyCols` + file names (column-pruned), and the rewrite reads only
-   * the affected files.
+   * never shuffled; the probe scan reads only `keyCols` + file names
+   * (column-pruned) over only the manifest-surviving files, and the
+   * rewrite reads only the affected files.
    */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], files: Int = 4,
-      bits: Int = 16): (Int, Long, Long) = {
+      keyCols: Seq[String], files: Int = 4, bits: Int = 16,
+      pruneRanges: Seq[(String, Double, Double)] = Nil): (Int, Long, Long) = {
     require(keyCols.nonEmpty, "upsertByKey: need at least one key column")
-    if (updates.isEmpty) return (0, 0L, 0L)
-    val m = readManifest(spark, path)
+    val u = updates.localCheckpoint()
+    if (u.isEmpty) return (0, 0L, 0L)
+    val base = latestVersion(spark, path)
+    require(base >= 0, s"no committed lakehouse log at $path")
+    val m = manifestAt(spark, path, base)
     val zCols = m.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
     val allFiles = m.select(col("file")).collect().map(_.getString(0)).toSeq
+    if (allFiles.isEmpty) {
+      // empty table: nothing to probe or replace — insert-all
+      lastProbeScannedFiles = 0
+      val newFiles = writeBatch(spark, path, u, zCols, files, bits)
+      val next = m.unionByName(
+        statsOf(spark.read.parquet(newFiles: _*), zCols)
+          .select(m.columns.map(col): _*))
+      commitVersion(spark, path, next, "upsert", "", -1L, base)
+      return (0, 0L, u.count())
+    }
     val data = spark.read.parquet(allFiles: _*)
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-    require(shape(data.schema) == shape(updates.schema),
-      s"upsertByKey: updates schema ${updates.schema.simpleString} does " +
+    require(shape(data.schema) == shape(u.schema),
+      s"upsertByKey: updates schema ${u.schema.simpleString} does " +
         s"not match the layout's ${data.schema.simpleString}")
-    val keys = updates.select(keyCols.map(col): _*).distinct()
-    val probe = data
-      .select(input_file_name().as("_f") +: keyCols.map(col): _*)
-      .join(broadcast(keys), keyCols, "left_semi")
-      .groupBy(col("_f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val candidates =
+      if (pruneRanges.isEmpty) allFiles
+      else selectFilesIn(m, path, pruneRanges)._1
+    lastProbeScannedFiles = candidates.size
+    val keys = u.select(keyCols.map(col): _*).distinct()
+    val probe =
+      if (candidates.isEmpty) Map.empty[String, Long]
+      else spark.read.parquet(candidates: _*)
+        .select(input_file_name().as("_f") +: keyCols.map(col): _*)
+        .join(broadcast(keys), keyCols, "left_semi")
+        .groupBy(col("_f")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val affected = allFiles.filter(probe.contains)
     val replaced = probe.values.sum
-    val before = listData(spark, path)
     val rewrite =
-      if (affected.isEmpty) updates
+      if (affected.isEmpty) u
       else spark.read.parquet(affected: _*)
         .join(broadcast(keys), keyCols, "left_anti")
-        .unionByName(updates)
-    Zorder.writeZOrderedAppend(rewrite, zCols, s"$path/data", files, bits)
-    val newFiles = (listData(spark, path) -- before).toSeq
+        .unionByName(u)
+    val newFiles = writeBatch(spark, path, rewrite, zCols, files, bits)
     require(newFiles.nonEmpty, "upsertByKey: the rewrite added no files")
     val kept =
       if (affected.isEmpty) m
@@ -413,8 +626,8 @@ object Lakehouse {
     val next = kept.unionByName(
       statsOf(spark.read.parquet(newFiles: _*), zCols)
         .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, next, "upsert", "", -1L)
-    (affected.size, replaced, updates.count())
+    commitVersion(spark, path, next, "upsert", "", -1L, base)
+    (affected.size, replaced, u.count())
   }
 
   /**
@@ -425,43 +638,71 @@ object Lakehouse {
    * readers until [[vacuum]]. Returns (filesRewritten, rowsDeleted);
    * no match is a no-op with no commit.
    *
+   * `pred` must be DETERMINISTIC — it is evaluated in the affected-file
+   * probe and again in the survivor filter, and a predicate that answers
+   * differently between the two (rand(), sampling) would silently lose
+   * or resurrect rows; a non-deterministic predicate throws here, the
+   * same refusal Delta's DELETE makes.
+   *
+   * `pruneRanges` (optional) pre-prunes the PROBE scan through the
+   * manifest — correctness contract: every row `pred` can match must lie
+   * inside the ranges (rows outside are never probed, so a match out
+   * there survives). Use it when `pred` bounds a clustered column; a
+   * spec pins that the probe then scans fewer files than the table
+   * holds.
+   *
    * SQL DELETE semantics: a row is removed iff `pred` is TRUE — rows
    * where it evaluates null are kept. The affected-file probe is one
-   * scan over the manifest's file set with `pred` pushed down (a
+   * scan over the candidate file set with `pred` pushed down (a
    * selective predicate on a clustered column touches few row groups);
    * the rewrite reads only the affected files. Clustered columns are
    * recovered from the manifest, so the caller states nothing twice.
    */
   def deleteWhere(spark: SparkSession, path: String,
-      pred: org.apache.spark.sql.Column, files: Int = 4,
-      bits: Int = 16): (Int, Long) = {
-    val m = readManifest(spark, path)
+      pred: org.apache.spark.sql.Column, files: Int = 4, bits: Int = 16,
+      pruneRanges: Seq[(String, Double, Double)] = Nil): (Int, Long) = {
+    val base = latestVersion(spark, path)
+    require(base >= 0, s"no committed lakehouse log at $path")
+    val m = manifestAt(spark, path, base)
     val zCols = m.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
     val allFiles = m.select(col("file")).collect().map(_.getString(0)).toSeq
     if (allFiles.isEmpty) return (0, 0L)
-    val hits = spark.read.parquet(allFiles: _*)
-      .filter(pred)
+    val candidates =
+      if (pruneRanges.isEmpty) allFiles
+      else selectFilesIn(m, path, pruneRanges)._1
+    lastProbeScannedFiles = candidates.size
+    if (candidates.isEmpty) return (0, 0L)
+    val probeFrame = spark.read.parquet(candidates: _*).filter(pred)
+    // the determinism check must run on the ANALYZED plan: an unresolved
+    // rand() reports deterministic=true until function resolution binds it
+    require(!probeFrame.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic => f
+    }.isDefined,
+      "deleteWhere: the predicate is non-deterministic — it is evaluated " +
+        "twice (probe + survivor filter) and could answer differently " +
+        "each time, silently losing or resurrecting rows")
+    val hits = probeFrame
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (hits.isEmpty) return (0, 0L)
     val affected = allFiles.filter(f => hits.contains(f))
-    val before = listData(spark, path)
     val survivors = spark.read.parquet(affected: _*)
       .filter(!(pred <=> lit(true)))
     val anySurvivor = !survivors.isEmpty
-    if (anySurvivor)
-      Zorder.writeZOrderedAppend(survivors, zCols, s"$path/data", files, bits)
-    val newFiles = (listData(spark, path) -- before).toSeq
+    val newFiles =
+      if (anySurvivor) writeBatch(spark, path, survivors, zCols, files, bits)
+      else Seq.empty[String]
     val kept = m.filter(!col("file").isin(affected: _*))
     val next =
       if (newFiles.isEmpty) kept
       else kept.unionByName(
         statsOf(spark.read.parquet(newFiles: _*), zCols)
           .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, next, "delete", "", -1L)
+    commitVersion(spark, path, next, "delete", "", -1L, base)
     (affected.size, hits.values.sum)
   }
 
@@ -469,10 +710,16 @@ object Lakehouse {
    * Reclaims storage the log no longer needs: data files referenced by
    * NONE of the last `retainVersions` committed snapshots (compacted-away
    * originals, crashed-append leftovers, any orphan under `data/`),
-   * superseded versions' manifest parquet, and marker-less
-   * crashed-attempt version dirs. Commit MARKERS are kept for every
-   * version so [[lastCommittedBatch]] fencing survives. Returns
+   * superseded versions' manifest parquet, crashed staging directories
+   * (`_stage-*`, `_log/_tmp-*`), and marker-less pre-protocol version
+   * dirs. Commit MARKERS are kept for every version so
+   * [[lastCommittedBatch]] fencing survives. Returns
    * (dataFilesDeleted, manifestsPruned).
+   *
+   * A RETAINED version whose manifest a previous, narrower-windowed
+   * vacuum already pruned is SKIPPED, not fatal — its snapshot is
+   * unreadable either way, and failing the whole vacuum would wedge
+   * maintenance until an unrelated commit moved the window.
    *
    * Contract: snapshots older than the retained window stop being
    * readable — the same retention trade Delta's `VACUUM` makes. Run it
@@ -488,8 +735,10 @@ object Lakehouse {
     require(committed.nonEmpty, s"no committed lakehouse log at $path")
     val retained = committed.takeRight(retainVersions)
     val live: Set[String] = retained.flatMap { v =>
-      manifestAt(spark, path, v).select(col("file")).collect()
-        .map(r => pathKey(r.getString(0)))
+      if (!fs.exists(new Path(versionDir(path, v), "manifest")))
+        Seq.empty // already pruned by an earlier narrower vacuum
+      else manifestAt(spark, path, v).select(col("file")).collect()
+        .map(r => pathKey(r.getString(0))).toSeq
     }.toSet
     val dead = listData(spark, path).toSeq.filterNot(f => live(pathKey(f)))
     dead.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
@@ -501,8 +750,13 @@ object Lakehouse {
       st.getPath.getName match {
         case VersionDirRe(_) if !fs.exists(new Path(st.getPath, "_commit")) =>
           fs.delete(st.getPath, true)
+        case n if n.startsWith("_tmp-") => fs.delete(st.getPath, true)
         case _ => ()
       }
+    }
+    val root = new Path(path)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith("_stage-")) fs.delete(st.getPath, true)
     }
     (dead.size, pruned)
   }

@@ -17,16 +17,22 @@ import graft.operators.Lakehouse
  * layout; compaction is the maintenance pass, exactly as in
  * Delta/Iceberg deployments).
  *
- * Delivery contract: EXACTLY-ONCE. `foreachBatch` re-runs a batch after
- * a crash between the sink write and the checkpoint commit; every
+ * Delivery contract: EXACTLY-ONCE under DETERMINISTIC REPLAY — the same
+ * scope as Delta's `txn` fence. `foreachBatch` re-runs a batch after a
+ * crash between the sink write and the checkpoint commit; every
  * lakehouse commit records `(streamId, batchId)` (the Delta `txn`
  * analog), so [[processBatch]] fences the re-delivery — a batchId at or
- * below [[Lakehouse.lastCommittedBatch]] is a no-op, and the fence
- * SURVIVES checkpoint loss because it lives in the table's own log, not
- * in the stream's checkpoint. Spec-pinned by replaying a batch (and by a
- * full checkpoint-wipe restart) and observing unchanged row counts.
- * `streamId` defaults to the checkpoint path; pass an explicit stable id
- * when the checkpoint may move between deployments.
+ * below [[Lakehouse.lastCommittedBatch]] is a no-op. The fence lives in
+ * the table's own log, not the stream's checkpoint, so it also covers a
+ * checkpoint wipe PROVIDED the source re-delivers the same batch
+ * boundaries (AvailableNow over an unchanged source, as the spec pins).
+ * If the checkpoint is lost AND the source has since gained data (or
+ * batches split differently — Kafka, a file source with new files), a
+ * replayed batchId at or below the high-water mark is fenced WHOLESALE,
+ * dropping any NEW rows mixed into it: restart such a stream under a
+ * FRESH `streamId` (at-least-once, dedup downstream) instead of relying
+ * on the fence. `streamId` defaults to the checkpoint path; pass an
+ * explicit stable id when the checkpoint may move between deployments.
  */
 object LakehouseIngest {
 

@@ -1361,11 +1361,13 @@ class OperatorsSpec extends AnyFunSuite {
     val liveRead2 = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
     assert(liveRead2.exceptAll(truth).isEmpty && truth.exceptAll(liveRead2).isEmpty,
       "live read drifted after vacuum")
-    // vacuumed versions keep their identity row (null counts) so fencing
-    // and audit survive; their snapshots are no longer readable
+    // vacuumed versions keep their identity row AND their counts (the
+    // counts live in the commit marker, which vacuum preserves for
+    // fencing) — only their snapshots stop being readable
     val h2 = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
-    assert(h2.length === 4 && h2.init.forall(_.isNullAt(4)),
-      "vacuum must null superseded versions' counts, not drop their rows")
+    assert(h2.length === 4 && h2.forall(r => !r.isNullAt(4) && !r.isNullAt(5)),
+      "vacuum must keep marker-recorded counts for superseded versions")
+    assert(h2.last.getLong(4) === 3L && h2.last.getLong(5) === 2200L)
     intercept[Exception](
       Lakehouse.prunedReadAt(spark, dir, 2, "k", 10, 19).collect())
   }
@@ -1506,6 +1508,252 @@ class OperatorsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long, Double)].toDF("k", "t", "v"),
       Seq("k")) === ((0, 0L, 0L)))
     assert(Lakehouse.latestVersion(spark, dir) === v)
+  }
+
+  test("lakehouse: two interleaved appenders both land on a linear log") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-race").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 2)
+    // the stream + nightly-backfill shape: two writers, 3 batches each,
+    // racing for version slots — optimistic retry must land ALL of them
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futs = (0 until 2).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          gate.await()
+          (0 until 3).foreach { i =>
+            val lo = 1000 + (w * 3 + i) * 1000
+            Lakehouse.appendClustered(mk(lo, lo + 1000), dir, Seq("k", "t"),
+              files = 1)
+          }
+        }
+      })
+    }
+    gate.countDown()
+    futs.foreach(_.get()) // propagates a lost-forever race or any error
+    pool.shutdown()
+    // 1 create + 6 appends on a LINEAR log: contiguous versions, no gaps
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getLong(0)).toSeq === (0L to 6L), "log is not linear")
+    assert(h.count(_.getString(1) == "append") === 6,
+      "an appender's commit was lost")
+    // the live snapshot is the exact union of every batch
+    val truth = mk(0, 7000)
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "concurrent appends lost or duplicated rows")
+    // no manifest row claims another writer's file (the listing-diff bug)
+    val files = Lakehouse.readManifest(spark, dir)
+      .select(col("file")).collect().map(_.getString(0))
+    assert(files.distinct.length === files.length,
+      "a data file appears in the manifest more than once")
+  }
+
+  test("lakehouse: history is a pure marker replay — zero Spark jobs") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-hist").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 500), dir, Seq("k", "t"), files = 2)
+    Lakehouse.appendClustered(mk(500, 600), dir, Seq("k", "t"), files = 1)
+    Lakehouse.compact(spark, dir, Seq("k", "t"), minRows = 1000, files = 1)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val h = Lakehouse.history(spark, dir).collect()
+      assert(h.length === 3)
+      // counts come from the commit markers, not manifest aggregations
+      // (counts are SNAPSHOT totals: the append's manifest holds all 3
+      // files / 600 rows, the compaction folds them into 1 file)
+      assert(h.map(r => (r.getLong(0), r.getString(1), r.getLong(4),
+        r.getLong(5))).sortBy(_._1).toSeq ===
+        Seq((0L, "create", 2L, 500L), (1L, "append", 3L, 600L),
+          (2L, "compact", 1L, 600L)))
+      // listener delivery is async — give the bus a moment, then demand
+      // silence: DESCRIBE HISTORY must not have launched a single job
+      Thread.sleep(1500)
+      assert(jobs.get() === 0,
+        s"history() launched ${jobs.get()} Spark jobs — it must be a " +
+          "driver-side marker replay")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("lakehouse: append and upsert into an emptied table (post wipe-delete)") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-empty").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 500), dir, Seq("k", "t"), files = 2)
+    val (_, wiped) = Lakehouse.deleteWhere(spark, dir, lit(true))
+    assert(wiped === 500L)
+    // history over the empty version must not throw (null-sum guard)
+    assert(Lakehouse.history(spark, dir).collect().length === 2)
+    // append into the empty table: no live file to schema-probe, the
+    // batch defines the schema
+    Lakehouse.appendClustered(mk(500, 600), dir, Seq("k", "t"), files = 1)
+    val after = Lakehouse.prunedRead(spark, dir, "k", 0, 49)
+    val truth = mk(500, 600)
+    assert(after.exceptAll(truth).isEmpty && truth.exceptAll(after).isEmpty,
+      "append into an emptied table drifted")
+    // wipe again, then upsert = insert-all
+    Lakehouse.deleteWhere(spark, dir, lit(true))
+    val ups = mk(600, 650)
+    val (rw, repl, ins) = Lakehouse.upsertByKey(spark, dir, ups, Seq("k", "t"))
+    assert(rw === 0 && repl === 0L && ins === 50L,
+      s"upsert into empty table: ($rw, $repl, $ins)")
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 49)
+    assert(live.exceptAll(ups).isEmpty && ups.exceptAll(live).isEmpty,
+      "insert-all upsert into an emptied table drifted")
+  }
+
+  test("lakehouse: non-deterministic updates upsert exactly-once; non-deterministic delete pred refused") {
+    import graft.operators.Lakehouse
+    import org.apache.spark.sql.{Row, types => T}
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-ndet").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 4)
+    // an updates frame that yields DIFFERENT rows on every evaluation
+    // (the re-read-of-mutating-storage hazard): evaluation c inserts keys
+    // [10000 + 100c, 10000 + 100c + 50). Without materialization the
+    // probe, rewrite, and count would each see a different key band —
+    // localCheckpoint at entry pins exactly one evaluation. The counter
+    // lives in a top-level object: a Scala object resolves as the JVM
+    // singleton on the (local-mode) executor, where a captured field
+    // would deserialize as a per-task copy and never tick.
+    NdetEvalCounter.n.set(0)
+    val rdd = spark.sparkContext.parallelize(0 until 50, 1).mapPartitions { it =>
+      val c = NdetEvalCounter.n.incrementAndGet() // shared JVM in local mode
+      it.map(i => Row(10000L + 100L * c + i, (i % 7).toLong))
+    }
+    val schema = T.StructType(Seq(T.StructField("k", T.LongType, false),
+      T.StructField("t", T.LongType, false)))
+    val updates = spark.createDataFrame(rdd, schema)
+    val (rw, repl, ins) = Lakehouse.upsertByKey(spark, dir, updates, Seq("k"))
+    assert(repl === 0L && ins === 50L, s"($rw, $repl, $ins)")
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9).cache()
+    try {
+      // exactly-once: every key appears once, and the 50 inserted keys
+      // all come from ONE evaluation's band (a probe/rewrite divergence
+      // would mix bands or duplicate keys)
+      assert(live.groupBy(col("k")).count().filter(col("count") > 1).isEmpty,
+        "a key appears more than once after the upsert")
+      val bands = live.filter(col("k") >= 10000L)
+        .select(((col("k") - 10000L) / 100L).cast("long").as("band"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(bands.size === 1,
+        s"inserted keys span evaluation bands $bands — the updates frame " +
+          "was evaluated more than once")
+      assert(live.count() === 1050L)
+    } finally live.unpersist()
+    // a non-deterministic DELETE predicate is refused up front
+    val e = intercept[IllegalArgumentException](
+      Lakehouse.deleteWhere(spark, dir, rand() < 0.5))
+    assert(e.getMessage.contains("non-deterministic"))
+  }
+
+  test("lakehouse: pruneRanges shrinks the COW probe below the table's file count") {
+    import graft.operators.Lakehouse
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    val dirA = java.nio.file.Files.createTempDirectory("graft-lh-prA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-lh-prB").toString
+    Seq(dirA, dirB).foreach(d =>
+      Lakehouse.writeClustered(mk(0, 8000), d, Seq("k", "t"), files = 8))
+    // delete a clustered-column band: with pruneRanges the probe scans
+    // only the manifest-surviving files, without it the whole table
+    val predicate = col("k") >= 10 && col("k") <= 19
+    val (rwA, delA) = Lakehouse.deleteWhere(spark, dirA, predicate,
+      files = 1, pruneRanges = Seq(("k", 10, 19)))
+    val probedA = Lakehouse.lastProbeScannedFiles
+    val (rwB, delB) = Lakehouse.deleteWhere(spark, dirB, predicate, files = 1)
+    val probedB = Lakehouse.lastProbeScannedFiles
+    assert(probedB === 8, s"unpruned probe scanned $probedB of 8 files")
+    assert(probedA < 8 && probedA >= rwA,
+      s"pruned probe scanned $probedA of 8 files — manifest pruning did " +
+        "not reach the COW probe")
+    assert(delA === delB && rwA === rwB)
+    val a = Lakehouse.prunedRead(spark, dirA, "k", 0, 99)
+    val b = Lakehouse.prunedRead(spark, dirB, "k", 0, 99)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "pruned-probe delete drifted from the full-probe delete")
+    // same for the upsert probe (keys bounded on the clustered column)
+    val ups = mk(0, 8000).filter(col("k") === 42).limit(10)
+      .withColumn("t", col("t") + 1000000L)
+    val (rwU, replU, insU) = Lakehouse.upsertByKey(spark, dirA,
+      ups.localCheckpoint(), Seq("k", "t"), files = 1,
+      pruneRanges = Seq(("k", 42, 42)))
+    assert(Lakehouse.lastProbeScannedFiles < 8,
+      "upsert probe ignored pruneRanges")
+    assert(insU === 10L && replU === 0L)
+  }
+
+  test("lakehouse: vacuum survives a retention window that re-widens past pruned manifests") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-vac").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 500), dir, Seq("k", "t"), files = 2)   // v0
+    Lakehouse.appendClustered(mk(500, 600), dir, Seq("k", "t"), files = 1) // v1
+    Lakehouse.appendClustered(mk(600, 700), dir, Seq("k", "t"), files = 1) // v2
+    Lakehouse.vacuum(spark, dir, retainVersions = 1) // prunes v0, v1 manifests
+    Lakehouse.appendClustered(mk(700, 800), dir, Seq("k", "t"), files = 1) // v3
+    // retained window now covers v1..v3, but v1's manifest is gone — the
+    // re-widened vacuum must skip it, not wedge until an unrelated commit
+    val (_, pruned) = Lakehouse.vacuum(spark, dir, retainVersions = 3)
+    assert(pruned === 0)
+    val truth = mk(0, 800)
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 49)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "re-widened vacuum broke the live read")
+  }
+
+  test("lakehouse: replaceClustered swaps contents atomically; pinned snapshot survives until vacuum") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-repl").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 4) // v0
+    val v0 = Lakehouse.latestVersion(spark, dir)
+    // the replace RE-CLUSTERS: new contents, t now the leading column
+    val fresh = mk(5000, 5400)
+    Lakehouse.replaceClustered(fresh, dir, Seq("t", "k"), files = 2)    // v1
+    // live read prunes on the NEW clustering and sees only the new rows
+    val live = Lakehouse.prunedRead(spark, dir, "t", 0, 1e9)
+    assert(live.exceptAll(fresh).isEmpty && fresh.exceptAll(live).isEmpty,
+      "replace did not swap the table contents")
+    // a reader pinned on v0 still reads the complete OLD snapshot
+    val pinned = Lakehouse.prunedReadAt(spark, dir, v0, "k", 0, 99)
+    val old = mk(0, 1000)
+    assert(pinned.exceptAll(old).isEmpty && old.exceptAll(pinned).isEmpty,
+      "the pre-replace snapshot lost rows — replace must be copy-on-write")
+    // audit row: op=replace with the new snapshot's totals
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "create"), (1L, "replace")))
+    assert(h.last.getLong(4) === 2L && h.last.getLong(5) === 400L)
+    // the changes feed must NOT surface a whole-table swap as appends
+    assert(Lakehouse.changesSince(spark, dir, v0).isEmpty,
+      "replace leaked into the incremental changes feed")
+    // vacuum reclaims the superseded files; the live read is unharmed
+    val (reclaimed, _) = Lakehouse.vacuum(spark, dir, retainVersions = 1)
+    assert(reclaimed === 4, s"vacuum reclaimed $reclaimed of 4 old files")
+    val live2 = Lakehouse.prunedRead(spark, dir, "t", 0, 1e9)
+    assert(live2.exceptAll(fresh).isEmpty && fresh.exceptAll(live2).isEmpty,
+      "vacuum after replace broke the live read")
+    // an empty replace is refused, fail-loud
+    intercept[IllegalArgumentException](
+      Lakehouse.replaceClustered(mk(0, 10).filter(lit(false)), dir,
+        Seq("t", "k"), files = 1))
   }
 
   test("lakehouse: changesSince feeds exactly the appended rows; compaction rewrites excluded") {
@@ -2657,4 +2905,11 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 1L))
   }
+}
+
+/** Evaluation counter for the non-deterministic-updates spec: top-level so
+  * executor-side closures resolve the JVM singleton instead of a
+  * deserialized copy (local mode shares the JVM). */
+object NdetEvalCounter {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
 }
