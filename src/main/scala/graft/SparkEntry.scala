@@ -86,7 +86,7 @@ object SparkEntry {
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
       "lakehouse_pruned_2d", "lakehouse_pruned_date", "lakehouse_changes",
       "lakehouse_delete", "lakehouse_upsert", "lakehouse_replace",
-      "corpus_curate_stats")
+      "lakehouse_upsert_changes", "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1315,6 +1315,36 @@ object SparkEntry {
         ev.filter(isUpd).withColumn("value", col("value") * 2),
         Seq("event_id"), files = 4)
       graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Upsert-aware change feed anchored end-to-end: the md5-chosen ~10%
+    // of rows are upserted twice over — once in place (same event_id,
+    // value doubled: update-postimages) and once REMAPPED to fresh ids
+    // (value tripled: pure inserts) — and changesSince must surface
+    // EXACTLY the remapped rows: a leaked survivor re-file or
+    // update-postimage (double-feed) or a dropped insert hash-mismatches
+    "lakehouse_upsert_changes" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-upc-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      graft.operators.Lakehouse.writeClustered(ev, base,
+        Seq("user_id", "ts_us"), files = 12)
+      val v0 = graft.operators.Lakehouse.latestVersion(s, base)
+      val isUpd = (conv(substring(md5(concat(lit("lhupc:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 900
+      val updates = ev.filter(isUpd).withColumn("value", col("value") * 2)
+        .unionByName(ev.filter(isUpd)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("value", col("value") * 3))
+      graft.operators.Lakehouse.upsertByKey(s, base, updates,
+        Seq("event_id"), files = 4)
+      graft.operators.Lakehouse.changesSince(s, base, v0)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
@@ -3267,6 +3297,15 @@ object SparkEntry {
         |                      THEN value * 2 ELSE value END), 2) AS total_value
         |FROM events
         |WHERE user_id BETWEEN 4 AND 7
+        |GROUP BY 1""".stripMargin,
+
+    // upsert-aware change feed: exactly the remapped pure-insert rows,
+    // value tripled — survivor re-files and update-postimages never feed
+    "lakehouse_upsert_changes" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value * 3), 2) AS total_value
+        |FROM events
+        |WHERE CAST('0x' || substr(md5('lhupc:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 900
         |GROUP BY 1""".stripMargin,
 
     // atomic REPLACE: the whole table swapped for the doubled-value

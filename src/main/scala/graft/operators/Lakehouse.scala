@@ -177,16 +177,18 @@ object Lakehouse {
   }
 
   private case class CommitInfo(op: String, streamId: String, batchId: Long,
-      nFiles: Option[Long], nRows: Option[Long])
+      nFiles: Option[Long], nRows: Option[Long], insertFiles: Seq[String])
 
   private def readCommit(fs: FileSystem, path: String, v: Long): CommitInfo = {
     val in = fs.open(new Path(versionDir(path, v), "_commit"))
     val props = new java.util.Properties()
     try props.load(in) finally in.close()
     def optLong(k: String) = Option(props.getProperty(k)).map(_.toLong)
+    val nIns = Option(props.getProperty("nInsertFiles")).map(_.toInt).getOrElse(0)
     CommitInfo(props.getProperty("op", ""), props.getProperty("streamId", ""),
       props.getProperty("batchId", "-1").toLong,
-      optLong("nFiles"), optLong("nRows"))
+      optLong("nFiles"), optLong("nRows"),
+      (0 until nIns).map(i => props.getProperty(s"insertFile.$i")))
   }
 
   /** Stages `manifest` + marker as a complete version directory and
@@ -201,7 +203,8 @@ object Lakehouse {
     * has to replay manifests. */
   private def commitVersion(spark: SparkSession, path: String,
       manifest: DataFrame, op: String, streamId: String,
-      batchId: Long, base: Long): Long = {
+      batchId: Long, base: Long,
+      insertFiles: Seq[String] = Nil): Long = {
     val fs = fsOf(spark, path)
     val v = base + 1
     val tmp = new Path(logDir(path),
@@ -218,6 +221,12 @@ object Lakehouse {
       props.setProperty("batchId", batchId.toString)
       props.setProperty("nFiles", counts.getLong(0).toString)
       props.setProperty("nRows", counts.getLong(1).toString)
+      // insert-only files of an upsert commit: the changes feed reads
+      // EXACTLY these (the rewrite files re-file rows consumers saw)
+      props.setProperty("nInsertFiles", insertFiles.size.toString)
+      insertFiles.zipWithIndex.foreach { case (f, i) =>
+        props.setProperty(s"insertFile.$i", f)
+      }
       val out = fs.create(new Path(tmp, "_commit"), false)
       try props.store(out, null) finally out.close()
       // a version dir WITHOUT a marker cannot come from this protocol
@@ -521,13 +530,13 @@ object Lakehouse {
 
   /** Ops that REWRITE existing rows into new files (vs append new data).
     * [[addedFilesSince]] skips them — feeding a rewrite downstream would
-    * double-count rows the consumer already saw. `upsert` is classified
-    * rewrite CONSERVATIVELY: its inserts never reach the append feed
-    * (insert-only flows should use [[appendClustered]]), but a consumer
-    * is never double-fed — the safe side of the trade a full CDF would
-    * resolve with per-row change types. `replace` swaps the whole table:
-    * by definition not expressible as appended rows. */
-  private val RewriteOps = Set("compact", "delete", "upsert", "replace")
+    * double-count rows the consumer already saw. `upsert` is NOT here:
+    * it splits its write into rewrite files and insert-only files, and
+    * the feed surfaces exactly the latter (update-postimages still never
+    * feed — the remaining slice of the full-CDF trade this module does
+    * not take on). `replace` swaps the whole table: by definition not
+    * expressible as appended rows. */
+  private val RewriteOps = Set("compact", "delete", "replace")
 
   /** Test observability hook: the number of candidate data files the
     * last COW probe ([[deleteWhere]]/[[upsertByKey]]) actually scanned —
@@ -547,6 +556,11 @@ object Lakehouse {
    * match — they are never replaced, and null-keyed updates insert.
    * An EMPTY table (legal after a delete removed every row) takes the
    * insert-all path: every update row lands, nothing is replaced.
+   *
+   * PURE INSERTS (update keys absent from the table) are written as
+   * their own file batch and recorded in the commit marker, so
+   * [[changesSince]] feeds exactly them downstream — update-postimages
+   * still never feed (they would double-count keys the consumer saw).
    *
    * `updates` is materialized ONCE at entry (`localCheckpoint`): the
    * frame is otherwise evaluated by the probe, the rewrite union, and
@@ -584,13 +598,15 @@ object Lakehouse {
     }.toSeq
     val allFiles = m.select(col("file")).collect().map(_.getString(0)).toSeq
     if (allFiles.isEmpty) {
-      // empty table: nothing to probe or replace — insert-all
+      // empty table: nothing to probe or replace — insert-all, and every
+      // written file feeds the changes feed
       lastProbeScannedFiles = 0
       val newFiles = writeBatch(spark, path, u, zCols, files, bits)
       val next = m.unionByName(
         statsOf(spark.read.parquet(newFiles: _*), zCols)
           .select(m.columns.map(col): _*))
-      commitVersion(spark, path, next, "upsert", "", -1L, base)
+      commitVersion(spark, path, next, "upsert", "", -1L, base,
+        insertFiles = newFiles)
       return (0, 0L, u.count())
     }
     val data = spark.read.parquet(allFiles: _*)
@@ -613,12 +629,30 @@ object Lakehouse {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val affected = allFiles.filter(probe.contains)
     val replaced = probe.values.sum
-    val rewrite =
-      if (affected.isEmpty) u
+    // split the update batch by whether its key EXISTS in the table:
+    // matched rows are update-postimages (they re-file rows a downstream
+    // consumer already saw), unmatched rows are PURE INSERTS — written as
+    // their own batch so the changes feed can surface exactly them (the
+    // gap a conservative whole-rewrite classification left open). One
+    // extra column-pruned scan of only the affected files; null-keyed
+    // updates never match (SQL semantics) so they land as inserts.
+    val matchedKeys =
+      if (affected.isEmpty) keys.limit(0)
       else spark.read.parquet(affected: _*)
-        .join(broadcast(keys), keyCols, "left_anti")
-        .unionByName(u)
-    val newFiles = writeBatch(spark, path, rewrite, zCols, files, bits)
+        .select(keyCols.map(col): _*)
+        .join(broadcast(keys), keyCols, "left_semi").distinct()
+    val upd = u.join(broadcast(matchedKeys), keyCols, "left_semi")
+    val ins = u.join(broadcast(matchedKeys), keyCols, "left_anti")
+    val rewriteFiles =
+      if (affected.isEmpty) Seq.empty[String]
+      else writeBatch(spark, path,
+        spark.read.parquet(affected: _*)
+          .join(broadcast(keys), keyCols, "left_anti")
+          .unionByName(upd), zCols, files, bits)
+    val insertFiles =
+      if (ins.isEmpty) Seq.empty[String]
+      else writeBatch(spark, path, ins, zCols, files, bits)
+    val newFiles = rewriteFiles ++ insertFiles
     require(newFiles.nonEmpty, "upsertByKey: the rewrite added no files")
     val kept =
       if (affected.isEmpty) m
@@ -626,7 +660,8 @@ object Lakehouse {
     val next = kept.unionByName(
       statsOf(spark.read.parquet(newFiles: _*), zCols)
         .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, next, "upsert", "", -1L, base)
+    commitVersion(spark, path, next, "upsert", "", -1L, base,
+      insertFiles = insertFiles)
     (affected.size, replaced, u.count())
   }
 
@@ -896,14 +931,18 @@ object Lakehouse {
   /** Data files ADDED by each committed version in `(sinceVersion,
     * latest]`, as (version, files) pairs — the manifest diff a
     * downstream incremental job replays instead of rescanning the
-    * table. REWRITE versions (`compact`, `delete`) are EXCLUDED: they
-    * re-file rows the consumer already saw, and double-counting them is
-    * exactly the bug this op-aware diff prevents (the reason commits
-    * record their op at all) — so this is an APPEND feed; deletions are
-    * not retracted downstream, the Delta CDF trade this module does not
-    * take on. Driver-sized:
-    * #versions manifest replays. Versions whose manifests were vacuumed
-    * away fail loudly — consume before the retention window passes. */
+    * table. REWRITE versions (`compact`, `delete`, `replace`) are
+    * EXCLUDED: they re-file rows the consumer already saw, and
+    * double-counting them is exactly the bug this op-aware diff prevents
+    * (the reason commits record their op at all). `upsert` versions feed
+    * ONLY their marker-recorded insert-only files — [[upsertByKey]]
+    * writes pure inserts (keys absent from the table) as their own batch
+    * precisely so the feed can surface them without re-feeding the
+    * rewritten survivors. So this is an APPEND feed; deletions and
+    * update-postimages are not fed downstream, the Delta CDF trade this
+    * module does not take on. Driver-sized: #versions manifest replays.
+    * Versions whose manifests were vacuumed away fail loudly — consume
+    * before the retention window passes. */
   def addedFilesSince(spark: SparkSession, path: String,
       sinceVersion: Long): Seq[(Long, Seq[String])] = {
     val fs = fsOf(spark, path)
@@ -923,17 +962,23 @@ object Lakehouse {
         else filesOf(v - 1))
       val info = readCommit(fs, path, v)
       val added =
-        if (RewriteOps.contains(info.op)) Seq.empty
+        if (info.op == "upsert") {
+          // marker paths are writer-qualified URIs, manifest paths are
+          // input_file_name() form — match on the path component
+          val insKeys = info.insertFiles.map(pathKey).toSet
+          (cur -- prev).filter(f => insKeys(pathKey(f))).toSeq.sorted
+        } else if (RewriteOps.contains(info.op)) Seq.empty
         else (cur -- prev).toSeq.sorted
       (acc :+ (v, added), Some(cur))
     }._1.filter(_._2.nonEmpty)
   }
 
   /** The rows added since `sinceVersion` — reads ONLY the files
-    * [[addedFilesSince]] surfaces (create + append commits; compaction
-    * rewrites excluded), so a nightly downstream pass costs the new
-    * bytes, never a table rescan. Empty frame (with the table's schema)
-    * when nothing new landed. */
+    * [[addedFilesSince]] surfaces (create + append commits, plus upsert
+    * commits' insert-only batches; compaction/delete/replace rewrites
+    * excluded), so a nightly downstream pass costs the new bytes, never
+    * a table rescan. Empty frame (with the table's schema) when nothing
+    * new landed. */
   def changesSince(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
     val files = addedFilesSince(spark, path, sinceVersion).flatMap(_._2)

@@ -1493,13 +1493,15 @@ class OperatorsSpec extends AnyFunSuite {
     val pinned = spark.read.parquet(preFiles: _*).filter(col("k") === 5L)
     assert(pinned.count() === 1L &&
       pinned.head().getDouble(2) === 10.0, "pinned snapshot changed")
-    // classified rewrite: the append feed is the original ingests only
+    // the append feed: the original ingests plus the upsert's PURE
+    // INSERTS (k=9999) — survivor re-files and update-postimages
+    // (k=5, k=2100) never feed
     assert(Lakehouse.history(spark, dir).collect()
       .map(_.getString(1)).contains("upsert"))
     val feed = Lakehouse.changesSince(spark, dir, -1)
-    val truthFeed = mk(0, 2200)
+    val truthFeed = mk(0, 2200).unionByName(updates.filter(col("k") === 9999L))
     assert(feed.exceptAll(truthFeed).isEmpty && truthFeed.exceptAll(feed).isEmpty,
-      "upsert leaked into the append feed")
+      "feed must be ingests + pure inserts, nothing else")
     // schema drift and empty updates both stay safe
     intercept[IllegalArgumentException](Lakehouse.upsertByKey(spark, dir,
       updates.withColumn("extra", lit(1)), Seq("k")))
@@ -1754,6 +1756,50 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Lakehouse.replaceClustered(mk(0, 10).filter(lit(false)), dir,
         Seq("t", "k"), files = 1))
+  }
+
+  test("lakehouse: upsert's pure inserts reach the changes feed; replaced rows do not") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-upsfeed").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"))
+    Lakehouse.writeClustered(mk(0, 100), dir, Seq("k", "t"), files = 4)
+    val v0 = Lakehouse.latestVersion(spark, dir)
+    // keys 90..99 exist (update-postimages), 100..109 are brand new
+    val ups = spark.range(90, 110).select(
+      col("id").as("k"), (col("id") + 1000).as("t"))
+    val (_, repl, insd) = Lakehouse.upsertByKey(spark, dir, ups, Seq("k"))
+    assert(repl === 10L && insd === 20L)
+    // the feed carries EXACTLY the pure inserts — no survivor re-files,
+    // no update-postimages (they'd double-count keys the consumer saw)
+    val changes = Lakehouse.changesSince(spark, dir, v0)
+    val wantFeed = ups.filter(col("k") >= 100)
+    assert(changes.exceptAll(wantFeed).isEmpty &&
+      wantFeed.exceptAll(changes).isEmpty,
+      "changes feed must carry exactly the upsert's pure inserts")
+    // the table itself holds every key with latest-wins values
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    val want = mk(0, 90).unionByName(ups)
+    assert(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+      "split-batch upsert drifted from latest-wins semantics")
+    // an all-matched upsert (no inserts) feeds nothing
+    val v1 = Lakehouse.latestVersion(spark, dir)
+    val ups2 = spark.range(0, 5).select(
+      col("id").as("k"), (col("id") + 5000).as("t"))
+    val (_, repl2, _) = Lakehouse.upsertByKey(spark, dir, ups2, Seq("k"))
+    assert(repl2 === 5L)
+    assert(Lakehouse.changesSince(spark, dir, v1).isEmpty,
+      "an insert-free upsert must feed nothing downstream")
+    // upsert into an EMPTY table is all-insert: the whole batch feeds
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-lh-upsf2").toString
+    Lakehouse.writeClustered(mk(0, 50), dir2, Seq("k", "t"), files = 2)
+    Lakehouse.deleteWhere(spark, dir2, lit(true))
+    val v2 = Lakehouse.latestVersion(spark, dir2)
+    val ups3 = mk(200, 230)
+    Lakehouse.upsertByKey(spark, dir2, ups3, Seq("k"))
+    val feed3 = Lakehouse.changesSince(spark, dir2, v2)
+    assert(feed3.exceptAll(ups3).isEmpty && ups3.exceptAll(feed3).isEmpty,
+      "insert-all upsert into an empty table must feed its whole batch")
   }
 
   test("lakehouse: changesSince feeds exactly the appended rows; compaction rewrites excluded") {
