@@ -86,7 +86,7 @@ object SparkEntry {
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
       "lakehouse_pruned_2d", "lakehouse_pruned_date", "lakehouse_changes",
       "lakehouse_delete", "lakehouse_upsert", "lakehouse_replace",
-      "lakehouse_upsert_changes", "corpus_curate_stats")
+      "lakehouse_upsert_changes", "lakehouse_evolve", "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1317,6 +1317,35 @@ object SparkEntry {
       graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Additive schema evolution anchored end-to-end: the md5-chosen ~60%
+    // seed lands WITHOUT the value column, the delta batch appends WITH
+    // it (widening the recorded schema), and the pruned read resolves
+    // both — seed rows null-fill value, so the aggregate's non-null
+    // count and sum come from delta rows alone; a first-file-schema
+    // reconciliation (column silently dropped) or a mis-filled row
+    // hash-mismatches
+    "lakehouse_evolve" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-evo-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+      val isSeed = (conv(substring(md5(concat(lit("lhevo:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) < 600
+      graft.operators.Lakehouse.writeClustered(
+        ev.filter(isSeed).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us")),
+        base, Seq("user_id", "ts_us"), files = 8)
+      graft.operators.Lakehouse.appendClustered(
+        ev.filter(!isSeed).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us"), col("value")),
+        base, Seq("user_id", "ts_us"), files = 6)
+      graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("value")).as("n_valued"),
           round(sum(col("value")), 2).as("total_value"))
     }),
 
@@ -3295,6 +3324,18 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |       round(sum(CASE WHEN CAST('0x' || substr(md5('lhups:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 900
         |                      THEN value * 2 ELSE value END), 2) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 7
+        |GROUP BY 1""".stripMargin,
+
+    // additive schema evolution: value is non-null ONLY on the widened
+    // delta batch's rows — seed rows null-fill it
+    "lakehouse_evolve" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(CASE WHEN CAST('0x' || substr(md5('lhevo:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 600
+        |                  THEN value END) AS n_valued,
+        |       round(sum(CASE WHEN CAST('0x' || substr(md5('lhevo:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 600
+        |                     THEN value END), 2) AS total_value
         |FROM events
         |WHERE user_id BETWEEN 4 AND 7
         |GROUP BY 1""".stripMargin,

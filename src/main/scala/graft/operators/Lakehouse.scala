@@ -20,8 +20,19 @@ import org.apache.spark.sql.functions._
  *   path/data/part-*.parquet          the immutable data files
  *   path/_log/v0000000042/manifest/   full stats snapshot (1 row/file)
  *   path/_log/v0000000042/_commit     marker: op + streamId + batchId
- *                                     + nFiles/nRows + commit uuid
+ *                                     + nFiles/nRows + data schema
+ *                                     + upsert insert-file list
  * }}}
+ *
+ * == Schema ==
+ *
+ * Each commit records the snapshot's DATA SCHEMA; every read resolves
+ * files against the recorded schema, so ADDITIVE evolution just works:
+ * an append may add columns (never drop or retype — fail-loud), files
+ * written before the column existed null-fill it, time travel replays
+ * each snapshot under its own schema, and [[compact]] physically
+ * normalizes old files as a side effect. The Delta/Iceberg
+ * schema-in-the-log design, reduced to the additive case.
  *
  * A version is STAGED complete (manifest parquet + `_commit` marker) in a
  * `_log/_tmp-<uuid>` directory and becomes visible atomically when the
@@ -177,7 +188,8 @@ object Lakehouse {
   }
 
   private case class CommitInfo(op: String, streamId: String, batchId: Long,
-      nFiles: Option[Long], nRows: Option[Long], insertFiles: Seq[String])
+      nFiles: Option[Long], nRows: Option[Long], insertFiles: Seq[String],
+      dataSchema: Option[org.apache.spark.sql.types.StructType])
 
   private def readCommit(fs: FileSystem, path: String, v: Long): CommitInfo = {
     val in = fs.open(new Path(versionDir(path, v), "_commit"))
@@ -188,8 +200,28 @@ object Lakehouse {
     CommitInfo(props.getProperty("op", ""), props.getProperty("streamId", ""),
       props.getProperty("batchId", "-1").toLong,
       optLong("nFiles"), optLong("nRows"),
-      (0 until nIns).map(i => props.getProperty(s"insertFile.$i")))
+      (0 until nIns).map(i => props.getProperty(s"insertFile.$i")),
+      Option(props.getProperty("dataSchema")).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
   }
+
+  /** The table's data schema as of version `v`, as recorded in that
+    * commit's marker — the schema every read of that snapshot resolves
+    * against, so files written BEFORE a column was added null-fill it
+    * instead of (parquet first-file semantics) silently dropping it.
+    * None on markers that predate schema tracking (readers fall back to
+    * file-footer schemas, the pre-evolution behavior). Driver-side: one
+    * ~1 KB marker read, zero Spark jobs. */
+  def dataSchemaAt(spark: SparkSession, path: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (v < 0) None
+    else readCommit(fsOf(spark, path), path, v).dataSchema
+
+  /** [[dataSchemaAt]] of the latest committed version. */
+  def dataSchema(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    dataSchemaAt(spark, path, latestVersion(spark, path))
 
   /** Stages `manifest` + marker as a complete version directory and
     * renames it into the `base + 1` slot. The rename is the commit
@@ -204,7 +236,9 @@ object Lakehouse {
   private def commitVersion(spark: SparkSession, path: String,
       manifest: DataFrame, op: String, streamId: String,
       batchId: Long, base: Long,
-      insertFiles: Seq[String] = Nil): Long = {
+      insertFiles: Seq[String] = Nil,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Long = {
     val fs = fsOf(spark, path)
     val v = base + 1
     val tmp = new Path(logDir(path),
@@ -227,6 +261,13 @@ object Lakehouse {
       insertFiles.zipWithIndex.foreach { case (f, i) =>
         props.setProperty(s"insertFile.$i", f)
       }
+      // the snapshot's data schema (top-level nullable normalized — added
+      // columns ARE null in pre-evolution files): reads resolve against
+      // THIS, so those files null-fill instead of inheriting parquet's
+      // first-file semantics
+      dataSchema.foreach(s => props.setProperty("dataSchema",
+        org.apache.spark.sql.types.StructType(
+          s.fields.map(_.copy(nullable = true))).json))
       val out = fs.create(new Path(tmp, "_commit"), false)
       try props.store(out, null) finally out.close()
       // a version dir WITHOUT a marker cannot come from this protocol
@@ -268,7 +309,8 @@ object Lakehouse {
     * mark). */
   private def commitAdditive(spark: SparkSession, path: String,
       op: String, streamId: String, batchId: Long, maxAttempts: Int)(
-      fence: () => Unit)(extend: DataFrame => DataFrame): Long = {
+      fence: () => Unit)(extend: (Long, DataFrame) =>
+        (DataFrame, Option[org.apache.spark.sql.types.StructType])): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -277,8 +319,9 @@ object Lakehouse {
       require(base >= 0, s"no committed lakehouse log at $path")
       val live = manifestAt(spark, path, base)
       try {
-        return commitVersion(spark, path, extend(live), op, streamId,
-          batchId, base)
+        val (manifest, schema) = extend(base, live)
+        return commitVersion(spark, path, manifest, op, streamId,
+          batchId, base, dataSchema = schema)
       } catch {
         case e: CommitConflictException =>
           if (attempt >= maxAttempts) throw new IllegalStateException(
@@ -324,7 +367,8 @@ object Lakehouse {
     Zorder.writeZOrdered(df, zCols, s"$path/data", files, bits)
     commitVersion(spark, path,
       statsOf(spark.read.parquet(s"$path/data"), zCols),
-      "create", streamId, batchId, base = -1L)
+      "create", streamId, batchId, base = -1L,
+      dataSchema = Some(df.schema))
   }
 
   /** One manifest row per file of `data`: min/max of every clustered
@@ -356,6 +400,28 @@ object Lakehouse {
     * comparing manifest URIs (from `input_file_name()`) against listing
     * URIs (from `FileStatus`). */
   private def pathKey(uri: String): String = new java.net.URI(uri).getPath
+
+  /** Reads data `files` resolved against version `v`'s RECORDED schema
+    * when the marker carries one: files written before a column was
+    * added null-fill it (parquet by-name resolution), instead of the
+    * scan inheriting whatever the first listed file happens to contain.
+    * Legacy markers (pre-tracking) fall back to footer schemas — the
+    * pre-evolution behavior, safe because those tables were written
+    * under the schema-equality contract. Empty `files` yields an empty
+    * frame with the snapshot's schema. */
+  private def readData(spark: SparkSession, path: String, v: Long,
+      files: Seq[String]): DataFrame =
+    dataSchemaAt(spark, path, v) match {
+      case Some(s) =>
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        else spark.read.schema(s).parquet(files: _*)
+      case None =>
+        if (files.isEmpty)
+          spark.read.parquet(s"$path/data").filter(lit(false))
+        else spark.read.parquet(files: _*)
+    }
 
   /** Writes `df` as a z-clustered batch via a private staging dir, then
     * moves each part file into `path/data` and returns EXACTLY the moved
@@ -410,6 +476,16 @@ object Lakehouse {
    * of double-appending (callers that want skip-not-throw check
    * [[lastCommittedBatch]] first, as [[graft.streaming.LakehouseIngest]]
    * does). The fence re-checks on every retry.
+   *
+   * SCHEMA EVOLUTION is additive-only: the batch must carry every
+   * existing column with its exact type (a retype or drop fails loudly,
+   * far from nothing — a later explicit-file read would otherwise
+   * reconcile mixed files to the FIRST file's schema and silently lose a
+   * column), and may ADD new columns — the commit records the widened
+   * schema, and every read resolves against the recorded schema so
+   * pre-evolution files null-fill the added columns. The widened schema
+   * re-derives on every retry: a concurrent appender may itself have
+   * widened the table.
    */
   def appendClustered(df: DataFrame, path: String, zCols: Seq[String],
       files: Int, bits: Int = 16, streamId: String = "",
@@ -420,25 +496,41 @@ object Lakehouse {
       s"appendClustered: zCols $zCols do not match the manifest at $path " +
         "— an appended batch must carry stats for the SAME clustered " +
         "columns or pruning would silently skip it")
-    // the DATA schema must match too, not just the stat columns: parquet
-    // append happily lands mixed-schema files, and a later explicit-file
-    // read reconciles them to the FIRST file's schema — an extra column
-    // silently vanishes, a retyped one fails far from its cause. One
-    // footer read of a live file, fail-loud here instead. An EMPTY
-    // manifest (legal after a delete removed every row) has no file to
-    // probe and nothing to conflict with — the append defines the schema.
-    val probeFile = live0.select(col("file")).limit(1).collect()
-    if (probeFile.nonEmpty) {
-      val liveSchema = spark.read.parquet(probeFile(0).getString(0)).schema
-      val batchSchema = df.schema
-      def shape(s: org.apache.spark.sql.types.StructType) =
-        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-      require(shape(liveSchema) == shape(batchSchema),
-        s"appendClustered: batch schema ${batchSchema.simpleString} does " +
-          s"not match the layout's data schema ${liveSchema.simpleString} " +
-          s"at $path — schema evolution needs an explicit rewrite, not a " +
-          "silent mixed-schema append")
+    // additive-evolution check + widened-schema derivation against a
+    // given base version. The table schema comes from the commit marker;
+    // a legacy (pre-tracking) marker falls back to one live-file footer
+    // read. An EMPTY manifest (legal after a wipe-delete) has nothing to
+    // conflict with — the batch defines the schema.
+    def widen(base: Long, live: DataFrame)
+        : Option[org.apache.spark.sql.types.StructType] = {
+      val probeFile = live.select(col("file")).limit(1).collect()
+      val tableSchema =
+        if (probeFile.isEmpty) None
+        else dataSchemaAt(spark, path, base).orElse(
+          Some(spark.read.parquet(probeFile(0).getString(0)).schema))
+      tableSchema match {
+        case None => Some(df.schema)
+        case Some(t) =>
+          val batch = df.schema.fields.map(f => f.name -> f.dataType).toMap
+          t.fields.foreach { f =>
+            batch.get(f.name) match {
+              case None => throw new IllegalArgumentException(
+                s"appendClustered: batch is missing existing column " +
+                  s"'${f.name}' at $path — evolution is additive-only " +
+                  "(columns can be added, never dropped)")
+              case Some(dt) => require(dt == f.dataType,
+                s"appendClustered: column '${f.name}' is ${f.dataType
+                  .simpleString} in the table but ${dt.simpleString} in " +
+                  s"the batch at $path — a retype needs an explicit " +
+                  "rewrite (replaceClustered), not an append")
+            }
+          }
+          val addedCols =
+            df.schema.fields.filterNot(f => t.fieldNames.contains(f.name))
+          Some(org.apache.spark.sql.types.StructType(t.fields ++ addedCols))
+      }
     }
+    widen(latestVersion(spark, path), live0) // fail fast, before the write
     def fence(): Unit =
       if (streamId.nonEmpty &&
           batchId <= lastCommittedBatch(spark, path, streamId))
@@ -452,7 +544,8 @@ object Lakehouse {
     val added = statsOf(spark.read.parquet(newFiles: _*), zCols)
       .select(live0.columns.map(col): _*)
     commitAdditive(spark, path, "append", streamId, batchId,
-      maxAttempts)(() => fence())(live => live.unionByName(added))
+      maxAttempts)(() => fence())((base, live) =>
+      (live.unionByName(added), widen(base, live)))
   }
 
   /**
@@ -481,13 +574,16 @@ object Lakehouse {
     val small = m.filter(col("n_rows") < minRows)
       .select(col("file")).collect().map(_.getString(0)).toSeq
     if (small.size <= 1) return (0, 0)
+    // read under the recorded schema: compaction NORMALIZES pre-evolution
+    // small files to the current schema as a side effect
     val newFiles = writeBatch(spark, path,
-      spark.read.parquet(small: _*), zCols, files, bits)
+      readData(spark, path, base, small), zCols, files, bits)
     val kept = m.filter(!col("file").isin(small: _*))
     val replacement = kept.unionByName(
       statsOf(spark.read.parquet(newFiles: _*), zCols)
         .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, replacement, "compact", "", -1L, base)
+    commitVersion(spark, path, replacement, "compact", "", -1L, base,
+      dataSchema = dataSchemaAt(spark, path, base))
     (small.size, newFiles.size)
   }
 
@@ -525,7 +621,7 @@ object Lakehouse {
     require(newFiles.nonEmpty, "replaceClustered: the write added no files")
     commitVersion(spark, path,
       statsOf(spark.read.parquet(newFiles: _*), zCols),
-      "replace", "", -1L, base)
+      "replace", "", -1L, base, dataSchema = Some(df.schema))
   }
 
   /** Ops that REWRITE existing rows into new files (vs append new data).
@@ -599,17 +695,17 @@ object Lakehouse {
     val allFiles = m.select(col("file")).collect().map(_.getString(0)).toSeq
     if (allFiles.isEmpty) {
       // empty table: nothing to probe or replace — insert-all, and every
-      // written file feeds the changes feed
+      // written file feeds the changes feed; the batch defines the schema
       lastProbeScannedFiles = 0
       val newFiles = writeBatch(spark, path, u, zCols, files, bits)
       val next = m.unionByName(
         statsOf(spark.read.parquet(newFiles: _*), zCols)
           .select(m.columns.map(col): _*))
       commitVersion(spark, path, next, "upsert", "", -1L, base,
-        insertFiles = newFiles)
+        insertFiles = newFiles, dataSchema = Some(u.schema))
       return (0, 0L, u.count())
     }
-    val data = spark.read.parquet(allFiles: _*)
+    val data = readData(spark, path, base, allFiles)
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
     require(shape(data.schema) == shape(u.schema),
@@ -622,7 +718,7 @@ object Lakehouse {
     val keys = u.select(keyCols.map(col): _*).distinct()
     val probe =
       if (candidates.isEmpty) Map.empty[String, Long]
-      else spark.read.parquet(candidates: _*)
+      else readData(spark, path, base, candidates)
         .select(input_file_name().as("_f") +: keyCols.map(col): _*)
         .join(broadcast(keys), keyCols, "left_semi")
         .groupBy(col("_f")).agg(count(lit(1)).as("n"))
@@ -638,7 +734,7 @@ object Lakehouse {
     // updates never match (SQL semantics) so they land as inserts.
     val matchedKeys =
       if (affected.isEmpty) keys.limit(0)
-      else spark.read.parquet(affected: _*)
+      else readData(spark, path, base, affected)
         .select(keyCols.map(col): _*)
         .join(broadcast(keys), keyCols, "left_semi").distinct()
     val upd = u.join(broadcast(matchedKeys), keyCols, "left_semi")
@@ -646,7 +742,7 @@ object Lakehouse {
     val rewriteFiles =
       if (affected.isEmpty) Seq.empty[String]
       else writeBatch(spark, path,
-        spark.read.parquet(affected: _*)
+        readData(spark, path, base, affected)
           .join(broadcast(keys), keyCols, "left_anti")
           .unionByName(upd), zCols, files, bits)
     val insertFiles =
@@ -661,7 +757,8 @@ object Lakehouse {
       statsOf(spark.read.parquet(newFiles: _*), zCols)
         .select(kept.columns.map(col): _*))
     commitVersion(spark, path, next, "upsert", "", -1L, base,
-      insertFiles = insertFiles)
+      insertFiles = insertFiles,
+      dataSchema = dataSchemaAt(spark, path, base))
     (affected.size, replaced, u.count())
   }
 
@@ -709,7 +806,7 @@ object Lakehouse {
       else selectFilesIn(m, path, pruneRanges)._1
     lastProbeScannedFiles = candidates.size
     if (candidates.isEmpty) return (0, 0L)
-    val probeFrame = spark.read.parquet(candidates: _*).filter(pred)
+    val probeFrame = readData(spark, path, base, candidates).filter(pred)
     // the determinism check must run on the ANALYZED plan: an unresolved
     // rand() reports deterministic=true until function resolution binds it
     require(!probeFrame.queryExecution.analyzed.collectFirst {
@@ -725,7 +822,7 @@ object Lakehouse {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (hits.isEmpty) return (0, 0L)
     val affected = allFiles.filter(f => hits.contains(f))
-    val survivors = spark.read.parquet(affected: _*)
+    val survivors = readData(spark, path, base, affected)
       .filter(!(pred <=> lit(true)))
     val anySurvivor = !survivors.isEmpty
     val newFiles =
@@ -737,7 +834,8 @@ object Lakehouse {
       else kept.unionByName(
         statsOf(spark.read.parquet(newFiles: _*), zCols)
           .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, next, "delete", "", -1L, base)
+    commitVersion(spark, path, next, "delete", "", -1L, base,
+      dataSchema = dataSchemaAt(spark, path, base))
     (affected.size, hits.values.sum)
   }
 
@@ -885,7 +983,7 @@ object Lakehouse {
     * `version`. */
   def prunedReadAt(spark: SparkSession, path: String, version: Long,
       predCol: String, lo: Double, hi: Double): DataFrame =
-    prunedFrom(spark, path,
+    prunedFrom(spark, path, version,
       selectFilesMultiAt(spark, path, version, Seq((predCol, lo, hi)))._1,
       Seq((predCol, lo, hi)))
 
@@ -893,14 +991,15 @@ object Lakehouse {
     * every clustered column at once, then the exact residual AND. */
   def prunedReadMulti(spark: SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): DataFrame =
-    prunedFrom(spark, path, selectFilesMulti(spark, path, ranges)._1, ranges)
+    prunedFrom(spark, path, latestVersion(spark, path),
+      selectFilesMulti(spark, path, ranges)._1, ranges)
 
-  private def prunedFrom(spark: SparkSession, path: String,
+  private def prunedFrom(spark: SparkSession, path: String, version: Long,
       files: Seq[String],
       ranges: Seq[(String, Double, Double)]): DataFrame = {
     if (files.isEmpty)
-      return spark.read.parquet(s"$path/data").filter(lit(false))
-    val scan = spark.read.parquet(files: _*)
+      return readData(spark, path, version, Nil)
+    val scan = readData(spark, path, version, files)
     // each residual predicate must compare in its column's NATIVE type: a
     // double bound against an integral column would cast the COLUMN,
     // which disables parquet row-group pushdown — manifest pruning would
@@ -980,11 +1079,11 @@ object Lakehouse {
     * a table rescan. Empty frame (with the table's schema) when nothing
     * new landed. */
   def changesSince(spark: SparkSession, path: String,
-      sinceVersion: Long): DataFrame = {
-    val files = addedFilesSince(spark, path, sinceVersion).flatMap(_._2)
-    if (files.isEmpty) spark.read.parquet(s"$path/data").filter(lit(false))
-    else spark.read.parquet(files: _*)
-  }
+      sinceVersion: Long): DataFrame =
+    // resolve against the LATEST schema: files appended before a column
+    // was added null-fill it, so the feed's frame is schema-consistent
+    readData(spark, path, latestVersion(spark, path),
+      addedFilesSince(spark, path, sinceVersion).flatMap(_._2))
 
   // ------------------------------------------------------------------
   // typed reads (string / date / timestamp clustered columns)
@@ -1065,22 +1164,22 @@ object Lakehouse {
     * pushdown survives alongside the manifest-level file skipping. */
   def prunedReadTyped(spark: SparkSession, path: String,
       ranges: Seq[(String, String, String)]): DataFrame =
-    prunedTypedFrom(spark, path, selectFilesTyped(spark, path, ranges)._1,
-      ranges)
+    prunedTypedFrom(spark, path, latestVersion(spark, path),
+      selectFilesTyped(spark, path, ranges)._1, ranges)
 
   /** [[prunedReadTyped]] against a PINNED version — typed time travel,
     * same retention contract as [[prunedReadAt]]. */
   def prunedReadTypedAt(spark: SparkSession, path: String, version: Long,
       ranges: Seq[(String, String, String)]): DataFrame =
-    prunedTypedFrom(spark, path,
+    prunedTypedFrom(spark, path, version,
       selectFilesTypedAt(spark, path, version, ranges)._1, ranges)
 
   private def prunedTypedFrom(spark: SparkSession, path: String,
-      files: Seq[String],
+      version: Long, files: Seq[String],
       ranges: Seq[(String, String, String)]): DataFrame = {
     if (files.isEmpty)
-      return spark.read.parquet(s"$path/data").filter(lit(false))
-    val scan = spark.read.parquet(files: _*)
+      return readData(spark, path, version, Nil)
+    val scan = readData(spark, path, version, files)
     val lits = typedBounds(spark, ranges, c => scan.schema(c).dataType)
     val exact = ranges.zip(lits).map { case ((c, _, _), (loL, hiL)) =>
       col(c) >= loL && col(c) <= hiL

@@ -1206,18 +1206,18 @@ class OperatorsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Lakehouse.appendClustered(batch2, dir, Seq("user_id"), files = 2))
     assert(e.getMessage.contains("zCols"))
-    // a batch whose DATA schema drifted must fail loudly too — parquet
-    // append would land mixed-schema files that a later explicit-file
-    // read silently reconciles to the first file's schema
+    // destructive schema drift must fail loudly — an ADDED column is
+    // legal additive evolution (its own spec), but a DROP or a RETYPE
+    // would corrupt what existing readers resolve
     val e2 = intercept[IllegalArgumentException](
-      Lakehouse.appendClustered(batch2.withColumn("extra", lit(1)), dir,
+      Lakehouse.appendClustered(batch2.drop("event_id"), dir,
         Seq("user_id", "ts_us"), files = 2))
-    assert(e2.getMessage.contains("schema"))
+    assert(e2.getMessage.contains("missing existing column"))
     val e3 = intercept[IllegalArgumentException](
       Lakehouse.appendClustered(
         batch2.withColumn("event_id", col("event_id").cast("int")), dir,
         Seq("user_id", "ts_us"), files = 2))
-    assert(e3.getMessage.contains("schema"))
+    assert(e3.getMessage.contains("retype"))
   }
 
   test("lakehouse: compaction merges ONLY small files, pruning exact before and after") {
@@ -1756,6 +1756,64 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Lakehouse.replaceClustered(mk(0, 10).filter(lit(false)), dir,
         Seq("t", "k"), files = 1))
+  }
+
+  test("lakehouse: additive schema evolution — added column null-fills old files; drop and retype refused") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-evolve").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"))
+    Lakehouse.writeClustered(mk(0, 500), dir, Seq("k", "t"), files = 2) // v0
+    // the widened batch carries a NEW string column
+    val widened = spark.range(500, 600).select(
+      col("id").as("k"), (col("id") % 7).as("t"), lit("b2").as("src"))
+    Lakehouse.appendClustered(widened, dir, Seq("k", "t"), files = 1)   // v1
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.columns.toSeq === Seq("k", "t", "src"),
+      "the recorded schema must be existing columns then added ones")
+    assert(live.filter(col("src").isNull).count() === 500L,
+      "pre-evolution rows must null-fill the added column")
+    assert(live.filter(col("src") === "b2").count() === 100L)
+    assert(live.count() === 600L)
+    // the changes feed resolves against the widened schema too
+    val feed = Lakehouse.changesSince(spark, dir, 0)
+    assert(feed.columns.contains("src") && feed.count() === 100L)
+    // TIME TRAVEL keeps each snapshot's OWN schema: v0 has no src
+    val pinned = Lakehouse.prunedReadAt(spark, dir, 0, "k", 0, 1e9)
+    assert(!pinned.columns.contains("src") && pinned.count() === 500L,
+      "the pre-evolution snapshot must keep its recorded schema")
+    // dropping an existing column is refused (additive-only)
+    val eDrop = intercept[IllegalArgumentException](
+      Lakehouse.appendClustered(mk(600, 610), dir, Seq("k", "t"), files = 1))
+    assert(eDrop.getMessage.contains("missing existing column"))
+    // retyping an existing column is refused
+    val retyped = spark.range(600, 610).select(
+      col("id").as("k"), (col("id") % 7).as("t"), lit(42).as("src"))
+    val eType = intercept[IllegalArgumentException](
+      Lakehouse.appendClustered(retyped, dir, Seq("k", "t"), files = 1))
+    assert(eType.getMessage.contains("retype"))
+    // COW delete across MIXED-schema files: survivors normalize
+    val (_, nDel) = Lakehouse.deleteWhere(spark, dir, col("k") < 10)
+    assert(nDel === 10L)
+    // COW upsert must carry the widened schema and lands across the mix
+    val ups = spark.range(595, 605).select(
+      col("id").as("k"), lit(0L).as("t"), lit("up").as("src"))
+    val (_, repl, insd) = Lakehouse.upsertByKey(spark, dir, ups, Seq("k"))
+    assert(repl === 5L && insd === 10L)
+    // compaction normalizes pre-evolution files to the current schema
+    Lakehouse.compact(spark, dir, Seq("k", "t"), minRows = 1000000, files = 1)
+    val after = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    // 490 pre-evolution survivors (null src) + 95 b2 + 10 up = 595
+    assert(after.count() === 595L && after.filter(col("src") === "up").count() === 10L
+      && after.filter(col("src").isNull).count() === 490L,
+      "post-compaction read drifted after evolution")
+    // every remaining file physically carries the full schema now
+    val filesNow = Lakehouse.readManifest(spark, dir)
+      .select(col("file")).collect().map(_.getString(0))
+    filesNow.foreach { f =>
+      assert(spark.read.parquet(f).columns.contains("src"),
+        s"compaction left a pre-evolution file un-normalized: $f")
+    }
   }
 
   test("lakehouse: upsert's pure inserts reach the changes feed; replaced rows do not") {
