@@ -233,7 +233,7 @@ object Lakehouse {
     * The marker records file/row counts (one tiny read of the just-
     * written single-file manifest — #files rows) so [[history]] never
     * has to replay manifests. */
-  private def commitVersion(spark: SparkSession, path: String,
+  private[graft] def commitVersion(spark: SparkSession, path: String,
       manifest: DataFrame, op: String, streamId: String,
       batchId: Long, base: Long,
       insertFiles: Seq[String] = Nil,
@@ -988,11 +988,16 @@ object Lakehouse {
       Seq((predCol, lo, hi)))
 
   /** [[prunedRead]] over a conjunction of ranges — manifest pruning on
-    * every clustered column at once, then the exact residual AND. */
+    * every clustered column at once, then the exact residual AND.
+    * "Latest" is resolved ONCE: file list and schema both come from that
+    * version, so a commit landing mid-plan cannot mix a newer manifest
+    * with an older schema (or vice versa). */
   def prunedReadMulti(spark: SparkSession, path: String,
-      ranges: Seq[(String, Double, Double)]): DataFrame =
-    prunedFrom(spark, path, latestVersion(spark, path),
-      selectFilesMulti(spark, path, ranges)._1, ranges)
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val v = latestVersion(spark, path)
+    prunedFrom(spark, path, v,
+      selectFilesMultiAt(spark, path, v, ranges)._1, ranges)
+  }
 
   private def prunedFrom(spark: SparkSession, path: String, version: Long,
       files: Seq[String],
@@ -1079,11 +1084,16 @@ object Lakehouse {
     * a table rescan. Empty frame (with the table's schema) when nothing
     * new landed. */
   def changesSince(spark: SparkSession, path: String,
-      sinceVersion: Long): DataFrame =
-    // resolve against the LATEST schema: files appended before a column
-    // was added null-fill it, so the feed's frame is schema-consistent
-    readData(spark, path, latestVersion(spark, path),
-      addedFilesSince(spark, path, sinceVersion).flatMap(_._2))
+      sinceVersion: Long): DataFrame = {
+    // resolve "latest" once and clamp the feed to it: files appended
+    // before a column was added null-fill it under the resolved schema,
+    // and a commit landing mid-plan cannot slip newer files under an
+    // older schema
+    val v = latestVersion(spark, path)
+    readData(spark, path, v,
+      addedFilesSince(spark, path, sinceVersion)
+        .filter(_._1 <= v).flatMap(_._2))
+  }
 
   // ------------------------------------------------------------------
   // typed reads (string / date / timestamp clustered columns)
@@ -1163,9 +1173,13 @@ object Lakehouse {
     * bound literal is cast, never the column), so parquet row-group
     * pushdown survives alongside the manifest-level file skipping. */
   def prunedReadTyped(spark: SparkSession, path: String,
-      ranges: Seq[(String, String, String)]): DataFrame =
-    prunedTypedFrom(spark, path, latestVersion(spark, path),
-      selectFilesTyped(spark, path, ranges)._1, ranges)
+      ranges: Seq[(String, String, String)]): DataFrame = {
+    // resolve "latest" once — same snapshot-consistency note as
+    // [[prunedReadMulti]]
+    val v = latestVersion(spark, path)
+    prunedTypedFrom(spark, path, v,
+      selectFilesTypedAt(spark, path, v, ranges)._1, ranges)
+  }
 
   /** [[prunedReadTyped]] against a PINNED version — typed time travel,
     * same retention contract as [[prunedReadAt]]. */

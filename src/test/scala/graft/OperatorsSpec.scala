@@ -1758,6 +1758,32 @@ class OperatorsSpec extends AnyFunSuite {
         Seq("t", "k"), files = 1))
   }
 
+  test("lakehouse: a rewrite that lost the race fails loudly with nothing visible") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-conflict").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 500), dir, Seq("k", "t"), files = 2)
+    val staleBase = Lakehouse.latestVersion(spark, dir) // 0
+    // a concurrent appender takes the next slot first
+    Lakehouse.appendClustered(mk(500, 600), dir, Seq("k", "t"), files = 1)
+    // the rewrite's commit against the stale base must throw — a rewrite
+    // replayed against a moved base could resurrect or double rows, so
+    // there is no retry loop for it
+    val m = Lakehouse.manifestAt(spark, dir, staleBase)
+    intercept[Lakehouse.CommitConflictException](
+      Lakehouse.commitVersion(spark, dir, m, "compact", "", -1L, staleBase))
+    // nothing became visible and no staging debris was left behind
+    assert(Lakehouse.latestVersion(spark, dir) === 1L)
+    val logLs = new java.io.File(s"$dir/_log").list().toSeq
+    assert(!logLs.exists(_.startsWith("_tmp-")),
+      s"conflict left staging debris: $logLs")
+    // the table is untouched: both batches read back exactly
+    val truth = mk(0, 600)
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 49)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty)
+  }
+
   test("lakehouse: additive schema evolution — added column null-fills old files; drop and retype refused") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-evolve").toString
