@@ -90,6 +90,24 @@ object ScaleCurve {
     path
   }
 
+  /** A PRIVATE lakehouse copy for the mutation curve: upserts change the
+    * layout run-to-run, so the read-path entries must not share it. */
+  private val lakehouseUpsWritten = scala.collection.mutable.Set.empty[Long]
+  private def lakehouseUpsertPath(spark: SparkSession, n: Long): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scale-lhu-$n"
+    if (!lakehouseUpsWritten.contains(n)) {
+      val d = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(1000)).as("k"),
+        col("id").as("t"),
+        concat_ws("", transform(sequence(lit(0), lit(14)), i =>
+          hex(xxhash64(col("id") * 16 + i)))).as("payload"))
+      graft.operators.Lakehouse.writeClustered(d, path, Seq("k", "t"),
+        files = 32)
+      lakehouseUpsWritten += n
+    }
+    path
+  }
+
   /** min-of-2 wall time: a single measurement at this runtime length is
     * hostage to one unlucky full GC or JIT recompilation — the r9 curve
     * and a r10 re-run disagreed 2x on single-shot points while their
@@ -368,6 +386,26 @@ object ScaleCurve {
         graft.operators.Lakehouse.prunedRead(spark,
             lakehousePath(spark, n * 20), "k", 0, 99)
           .agg(sum(length(col("payload")))).head().getLong(0)
+      },
+      // COW mutation cost: a FIXED 1000-key upsert (keyed on clustered
+      // t, probe pruned to the t-band) against tables of n and 10n rows.
+      // Cost = the pruned probe + rewriting the AFFECTED files only —
+      // affected-file bytes grow with n/32 at fixed file count, so the
+      // exponent sits well under 1 but above the prune curve's; the
+      // 100 TB claim is "mutation pays for affected bytes, not the
+      // table". Same key set each run, so repeated runs replace the same
+      // band wholesale and comparable work holds across the min-of-2.
+      "lakehouse_upsert_pruned" -> { n =>
+        val path = lakehouseUpsertPath(spark, n * 20)
+        val ups = spark.range(1000).select(
+          pmod(xxhash64(col("id")), lit(1000)).as("k"),
+          col("id").as("t"),
+          concat_ws("", transform(sequence(lit(0), lit(14)), i =>
+            hex(xxhash64(col("id") * 16 + i + 7)))).as("payload"))
+        val (_, repl, tot) = graft.operators.Lakehouse.upsertByKey(spark,
+          path, ups, Seq("t"), files = 4,
+          pruneRanges = Seq(("t", 0, 999)))
+        repl + tot
       })
 
     // SPARK_GRAFT_SCALE_ONLY=<csv of names>: re-measure a subset (e.g.
