@@ -497,17 +497,22 @@ object Lakehouse {
         "— an appended batch must carry stats for the SAME clustered " +
         "columns or pruning would silently skip it")
     // additive-evolution check + widened-schema derivation against a
-    // given base version. The table schema comes from the commit marker;
-    // a legacy (pre-tracking) marker falls back to one live-file footer
-    // read. An EMPTY manifest (legal after a wipe-delete) has nothing to
-    // conflict with — the batch defines the schema.
+    // given base version. The table schema comes from the commit marker
+    // — emptiness from the marker's nFiles too, so the common (schema-
+    // tracked) path decides with ZERO Spark jobs; only a legacy
+    // (pre-tracking) marker probes the manifest and one live-file
+    // footer. An EMPTY manifest (legal after a wipe-delete) has nothing
+    // to conflict with — the batch defines the schema.
     def widen(base: Long, live: DataFrame)
         : Option[org.apache.spark.sql.types.StructType] = {
-      val probeFile = live.select(col("file")).limit(1).collect()
+      val info = readCommit(fsOf(spark, path), path, base)
       val tableSchema =
-        if (probeFile.isEmpty) None
-        else dataSchemaAt(spark, path, base).orElse(
-          Some(spark.read.parquet(probeFile(0).getString(0)).schema))
+        if (info.nFiles.contains(0L)) None
+        else info.dataSchema.orElse {
+          val probeFile = live.select(col("file")).limit(1).collect()
+          if (probeFile.isEmpty) None
+          else Some(spark.read.parquet(probeFile(0).getString(0)).schema)
+        }
       tableSchema match {
         case None => Some(df.schema)
         case Some(t) =>
