@@ -621,6 +621,59 @@ class StreamingSpec extends AnyFunSuite {
       "compaction after streaming ingest drifted")
   }
 
+  test("streaming lakehouse ingest: a widened stream evolves the layout; old rows null-fill") {
+    import graft.operators.Lakehouse
+    val ev = graft.core.EventTime.withTsUs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    // phase 1: two micro-batches of the ORIGINAL schema
+    val flat1 = Files.createTempDirectory("graft-lhev-flat1")
+    for (i <- 0 until 2) {
+      val d = Files.createTempDirectory("graft-lhev-chunk").toString
+      ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, flat1.resolve(s"c$i.parquet"))
+    }
+    val layout = Files.createTempDirectory("graft-lhev-layout").toString
+    val q1 = graft.streaming.LakehouseIngest.start(
+      spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(flat1.toString),
+      layout, Seq("user_id", "ts_us"), filesPerBatch = 2,
+      checkpoint = Files.createTempDirectory("graft-lhev-ck1").toString)
+    q1.awaitTermination()
+    // phase 2: a later deployment ships a WIDENED schema (adds score);
+    // fresh source + checkpoint (a schema change is a new stream)
+    val ev2 = ev.filter(pmod(col("event_id"), lit(3)) === 2)
+      .withColumn("score", (col("event_id") % 5).cast("double"))
+    val flat2 = Files.createTempDirectory("graft-lhev-flat2")
+    locally {
+      val d = Files.createTempDirectory("graft-lhev-chunk2").toString
+      ev2.coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, flat2.resolve("c2.parquet"))
+    }
+    val q2 = graft.streaming.LakehouseIngest.start(
+      spark.readStream.schema(ev2.schema).option("maxFilesPerTrigger", "1")
+        .parquet(flat2.toString),
+      layout, Seq("user_id", "ts_us"), filesPerBatch = 2,
+      checkpoint = Files.createTempDirectory("graft-lhev-ck2").toString)
+    q2.awaitTermination()
+    // the layout's recorded schema widened; pre-evolution rows null-fill
+    val live = Lakehouse.prunedRead(spark, layout, "user_id", 0, 1e18)
+    assert(live.columns.contains("score"),
+      "the widened stream did not evolve the layout schema")
+    val expect = ev.filter(pmod(col("event_id"), lit(3)) < 2)
+      .withColumn("score", lit(null).cast("double"))
+      .unionByName(ev2)
+    assert(live.exceptAll(expect).isEmpty && expect.exceptAll(live).isEmpty,
+      "widened streaming ingest drifted from the batch union")
+    assert(live.filter(col("score").isNull).count() ===
+      ev.filter(pmod(col("event_id"), lit(3)) < 2).count())
+  }
+
   test("lakehouse ingest fences a re-delivered batch — exactly-once crash replay") {
     import graft.operators.Lakehouse
     import graft.streaming.LakehouseIngest
