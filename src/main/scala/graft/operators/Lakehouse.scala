@@ -663,6 +663,11 @@ object Lakehouse {
    * [[changesSince]] feeds exactly them downstream — update-postimages
    * still never feed (they would double-count keys the consumer saw).
    *
+   * With a non-empty `streamId`, the commit is txn-FENCED exactly like
+   * [[appendClustered]]'s: a re-delivered `batchId` throws instead of
+   * double-merging ([[graft.streaming.LakehouseIngest.startMerge]] is
+   * the skip-not-throw streaming caller).
+   *
    * `updates` is materialized ONCE at entry (`localCheckpoint`): the
    * frame is otherwise evaluated by the probe, the rewrite union, and
    * the final count, and a NON-DETERMINISTIC source (sampling, `rand()`,
@@ -687,8 +692,18 @@ object Lakehouse {
    */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], files: Int = 4, bits: Int = 16,
-      pruneRanges: Seq[(String, Double, Double)] = Nil): (Int, Long, Long) = {
+      pruneRanges: Seq[(String, Double, Double)] = Nil,
+      streamId: String = "", batchId: Long = -1L): (Int, Long, Long) = {
     require(keyCols.nonEmpty, "upsertByKey: need at least one key column")
+    // the txn fence, same contract as appendClustered's: a re-delivered
+    // batchId throws; skip-not-throw callers (LakehouseIngest) check
+    // lastCommittedBatch first
+    if (streamId.nonEmpty &&
+        batchId <= lastCommittedBatch(spark, path, streamId))
+      throw new IllegalStateException(
+        s"upsertByKey: batch $batchId of stream '$streamId' is already " +
+          s"committed at $path — a re-delivered batch must be skipped, " +
+          "not re-merged")
     val u = updates.localCheckpoint()
     if (u.isEmpty) return (0, 0L, 0L)
     val base = latestVersion(spark, path)
@@ -706,7 +721,7 @@ object Lakehouse {
       val next = m.unionByName(
         statsOf(spark.read.parquet(newFiles: _*), zCols)
           .select(m.columns.map(col): _*))
-      commitVersion(spark, path, next, "upsert", "", -1L, base,
+      commitVersion(spark, path, next, "upsert", streamId, batchId, base,
         insertFiles = newFiles, dataSchema = Some(u.schema))
       return (0, 0L, u.count())
     }
@@ -761,7 +776,7 @@ object Lakehouse {
     val next = kept.unionByName(
       statsOf(spark.read.parquet(newFiles: _*), zCols)
         .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, next, "upsert", "", -1L, base,
+    commitVersion(spark, path, next, "upsert", streamId, batchId, base,
       insertFiles = insertFiles,
       dataSchema = dataSchemaAt(spark, path, base))
     (affected.size, replaced, u.count())

@@ -79,14 +79,32 @@ object LakehouseIngest {
         s"already committed at $path — fenced, skipping (exactly-once)")
       return // a replay is a strict no-op: no maintenance either
     }
-    maintenance.foreach { m =>
-      if (batchId > 0 && batchId % m.every == 0) {
+    maintenance.foreach(m => runMaintenance(spark, path, zCols, batchId, m))
+  }
+
+  /** The in-stream maintenance pass. Compaction is a REWRITE commit —
+    * fail-loud on a lost version race — and under optimistic appends a
+    * CONCURRENT appender (the nightly backfill next to this stream) can
+    * legitimately take the slot first. Maintenance is best-effort by
+    * nature, so a lost race SKIPS this cycle (warn, retry at the next
+    * `every`-th batch) instead of killing the stream; everything else
+    * propagates. */
+  private def runMaintenance(spark: org.apache.spark.sql.SparkSession,
+      path: String, zCols: Seq[String], batchId: Long,
+      m: Maintenance): Unit = {
+    if (batchId > 0 && batchId % m.every == 0) {
+      try {
         val (c, w) = Lakehouse.compact(spark, path, zCols, m.minRows, m.files)
         if (c > 0) {
           val (freed, _) = Lakehouse.vacuum(spark, path, m.retainVersions)
           log.info(s"lakehouse ingest maintenance at batch $batchId: " +
             s"compacted $c files -> $w, vacuum reclaimed $freed")
         }
+      } catch {
+        case e: Lakehouse.CommitConflictException =>
+          log.warn(s"lakehouse ingest maintenance at batch $batchId lost " +
+            s"a commit race to a concurrent writer — skipping this cycle: " +
+            e.getMessage)
       }
     }
   }
@@ -106,6 +124,61 @@ object LakehouseIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, path, zCols, filesPerBatch, sid,
           maintenance)
+      }
+      .start()
+  }
+
+  /** The per-batch MERGE step — [[Lakehouse.upsertByKey]] under the same
+    * `(streamId, batchId)` fence as [[processBatch]]: the CDC-ingest
+    * idiom (an upsert stream MERGEd in `foreachBatch`, Delta's
+    * `forEachBatch` + `MERGE INTO` shape) with exactly-once under
+    * deterministic replay. Batch 0 on an empty path creates the layout;
+    * each later micro-batch replaces matched keys wholesale and inserts
+    * new ones (whose rows reach [[Lakehouse.changesSince]] consumers).
+    *
+    * `versionCol` (optional) reduces the batch to latest-wins per key
+    * FIRST ([[graft.operators.Cdc.latestByKey]]): a CDC micro-batch can
+    * carry several updates for one key, and upsert semantics would land
+    * them all. Leave empty only when the source is already key-unique
+    * per batch. */
+  def processMergeBatch(batch: DataFrame, batchId: Long, path: String,
+      keyCols: Seq[String], zCols: Seq[String], filesPerBatch: Int,
+      streamId: String, versionCol: String = "",
+      maintenance: Option[Maintenance] = None): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val b =
+      if (versionCol.isEmpty) batch
+      else graft.operators.Cdc.latestByKey(batch, keyCols, versionCol)
+    if (Lakehouse.latestVersion(spark, path) < 0)
+      Lakehouse.writeClustered(b, path, zCols, filesPerBatch,
+        streamId = streamId, batchId = batchId)
+    else if (batchId > Lakehouse.lastCommittedBatch(spark, path, streamId))
+      Lakehouse.upsertByKey(spark, path, b, keyCols, filesPerBatch,
+        streamId = streamId, batchId = batchId)
+    else {
+      log.warn(s"lakehouse merge ingest: batch $batchId of stream " +
+        s"'$streamId' already committed at $path — fenced, skipping " +
+        "(exactly-once)")
+      return // a replay is a strict no-op: no maintenance either
+    }
+    maintenance.foreach(m => runMaintenance(spark, path, zCols, batchId, m))
+  }
+
+  /** Starts a MERGE (upsert-by-key) ingest; caller awaits termination.
+    * Same wiring as [[start]], with [[processMergeBatch]] as the step. */
+  def startMerge(stream: DataFrame, path: String, keyCols: Seq[String],
+      zCols: Seq[String], filesPerBatch: Int, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      streamId: String = "", versionCol: String = "",
+      maintenance: Option[Maintenance] = None): StreamingQuery = {
+    val sid = if (streamId.nonEmpty) streamId else checkpoint
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processMergeBatch(batch, batchId, path, keyCols, zCols,
+          filesPerBatch, sid, versionCol, maintenance)
       }
       .start()
   }

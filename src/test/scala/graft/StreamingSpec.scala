@@ -674,6 +674,67 @@ class StreamingSpec extends AnyFunSuite {
       ev.filter(pmod(col("event_id"), lit(3)) < 2).count())
   }
 
+  test("streaming MERGE ingest: latest-wins upserts equal the batch expectation; replay fenced") {
+    import graft.operators.Lakehouse
+    // CDC shape: batch i carries keys [50i, 50i+100) — overlapping the
+    // previous batch by 50 — and TWO versions per key (ver 2i and 2i+1),
+    // so versionCol must reduce within the batch and the upsert must
+    // replace across batches
+    def cdc(i: Int) = {
+      val base = spark.range(50L * i, 50L * i + 100).select(
+        col("id").as("k"), lit(2L * i).as("ver"),
+        (col("id") * 10 + i).cast("double").as("v"))
+      base.unionByName(base.select(col("k"), (col("ver") + 1).as("ver"),
+        (col("v") + 1000).as("v")))
+    }
+    val flat = Files.createTempDirectory("graft-lhmrg-flat")
+    for (i <- 0 until 3) {
+      val d = Files.createTempDirectory("graft-lhmrg-chunk").toString
+      cdc(i).coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = flat.resolve(s"c$i.parquet")
+      Files.copy(part.toPath, dst)
+      // pin the file-source processing ORDER (modTime then path): merge
+      // outcome is order-dependent, unlike the append ingest's
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val layout = Files.createTempDirectory("graft-lhmrg-layout").toString
+    val ckpt = Files.createTempDirectory("graft-lhmrg-ckpt").toString
+    val src = spark.readStream.schema(cdc(0).schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = graft.streaming.LakehouseIngest.startMerge(src, layout,
+      keyCols = Seq("k"), zCols = Seq("k", "ver"), filesPerBatch = 2,
+      checkpoint = ckpt, versionCol = "ver")
+    q.awaitTermination()
+    // expected: per key, the LAST batch covering it wins, at its odd
+    // (in-batch latest) version
+    def winner(i: Int) = cdc(i).filter(col("ver") % 2 === 1)
+    val expect = winner(0).filter(col("k") < 50)
+      .unionByName(winner(1).filter(col("k") >= 50 && col("k") < 100))
+      .unionByName(winner(2).filter(col("k") >= 100))
+    val live = Lakehouse.prunedRead(spark, layout, "k", 0, 1e9)
+    assert(live.exceptAll(expect).isEmpty && expect.exceptAll(live).isEmpty,
+      "streamed MERGE drifted from the latest-wins expectation")
+    assert(live.count() === 200L)
+    // history shows create + 2 upserts, all fenced under the streamId
+    val ops = Lakehouse.history(spark, layout).orderBy(col("version"))
+      .collect().map(_.getString(1)).toSeq
+    assert(ops === Seq("create", "upsert", "upsert"), s"ops: $ops")
+    // crash replay: wipe the checkpoint, re-run the whole source under
+    // the same streamId — every batch fenced, nothing changes
+    val vBefore = Lakehouse.latestVersion(spark, layout)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val q2 = graft.streaming.LakehouseIngest.startMerge(src, layout,
+      keyCols = Seq("k"), zCols = Seq("k", "ver"), filesPerBatch = 2,
+      checkpoint = ckpt, versionCol = "ver")
+    q2.awaitTermination()
+    assert(Lakehouse.latestVersion(spark, layout) === vBefore,
+      "checkpoint-wipe replay re-merged batches — the fence failed")
+    val replayed = Lakehouse.prunedRead(spark, layout, "k", 0, 1e9)
+    assert(replayed.exceptAll(expect).isEmpty && expect.exceptAll(replayed).isEmpty)
+  }
+
   test("lakehouse ingest fences a re-delivered batch — exactly-once crash replay") {
     import graft.operators.Lakehouse
     import graft.streaming.LakehouseIngest
