@@ -86,7 +86,8 @@ object SparkEntry {
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
       "lakehouse_pruned_2d", "lakehouse_pruned_date", "lakehouse_changes",
       "lakehouse_delete", "lakehouse_upsert", "lakehouse_replace",
-      "lakehouse_upsert_changes", "lakehouse_evolve", "corpus_curate_stats")
+      "lakehouse_upsert_changes", "lakehouse_evolve", "lakehouse_cdf",
+      "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1316,6 +1317,39 @@ object SparkEntry {
         Seq("event_id"), files = 4)
       graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
         .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Row-level change data feed anchored end-to-end: the md5-chosen
+    // ~10% of rows are upserted twice over (in place doubled, and
+    // remapped to fresh ids tripled), then a user band is deleted — the
+    // typed feed must carry the postimages, the inserts, and the deleted
+    // rows AS OF the post-upsert state; any mis-typed, lost, or
+    // double-fed row hash-mismatches on its (change_type, event_type)
+    // aggregate
+    "lakehouse_cdf" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-cdf-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      graft.operators.Lakehouse.writeClustered(ev, base,
+        Seq("user_id", "ts_us"), files = 12)
+      val v0 = graft.operators.Lakehouse.latestVersion(s, base)
+      val isUpd = (conv(substring(md5(concat(lit("lhcdf:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 900
+      val updates = ev.filter(isUpd).withColumn("value", col("value") * 2)
+        .unionByName(ev.filter(isUpd)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("value", col("value") * 3))
+      graft.operators.Lakehouse.upsertByKey(s, base, updates,
+        Seq("event_id"), files = 4)
+      graft.operators.Lakehouse.deleteWhere(s, base,
+        col("user_id") <= 2, files = 4)
+      graft.operators.Lakehouse.changesDetailed(s, base, v0)
+        .groupBy(col("_change_type"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
     }),
@@ -3327,6 +3361,32 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 4 AND 7
         |GROUP BY 1""".stripMargin,
+
+    // row-level CDF: postimages doubled, inserts tripled, deletes read
+    // from the POST-UPSERT state (the CASE arithmetic rebuilds it)
+    "lakehouse_cdf" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id, value,
+        |         CAST('0x' || substr(md5('lhcdf:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bk
+        |  FROM events
+        |), v1 AS (
+        |  SELECT event_type, user_id,
+        |         CASE WHEN bk >= 900 THEN value * 2 ELSE value END AS value
+        |  FROM b
+        |  UNION ALL
+        |  SELECT event_type, user_id, value * 3 AS value FROM b WHERE bk >= 900
+        |), typed AS (
+        |  SELECT 'update_postimage' AS _change_type, event_type, value * 2 AS value
+        |  FROM b WHERE bk >= 900
+        |  UNION ALL
+        |  SELECT 'insert', event_type, value * 3 FROM b WHERE bk >= 900
+        |  UNION ALL
+        |  SELECT 'delete', event_type, value FROM v1 WHERE user_id <= 2
+        |)
+        |SELECT _change_type, event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM typed
+        |GROUP BY 1, 2""".stripMargin,
 
     // additive schema evolution: value is non-null ONLY on the widened
     // delta batch's rows — seed rows null-fill it

@@ -189,21 +189,27 @@ object Lakehouse {
 
   private case class CommitInfo(op: String, streamId: String, batchId: Long,
       nFiles: Option[Long], nRows: Option[Long], insertFiles: Seq[String],
-      dataSchema: Option[org.apache.spark.sql.types.StructType])
+      dataSchema: Option[org.apache.spark.sql.types.StructType],
+      postimageFiles: Seq[String], deleteFiles: Seq[String])
 
   private def readCommit(fs: FileSystem, path: String, v: Long): CommitInfo = {
     val in = fs.open(new Path(versionDir(path, v), "_commit"))
     val props = new java.util.Properties()
     try props.load(in) finally in.close()
     def optLong(k: String) = Option(props.getProperty(k)).map(_.toLong)
-    val nIns = Option(props.getProperty("nInsertFiles")).map(_.toInt).getOrElse(0)
+    def fileList(prefix: String): Seq[String] = {
+      val n = Option(props.getProperty(s"n${prefix.capitalize}Files"))
+        .map(_.toInt).getOrElse(0)
+      (0 until n).map(i => props.getProperty(s"${prefix}File.$i"))
+    }
     CommitInfo(props.getProperty("op", ""), props.getProperty("streamId", ""),
       props.getProperty("batchId", "-1").toLong,
       optLong("nFiles"), optLong("nRows"),
-      (0 until nIns).map(i => props.getProperty(s"insertFile.$i")),
+      fileList("insert"),
       Option(props.getProperty("dataSchema")).map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      fileList("postimage"), fileList("delete"))
   }
 
   /** The table's data schema as of version `v`, as recorded in that
@@ -237,7 +243,9 @@ object Lakehouse {
       manifest: DataFrame, op: String, streamId: String,
       batchId: Long, base: Long,
       insertFiles: Seq[String] = Nil,
-      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      postimageFiles: Seq[String] = Nil,
+      deleteFiles: Seq[String] = Nil)
       : Long = {
     val fs = fsOf(spark, path)
     val v = base + 1
@@ -255,12 +263,19 @@ object Lakehouse {
       props.setProperty("batchId", batchId.toString)
       props.setProperty("nFiles", counts.getLong(0).toString)
       props.setProperty("nRows", counts.getLong(1).toString)
-      // insert-only files of an upsert commit: the changes feed reads
-      // EXACTLY these (the rewrite files re-file rows consumers saw)
-      props.setProperty("nInsertFiles", insertFiles.size.toString)
-      insertFiles.zipWithIndex.foreach { case (f, i) =>
-        props.setProperty(s"insertFile.$i", f)
+      // row-level CDF bookkeeping: an upsert commit's insert-only and
+      // update-postimage batches ([[changesSince]] reads the former,
+      // [[changesDetailed]] both), and a delete commit's deleted-row
+      // sidecar files (under `_cdf/`, never in the data manifest)
+      def putList(prefix: String, files: Seq[String]): Unit = {
+        props.setProperty(s"n${prefix.capitalize}Files", files.size.toString)
+        files.zipWithIndex.foreach { case (f, i) =>
+          props.setProperty(s"${prefix}File.$i", f)
+        }
       }
+      putList("insert", insertFiles)
+      putList("postimage", postimageFiles)
+      putList("delete", deleteFiles)
       // the snapshot's data schema (top-level nullable normalized — added
       // columns ARE null in pre-evolution files): reads resolve against
       // THIS, so those files null-fill instead of inheriting parquet's
@@ -712,7 +727,9 @@ object Lakehouse {
     val zCols = m.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
-    val allFiles = m.select(col("file")).collect().map(_.getString(0)).toSeq
+    val fileRows = m.select(col("file"), col("n_rows")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allFiles = fileRows.keys.toSeq
     if (allFiles.isEmpty) {
       // empty table: nothing to probe or replace — insert-all, and every
       // written file feeds the changes feed; the batch defines the schema
@@ -746,12 +763,15 @@ object Lakehouse {
     val affected = allFiles.filter(probe.contains)
     val replaced = probe.values.sum
     // split the update batch by whether its key EXISTS in the table:
-    // matched rows are update-postimages (they re-file rows a downstream
-    // consumer already saw), unmatched rows are PURE INSERTS — written as
-    // their own batch so the changes feed can surface exactly them (the
-    // gap a conservative whole-rewrite classification left open). One
-    // extra column-pruned scan of only the affected files; null-keyed
-    // updates never match (SQL semantics) so they land as inserts.
+    // matched rows are UPDATE-POSTIMAGES, unmatched rows are PURE
+    // INSERTS — and survivors, postimages, and inserts each land as
+    // their own file batch, recorded in the commit marker, so
+    // [[changesSince]] feeds exactly the inserts and [[changesDetailed]]
+    // feeds inserts + postimages with row-level change types. One extra
+    // column-pruned scan of only the affected files; null-keyed updates
+    // never match (SQL semantics) so they land as inserts. Whether the
+    // survivor batch is empty (every affected row replaced) is known
+    // from the manifest's n_rows — no extra job.
     val matchedKeys =
       if (affected.isEmpty) keys.limit(0)
       else readData(spark, path, base, affected)
@@ -759,16 +779,19 @@ object Lakehouse {
         .join(broadcast(keys), keyCols, "left_semi").distinct()
     val upd = u.join(broadcast(matchedKeys), keyCols, "left_semi")
     val ins = u.join(broadcast(matchedKeys), keyCols, "left_anti")
-    val rewriteFiles =
-      if (affected.isEmpty) Seq.empty[String]
+    val affectedRows = affected.map(fileRows).sum
+    val survivorFiles =
+      if (affected.isEmpty || replaced == affectedRows) Seq.empty[String]
       else writeBatch(spark, path,
         readData(spark, path, base, affected)
-          .join(broadcast(keys), keyCols, "left_anti")
-          .unionByName(upd), zCols, files, bits)
+          .join(broadcast(keys), keyCols, "left_anti"), zCols, files, bits)
+    val postimageFiles =
+      if (affected.isEmpty) Seq.empty[String]
+      else writeBatch(spark, path, upd, zCols, files, bits)
     val insertFiles =
       if (ins.isEmpty) Seq.empty[String]
       else writeBatch(spark, path, ins, zCols, files, bits)
-    val newFiles = rewriteFiles ++ insertFiles
+    val newFiles = survivorFiles ++ postimageFiles ++ insertFiles
     require(newFiles.nonEmpty, "upsertByKey: the rewrite added no files")
     val kept =
       if (affected.isEmpty) m
@@ -778,7 +801,8 @@ object Lakehouse {
         .select(kept.columns.map(col): _*))
     commitVersion(spark, path, next, "upsert", streamId, batchId, base,
       insertFiles = insertFiles,
-      dataSchema = dataSchemaAt(spark, path, base))
+      dataSchema = dataSchemaAt(spark, path, base),
+      postimageFiles = postimageFiles)
     (affected.size, replaced, u.count())
   }
 
@@ -809,10 +833,18 @@ object Lakehouse {
    * selective predicate on a clustered column touches few row groups);
    * the rewrite reads only the affected files. Clustered columns are
    * recovered from the manifest, so the caller states nothing twice.
+   *
+   * With `cdf = true` (the default) the DELETED rows are also written to
+   * a `_cdf/` sidecar (never part of the data manifest — plain readers
+   * cannot see it) and recorded in the commit marker, so
+   * [[changesDetailed]] can retract them downstream with
+   * `_change_type = delete`. Costs one extra write sized by the deleted
+   * rows; pass `cdf = false` for bulk purges nobody mirrors.
    */
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column, files: Int = 4, bits: Int = 16,
-      pruneRanges: Seq[(String, Double, Double)] = Nil): (Int, Long) = {
+      pruneRanges: Seq[(String, Double, Double)] = Nil,
+      cdf: Boolean = true): (Int, Long) = {
     val base = latestVersion(spark, path)
     require(base >= 0, s"no committed lakehouse log at $path")
     val m = manifestAt(spark, path, base)
@@ -848,6 +880,22 @@ object Lakehouse {
     val newFiles =
       if (anySurvivor) writeBatch(spark, path, survivors, zCols, files, bits)
       else Seq.empty[String]
+    // the CDF sidecar: the doomed rows, written OUTSIDE data/ so no
+    // table reader ever sees them; the marker references the exact
+    // files, so a crash before commit leaves only unreferenced debris
+    // (vacuum sweeps it)
+    val deleteFiles =
+      if (!cdf) Seq.empty[String]
+      else {
+        val fs = fsOf(spark, path)
+        val dir = new Path(path,
+          s"_cdf/del-${java.util.UUID.randomUUID().toString}")
+        readData(spark, path, base, affected).filter(pred <=> lit(true))
+          .write.parquet(dir.toString)
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(s => fs.makeQualified(s.getPath).toUri.toString)
+      }
     val kept = m.filter(!col("file").isin(affected: _*))
     val next =
       if (newFiles.isEmpty) kept
@@ -855,7 +903,8 @@ object Lakehouse {
         statsOf(spark.read.parquet(newFiles: _*), zCols)
           .select(kept.columns.map(col): _*))
     commitVersion(spark, path, next, "delete", "", -1L, base,
-      dataSchema = dataSchemaAt(spark, path, base))
+      dataSchema = dataSchemaAt(spark, path, base),
+      deleteFiles = deleteFiles)
     (affected.size, hits.values.sum)
   }
 
@@ -910,6 +959,25 @@ object Lakehouse {
     val root = new Path(path)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       if (st.getPath.getName.startsWith("_stage-")) fs.delete(st.getPath, true)
+    }
+    // CDF sidecar retention: delete-row files referenced only by
+    // versions OUTSIDE the retained window (their feed window has
+    // passed — same trade as the manifests), plus crashed-delete debris
+    // referenced by no marker at all
+    val cdfDir = new Path(path, "_cdf")
+    if (fs.exists(cdfDir)) {
+      val liveCdf = retained.flatMap(v =>
+        readCommit(fs, path, v).deleteFiles.map(pathKey)).toSet
+      fs.listStatus(cdfDir).foreach { st =>
+        val fls =
+          if (st.isFile) Seq(st)
+          else fs.listStatus(st.getPath).toSeq
+        fls.filter(f => f.isFile &&
+            !liveCdf(pathKey(f.getPath.toUri.toString)))
+          .foreach(f => fs.delete(f.getPath, false))
+        if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
+          fs.delete(st.getPath, true)
+      }
     }
     (dead.size, pruned)
   }
@@ -1113,6 +1181,77 @@ object Lakehouse {
     readData(spark, path, v,
       addedFilesSince(spark, path, sinceVersion)
         .filter(_._1 <= v).flatMap(_._2))
+  }
+
+  /**
+   * The ROW-LEVEL change data feed (Delta CDF analog): every change in
+   * `(sinceVersion, latest]` as data rows plus `_change_type`
+   * (`insert` | `update_postimage` | `delete`) and `_version` —
+   * everything a downstream MIRROR needs to stay key-exact:
+   *
+   *  - create/append commits feed their new files as `insert`;
+   *  - upsert commits feed their marker-recorded insert-only batch as
+   *    `insert` and their update-postimage batch as `update_postimage`
+   *    (survivor re-files never feed — the consumer already has those
+   *    rows);
+   *  - delete commits feed the deleted rows from the `_cdf/` sidecar
+   *    [[deleteWhere]] wrote (rows deleted with `cdf = false` are NOT
+   *    retractable — same trade as Delta with CDF disabled);
+   *  - compaction feeds nothing (pure re-file);
+   *  - a `replace` in range FAILS LOUDLY: a whole-table swap cannot be
+   *    expressed as row changes — the consumer must re-sync from the
+   *    new snapshot.
+   *
+   * Invariant (spec-pinned): applying the feed in `_version` order to
+   * the `sinceVersion` snapshot — delete by key, then upsert
+   * postimages + inserts by key — reproduces the latest snapshot
+   * exactly. All rows resolve under the LATEST schema (pre-evolution
+   * rows null-fill added columns). Upsert commits written before
+   * postimage tracking feed only their inserts (their postimages were
+   * never split out); start mirrors from a fresh snapshot on such logs.
+   */
+  def changesDetailed(spark: SparkSession, path: String,
+      sinceVersion: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    val latest = latestVersion(spark, path)
+    val versions = committedVersions(spark, path)
+      .filter(v => v > sinceVersion && v <= latest)
+    def filesOf(v: Long): Set[String] = {
+      require(fs.exists(new Path(versionDir(path, v), "manifest")),
+        s"changesDetailed: version $v's manifest was vacuumed — " +
+          "incremental consumers must keep up with the retention window")
+      manifestAt(spark, path, v).select(col("file")).collect()
+        .map(_.getString(0)).toSet
+    }
+    val groups: Seq[(Seq[String], String, Long)] = versions.flatMap { v =>
+      val info = readCommit(fs, path, v)
+      info.op match {
+        case "replace" => throw new IllegalStateException(
+          s"changesDetailed: version $v of $path is a whole-table " +
+            "REPLACE — not expressible as row changes; re-sync the " +
+            "consumer from the new snapshot")
+        case "compact" => Nil
+        case "delete" =>
+          if (info.deleteFiles.isEmpty) Nil
+          else Seq((info.deleteFiles, "delete", v))
+        case "upsert" =>
+          Seq((info.insertFiles, "insert", v),
+            (info.postimageFiles, "update_postimage", v))
+            .filter(_._1.nonEmpty)
+        case _ => // create / append: the manifest diff, as changesSince
+          val added = (filesOf(v) --
+            (if (v == 0) Set.empty[String] else filesOf(v - 1))).toSeq.sorted
+          if (added.isEmpty) Nil else Seq((added, "insert", v))
+      }
+    }
+    val empty = readData(spark, path, latest, Nil)
+      .withColumn("_change_type", lit(""))
+      .withColumn("_version", lit(0L)).limit(0)
+    groups.foldLeft(empty) { case (acc, (fls, ct, v)) =>
+      acc.unionByName(readData(spark, path, latest, fls)
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_version", lit(v)))
+    }
   }
 
   // ------------------------------------------------------------------

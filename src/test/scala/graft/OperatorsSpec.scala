@@ -1529,7 +1529,7 @@ class OperatorsSpec extends AnyFunSuite {
           (0 until 3).foreach { i =>
             val lo = 1000 + (w * 3 + i) * 1000
             Lakehouse.appendClustered(mk(lo, lo + 1000), dir, Seq("k", "t"),
-              files = 1)
+              files = 1, maxAttempts = 50)
           }
         }
       })
@@ -1539,14 +1539,20 @@ class OperatorsSpec extends AnyFunSuite {
     pool.shutdown()
     // 1 create + 6 appends on a LINEAR log: contiguous versions, no gaps
     val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
-    assert(h.map(_.getLong(0)).toSeq === (0L to 6L), "log is not linear")
+    val hDump = h.map(r => s"v${r.getLong(0)}:${r.getString(1)}" +
+      s"(${r.getLong(4)}f/${r.getLong(5)}r)").mkString(", ")
+    assert(h.map(_.getLong(0)).toSeq === (0L to 6L),
+      s"log is not linear — history: $hDump")
     assert(h.count(_.getString(1) == "append") === 6,
-      "an appender's commit was lost")
+      s"an appender's commit was lost — history: $hDump")
     // the live snapshot is the exact union of every batch
     val truth = mk(0, 7000)
     val live = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
-    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
-      "concurrent appends lost or duplicated rows")
+    val lost = truth.exceptAll(live).count()
+    val extra = live.exceptAll(truth).count()
+    assert(lost == 0 && extra == 0,
+      s"concurrent appends lost $lost / duplicated $extra rows — " +
+        s"history: $hDump")
     // no manifest row claims another writer's file (the listing-diff bug)
     val files = Lakehouse.readManifest(spark, dir)
       .select(col("file")).collect().map(_.getString(0))
@@ -1884,6 +1890,109 @@ class OperatorsSpec extends AnyFunSuite {
     val feed3 = Lakehouse.changesSince(spark, dir2, v2)
     assert(feed3.exceptAll(ups3).isEmpty && ups3.exceptAll(feed3).isEmpty,
       "insert-all upsert into an empty table must feed its whole batch")
+  }
+
+  test("lakehouse: changesDetailed feeds typed row changes; applying them mirrors the table") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-cdf").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 400), dir, Seq("k", "t"), files = 4) // v0
+    val v0 = Lakehouse.latestVersion(spark, dir)
+    Lakehouse.appendClustered(mk(400, 500), dir, Seq("k", "t"), files = 2) // v1
+    // keys 450..499 exist (postimages), 500..549 are new (inserts)
+    val upsReal = spark.range(450, 550).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * -1).cast("double").as("v"))
+    Lakehouse.upsertByKey(spark, dir, upsReal, Seq("k"))               // v2
+    Lakehouse.deleteWhere(spark, dir, col("k") % 10 === 3)             // v3
+    Lakehouse.compact(spark, dir, Seq("k", "t"),
+      minRows = 1000000, files = 2)                                    // v4
+    val feed = Lakehouse.changesDetailed(spark, dir, v0).cache()
+    try {
+      val byType = feed.groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // inserts: 100 appended + 50 upsert-inserted; postimages: 50;
+      // deletes: keys 3,13,...,543 present at v2 = 55
+      assert(byType === Map("insert" -> 150L, "update_postimage" -> 50L,
+        "delete" -> 55L), s"typed counts: $byType")
+      // compaction (v4) must contribute nothing
+      assert(feed.select(col("_version")).distinct().collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+      // deleted rows carry the state they were deleted IN (post-upsert):
+      // k=453 was upserted to -453 before the delete; k=3 kept 30
+      val delVals = feed.filter(col("_change_type") === "delete" &&
+          col("k").isin(3L, 453L, 503L))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(delVals === Map(3L -> 30.0, 453L -> -453.0, 503L -> -503.0),
+        s"delete rows drifted: $delVals")
+      // THE MIRROR INVARIANT: applying the feed in version order to the
+      // v0 snapshot reproduces the latest snapshot exactly
+      var mirror = Lakehouse.prunedReadAt(spark, dir, v0, "k", 0, 1e9)
+      val feedVersions = feed.select(col("_version")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      for (v <- feedVersions) {
+        val g = feed.filter(col("_version") === v)
+        val dels = g.filter(col("_change_type") === "delete").select(col("k"))
+        val upserts = g.filter(col("_change_type") =!= "delete")
+          .drop("_change_type", "_version")
+        mirror = mirror.join(dels, Seq("k"), "left_anti")
+          .join(upserts.select(col("k")), Seq("k"), "left_anti")
+          .unionByName(upserts)
+      }
+      val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+      assert(mirror.exceptAll(live).isEmpty && live.exceptAll(mirror).isEmpty,
+        "replaying the change feed onto the v0 snapshot did not " +
+          "reproduce the latest snapshot")
+    } finally feed.unpersist()
+    // a whole-table REPLACE in range breaks the feed loudly…
+    Lakehouse.replaceClustered(mk(0, 10), dir, Seq("k", "t"), files = 1)
+    val e = intercept[IllegalStateException](
+      Lakehouse.changesDetailed(spark, dir, v0).collect())
+    assert(e.getMessage.contains("REPLACE"))
+    // …but a window that starts AFTER the replace feeds normally
+    val vR = Lakehouse.latestVersion(spark, dir)
+    Lakehouse.appendClustered(mk(10, 20), dir, Seq("k", "t"), files = 1)
+    val after = Lakehouse.changesDetailed(spark, dir, vR)
+    val wantAfter = mk(10, 20)
+    assert(after.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_version")
+      .exceptAll(wantAfter).isEmpty && after.count() === 10L)
+  }
+
+  test("lakehouse: vacuum retires delete sidecars outside the retained window, keeps retained ones") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-cdfvac").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    def cdfFiles(): Seq[String] = {
+      val d = new java.io.File(s"$dir/_cdf")
+      if (!d.exists()) Nil
+      else d.listFiles().toSeq.flatMap(s =>
+        if (s.isFile) Seq(s) else s.listFiles().toSeq)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getPath)
+    }
+    Lakehouse.writeClustered(mk(0, 500), dir, Seq("k", "t"), files = 2) // v0
+    Lakehouse.deleteWhere(spark, dir, col("t") < 100)                   // v1
+    assert(cdfFiles().nonEmpty, "delete wrote no CDF sidecar")
+    Lakehouse.appendClustered(mk(500, 600), dir, Seq("k", "t"), files = 1) // v2
+    Lakehouse.appendClustered(mk(600, 700), dir, Seq("k", "t"), files = 1) // v3
+    Lakehouse.vacuum(spark, dir, retainVersions = 2) // retains v2, v3
+    assert(cdfFiles().isEmpty,
+      "v1's delete sidecar outlived the retention window")
+    // a delete INSIDE the next retained window keeps its sidecar and
+    // still feeds
+    Lakehouse.deleteWhere(spark, dir, col("t") >= 650)                  // v4
+    Lakehouse.vacuum(spark, dir, retainVersions = 2) // retains v3, v4
+    assert(cdfFiles().nonEmpty, "a retained delete's sidecar was swept")
+    val feed = Lakehouse.changesDetailed(spark, dir, 3)
+    val wantDel = mk(600, 700).filter(col("t") >= 650)
+    val gotDel = feed.filter(col("_change_type") === "delete")
+      .drop("_change_type", "_version")
+    assert(gotDel.exceptAll(wantDel).isEmpty && wantDel.exceptAll(gotDel).isEmpty,
+      "the retained delete's rows did not feed")
   }
 
   test("lakehouse: changesSince feeds exactly the appended rows; compaction rewrites excluded") {
