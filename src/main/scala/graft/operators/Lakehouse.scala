@@ -1244,6 +1244,14 @@ object Lakehouse {
           if (added.isEmpty) Nil else Seq((added, "insert", v))
       }
     }
+    // fail with the retention contract, not a mid-job FileNotFound: a
+    // feed file vacuumed away means the consumer fell behind the window
+    groups.foreach { case (fls, ct, v) =>
+      fls.find(f => !fs.exists(new Path(new java.net.URI(f)))).foreach(f =>
+        throw new IllegalStateException(
+          s"changesDetailed: version $v's $ct file $f was vacuumed — " +
+            "incremental consumers must keep up with the retention window"))
+    }
     val empty = readData(spark, path, latest, Nil)
       .withColumn("_change_type", lit(""))
       .withColumn("_version", lit(0L)).limit(0)
