@@ -1995,6 +1995,116 @@ class OperatorsSpec extends AnyFunSuite {
       "the retained delete's rows did not feed")
   }
 
+  test("lakehouse: randomized op sequences track an in-memory model; full-feed replay mirrors it") {
+    import graft.operators.Lakehouse
+    // stateful model check: a random interleaving of append / upsert /
+    // delete / compact / vacuum must keep the live table equal to a
+    // trivial Map model after EVERY op, and replaying the whole
+    // changesDetailed feed from before v0 onto an empty mirror must
+    // reproduce the final state — interaction bugs between mutations
+    // (stale manifests, double-fed files, sidecar mixups) surface here
+    // that single-op specs cannot reach. Deterministic seed: a failure
+    // replays exactly.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 2) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-lh-model$trial").toString
+      var nextKey = 0L
+      val model = scala.collection.mutable.Map.empty[Long, Long]
+      def freshRows(n: Int): Seq[(Long, Long)] = {
+        val rows = (0 until n).map { _ =>
+          val k = nextKey; nextKey += 1
+          k -> rnd.nextLong(1000000L)
+        }
+        rows
+      }
+      def toDf(rows: Seq[(Long, Long)]) =
+        spark.createDataFrame(rows).toDF("k", "t")
+      val init = freshRows(80)
+      Lakehouse.writeClustered(toDf(init), dir, Seq("k", "t"), files = 3)
+      model ++= init
+      def liveState(): Map[Long, Long] =
+        Lakehouse.prunedRead(spark, dir, "k", 0, 1e18)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val opLog = new scala.collection.mutable.ArrayBuffer[String]
+      for (step <- 0 until 12) {
+        rnd.nextInt(5) match {
+          case 0 => // append fresh keys
+            val rows = freshRows(20 + rnd.nextInt(30))
+            Lakehouse.appendClustered(toDf(rows), dir, Seq("k", "t"),
+              files = 1 + rnd.nextInt(2))
+            model ++= rows; opLog += s"append(${rows.size})"
+          case 1 => // upsert: some existing keys re-valued + some new
+            val existing = rnd.shuffle(model.keys.toSeq)
+              .take(rnd.nextInt(15))
+              .map(k => k -> rnd.nextLong(1000000L))
+            val fresh = freshRows(rnd.nextInt(15))
+            val batch = existing ++ fresh
+            if (batch.nonEmpty) {
+              Lakehouse.upsertByKey(spark, dir, toDf(batch), Seq("k"),
+                files = 2)
+              model ++= batch
+              opLog += s"upsert(${existing.size}u+${fresh.size}i)"
+            }
+          case 2 => // delete a key band
+            val lo = rnd.nextLong(math.max(1L, nextKey))
+            val hi = lo + rnd.nextInt(40)
+            Lakehouse.deleteWhere(spark, dir,
+              col("k") >= lo && col("k") <= hi)
+            model --= model.keys.filter(k => k >= lo && k <= hi).toSeq
+            opLog += s"delete[$lo,$hi]"
+          case 3 =>
+            Lakehouse.compact(spark, dir, Seq("k", "t"),
+              minRows = 40, files = 2)
+            opLog += "compact"
+          case 4 =>
+            // trial 0 retains everything (the full-feed mirror below must
+            // actually RUN, not skip on retention); trial 1 exercises the
+            // tight-window interplay
+            val retain = if (trial == 0) 100 else 4
+            Lakehouse.vacuum(spark, dir, retainVersions = retain)
+            opLog += s"vacuum($retain)"
+        }
+        val got = liveState()
+        assert(got == model.toMap,
+          s"trial $trial diverged after ${opLog.mkString(" -> ")}: " +
+            s"missing=${(model.toMap.toSet -- got.toSet).take(5)} " +
+            s"extra=${(got.toSet -- model.toMap.toSet).take(5)}")
+      }
+      // full-feed mirror from an empty start (vacuum retained >= every
+      // version's markers; retention window of 4 may have pruned old
+      // sidecars/manifests, so only assert when the feed is replayable)
+      try {
+        val feed = Lakehouse.changesDetailed(spark, dir, -1L).cache()
+        try {
+          val mirror = scala.collection.mutable.Map.empty[Long, Long]
+          feed.collect()
+            .sortBy(r => (r.getLong(3), r.getString(2) == "delete"))
+            .foreach { r =>
+              // within a version, deletions and upserts touch disjoint
+              // keys (delete commits carry only deletes), so ordering
+              // inside a version only needs delete-last stability
+              val (k, t, ct) = (r.getLong(0), r.getLong(1), r.getString(2))
+              if (ct == "delete") mirror -= k else mirror(k) = t
+            }
+          assert(mirror.toMap == model.toMap,
+            s"trial $trial: full-feed mirror diverged after " +
+              opLog.mkString(" -> "))
+        } finally feed.unpersist()
+      } catch {
+        case e: RuntimeException
+            if trial != 0 && e.getMessage != null &&
+              e.getMessage.contains("retention window") =>
+          // trial 1's tight vacuum may outrun the feed — the documented
+          // contract (manifests throw require's IllegalArgumentException,
+          // feed files IllegalStateException); the per-op live==model
+          // checks above already covered the run. Trial 0 retains
+          // everything, so ITS mirror always runs.
+          ()
+      }
+    }
+  }
+
   test("lakehouse: changesSince feeds exactly the appended rows; compaction rewrites excluded") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-changes").toString
