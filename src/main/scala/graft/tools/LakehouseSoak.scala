@@ -72,6 +72,7 @@ object LakehouseSoak {
     // COW merge at scale: wholesale-replace the first 10k ids with
     // IDENTICAL rows — files rewrite, row counts hold, and the sweep
     // still matching proves the rewrite lost nothing
+    val vPreMutations = Lakehouse.latestVersion(spark, base)
     val upsBatch = math.min(10000L, totalRows)
     val ((upsFiles, upsReplaced, _), tUpsert) = timed(
       Lakehouse.upsertByKey(spark, base, mk(0, upsBatch), Seq("t"), files = 2))
@@ -87,6 +88,24 @@ object LakehouseSoak {
     }
     val rowsFinal = Lakehouse.readManifest(spark, base)
       .agg(sum(col("n_rows"))).head().getLong(0)
+    // row-level CDF at scale: the mutation window's typed feed must
+    // carry exactly the identity-upsert's postimages (no inserts — every
+    // key existed) and the deleted band's rows, and the postimages must
+    // BE the original rows (identity upsert) byte-for-byte
+    val ((cdfPost, cdfIns, cdfDel, cdfExact), tCdf) = timed {
+      val feed = Lakehouse.changesDetailed(spark, base, vPreMutations).cache()
+      try {
+        val byType = feed.groupBy(col("_change_type")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val post = feed.filter(col("_change_type") === "update_postimage")
+          .drop("_change_type", "_version")
+        val exact = post.exceptAll(mk(0, upsBatch)).isEmpty &&
+          mk(0, upsBatch).exceptAll(post).isEmpty
+        (byType.getOrElse("update_postimage", 0L),
+          byType.getOrElse("insert", 0L),
+          byType.getOrElse("delete", 0L), exact)
+      } finally feed.unpersist()
+    }
 
     def f(d: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, d)
     println(s"""{"metric":"lakehouse_soak","rows":$totalRows""" +
@@ -108,12 +127,19 @@ object LakehouseSoak {
       s""","write_sec":${f(tWrite)},"append_sec":${f(tAppend)}""" +
       s""","compact_sec":${f(tCompact)},"vacuum_sec":${f(tVacuum)}""" +
       s""","upsert_sec":${f(tUpsert)},"delete_sec":${f(tDelete)}""" +
+      s""","cdf_postimages":$cdfPost,"cdf_inserts":$cdfIns""" +
+      s""","cdf_deletes":$cdfDel,"cdf_postimages_exact":$cdfExact""" +
+      s""","cdf_sec":${f(tCdf)}""" +
       s""","sweep_sec":[${f(tSweep1)},${f(tSweep2)},${f(tSweep3)}]}""")
     require(okBefore && okAfter, "pruned sweep drifted from full-scan truth")
     require(okUpsert, "identity upsert changed the data")
     require(okDelete, "COW delete drifted neighbors of the deleted band")
     require(rowsFinal == totalRows - delRows,
       s"row accounting broke: $rowsFinal != $totalRows - $delRows")
+    require(cdfPost == upsReplaced && cdfIns == 0L && cdfDel == delRows,
+      s"CDF feed counts drifted: post=$cdfPost (want $upsReplaced), " +
+        s"ins=$cdfIns (want 0), del=$cdfDel (want $delRows)")
+    require(cdfExact, "CDF postimages differ from the identity-upsert rows")
     spark.stop()
   }
 }
