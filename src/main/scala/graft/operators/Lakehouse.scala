@@ -190,7 +190,8 @@ object Lakehouse {
   private case class CommitInfo(op: String, streamId: String, batchId: Long,
       nFiles: Option[Long], nRows: Option[Long], insertFiles: Seq[String],
       dataSchema: Option[org.apache.spark.sql.types.StructType],
-      postimageFiles: Seq[String], deleteFiles: Seq[String])
+      postimageFiles: Seq[String], deleteFiles: Seq[String],
+      writerToken: String)
 
   private def readCommit(fs: FileSystem, path: String, v: Long): CommitInfo = {
     val in = fs.open(new Path(versionDir(path, v), "_commit"))
@@ -209,7 +210,8 @@ object Lakehouse {
       Option(props.getProperty("dataSchema")).map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]),
-      fileList("postimage"), fileList("delete"))
+      fileList("postimage"), fileList("delete"),
+      props.getProperty("writerToken", ""))
   }
 
   /** The table's data schema as of version `v`, as recorded in that
@@ -245,7 +247,8 @@ object Lakehouse {
       insertFiles: Seq[String] = Nil,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
       postimageFiles: Seq[String] = Nil,
-      deleteFiles: Seq[String] = Nil)
+      deleteFiles: Seq[String] = Nil,
+      writerToken: String = "")
       : Long = {
     val fs = fsOf(spark, path)
     val v = base + 1
@@ -276,6 +279,12 @@ object Lakehouse {
       putList("insert", insertFiles)
       putList("postimage", postimageFiles)
       putList("delete", deleteFiles)
+      // writer identity, for retry loops to recognize their OWN landed
+      // commit after an AMBIGUOUS rename (applied on the filesystem,
+      // error reported to the client — the HDFS non-idempotent-RPC
+      // hazard); without it a retry would re-commit the same extension
+      // and duplicate manifest rows
+      if (writerToken.nonEmpty) props.setProperty("writerToken", writerToken)
       // the snapshot's data schema (top-level nullable normalized — added
       // columns ARE null in pre-evolution files): reads resolve against
       // THIS, so those files null-fill instead of inheriting parquet's
@@ -321,11 +330,20 @@ object Lakehouse {
     * manifest is correct because the extension is purely additive, so
     * back off briefly and go again. `fence` re-runs each attempt (a
     * concurrent commit may have advanced this stream's batch high-water
-    * mark). */
+    * mark).
+    *
+    * AMBIGUOUS-RENAME defense: every attempt carries one per-CALL writer
+    * token into the marker; before retrying a conflict, the loop reads
+    * the marker at the slot it just lost — if it carries OUR token, the
+    * rename actually applied and the error was client-side only (the
+    * HDFS non-idempotent-RPC hazard), so the commit is returned instead
+    * of re-extending and duplicating the same manifest rows. */
   private def commitAdditive(spark: SparkSession, path: String,
       op: String, streamId: String, batchId: Long, maxAttempts: Int)(
       fence: () => Unit)(extend: (Long, DataFrame) =>
         (DataFrame, Option[org.apache.spark.sql.types.StructType])): Long = {
+    val token = java.util.UUID.randomUUID().toString
+    val fs = fsOf(spark, path)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -336,9 +354,15 @@ object Lakehouse {
       try {
         val (manifest, schema) = extend(base, live)
         return commitVersion(spark, path, manifest, op, streamId,
-          batchId, base, dataSchema = schema)
+          batchId, base, dataSchema = schema, writerToken = token)
       } catch {
         case e: CommitConflictException =>
+          val lostSlot = base + 1
+          val mine =
+            try fs.exists(new Path(versionDir(path, lostSlot), "_commit")) &&
+              readCommit(fs, path, lostSlot).writerToken == token
+            catch { case _: Exception => false }
+          if (mine) return lostSlot
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"lakehouse log at $path: additive commit lost $maxAttempts " +
               s"races in a row — giving up", e)
@@ -753,13 +777,19 @@ object Lakehouse {
       else selectFilesIn(m, path, pruneRanges)._1
     lastProbeScannedFiles = candidates.size
     val keys = u.select(keyCols.map(col): _*).distinct()
-    val probe =
-      if (candidates.isEmpty) Map.empty[String, Long]
+    // ONE probe scan yields both the per-file match counts AND the set
+    // of matched key tuples (collect_set is bounded by the update
+    // batch's distinct keys per file — small by the CDC contract), so
+    // the affected files are not re-read just to learn which keys hit
+    val probeRows =
+      if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else readData(spark, path, base, candidates)
         .select(input_file_name().as("_f") +: keyCols.map(col): _*)
         .join(broadcast(keys), keyCols, "left_semi")
-        .groupBy(col("_f")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .groupBy(col("_f")).agg(count(lit(1)).as("n"),
+          collect_set(struct(keyCols.map(col): _*)).as("ks"))
+        .collect()
+    val probe = probeRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val affected = allFiles.filter(probe.contains)
     val replaced = probe.values.sum
     // split the update batch by whether its key EXISTS in the table:
@@ -767,16 +797,18 @@ object Lakehouse {
     // INSERTS — and survivors, postimages, and inserts each land as
     // their own file batch, recorded in the commit marker, so
     // [[changesSince]] feeds exactly the inserts and [[changesDetailed]]
-    // feeds inserts + postimages with row-level change types. One extra
-    // column-pruned scan of only the affected files; null-keyed updates
-    // never match (SQL semantics) so they land as inserts. Whether the
-    // survivor batch is empty (every affected row replaced) is known
-    // from the manifest's n_rows — no extra job.
-    val matchedKeys =
-      if (affected.isEmpty) keys.limit(0)
-      else readData(spark, path, base, affected)
-        .select(keyCols.map(col): _*)
-        .join(broadcast(keys), keyCols, "left_semi").distinct()
+    // feeds inserts + postimages with row-level change types. Null-keyed
+    // updates never match (SQL semantics) so they land as inserts.
+    // Whether the survivor batch is empty (every affected row replaced)
+    // is known from the manifest's n_rows — no extra job.
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(c => u.schema(c)))
+    val matchedKeys = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          probeRows.toSeq.flatMap(
+            _.getSeq[org.apache.spark.sql.Row](2)).distinct).asJava),
+      keySchema)
     val upd = u.join(broadcast(matchedKeys), keyCols, "left_semi")
     val ins = u.join(broadcast(matchedKeys), keyCols, "left_anti")
     val affectedRows = affected.map(fileRows).sum
@@ -923,26 +955,45 @@ object Lakehouse {
    * unreadable either way, and failing the whole vacuum would wedge
    * maintenance until an unrelated commit moved the window.
    *
+   * CONCURRENT-APPEND SAFETY (`orphanGraceMs`): a mid-commit appender
+   * has already renamed its data files into `data/` (and may hold
+   * staging under `_stage-*` / `_log/_tmp-*`) before any manifest
+   * references them — to vacuum they are indistinguishable from crashed
+   * debris. Unreferenced files/staging YOUNGER than `orphanGraceMs` are
+   * therefore left alone (the same age-cutoff defense Delta's VACUUM
+   * retention period provides); size it above the longest plausible
+   * append's write-to-commit latency. Files SUPERSEDED by the retained
+   * window (compacted-away originals, rewritten COW inputs) are equally
+   * age-guarded — they reclaim on the next vacuum after the grace, a
+   * deliberate delay, not a leak. Pass 0 only where a concurrent writer
+   * is impossible (tests, a strictly single-writer deployment).
+   *
    * Contract: snapshots older than the retained window stop being
-   * readable — the same retention trade Delta's `VACUUM` makes. Run it
-   * from the single writer (or its maintenance window), sized so
-   * `retainVersions` outlives the longest concurrent reader.
+   * readable — the same retention trade Delta's `VACUUM` makes. Size
+   * `retainVersions` to outlive the longest concurrent reader.
    */
   def vacuum(spark: SparkSession, path: String,
-      retainVersions: Int = 1): (Int, Int) = {
+      retainVersions: Int = 1,
+      orphanGraceMs: Long = 600000L): (Int, Int) = {
     require(retainVersions >= 1,
       s"vacuum: retainVersions must be >= 1, got $retainVersions")
     val fs = fsOf(spark, path)
     val committed = committedVersions(spark, path)
     require(committed.nonEmpty, s"no committed lakehouse log at $path")
     val retained = committed.takeRight(retainVersions)
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    def oldEnough(p: Path): Boolean =
+      try fs.getFileStatus(p).getModificationTime <= cutoff
+      catch { case _: java.io.FileNotFoundException => false }
     val live: Set[String] = retained.flatMap { v =>
       if (!fs.exists(new Path(versionDir(path, v), "manifest")))
         Seq.empty // already pruned by an earlier narrower vacuum
       else manifestAt(spark, path, v).select(col("file")).collect()
         .map(r => pathKey(r.getString(0))).toSeq
     }.toSet
-    val dead = listData(spark, path).toSeq.filterNot(f => live(pathKey(f)))
+    val dead = listData(spark, path).toSeq
+      .filterNot(f => live(pathKey(f)))
+      .filter(f => oldEnough(new Path(new java.net.URI(f))))
     dead.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
     val pruned = committed.dropRight(retainVersions).count { v =>
       val mp = new Path(versionDir(path, v), "manifest")
@@ -950,15 +1001,18 @@ object Lakehouse {
     }
     fs.listStatus(new Path(logDir(path))).foreach { st =>
       st.getPath.getName match {
-        case VersionDirRe(_) if !fs.exists(new Path(st.getPath, "_commit")) =>
+        case VersionDirRe(_) if !fs.exists(new Path(st.getPath, "_commit"))
+            && oldEnough(st.getPath) =>
           fs.delete(st.getPath, true)
-        case n if n.startsWith("_tmp-") => fs.delete(st.getPath, true)
+        case n if n.startsWith("_tmp-") && oldEnough(st.getPath) =>
+          fs.delete(st.getPath, true)
         case _ => ()
       }
     }
     val root = new Path(path)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      if (st.getPath.getName.startsWith("_stage-")) fs.delete(st.getPath, true)
+      if (st.getPath.getName.startsWith("_stage-") && oldEnough(st.getPath))
+        fs.delete(st.getPath, true)
     }
     // CDF sidecar retention: delete-row files referenced only by
     // versions OUTSIDE the retained window (their feed window has
@@ -973,7 +1027,8 @@ object Lakehouse {
           if (st.isFile) Seq(st)
           else fs.listStatus(st.getPath).toSeq
         fls.filter(f => f.isFile &&
-            !liveCdf(pathKey(f.getPath.toUri.toString)))
+            !liveCdf(pathKey(f.getPath.toUri.toString)) &&
+            f.getModificationTime <= cutoff)
           .foreach(f => fs.delete(f.getPath, false))
         if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
           fs.delete(st.getPath, true)
@@ -1229,27 +1284,36 @@ object Lakehouse {
       manifestAt(spark, path, v).select(col("file")).collect()
         .map(_.getString(0)).toSet
     }
-    val groups: Seq[(Seq[String], String, Long)] = versions.flatMap { v =>
+    // fold with a CARRIED previous-file-set (addedFilesSince's trick):
+    // consecutive appends replay one manifest each instead of two; a
+    // rewrite/typed op invalidates the carry (its file set moved), so
+    // the next append falls back to filesOf(v - 1)
+    val groups: Seq[(Seq[String], String, Long)] = versions.foldLeft(
+        (Seq.empty[(Seq[String], String, Long)],
+          Option.empty[Set[String]])) { case ((acc, prevOpt), v) =>
       val info = readCommit(fs, path, v)
       info.op match {
         case "replace" => throw new IllegalStateException(
           s"changesDetailed: version $v of $path is a whole-table " +
             "REPLACE — not expressible as row changes; re-sync the " +
             "consumer from the new snapshot")
-        case "compact" => Nil
+        case "compact" => (acc, None)
         case "delete" =>
-          if (info.deleteFiles.isEmpty) Nil
-          else Seq((info.deleteFiles, "delete", v))
+          (if (info.deleteFiles.isEmpty) acc
+           else acc :+ ((info.deleteFiles, "delete", v)), None)
         case "upsert" =>
-          Seq((info.insertFiles, "insert", v),
+          (acc ++ Seq((info.insertFiles, "insert", v),
             (info.postimageFiles, "update_postimage", v))
-            .filter(_._1.nonEmpty)
+            .filter(_._1.nonEmpty), None)
         case _ => // create / append: the manifest diff, as changesSince
-          val added = (filesOf(v) --
-            (if (v == 0) Set.empty[String] else filesOf(v - 1))).toSeq.sorted
-          if (added.isEmpty) Nil else Seq((added, "insert", v))
+          val cur = filesOf(v)
+          val prev = prevOpt.getOrElse(
+            if (v == 0) Set.empty[String] else filesOf(v - 1))
+          val added = (cur -- prev).toSeq.sorted
+          (if (added.isEmpty) acc
+           else acc :+ ((added, "insert", v)), Some(cur))
       }
-    }
+    }._1
     // fail with the retention contract, not a mid-job FileNotFound: a
     // feed file vacuumed away means the consumer fell behind the window
     groups.foreach { case (fls, ct, v) =>

@@ -49,7 +49,7 @@ object LakehouseIngest {
     * must outlive the slowest concurrent reader's snapshot — 1 is right
     * when readers always resolve "latest" fresh. */
   case class Maintenance(every: Int, minRows: Long, files: Int = 4,
-      retainVersions: Int = 1) {
+      retainVersions: Int = 1, orphanGraceMs: Long = 600000L) {
     require(every >= 1, s"Maintenance.every must be >= 1, got $every")
   }
 
@@ -96,7 +96,8 @@ object LakehouseIngest {
       try {
         val (c, w) = Lakehouse.compact(spark, path, zCols, m.minRows, m.files)
         if (c > 0) {
-          val (freed, _) = Lakehouse.vacuum(spark, path, m.retainVersions)
+          val (freed, _) =
+            Lakehouse.vacuum(spark, path, m.retainVersions, m.orphanGraceMs)
           log.info(s"lakehouse ingest maintenance at batch $batchId: " +
             s"compacted $c files -> $w, vacuum reclaimed $freed")
         }

@@ -93,6 +93,8 @@ object ScaleCurve {
   /** A PRIVATE lakehouse copy for the mutation curve: upserts change the
     * layout run-to-run, so the read-path entries must not share it. */
   private val lakehouseUpsWritten = scala.collection.mutable.Set.empty[Long]
+  /** Fresh 1000-key band per measured run (see the entry's comment). */
+  private val lakehouseUpsBand = new java.util.concurrent.atomic.AtomicInteger(0)
   private def lakehouseUpsertPath(spark: SparkSession, n: Long): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-scale-lhu-$n"
     if (!lakehouseUpsWritten.contains(n)) {
@@ -393,18 +395,21 @@ object ScaleCurve {
       // affected-file bytes grow with n/32 at fixed file count, so the
       // exponent sits well under 1 but above the prune curve's; the
       // 100 TB claim is "mutation pays for affected bytes, not the
-      // table". Same key set each run, so repeated runs replace the same
-      // band wholesale and comparable work holds across the min-of-2.
+      // table". Each run takes a FRESH untouched t-band: re-running the
+      // same band would find the prior run's tiny postimage files and
+      // measure a degenerate O(1) rewrite on the second (min-of-2) pass
+      // instead of the n-proportional affected-file cost.
       "lakehouse_upsert_pruned" -> { n =>
         val path = lakehouseUpsertPath(spark, n * 20)
-        val ups = spark.range(1000).select(
+        val lo = lakehouseUpsBand.getAndIncrement() * 1000L
+        val ups = spark.range(lo, lo + 1000).select(
           pmod(xxhash64(col("id")), lit(1000)).as("k"),
           col("id").as("t"),
           concat_ws("", transform(sequence(lit(0), lit(14)), i =>
             hex(xxhash64(col("id") * 16 + i + 7)))).as("payload"))
         val (_, repl, tot) = graft.operators.Lakehouse.upsertByKey(spark,
           path, ups, Seq("t"), files = 4,
-          pruneRanges = Seq(("t", 0, 999)))
+          pruneRanges = Seq(("t", lo, lo + 999)))
         repl + tot
       })
 

@@ -1243,7 +1243,7 @@ class OperatorsSpec extends AnyFunSuite {
     // (a reader pinned on the pre-compact snapshot still needs them)
     // until vacuum reclaims them; the LIVE manifest already dropped them
     assert(after.size === 9, s"expected 4 big + 4 superseded + 1 merged, found ${after.size}")
-    val (reclaimed, prunedManifests) = Lakehouse.vacuum(spark, dir)
+    val (reclaimed, prunedManifests) = Lakehouse.vacuum(spark, dir, orphanGraceMs = 0)
     assert(reclaimed === 4, s"vacuum reclaimed $reclaimed files, expected the 4 compacted originals")
     assert(prunedManifests === 3, s"vacuum pruned $prunedManifests superseded manifests (create + 2 appends)")
     val afterVacuum = new java.io.File(s"$dir/data").listFiles()
@@ -1349,14 +1349,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h.last.getLong(4) === 3L && h.last.getLong(5) === 2200L,
       s"live version should report 3 files / 2200 rows, got ${h.last}")
     // a 2-version retention keeps the pinned snapshot's files alive
-    val (r2, _) = Lakehouse.vacuum(spark, dir, retainVersions = 2)
+    val (r2, _) = Lakehouse.vacuum(spark, dir, retainVersions = 2, orphanGraceMs = 0)
     assert(r2 === 0, s"vacuum(retain=2) deleted $r2 files still referenced by v2")
     val oldRead2 = spark.read.parquet(pinned: _*)
       .filter(col("k") >= 10 && col("k") <= 19)
     assert(oldRead2.exceptAll(truth).isEmpty && truth.exceptAll(oldRead2).isEmpty,
       "retained snapshot became unreadable after vacuum(retain=2)")
     // moving the window past v2 reclaims exactly the compacted originals
-    val (r1, _) = Lakehouse.vacuum(spark, dir, retainVersions = 1)
+    val (r1, _) = Lakehouse.vacuum(spark, dir, retainVersions = 1, orphanGraceMs = 0)
     assert(r1 === 2, s"vacuum(retain=1) reclaimed $r1 files, expected the 2 small appends")
     val liveRead2 = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
     assert(liveRead2.exceptAll(truth).isEmpty && truth.exceptAll(liveRead2).isEmpty,
@@ -1394,7 +1394,7 @@ class OperatorsSpec extends AnyFunSuite {
     val before = Lakehouse.prunedRead(spark, dir, "k", 10, 19)
     assert(before.exceptAll(truth).isEmpty && truth.exceptAll(before).isEmpty,
       "orphan file leaked into a manifest-pruned read")
-    val (reclaimed, prunedManifests) = Lakehouse.vacuum(spark, dir)
+    val (reclaimed, prunedManifests) = Lakehouse.vacuum(spark, dir, orphanGraceMs = 0)
     assert(reclaimed === 1, s"vacuum reclaimed $reclaimed files, expected the 1 orphan")
     assert(prunedManifests === 0)
     assert(!dataDir.listFiles().exists(_.getName.contains("orphan")),
@@ -1451,7 +1451,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Lakehouse.deleteWhere(spark, dir, col("k") === 12345) === ((0, 0L)))
     assert(Lakehouse.latestVersion(spark, dir) === v)
     // vacuum reclaims exactly the rewritten originals; live unchanged
-    val (freed, _) = Lakehouse.vacuum(spark, dir)
+    val (freed, _) = Lakehouse.vacuum(spark, dir, orphanGraceMs = 0)
     assert(freed === rw, s"vacuum reclaimed $freed, expected $rw")
     val live2 = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
     assert(live2.exceptAll(truth).isEmpty && truth.exceptAll(live2).isEmpty,
@@ -1717,7 +1717,7 @@ class OperatorsSpec extends AnyFunSuite {
     Lakehouse.appendClustered(mk(700, 800), dir, Seq("k", "t"), files = 1) // v3
     // retained window now covers v1..v3, but v1's manifest is gone — the
     // re-widened vacuum must skip it, not wedge until an unrelated commit
-    val (_, pruned) = Lakehouse.vacuum(spark, dir, retainVersions = 3)
+    val (_, pruned) = Lakehouse.vacuum(spark, dir, retainVersions = 3, orphanGraceMs = 0)
     assert(pruned === 0)
     val truth = mk(0, 800)
     val live = Lakehouse.prunedRead(spark, dir, "k", 0, 49)
@@ -1753,7 +1753,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Lakehouse.changesSince(spark, dir, v0).isEmpty,
       "replace leaked into the incremental changes feed")
     // vacuum reclaims the superseded files; the live read is unharmed
-    val (reclaimed, _) = Lakehouse.vacuum(spark, dir, retainVersions = 1)
+    val (reclaimed, _) = Lakehouse.vacuum(spark, dir, retainVersions = 1, orphanGraceMs = 0)
     assert(reclaimed === 4, s"vacuum reclaimed $reclaimed of 4 old files")
     val live2 = Lakehouse.prunedRead(spark, dir, "t", 0, 1e9)
     assert(live2.exceptAll(fresh).isEmpty && fresh.exceptAll(live2).isEmpty,
@@ -1892,6 +1892,32 @@ class OperatorsSpec extends AnyFunSuite {
       "insert-all upsert into an empty table must feed its whole batch")
   }
 
+  test("lakehouse: vacuum's orphan grace protects a mid-commit appender's young files") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-grace").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 500), dir, Seq("k", "t"), files = 2)
+    // simulate a CONCURRENT appender caught mid-commit: data files moved
+    // into data/ (and staging still present) but referenced by no
+    // manifest yet — to vacuum these are indistinguishable from debris
+    val inflight = new java.io.File(s"$dir/data/part-inflight-x.parquet")
+    java.nio.file.Files.write(inflight.toPath, Array[Byte](1, 2, 3))
+    val staging = new java.io.File(s"$dir/_stage-inflight")
+    staging.mkdirs()
+    // default grace: the young unreferenced file and staging SURVIVE —
+    // deleting them would corrupt the append about to commit
+    val (r0, _) = Lakehouse.vacuum(spark, dir, retainVersions = 1)
+    assert(r0 === 0 && inflight.exists() && staging.exists(),
+      "vacuum deleted a young unreferenced file — a mid-commit " +
+        "concurrent appender would lose its data")
+    // zero grace (the explicit single-writer mode): both are reclaimed
+    val (r1, _) = Lakehouse.vacuum(spark, dir, retainVersions = 1,
+      orphanGraceMs = 0)
+    assert(r1 === 1 && !inflight.exists() && !staging.exists(),
+      s"zero-grace vacuum left debris (reclaimed $r1)")
+  }
+
   test("lakehouse: changesDetailed feeds typed row changes; applying them mirrors the table") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-cdf").toString
@@ -1979,13 +2005,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cdfFiles().nonEmpty, "delete wrote no CDF sidecar")
     Lakehouse.appendClustered(mk(500, 600), dir, Seq("k", "t"), files = 1) // v2
     Lakehouse.appendClustered(mk(600, 700), dir, Seq("k", "t"), files = 1) // v3
-    Lakehouse.vacuum(spark, dir, retainVersions = 2) // retains v2, v3
+    Lakehouse.vacuum(spark, dir, retainVersions = 2, orphanGraceMs = 0) // retains v2, v3
     assert(cdfFiles().isEmpty,
       "v1's delete sidecar outlived the retention window")
     // a delete INSIDE the next retained window keeps its sidecar and
     // still feeds
     Lakehouse.deleteWhere(spark, dir, col("t") >= 650)                  // v4
-    Lakehouse.vacuum(spark, dir, retainVersions = 2) // retains v3, v4
+    Lakehouse.vacuum(spark, dir, retainVersions = 2, orphanGraceMs = 0) // retains v3, v4
     assert(cdfFiles().nonEmpty, "a retained delete's sidecar was swept")
     val feed = Lakehouse.changesDetailed(spark, dir, 3)
     val wantDel = mk(600, 700).filter(col("t") >= 650)
@@ -2062,7 +2088,7 @@ class OperatorsSpec extends AnyFunSuite {
             // actually RUN, not skip on retention); trial 1 exercises the
             // tight-window interplay
             val retain = if (trial == 0) 100 else 4
-            Lakehouse.vacuum(spark, dir, retainVersions = retain)
+            Lakehouse.vacuum(spark, dir, retainVersions = retain, orphanGraceMs = 0)
             opLog += s"vacuum($retain)"
         }
         val got = liveState()
@@ -2132,7 +2158,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Lakehouse.addedFilesSince(spark, dir, -1).map(_._1) ===
       Seq(0L, 1L, 2L, 4L))
     // consuming past the retention window fails loudly, never partially
-    Lakehouse.vacuum(spark, dir)
+    Lakehouse.vacuum(spark, dir, orphanGraceMs = 0)
     val e = intercept[IllegalArgumentException](
       Lakehouse.addedFilesSince(spark, dir, -1))
     assert(e.getMessage.contains("vacuum"))

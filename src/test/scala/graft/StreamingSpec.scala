@@ -782,7 +782,8 @@ class StreamingSpec extends AnyFunSuite {
     def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
       pmod(col("id"), lit(50)).as("k"), col("id").as("t"))
     val m = Some(LakehouseIngest.Maintenance(
-      every = 2, minRows = Long.MaxValue, files = 1))
+      every = 2, minRows = Long.MaxValue, files = 1,
+      orphanGraceMs = 0)) // no concurrent appender in this spec
     val sid = "maint-spec"
     LakehouseIngest.processBatch(mk(0, 500), 0, dir, Seq("k", "t"), 2, sid, m)
     LakehouseIngest.processBatch(mk(500, 600), 1, dir, Seq("k", "t"), 2, sid, m)
