@@ -56,10 +56,17 @@ import org.apache.spark.sql.functions._
  * purely ADDITIVE: re-deriving "fresh live + my new rows" is always
  * correct whatever landed in between. Two interleaved appenders (a
  * stream plus a nightly backfill — the normal production shape) both
- * land, on a linear log. REWRITE ops ([[compact]], [[deleteWhere]],
- * [[upsertByKey]], [[writeClustered]]) stay single-writer fail-loud: a
- * lost race throws before anything becomes visible, since replaying a
- * rewrite against a moved base could resurrect or double rows.
+ * land, on a linear log. [[compact]] additionally retries a lost race
+ * when every interleaved commit is a PURE APPEND whose files are
+ * disjoint from the compaction's read set (compaction-vs-append is
+ * commutative: it removes only files it read, adds files nobody else
+ * references — Delta's file-set conflict resolution for the same pair),
+ * so in-stream maintenance survives a nightly backfill appender. Every
+ * OTHER rewrite op ([[deleteWhere]], [[upsertByKey]],
+ * [[replaceClustered]], [[writeClustered]], and compact racing a
+ * non-append) stays single-writer fail-loud: a lost race throws before
+ * anything becomes visible, since replaying a rewrite against a moved
+ * base could resurrect or double rows.
  * (On an object store without atomic rename the same caveat applies as
  * to Delta-on-S3: the final rename needs the store's conditional-put —
  * out of scope here.)
@@ -304,15 +311,20 @@ object Lakehouse {
           s"lakehouse log at $path: version $v was committed concurrently")
       val fc = FileContext.getFileContext(fs.getUri,
         spark.sparkContext.hadoopConfiguration)
+      // ONLY a destination-exists outcome is a commit race. Any other
+      // IOException (permissions, quota, a broken filesystem) propagates
+      // as the infrastructure failure it is — reclassifying it as a
+      // conflict would let retry/skip layers (commitAdditive,
+      // LakehouseIngest.runMaintenance) indefinitely downgrade a
+      // persistent FS failure to "lost a race"
       try fc.rename(tmp, vd, Options.Rename.NONE)
       catch {
         case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw new CommitConflictException(
             s"lakehouse log at $path: lost the race for version $v: $e")
-        case e: java.io.IOException =>
+        case e: org.apache.hadoop.fs.PathExistsException =>
           throw new CommitConflictException(
-            s"lakehouse log at $path: commit rename for version $v " +
-              s"failed (concurrent writer?): $e")
+            s"lakehouse log at $path: lost the race for version $v: $e")
       }
       v
     } catch {
@@ -321,6 +333,35 @@ object Lakehouse {
         try fs.delete(tmp, true) catch { case _: Exception => () }
         throw e
     }
+  }
+
+  /** Did OUR rename land at `slot` despite the client-side error? A
+    * missing marker is a definitive NO (visibility is the whole-dir
+    * rename — a committed slot always carries its marker); any other
+    * IOException is retried a few times before failing LOUDLY, because
+    * concluding "not mine" from a transient read error would let the
+    * caller re-commit the same rows at the next slot (duplicated data),
+    * the one corruption this probe exists to prevent. */
+  private def ownsSlot(fs: FileSystem, path: String, slot: Long,
+      token: String): Boolean = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        return fs.exists(new Path(versionDir(path, slot), "_commit")) &&
+          readCommit(fs, path, slot).writerToken == token
+      } catch {
+        case _: java.io.FileNotFoundException => return false
+        case e: java.io.IOException =>
+          if (attempt >= 3) throw new IllegalStateException(
+            s"lakehouse log at $path: cannot read the commit marker at " +
+              s"version $slot to determine whether a conflicted commit " +
+              "was actually ours — refusing to retry (a blind retry " +
+              "could duplicate the committed rows); inspect the log", e)
+          Thread.sleep(25L * attempt)
+      }
+    }
+    false // unreachable
   }
 
   /** The additive-commit retry loop: re-resolves latest, rebuilds the
@@ -358,11 +399,7 @@ object Lakehouse {
       } catch {
         case e: CommitConflictException =>
           val lostSlot = base + 1
-          val mine =
-            try fs.exists(new Path(versionDir(path, lostSlot), "_commit")) &&
-              readCommit(fs, path, lostSlot).writerToken == token
-            catch { case _: Exception => false }
-          if (mine) return lostSlot
+          if (ownsSlot(fs, path, lostSlot, token)) return lostSlot
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"lakehouse log at $path: additive commit lost $maxAttempts " +
               s"races in a row — giving up", e)
@@ -607,29 +644,97 @@ object Lakehouse {
    * that resolved "latest" a moment before this commit) keeps reading a
    * consistent, complete snapshot. [[vacuum]] reclaims the superseded
    * bytes once no retained version references them.
+   *
+   * CONCURRENCY: compaction-vs-append is logically COMMUTATIVE —
+   * compaction removes only files it read and adds files nobody else
+   * references — so a lost commit race against PURE APPENDS is resolved
+   * the Delta way (file-set conflict detection): if every interleaved
+   * commit is an `append` and the compaction's read set is still fully
+   * referenced by the new live manifest, the replacement manifest is
+   * rebuilt against that manifest (the appended rows ride along
+   * untouched) and the commit retries at the new head — the in-stream
+   * maintenance + nightly-backfill shape, where both writers land. Any
+   * OTHER interloper (upsert/delete/replace/another compact — ops that
+   * may have rewritten or dropped files this compaction read) stays
+   * fail-loud [[CommitConflictException]]: replaying against a moved
+   * base could resurrect rows. The already-written compacted files are
+   * reused across retries — only the #files-row manifest commit repeats.
    */
   def compact(spark: SparkSession, path: String, zCols: Seq[String],
-      minRows: Long, files: Int, bits: Int = 16): (Int, Int) = {
-    val base = latestVersion(spark, path)
-    require(base >= 0, s"no committed lakehouse log at $path")
-    val m = manifestAt(spark, path, base)
-    require(m.columns.contains("n_rows"),
+      minRows: Long, files: Int, bits: Int = 16,
+      maxAttempts: Int = 10): (Int, Int) = {
+    val base0 = latestVersion(spark, path)
+    require(base0 >= 0, s"no committed lakehouse log at $path")
+    val m0 = manifestAt(spark, path, base0)
+    require(m0.columns.contains("n_rows"),
       s"manifest at $path has no n_rows column")
-    val small = m.filter(col("n_rows") < minRows)
+    val small = m0.filter(col("n_rows") < minRows)
       .select(col("file")).collect().map(_.getString(0)).toSeq
     if (small.size <= 1) return (0, 0)
     // read under the recorded schema: compaction NORMALIZES pre-evolution
     // small files to the current schema as a side effect
     val newFiles = writeBatch(spark, path,
-      readData(spark, path, base, small), zCols, files, bits)
-    val kept = m.filter(!col("file").isin(small: _*))
-    val replacement = kept.unionByName(
-      statsOf(spark.read.parquet(newFiles: _*), zCols)
-        .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, replacement, "compact", "", -1L, base,
-      dataSchema = dataSchemaAt(spark, path, base))
-    (small.size, newFiles.size)
+      readData(spark, path, base0, small), zCols, files, bits)
+    val newStats = statsOf(spark.read.parquet(newFiles: _*), zCols)
+    onCompactBeforeCommit()
+    val fs = fsOf(spark, path)
+    val token = java.util.UUID.randomUUID().toString
+    var base = base0
+    var m = m0
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val kept = m.filter(!col("file").isin(small: _*))
+      val replacement =
+        kept.unionByName(newStats.select(kept.columns.map(col): _*))
+      try {
+        commitVersion(spark, path, replacement, "compact", "", -1L, base,
+          dataSchema = dataSchemaAt(spark, path, base),
+          writerToken = token)
+        return (small.size, newFiles.size)
+      } catch {
+        case e: CommitConflictException =>
+          // ambiguous rename: our commit may have landed with the error
+          // reported client-side only — never re-commit our own rows
+          if (ownsSlot(fs, path, base + 1, token))
+            return (small.size, newFiles.size)
+          val newBase = latestVersion(spark, path)
+          val interlopers = committedVersions(spark, path)
+            .filter(v => v > base && v <= newBase)
+            .map(v => (v, readCommit(fs, path, v).op))
+          val nonAppend = interlopers.filter(_._2 != "append")
+          if (nonAppend.nonEmpty) throw new CommitConflictException(
+            s"lakehouse log at $path: compaction lost the race to " +
+              s"non-append commit(s) ${nonAppend.map(p =>
+                s"v${p._1}:${p._2}").mkString(", ")} — they may have " +
+              "rewritten files this compaction read; re-run against " +
+              "the new head")
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"lakehouse log at $path: compaction lost $maxAttempts " +
+              "commit races in a row — giving up", e)
+          val newLive = manifestAt(spark, path, newBase)
+          // defense-in-depth: appends never de-reference files, so the
+          // read set must still be live; anything else means an op this
+          // loop cannot reason about touched the manifest — fail loud
+          val liveFiles = newLive.select(col("file")).collect()
+            .map(r => pathKey(r.getString(0))).toSet
+          val missing = small.filterNot(f => liveFiles(pathKey(f)))
+          if (missing.nonEmpty) throw new CommitConflictException(
+            s"lakehouse log at $path: compaction's read set lost " +
+              s"${missing.size} file(s) (e.g. ${missing.head}) from the " +
+              "live manifest during an append-only interleave — " +
+              "refusing to commit against it")
+          base = newBase
+          m = newLive
+      }
+    }
+    (-1, -1) // unreachable
   }
+
+  /** Test seam: invoked after the compacted files are written, before
+    * the first commit attempt — lets a spec interleave a concurrent
+    * commit deterministically into [[compact]]'s race window. */
+  private[graft] var onCompactBeforeCommit: () => Unit = () => ()
 
   /**
    * Atomic REPLACE (the INSERT OVERWRITE / CREATE OR REPLACE TABLE
@@ -727,12 +832,21 @@ object Lakehouse {
    * affected-file probe and the survivor anti-join, so the table is
    * never shuffled; the probe scan reads only `keyCols` + file names
    * (column-pruned) over only the manifest-surviving files, and the
-   * rewrite reads only the affected files.
+   * rewrite reads only the affected files. The contract is ENFORCED,
+   * not just documented: a batch carrying more than `maxProbeKeys`
+   * distinct keys fails loudly up front — the broadcast probe and the
+   * driver-side matched-key collection are both sized by the batch's
+   * distinct keys, and an over-contract batch would otherwise blow up
+   * the driver mid-merge instead of at the contract boundary. Split
+   * such a batch (or raise the cap deliberately, sized to driver
+   * memory); a TABLE-sized merge belongs to a shuffle-join rewrite via
+   * [[replaceClustered]], not this CDC path.
    */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], files: Int = 4, bits: Int = 16,
       pruneRanges: Seq[(String, Double, Double)] = Nil,
-      streamId: String = "", batchId: Long = -1L): (Int, Long, Long) = {
+      streamId: String = "", batchId: Long = -1L,
+      maxProbeKeys: Long = 1000000L): (Int, Long, Long) = {
     require(keyCols.nonEmpty, "upsertByKey: need at least one key column")
     // the txn fence, same contract as appendClustered's: a re-delivered
     // batchId throws; skip-not-throw callers (LakehouseIngest) check
@@ -777,6 +891,18 @@ object Lakehouse {
       else selectFilesIn(m, path, pruneRanges)._1
     lastProbeScannedFiles = candidates.size
     val keys = u.select(keyCols.map(col): _*).distinct()
+    // the small-batch contract, enforced: everything below broadcasts
+    // `keys` and collects matched key tuples driver-side — counted here
+    // (one agg over the already-materialized checkpoint) so an
+    // over-contract batch fails AT the boundary, loudly, instead of as
+    // a driver OOM halfway through the rewrite
+    val nKeys = keys.count()
+    require(nKeys <= maxProbeKeys,
+      s"upsertByKey: the update batch carries $nKeys distinct keys, over " +
+        s"the maxProbeKeys=$maxProbeKeys contract — the broadcast probe " +
+        "and driver-side matched-key collection are sized by the batch's " +
+        "distinct keys (the CDC small-batch shape); split the batch into " +
+        "smaller merges or raise maxProbeKeys deliberately")
     // ONE probe scan yields both the per-file match counts AND the set
     // of matched key tuples (collect_set is bounded by the update
     // batch's distinct keys per file — small by the CDC contract), so
@@ -871,7 +997,9 @@ object Lakehouse {
    * cannot see it) and recorded in the commit marker, so
    * [[changesDetailed]] can retract them downstream with
    * `_change_type = delete`. Costs one extra write sized by the deleted
-   * rows; pass `cdf = false` for bulk purges nobody mirrors.
+   * rows — NOT an extra read: the affected files are materialized once
+   * and both outputs (survivors + sidecar) split from that single scan.
+   * Pass `cdf = false` for bulk purges nobody mirrors.
    */
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column, files: Int = 4, bits: Int = 16,
@@ -906,8 +1034,18 @@ object Lakehouse {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (hits.isEmpty) return (0, 0L)
     val affected = allFiles.filter(f => hits.contains(f))
-    val survivors = readData(spark, path, base, affected)
-      .filter(!(pred <=> lit(true)))
+    // with CDF on, BOTH the survivor rewrite and the deleted-row sidecar
+    // consume the affected files — materialize them ONCE
+    // (localCheckpoint, the module's idiom from [[upsertByKey]]) so the
+    // mutation's most expensive input is scanned a single time and the
+    // two outputs split from the cached blocks (spec-pinned via a
+    // records-read listener); without CDF the survivor write is the
+    // only consumer, so the frame reads straight from the files
+    val affFrame = {
+      val raw = readData(spark, path, base, affected)
+      if (cdf) raw.localCheckpoint() else raw
+    }
+    val survivors = affFrame.filter(!(pred <=> lit(true)))
     val anySurvivor = !survivors.isEmpty
     val newFiles =
       if (anySurvivor) writeBatch(spark, path, survivors, zCols, files, bits)
@@ -922,7 +1060,7 @@ object Lakehouse {
         val fs = fsOf(spark, path)
         val dir = new Path(path,
           s"_cdf/del-${java.util.UUID.randomUUID().toString}")
-        readData(spark, path, base, affected).filter(pred <=> lit(true))
+        affFrame.filter(pred <=> lit(true))
           .write.parquet(dir.toString)
         fs.listStatus(dir).toSeq
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -981,7 +1119,25 @@ object Lakehouse {
     val committed = committedVersions(spark, path)
     require(committed.nonEmpty, s"no committed lakehouse log at $path")
     val retained = committed.takeRight(retainVersions)
-    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    // the grace cutoff compares against STORE-side modification times, so
+    // "now" must come from the store's clock, not this host's: a storage
+    // service running behind the vacuum host would otherwise silently
+    // shrink the window protecting a mid-commit appender's just-renamed
+    // files. A throwaway probe file's mtime IS the store clock; the MIN
+    // of store and local now is used so skew in either direction only
+    // ever WIDENS the effective grace (falls back to local time if the
+    // probe fails — degraded to the documented pre-probe behavior)
+    val storeNow =
+      try {
+        val probe = new Path(logDir(path),
+          s"_clock-probe-${java.util.UUID.randomUUID().toString}")
+        fs.create(probe, false).close()
+        val t = fs.getFileStatus(probe).getModificationTime
+        fs.delete(probe, false)
+        t
+      } catch { case _: Exception => Long.MaxValue }
+    val cutoff =
+      math.min(storeNow, System.currentTimeMillis()) - orphanGraceMs
     def oldEnough(p: Path): Boolean =
       try fs.getFileStatus(p).getModificationTime <= cutoff
       catch { case _: java.io.FileNotFoundException => false }
@@ -1006,6 +1162,8 @@ object Lakehouse {
           fs.delete(st.getPath, true)
         case n if n.startsWith("_tmp-") && oldEnough(st.getPath) =>
           fs.delete(st.getPath, true)
+        case n if n.startsWith("_clock-probe-") && oldEnough(st.getPath) =>
+          fs.delete(st.getPath, false) // a crashed vacuum's clock probe
         case _ => ()
       }
     }
@@ -1270,6 +1428,29 @@ object Lakehouse {
    * consumer unions a day of commits), not the table; a consumer that
    * lets thousands of versions pile up should catch up in windowed
    * calls. Wall time is the new bytes (12M-row soak: 1.4s).
+   *
+   * == The mirror recipe (spec-pinned end-to-end) ==
+   *
+   * A downstream mirror consumes the feed in windows, each window
+   * applied in `_version` order, recording the high-water mark it has
+   * applied through:
+   *
+   * {{{
+   *   var applied = mirrorState.lastAppliedVersion  // durable
+   *   val head = Lakehouse.latestVersion(spark, path)
+   *   Lakehouse.consumeChanges(spark, path, applied) { feed =>
+   *     mirror = Lakehouse.applyChangeFeed(mirror, feed, keyCols)
+   *   }                                             // translates a
+   *   applied = head                                // vacuumed feed into
+   *                                                 // the retention error
+   * }}}
+   *
+   * If [[consumeChanges]] throws the retention-contract error — the
+   * mirror fell behind a [[vacuum]] window, or a REPLACE landed — the
+   * recovery is a RE-SYNC: drop the mirror, read the latest snapshot
+   * whole (`readData` of the live manifest / [[prunedReadMulti]]), and
+   * resume the feed from that version. Never skip the failed window and
+   * continue — the mirror would silently diverge.
    */
   def changesDetailed(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
@@ -1329,6 +1510,85 @@ object Lakehouse {
       acc.unionByName(readData(spark, path, latest, fls)
         .withColumn("_change_type", lit(ct))
         .withColumn("_version", lit(v)))
+    }
+  }
+
+  /** Runs `use` over one [[changesDetailed]] window, translating a
+    * mid-job `FileNotFoundException` (anywhere in the failure's cause
+    * chain) into the retention-contract error. The pre-existence sweep
+    * inside [[changesDetailed]] covers the common case, but it is
+    * check-then-read: a [[vacuum]] deleting a feed file BETWEEN the
+    * sweep and the scan would otherwise surface as a raw task failure —
+    * this wrapper guarantees the diagnostic (and therefore the mirror
+    * recipe's re-sync trigger) under concurrent maintenance. */
+  def consumeChanges[T](spark: SparkSession, path: String,
+      sinceVersion: Long)(use: DataFrame => T): T = {
+    def fnf(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        t.getClass.getSimpleName.contains("FileNotFound") ||
+        fnf(t.getCause))
+    try use(changesDetailed(spark, path, sinceVersion))
+    catch {
+      case e: Throwable if fnf(e) =>
+        throw new IllegalStateException(
+          s"consumeChanges: a feed file of $path vanished mid-read " +
+            "(vacuumed concurrently) — incremental consumers must keep " +
+            "up with the retention window; re-sync the mirror from the " +
+            "latest snapshot", e)
+    }
+  }
+
+  /** Applies a [[changesDetailed]] feed to a mirror `snapshot`, version
+    * by version in `_version` order — the reference implementation of
+    * the mirror recipe, spec-pinned to reproduce the source's latest
+    * snapshot exactly:
+    *
+    *  - `delete` rows retract by WHOLE ROW with multiplicity
+    *    (`exceptAll`) — exact for keyed and unkeyed tables alike, since
+    *    the sidecar carries the full deleted rows;
+    *  - `update_postimage` rows replace by `keyCols` (drop every mirror
+    *    row carrying a postimage key, then add the postimages) — the
+    *    keyed-merge semantics [[upsertByKey]] wrote them under;
+    *  - `insert` rows append as-is (append-commit inserts are arbitrary
+    *    rows; upsert-commit inserts carry keys absent from the table by
+    *    construction, so plain union is exact for both).
+    *
+    * Driver-side work is one distinct pass over the window's (version,
+    * change-type) pairs — consumption-window sized, like the feed
+    * itself; the plan depth grows with the window's version count, so a
+    * consumer catching up over MANY versions should checkpoint the
+    * mirror between windowed calls. */
+  def applyChangeFeed(snapshot: DataFrame, feed: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(feed.columns.contains("_change_type") &&
+      feed.columns.contains("_version"),
+      "applyChangeFeed: feed must come from changesDetailed " +
+        "(_change_type/_version columns missing)")
+    val dataCols = feed.columns.filterNot(c =>
+      c == "_change_type" || c == "_version").map(col).toSeq
+    // window-sized driver pass: which change types each version carries
+    val present = feed.select(col("_version"), col("_change_type"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byVersion = present.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    byVersion.keys.toSeq.sorted.foldLeft(snapshot) { case (acc, v) =>
+      val kinds = byVersion(v)
+      val at = feed.filter(col("_version") === v)
+      var next = acc
+      if (kinds("delete"))
+        next = next.exceptAll(
+          at.filter(col("_change_type") === "delete").select(dataCols: _*))
+      if (kinds("update_postimage")) {
+        val post = at.filter(col("_change_type") === "update_postimage")
+        next = next.join(
+            broadcast(post.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_anti")
+          .unionByName(post.select(dataCols: _*))
+      }
+      if (kinds("insert"))
+        next = next.unionByName(
+          at.filter(col("_change_type") === "insert").select(dataCols: _*))
+      next
     }
   }
 

@@ -49,8 +49,11 @@ object LakehouseIngest {
     * must outlive the slowest concurrent reader's snapshot — 1 is right
     * when readers always resolve "latest" fresh. */
   case class Maintenance(every: Int, minRows: Long, files: Int = 4,
-      retainVersions: Int = 1, orphanGraceMs: Long = 600000L) {
+      retainVersions: Int = 1, orphanGraceMs: Long = 600000L,
+      maxConsecutiveSkips: Int = 5) {
     require(every >= 1, s"Maintenance.every must be >= 1, got $every")
+    require(maxConsecutiveSkips >= 1,
+      s"Maintenance.maxConsecutiveSkips must be >= 1, got $maxConsecutiveSkips")
   }
 
   /** The per-batch commit step, exposed so the crash-replay spec can
@@ -82,14 +85,27 @@ object LakehouseIngest {
     maintenance.foreach(m => runMaintenance(spark, path, zCols, batchId, m))
   }
 
-  /** The in-stream maintenance pass. Compaction is a REWRITE commit —
-    * fail-loud on a lost version race — and under optimistic appends a
-    * CONCURRENT appender (the nightly backfill next to this stream) can
-    * legitimately take the slot first. Maintenance is best-effort by
-    * nature, so a lost race SKIPS this cycle (warn, retry at the next
-    * `every`-th batch) instead of killing the stream; everything else
-    * propagates. */
-  private def runMaintenance(spark: org.apache.spark.sql.SparkSession,
+  /** Consecutive maintenance skips per table path, for the escalation
+    * guard below — process-local state, which is exactly the scope
+    * foreachBatch maintenance runs in. */
+  private val skippedCycles =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** The in-stream maintenance pass. [[Lakehouse.compact]] retries a
+    * lost race against pure appends internally (the nightly-backfill
+    * shape), so a [[Lakehouse.CommitConflictException]] reaching here
+    * means a NON-APPEND writer (or an exhausted retry budget) — still a
+    * legitimate race, so the cycle SKIPS (warn, retry at the next
+    * `every`-th batch) instead of killing the stream. But only
+    * `maxConsecutiveSkips` times in a row: a genuinely persistent
+    * conflict (a stuck rewriter, a misconfiguration making every commit
+    * fail as a "race") must surface as the failure it is, not be
+    * downgraded to an endless skip-warn loop while compaction and
+    * vacuum silently never run. Non-conflict failures (a real
+    * filesystem error — [[Lakehouse.commitVersion]] no longer
+    * reclassifies those as conflicts) propagate immediately. */
+  private[graft] def runMaintenance(
+      spark: org.apache.spark.sql.SparkSession,
       path: String, zCols: Seq[String], batchId: Long,
       m: Maintenance): Unit = {
     if (batchId > 0 && batchId % m.every == 0) {
@@ -101,11 +117,21 @@ object LakehouseIngest {
           log.info(s"lakehouse ingest maintenance at batch $batchId: " +
             s"compacted $c files -> $w, vacuum reclaimed $freed")
         }
+        skippedCycles.remove(path)
       } catch {
         case e: Lakehouse.CommitConflictException =>
+          val n: Int = skippedCycles.merge(path, 1, (a, b) => a + b)
+          if (n >= m.maxConsecutiveSkips) {
+            skippedCycles.remove(path)
+            throw new IllegalStateException(
+              s"lakehouse ingest maintenance at $path lost $n consecutive " +
+                "commit races — this is no longer plausibly contention; " +
+                "find the conflicting writer (or the failure masquerading " +
+                "as one) before restarting the stream", e)
+          }
           log.warn(s"lakehouse ingest maintenance at batch $batchId lost " +
-            s"a commit race to a concurrent writer — skipping this cycle: " +
-            e.getMessage)
+            s"a commit race to a concurrent writer — skipping this cycle " +
+            s"($n/${m.maxConsecutiveSkips} consecutive): " + e.getMessage)
       }
     }
   }

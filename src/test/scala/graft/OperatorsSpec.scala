@@ -1560,6 +1560,247 @@ class OperatorsSpec extends AnyFunSuite {
       "a data file appears in the manifest more than once")
   }
 
+  test("lakehouse: compaction retries through a concurrent append — both land, log linear") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-capp").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 100), dir, Seq("k", "t"), files = 1)   // v0
+    Lakehouse.appendClustered(mk(100, 200), dir, Seq("k", "t"), files = 1) // v1
+    Lakehouse.appendClustered(mk(200, 300), dir, Seq("k", "t"), files = 1) // v2
+    // the production shape: in-stream maintenance compacts while the
+    // nightly backfill appends — the appender takes the slot INSIDE
+    // compaction's race window (deterministically, via the test seam),
+    // and compaction must retry against the new head instead of dying
+    try {
+      Lakehouse.onCompactBeforeCommit = () => {
+        Lakehouse.onCompactBeforeCommit = () => () // fire once
+        Lakehouse.appendClustered(mk(300, 400), dir, Seq("k", "t"),
+          files = 1)                                                     // v3
+      }
+      val (c, w) = Lakehouse.compact(spark, dir, Seq("k", "t"),
+        minRows = 1000, files = 1)                                       // v4
+      assert(c === 3 && w === 1, s"compacted $c -> $w")
+    } finally Lakehouse.onCompactBeforeCommit = () => ()
+    // BOTH landed, on a linear log
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getLong(0)).toSeq === (0L to 4L) &&
+      h.map(_.getString(1)).toSeq ===
+        Seq("create", "append", "append", "append", "compact"),
+      s"history drifted: ${h.map(r =>
+        s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")}")
+    // the union is exact: nothing lost, nothing doubled
+    val truth = mk(0, 400)
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "compact-vs-append interleave lost or duplicated rows")
+    // the interleaved append's file rode along; the 3 compacted
+    // originals are dereferenced (2 files live: append's + compacted)
+    assert(Lakehouse.readManifest(spark, dir).count() === 2)
+    // a NON-append interloper (here a delete, which may rewrite files
+    // compaction read) stays fail-loud
+    try {
+      Lakehouse.onCompactBeforeCommit = () => {
+        Lakehouse.onCompactBeforeCommit = () => ()
+        Lakehouse.deleteWhere(spark, dir, col("t") === 5L, files = 1)
+      }
+      val e = intercept[Lakehouse.CommitConflictException](
+        Lakehouse.compact(spark, dir, Seq("k", "t"),
+          minRows = 1000, files = 1))
+      assert(e.getMessage.contains("non-append"), e.getMessage)
+    } finally Lakehouse.onCompactBeforeCommit = () => ()
+  }
+
+  test("lakehouse: upsertByKey refuses an over-contract update batch at the boundary") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-cap").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 200), dir, Seq("k", "t"), files = 2)
+    val ups = mk(100, 300).withColumn("v", col("v") * -1) // 200 distinct keys
+    // over the cap: fail loudly BEFORE any probe/collect, nothing commits
+    val v0 = Lakehouse.latestVersion(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      Lakehouse.upsertByKey(spark, dir, ups, Seq("k"), maxProbeKeys = 50))
+    assert(e.getMessage.contains("maxProbeKeys"), e.getMessage)
+    assert(Lakehouse.latestVersion(spark, dir) === v0,
+      "a refused over-cap upsert must not commit")
+    // at/under the cap: the same batch merges exactly
+    val (rw, repl, ins) = Lakehouse.upsertByKey(spark, dir, ups, Seq("k"),
+      maxProbeKeys = 200)
+    assert(rw >= 1 && repl === 100L && ins === 200L,
+      s"upsert under the cap drifted: ($rw, $repl, $ins)")
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    val truth = mk(0, 100).unionByName(ups)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "post-merge table drifted")
+  }
+
+  test("lakehouse: deleteWhere with CDF opens the affected files once per pass (scan-count pin)") {
+    import graft.operators.Lakehouse
+    // run the whole table through the counting cntfs:// scheme (file://
+    // semantics + an open() counter on tracked names), so the pin
+    // measures SCANS OF THE AFFECTED FILES directly — immune to
+    // compression ratios, block caching, and byte-stat accounting
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+    conf.set("fs.AbstractFileSystem.cntfs.impl",
+      classOf[CountingLocalAbstractFs].getName)
+    val dir = "cntfs://" +
+      java.nio.file.Files.createTempDirectory("graft-lh-1scan").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 10).as("t"),
+      (col("id") * 0.5).as("v"))
+    Lakehouse.writeClustered(mk(0, 20000), dir, Seq("k", "t"), files = 2)
+    try {
+      CountingLocalFs.tracked = Lakehouse.readManifest(spark, dir)
+        .select(col("file")).collect().map(_.getString(0).split('/').last)
+        .toSet
+      assert(CountingLocalFs.tracked.size === 2)
+      // the measurement UNIT: how many opens ONE full scan of the data
+      // files costs under this reader (footer + data opens per file),
+      // measured empirically so reader internals cancel out of the ratio
+      CountingLocalFs.opens.set(0)
+      spark.read.parquet(s"$dir/data")
+        .agg(sum(col("k")), sum(col("t")), sum(col("v"))).collect()
+      val unit = CountingLocalFs.opens.get()
+      assert(unit >= 2, s"open accounting broke: one scan = $unit opens")
+      // delete 90% with CDF on: every file is affected; the probe scans
+      // once, the materializing read scans once, and the survivor +
+      // sidecar writes must split from the cached blocks WITHOUT
+      // reopening the files — 2 scans total, not one per output
+      CountingLocalFs.opens.set(0)
+      val (rw, del) = Lakehouse.deleteWhere(spark, dir,
+        col("t") =!= 3L, files = 1, cdf = true)
+      val spent = CountingLocalFs.opens.get()
+      assert(rw === 2 && del === 18000L, s"delete drifted: ($rw, $del)")
+      assert(spent >= unit, // sanity: the counter saw the mutation
+        s"open accounting broke: spent $spent < unit $unit")
+      assert(spent <= 2 * unit + 1,
+        s"deleteWhere opened the affected files $spent times (one full " +
+          s"scan = $unit) — they are being re-scanned per output " +
+          "instead of materialized once")
+      // and the feed still retracts exactly the deleted rows
+      val feed = Lakehouse.changesDetailed(spark, dir,
+        Lakehouse.latestVersion(spark, dir) - 1)
+      assert(feed.filter(col("_change_type") === "delete").count() === 18000L)
+    } finally {
+      CountingLocalFs.tracked = Set.empty
+      CountingLocalFs.opens.set(0)
+    }
+  }
+
+  test("lakehouse: windowed mirror consumption — vacuum boundary fails loudly, re-sync recovers") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-mirror").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 400), dir, Seq("k", "t"), files = 4) // v0
+    val v0 = Lakehouse.latestVersion(spark, dir)
+    var mirror = Lakehouse.prunedReadAt(spark, dir, v0, "k", 0, 1e9)
+      .localCheckpoint()
+    var applied = v0
+    def consumeWindow(): Unit = {
+      val head = Lakehouse.latestVersion(spark, dir)
+      Lakehouse.consumeChanges(spark, dir, applied) { feed =>
+        mirror = Lakehouse.applyChangeFeed(mirror, feed, Seq("k"))
+          .localCheckpoint()
+      }
+      applied = head
+    }
+    def assertMirrorLive(ctx: String): Unit = {
+      val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+      assert(mirror.exceptAll(live).isEmpty && live.exceptAll(mirror).isEmpty,
+        s"$ctx: mirror diverged from the live table")
+    }
+    // window 1: append (400..449) + upsert (postimages 350..449,
+    // inserts 450..499)
+    Lakehouse.appendClustered(mk(400, 450), dir, Seq("k", "t"), files = 1) // v1
+    Lakehouse.upsertByKey(spark, dir,
+      mk(350, 500).withColumn("v", col("v") * -1), Seq("k"))              // v2
+    consumeWindow()
+    assertMirrorLive("window 1 (append + upsert)")
+    // window 2: delete + append
+    Lakehouse.deleteWhere(spark, dir, col("k") % 10 === 3)                // v3
+    Lakehouse.appendClustered(mk(500, 550), dir, Seq("k", "t"), files = 1) // v4
+    consumeWindow()
+    assertMirrorLive("window 2 (delete + append)")
+    // the mirror FALLS BEHIND: two more appends land and vacuum's
+    // retention window moves past them — the next consume must fail
+    // with the retention contract, not feed a partial window
+    Lakehouse.appendClustered(mk(550, 600), dir, Seq("k", "t"), files = 1) // v5
+    Lakehouse.appendClustered(mk(600, 650), dir, Seq("k", "t"), files = 1) // v6
+    Lakehouse.vacuum(spark, dir, retainVersions = 1, orphanGraceMs = 0)
+    val eBehind = intercept[Exception](consumeWindow())
+    assert(eBehind.getMessage.contains("retention window"),
+      eBehind.getMessage)
+    // RECOVERY: re-sync from the latest snapshot, then resume the feed
+    mirror = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9).localCheckpoint()
+    applied = Lakehouse.latestVersion(spark, dir)
+    assertMirrorLive("post re-sync")
+    Lakehouse.appendClustered(mk(650, 700), dir, Seq("k", "t"), files = 1) // v7
+    consumeWindow()
+    assertMirrorLive("resumed feed after re-sync")
+    // and a feed file vanishing MID-READ (vacuum racing the consumer
+    // between changesDetailed's existence sweep and the scan) surfaces
+    // as the retention contract too, not a raw task failure
+    Lakehouse.deleteWhere(spark, dir, col("k") % 10 === 7)                // v8
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eMidRead = intercept[IllegalStateException](
+      Lakehouse.consumeChanges(spark, dir, applied) { feed =>
+        // simulate the concurrent vacuum AFTER the pre-check passed
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_cdf"))
+          .foreach(st => fs.delete(st.getPath, true))
+        feed.count()
+      })
+    assert(eMidRead.getMessage.contains("vanished mid-read"),
+      eMidRead.getMessage)
+  }
+
+  test("lakehouse ingest: maintenance escalates after consecutive lost races, resets on success") {
+    import graft.operators.Lakehouse
+    import graft.streaming.LakehouseIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-esc").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 100), dir, Seq("k", "t"), files = 2)
+    val m = LakehouseIngest.Maintenance(every = 1, minRows = 1000,
+      files = 2, maxConsecutiveSkips = 3)
+    // every cycle, a REPLACE (non-append rewrite — compaction cannot
+    // retry through it) steals the slot inside compaction's window
+    def armReplace(): Unit =
+      Lakehouse.onCompactBeforeCommit = () => {
+        Lakehouse.onCompactBeforeCommit = () => ()
+        Lakehouse.replaceClustered(mk(0, 100), dir, Seq("k", "t"), files = 2)
+      }
+    try {
+      // two lost cycles are tolerated (warn + skip)…
+      armReplace()
+      LakehouseIngest.runMaintenance(spark, dir, Seq("k", "t"), 1L, m)
+      armReplace()
+      LakehouseIngest.runMaintenance(spark, dir, Seq("k", "t"), 2L, m)
+      // …the third consecutive one escalates: persistent conflict is a
+      // failure, not contention
+      armReplace()
+      val e = intercept[IllegalStateException](
+        LakehouseIngest.runMaintenance(spark, dir, Seq("k", "t"), 3L, m))
+      assert(e.getMessage.contains("consecutive"), e.getMessage)
+      // a successful cycle runs clean and resets the counter
+      Lakehouse.onCompactBeforeCommit = () => ()
+      LakehouseIngest.runMaintenance(spark, dir, Seq("k", "t"), 4L, m)
+      armReplace()
+      LakehouseIngest.runMaintenance(spark, dir, Seq("k", "t"), 5L, m)
+    } finally Lakehouse.onCompactBeforeCommit = () => ()
+    // the table stayed exact through every interleave
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
+    val truth = mk(0, 100)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "maintenance races drifted the table")
+  }
+
   test("lakehouse: history is a pure marker replay — zero Spark jobs") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-hist").toString
