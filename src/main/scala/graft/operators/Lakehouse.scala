@@ -553,6 +553,13 @@ object Lakehouse {
    * [[lastCommittedBatch]] first, as [[graft.streaming.LakehouseIngest]]
    * does). The fence re-checks on every retry.
    *
+   * The batch frame is evaluated up to three times by the z-clustered
+   * write (bounds aggregation + range sampling + the write itself) —
+   * a caller whose batch is an expensive upstream pipeline should
+   * `localCheckpoint()` it first (the rewrite ops do this internally
+   * for their bounded affected-file reads; an append batch's size is
+   * the caller's to judge).
+   *
    * SCHEMA EVOLUTION is additive-only: the batch must carry every
    * existing column with its exact type (a retype or drop fails loudly,
    * far from nothing — a later explicit-file read would otherwise
@@ -672,9 +679,14 @@ object Lakehouse {
       .select(col("file")).collect().map(_.getString(0)).toSeq
     if (small.size <= 1) return (0, 0)
     // read under the recorded schema: compaction NORMALIZES pre-evolution
-    // small files to the current schema as a side effect
+    // small files to the current schema as a side effect. Materialized
+    // ONCE (localCheckpoint): the z-write evaluates its input three
+    // times (bounds agg + range sampling + write), and the small files
+    // — bounded bytes by the minRows selection — should be scanned
+    // once, not thrice
     val newFiles = writeBatch(spark, path,
-      readData(spark, path, base0, small), zCols, files, bits)
+      readData(spark, path, base0, small).localCheckpoint(), zCols,
+      files, bits)
     val newStats = statsOf(spark.read.parquet(newFiles: _*), zCols)
     onCompactBeforeCommit()
     val fs = fsOf(spark, path)
@@ -938,11 +950,16 @@ object Lakehouse {
     val upd = u.join(broadcast(matchedKeys), keyCols, "left_semi")
     val ins = u.join(broadcast(matchedKeys), keyCols, "left_anti")
     val affectedRows = affected.map(fileRows).sum
+    // survivors materialize ONCE (localCheckpoint) before the z-write's
+    // three input evaluations — the affected files (the merge's most
+    // expensive read, bounded by the COW contract) are scanned a single
+    // time for the rewrite, matching [[deleteWhere]]'s single-scan pin
     val survivorFiles =
       if (affected.isEmpty || replaced == affectedRows) Seq.empty[String]
       else writeBatch(spark, path,
         readData(spark, path, base, affected)
-          .join(broadcast(keys), keyCols, "left_anti"), zCols, files, bits)
+          .join(broadcast(keys), keyCols, "left_anti").localCheckpoint(),
+        zCols, files, bits)
     val postimageFiles =
       if (affected.isEmpty) Seq.empty[String]
       else writeBatch(spark, path, upd, zCols, files, bits)
@@ -1034,17 +1051,15 @@ object Lakehouse {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (hits.isEmpty) return (0, 0L)
     val affected = allFiles.filter(f => hits.contains(f))
-    // with CDF on, BOTH the survivor rewrite and the deleted-row sidecar
-    // consume the affected files — materialize them ONCE
-    // (localCheckpoint, the module's idiom from [[upsertByKey]]) so the
-    // mutation's most expensive input is scanned a single time and the
-    // two outputs split from the cached blocks (spec-pinned via a
-    // records-read listener); without CDF the survivor write is the
-    // only consumer, so the frame reads straight from the files
-    val affFrame = {
-      val raw = readData(spark, path, base, affected)
-      if (cdf) raw.localCheckpoint() else raw
-    }
+    // the affected files — the mutation's most expensive input —
+    // materialize ONCE (localCheckpoint, the module's idiom from
+    // [[upsertByKey]]): the survivor z-write alone evaluates its input
+    // three times (bounds agg + range sampling + write), and with CDF
+    // the deleted-row sidecar consumes it too; every pass after this
+    // line reads cached blocks, never the files (spec-pinned via a
+    // counting filesystem: the whole delete opens the affected files at
+    // most twice — probe + this materialization)
+    val affFrame = readData(spark, path, base, affected).localCheckpoint()
     val survivors = affFrame.filter(!(pred <=> lit(true)))
     val anySurvivor = !survivors.isEmpty
     val newFiles =

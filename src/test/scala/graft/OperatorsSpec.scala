@@ -1685,6 +1685,31 @@ class OperatorsSpec extends AnyFunSuite {
       val feed = Lakehouse.changesDetailed(spark, dir,
         Lakehouse.latestVersion(spark, dir) - 1)
       assert(feed.filter(col("_change_type") === "delete").count() === 18000L)
+      // UPSERT gets the same single-scan contract: fresh table, every
+      // file affected; the probe scans once (key columns), the survivor
+      // rewrite materializes once — postimage/insert batches split from
+      // the checkpointed update frame without touching the files
+      val dir2 = "cntfs://" +
+        java.nio.file.Files.createTempDirectory("graft-lh-1scan-u").toString
+      Lakehouse.writeClustered(mk(0, 20000), dir2, Seq("k", "t"), files = 2)
+      CountingLocalFs.tracked = Lakehouse.readManifest(spark, dir2)
+        .select(col("file")).collect().map(_.getString(0).split('/').last)
+        .toSet
+      CountingLocalFs.opens.set(0)
+      spark.read.parquet(s"$dir2/data")
+        .agg(sum(col("k")), sum(col("t")), sum(col("v"))).collect()
+      val unit2 = CountingLocalFs.opens.get()
+      CountingLocalFs.opens.set(0)
+      val ups = mk(10000, 25000).withColumn("v", col("v") * -1)
+      val (rw2, repl2, ins2) = Lakehouse.upsertByKey(spark, dir2, ups,
+        Seq("k"), files = 1)
+      val spent2 = CountingLocalFs.opens.get()
+      assert(rw2 === 2 && repl2 === 10000L && ins2 === 15000L,
+        s"upsert drifted: ($rw2, $repl2, $ins2)")
+      assert(spent2 <= 2 * unit2 + 1,
+        s"upsertByKey opened the affected files $spent2 times (one full " +
+          s"scan = $unit2) — the rewrite re-scans per z-write pass " +
+          "instead of materializing once")
     } finally {
       CountingLocalFs.tracked = Set.empty
       CountingLocalFs.opens.set(0)
