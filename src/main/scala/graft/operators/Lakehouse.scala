@@ -768,6 +768,13 @@ object Lakehouse {
    * appended rows. Replacing with an EMPTY frame is refused (use
    * `deleteWhere(lit(true))` to empty a table); parquet needs at least
    * one file to carry the new schema.
+   *
+   * Like [[appendClustered]], `df` is evaluated up to three times by
+   * the z-clustered write (bounds aggregation + range sampling + the
+   * write) — `localCheckpoint()` an expensive upstream pipeline first;
+   * whether that trade pays is the caller's call for a whole-table
+   * batch (the rewrite ops checkpoint internally because their inputs
+   * are bounded by the affected files, a different cost regime).
    */
   def replaceClustered(df: DataFrame, path: String, zCols: Seq[String],
       files: Int, bits: Int = 16): Unit = {

@@ -1710,6 +1710,39 @@ class OperatorsSpec extends AnyFunSuite {
         s"upsertByKey opened the affected files $spent2 times (one full " +
           s"scan = $unit2) — the rewrite re-scans per z-write pass " +
           "instead of materializing once")
+      // COMPACT gets the TIGHTEST pin: its probe is manifest-only (no
+      // data read decides the small-file set), so the whole compaction
+      // must open the small files exactly once — the materializing read
+      // before the z-write; the bounds/sampling/write passes all split
+      // from the cached blocks
+      val dir3 = "cntfs://" +
+        java.nio.file.Files.createTempDirectory("graft-lh-1scan-c").toString
+      Lakehouse.writeClustered(mk(0, 20000), dir3, Seq("k", "t"), files = 2)
+      for (b <- 0 until 3)
+        Lakehouse.appendClustered(
+          mk(20000 + b * 100, 20000 + (b + 1) * 100), dir3,
+          Seq("k", "t"), files = 1)
+      val m3 = Lakehouse.readManifest(spark, dir3)
+      val smallNames = m3.filter(col("n_rows") < 1000)
+        .select(col("file")).collect()
+        .map(_.getString(0).split('/').last).toSet
+      assert(smallNames.size === 3)
+      CountingLocalFs.tracked = smallNames
+      CountingLocalFs.opens.set(0)
+      val smallPaths = m3.filter(col("n_rows") < 1000)
+        .select(col("file")).collect().map(_.getString(0))
+      spark.read.parquet(smallPaths: _*)
+        .agg(sum(col("k")), sum(col("t")), sum(col("v"))).collect()
+      val unit3 = CountingLocalFs.opens.get()
+      CountingLocalFs.opens.set(0)
+      val (cIn, cOut) = Lakehouse.compact(spark, dir3, Seq("k", "t"),
+        minRows = 1000, files = 1)
+      val spent3 = CountingLocalFs.opens.get()
+      assert(cIn === 3 && cOut === 1, s"compact drifted: ($cIn, $cOut)")
+      assert(spent3 <= unit3 + 1,
+        s"compact opened the small files $spent3 times (one full scan " +
+          s"= $unit3) — the z-write re-scans them per pass instead of " +
+          "materializing once")
     } finally {
       CountingLocalFs.tracked = Set.empty
       CountingLocalFs.opens.set(0)
