@@ -1611,6 +1611,68 @@ class OperatorsSpec extends AnyFunSuite {
     } finally Lakehouse.onCompactBeforeCommit = () => ()
   }
 
+  test("lakehouse: compact races a live appender thread — both land, union exact") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-tcap").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    // 4 small files for compaction to merge
+    Lakehouse.writeClustered(mk(0, 200), dir, Seq("k", "t"), files = 1)
+    (1 to 3).foreach(i => Lakehouse.appendClustered(
+      mk(i * 200L, i * 200L + 200), dir, Seq("k", "t"), files = 1))
+    // unlike the seam-driven spec above, this is a REAL race: an
+    // appender thread fires 3 backfill batches while compact runs —
+    // whoever loses a slot retries (appends via commitAdditive, compact
+    // via its append-only retry loop); the schedule is whatever the
+    // box gives us, and EVERY schedule must end with all 4 commits
+    // landed and the union exact
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        gate.await()
+        (0 until 3).foreach { i =>
+          val lo = 800L + i * 1000L
+          Lakehouse.appendClustered(mk(lo, lo + 1000), dir, Seq("k", "t"),
+            files = 1, maxAttempts = 50)
+        }
+      }
+    })
+    val compactor = pool.submit(
+      new java.util.concurrent.Callable[(Int, Int)] {
+        def call(): (Int, Int) = {
+          gate.await()
+          Lakehouse.compact(spark, dir, Seq("k", "t"), minRows = 500,
+            files = 1, maxAttempts = 50)
+        }
+      })
+    gate.countDown()
+    appender.get()
+    val (c, w) = compactor.get()
+    pool.shutdown()
+    assert(c === 4 && w === 1, s"compacted $c -> $w")
+    // linear log: 1 create + 3 setup appends + 3 raced appends + 1 compact
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    val hDump = h.map(r =>
+      s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")
+    assert(h.map(_.getLong(0)).toSeq === (0L to 7L),
+      s"log is not linear — history: $hDump")
+    assert(h.count(_.getString(1) == "append") === 6 &&
+      h.count(_.getString(1) == "compact") === 1,
+      s"a raced commit was lost — history: $hDump")
+    // nothing lost, nothing doubled, under every interleave
+    val truth = mk(0, 800).unionByName(mk(800, 1800))
+      .unionByName(mk(1800, 2800)).unionByName(mk(2800, 3800))
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      s"compact-vs-append thread race lost or duplicated rows — $hDump")
+    // the 4 small originals are gone; the raced appends' files survive
+    val files = Lakehouse.readManifest(spark, dir)
+      .select(col("file")).collect().map(_.getString(0))
+    assert(files.length === 4 && files.distinct.length === 4,
+      s"manifest drifted: ${files.length} files")
+  }
+
   test("lakehouse: upsertByKey refuses an over-contract update batch at the boundary") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-cap").toString
