@@ -85,9 +85,9 @@ object SparkEntry {
   val benchExempt: Set[String] =
     Set("lakehouse_pruned_join", "lakehouse_incremental", "lakehouse_compact",
       "lakehouse_pruned_2d", "lakehouse_pruned_date", "lakehouse_changes",
-      "lakehouse_delete", "lakehouse_upsert", "lakehouse_replace",
-      "lakehouse_upsert_changes", "lakehouse_evolve", "lakehouse_cdf",
-      "corpus_curate_stats")
+      "lakehouse_delete", "lakehouse_upsert", "lakehouse_upsert_large",
+      "lakehouse_replace", "lakehouse_upsert_changes", "lakehouse_evolve",
+      "lakehouse_cdf", "corpus_curate_stats")
 
   /** Flagship: the full reference dataflow on sf0.001 — scan -> CQL
     * projection -> partition-key/token extraction -> ring-aligned
@@ -1315,6 +1315,30 @@ object SparkEntry {
       graft.operators.Lakehouse.upsertByKey(s, base,
         ev.filter(isUpd).withColumn("value", col("value") * 2),
         Seq("event_id"), files = 4)
+      graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // The SAME merge through the shuffle-side largeBatch path (no
+    // broadcast, no driver-side key collection, cap ignored) — anchored
+    // to the identical oracle, so the two probe/split modes are pinned
+    // row-equivalent by the gate itself
+    "lakehouse_upsert_large" -> ((s, dir) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-lh-upl-$tag"
+      val ev = graft.core.EventTime.withTsUs(s.read.parquet(t(dir, "events")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      graft.operators.Lakehouse.writeClustered(ev, base,
+        Seq("user_id", "ts_us"), files = 12)
+      val isUpd = (conv(substring(md5(concat(lit("lhups:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000) >= 900
+      graft.operators.Lakehouse.upsertByKey(s, base,
+        ev.filter(isUpd).withColumn("value", col("value") * 2),
+        Seq("event_id"), files = 4, maxProbeKeys = 1, largeBatch = true)
       graft.operators.Lakehouse.prunedRead(s, base, "user_id", 4, 7)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -3355,6 +3379,15 @@ object SparkEntry {
     // COW merge: the same rows, with the md5-chosen keys' values doubled
     // (exact fp doubling — no rounding before the final round)
     "lakehouse_upsert" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(CASE WHEN CAST('0x' || substr(md5('lhups:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 900
+        |                      THEN value * 2 ELSE value END), 2) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 7
+        |GROUP BY 1""".stripMargin,
+
+    // shuffle-side merge: byte-identical contract to lakehouse_upsert
+    "lakehouse_upsert_large" ->
       """SELECT event_type, count(*) AS n_events,
         |       round(sum(CASE WHEN CAST('0x' || substr(md5('lhups:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 >= 900
         |                      THEN value * 2 ELSE value END), 2) AS total_value

@@ -857,15 +857,28 @@ object Lakehouse {
    * driver-side matched-key collection are both sized by the batch's
    * distinct keys, and an over-contract batch would otherwise blow up
    * the driver mid-merge instead of at the contract boundary. Split
-   * such a batch (or raise the cap deliberately, sized to driver
-   * memory); a TABLE-sized merge belongs to a shuffle-join rewrite via
-   * [[replaceClustered]], not this CDC path.
+   * such a batch, raise the cap deliberately (sized to driver memory),
+   * or pass `largeBatch = true` for the shuffle-side path below.
+   *
+   * `largeBatch = true` is the over-contract escape hatch: the SAME
+   * merge semantics with NO driver-size dependence anywhere — the
+   * probe semi-joins the table's key columns against the update keys
+   * as a shuffle join (AQE still broadcasts when the batch turns out
+   * small), matched keys stay a distributed frame (one extra
+   * key-column-pruned scan of the affected files, checkpointed, never
+   * collected), and the survivor anti-join shuffles instead of
+   * broadcasting. Driver state remains #files-bounded (the per-file
+   * match counts). Costs: that extra pruned scan plus shuffles sized
+   * by the batch — which is why it is opt-in, not the default: the CDC
+   * small-batch shape should keep its zero-shuffle broadcast plan. A
+   * WHOLE-table rewrite is still better served by [[replaceClustered]].
    */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], files: Int = 4, bits: Int = 16,
       pruneRanges: Seq[(String, Double, Double)] = Nil,
       streamId: String = "", batchId: Long = -1L,
-      maxProbeKeys: Long = 1000000L): (Int, Long, Long) = {
+      maxProbeKeys: Long = 1000000L,
+      largeBatch: Boolean = false): (Int, Long, Long) = {
     require(keyCols.nonEmpty, "upsertByKey: need at least one key column")
     // the txn fence, same contract as appendClustered's: a re-delivered
     // batchId throws; skip-not-throw callers (LakehouseIngest) check
@@ -910,33 +923,6 @@ object Lakehouse {
       else selectFilesIn(m, path, pruneRanges)._1
     lastProbeScannedFiles = candidates.size
     val keys = u.select(keyCols.map(col): _*).distinct()
-    // the small-batch contract, enforced: everything below broadcasts
-    // `keys` and collects matched key tuples driver-side — counted here
-    // (one agg over the already-materialized checkpoint) so an
-    // over-contract batch fails AT the boundary, loudly, instead of as
-    // a driver OOM halfway through the rewrite
-    val nKeys = keys.count()
-    require(nKeys <= maxProbeKeys,
-      s"upsertByKey: the update batch carries $nKeys distinct keys, over " +
-        s"the maxProbeKeys=$maxProbeKeys contract — the broadcast probe " +
-        "and driver-side matched-key collection are sized by the batch's " +
-        "distinct keys (the CDC small-batch shape); split the batch into " +
-        "smaller merges or raise maxProbeKeys deliberately")
-    // ONE probe scan yields both the per-file match counts AND the set
-    // of matched key tuples (collect_set is bounded by the update
-    // batch's distinct keys per file — small by the CDC contract), so
-    // the affected files are not re-read just to learn which keys hit
-    val probeRows =
-      if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else readData(spark, path, base, candidates)
-        .select(input_file_name().as("_f") +: keyCols.map(col): _*)
-        .join(broadcast(keys), keyCols, "left_semi")
-        .groupBy(col("_f")).agg(count(lit(1)).as("n"),
-          collect_set(struct(keyCols.map(col): _*)).as("ks"))
-        .collect()
-    val probe = probeRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val affected = allFiles.filter(probe.contains)
-    val replaced = probe.values.sum
     // split the update batch by whether its key EXISTS in the table:
     // matched rows are UPDATE-POSTIMAGES, unmatched rows are PURE
     // INSERTS — and survivors, postimages, and inserts each land as
@@ -945,27 +931,91 @@ object Lakehouse {
     // feeds inserts + postimages with row-level change types. Null-keyed
     // updates never match (SQL semantics) so they land as inserts.
     // Whether the survivor batch is empty (every affected row replaced)
-    // is known from the manifest's n_rows — no extra job.
-    val keySchema = org.apache.spark.sql.types.StructType(
-      keyCols.map(c => u.schema(c)))
-    val matchedKeys = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(
-          probeRows.toSeq.flatMap(
-            _.getSeq[org.apache.spark.sql.Row](2)).distinct).asJava),
-      keySchema)
-    val upd = u.join(broadcast(matchedKeys), keyCols, "left_semi")
-    val ins = u.join(broadcast(matchedKeys), keyCols, "left_anti")
+    // is known from the manifest's n_rows — no extra job. The two modes
+    // differ ONLY in where the matched keys live (driver+broadcast vs a
+    // checkpointed distributed frame) and whether joins may shuffle.
+    val (probe, matchedKeys) = if (!largeBatch) {
+      // the small-batch contract, enforced: this path broadcasts `keys`
+      // and collects matched key tuples driver-side — counted here (one
+      // agg over the already-materialized checkpoint) so an
+      // over-contract batch fails AT the boundary, loudly, instead of
+      // as a driver OOM halfway through the rewrite
+      val nKeys = keys.count()
+      require(nKeys <= maxProbeKeys,
+        s"upsertByKey: the update batch carries $nKeys distinct keys, " +
+          s"over the maxProbeKeys=$maxProbeKeys contract — the broadcast " +
+          "probe and driver-side matched-key collection are sized by the " +
+          "batch's distinct keys (the CDC small-batch shape); split the " +
+          "batch into smaller merges, raise maxProbeKeys deliberately, " +
+          "or pass largeBatch = true for the shuffle-side merge path")
+      // ONE probe scan yields both the per-file match counts AND the
+      // set of matched key tuples (collect_set is bounded by the update
+      // batch's distinct keys per file — small by the CDC contract), so
+      // the affected files are not re-read just to learn which keys hit
+      val probeRows =
+        if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else readData(spark, path, base, candidates)
+          .select(input_file_name().as("_f") +: keyCols.map(col): _*)
+          .join(broadcast(keys), keyCols, "left_semi")
+          .groupBy(col("_f")).agg(count(lit(1)).as("n"),
+            collect_set(struct(keyCols.map(col): _*)).as("ks"))
+          .collect()
+      val keySchema = org.apache.spark.sql.types.StructType(
+        keyCols.map(c => u.schema(c)))
+      (probeRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+        broadcast(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              probeRows.toSeq.flatMap(
+                _.getSeq[org.apache.spark.sql.Row](2)).distinct).asJava),
+          keySchema)))
+    } else {
+      // the shuffle-side path: per-file match counts from a shuffle
+      // semi-join (driver sees #files rows, never keys), matched keys
+      // as a DISTRIBUTED frame — one extra key-column-pruned scan of
+      // the affected files, checkpointed once (sized by the matched
+      // distinct keys) so the upd/ins splits below don't re-run it
+      val counts =
+        if (candidates.isEmpty) Map.empty[String, Long]
+        else readData(spark, path, base, candidates)
+          .select(input_file_name().as("_f") +: keyCols.map(col): _*)
+          .join(keys, keyCols, "left_semi")
+          .groupBy(col("_f")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val aff = allFiles.filter(counts.contains)
+      val mk =
+        if (aff.isEmpty) keys.limit(0)
+        else keys.join(
+          readData(spark, path, base, aff).select(keyCols.map(col): _*),
+          keyCols, "left_semi").localCheckpoint()
+      (counts, mk)
+    }
+    val affected = allFiles.filter(probe.contains)
+    val replaced = probe.values.sum
+    // under the CDC contract these splits are broadcast semi/anti joins
+    // over the checkpointed batch — cheap to re-evaluate in writeBatch's
+    // three passes; the large-batch splits are SHUFFLE joins, so they
+    // materialize once instead of shuffling the batch three times each
+    def split(how: String) = {
+      val j = u.join(matchedKeys, keyCols, how)
+      if (largeBatch) j.localCheckpoint() else j
+    }
+    val upd = split("left_semi")
+    val ins = split("left_anti")
     val affectedRows = affected.map(fileRows).sum
     // survivors materialize ONCE (localCheckpoint) before the z-write's
     // three input evaluations — the affected files (the merge's most
     // expensive read, bounded by the COW contract) are scanned a single
-    // time for the rewrite, matching [[deleteWhere]]'s single-scan pin
+    // time for the rewrite, matching [[deleteWhere]]'s single-scan pin.
+    // The anti-join broadcasts under the CDC contract; the large-batch
+    // path lets the planner shuffle it (AQE downgrades to broadcast
+    // when the batch turns out small anyway)
+    val survivorKeys = if (largeBatch) keys else broadcast(keys)
     val survivorFiles =
       if (affected.isEmpty || replaced == affectedRows) Seq.empty[String]
       else writeBatch(spark, path,
         readData(spark, path, base, affected)
-          .join(broadcast(keys), keyCols, "left_anti").localCheckpoint(),
+          .join(survivorKeys, keyCols, "left_anti").localCheckpoint(),
         zCols, files, bits)
     val postimageFiles =
       if (affected.isEmpty) Seq.empty[String]

@@ -1699,6 +1699,43 @@ class OperatorsSpec extends AnyFunSuite {
       "post-merge table drifted")
   }
 
+  test("lakehouse: largeBatch upsert merges shuffle-side, identical to the broadcast path") {
+    import graft.operators.Lakehouse
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    val ups = mk(100, 300).withColumn("v", col("v") * -1) // 200 distinct keys
+    // the same merge on twin tables: broadcast path vs shuffle path —
+    // identical results row for row, and the shuffle path ignores the
+    // key cap (its whole point: no driver-size dependence to guard)
+    val Seq(dirA, dirB) = Seq("a", "b").map { s =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft-lh-lb$s").toString
+      Lakehouse.writeClustered(mk(0, 200), d, Seq("k", "t"), files = 2)
+      d
+    }
+    val ra = Lakehouse.upsertByKey(spark, dirA, ups, Seq("k"))
+    val rb = Lakehouse.upsertByKey(spark, dirB, ups, Seq("k"),
+      maxProbeKeys = 1, largeBatch = true) // cap would refuse; path ignores it
+    assert(ra === rb, s"paths disagree: broadcast $ra vs shuffle $rb")
+    assert(rb._2 === 100L && rb._3 === 200L, s"merge drifted: $rb")
+    val a = Lakehouse.prunedRead(spark, dirA, "k", 0, 1e9)
+    val b = Lakehouse.prunedRead(spark, dirB, "k", 0, 1e9)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "shuffle-side merge produced a different table than the broadcast path")
+    val truth = mk(0, 100).unionByName(ups)
+    assert(b.exceptAll(truth).isEmpty && truth.exceptAll(b).isEmpty,
+      "shuffle-side merge drifted from truth")
+    // the changes feed sees exactly the PURE inserts, same as broadcast
+    val feed = Lakehouse.changesSince(spark, dirB, 0)
+    val wantIns = ups.filter(col("k") >= 200)
+    assert(feed.exceptAll(wantIns).isEmpty && wantIns.exceptAll(feed).isEmpty,
+      "largeBatch upsert fed the wrong rows downstream")
+    // no-match batch: all-insert path, still shuffle-side
+    val r0 = Lakehouse.upsertByKey(spark, dirB, mk(1000, 1050), Seq("k"),
+      maxProbeKeys = 1, largeBatch = true)
+    assert(r0 === ((0, 0L, 50L)), s"no-match largeBatch merge drifted: $r0")
+  }
+
   test("lakehouse: deleteWhere with CDF opens the affected files once per pass (scan-count pin)") {
     import graft.operators.Lakehouse
     // run the whole table through the counting cntfs:// scheme (file://
