@@ -110,6 +110,27 @@ object ScaleCurve {
     path
   }
 
+  /** A third private copy for the SHUFFLE-side mutation curve — the two
+    * upsert entries must not share a table: each run adds postimage
+    * files, and cross-entry interleaving would drift the probe cost the
+    * other entry measures. */
+  private val lakehouseUplWritten = scala.collection.mutable.Set.empty[Long]
+  private val lakehouseUplBand = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def lakehouseUplPath(spark: SparkSession, n: Long): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scale-lhl-$n"
+    if (!lakehouseUplWritten.contains(n)) {
+      val d = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(1000)).as("k"),
+        col("id").as("t"),
+        concat_ws("", transform(sequence(lit(0), lit(14)), i =>
+          hex(xxhash64(col("id") * 16 + i)))).as("payload"))
+      graft.operators.Lakehouse.writeClustered(d, path, Seq("k", "t"),
+        files = 32)
+      lakehouseUplWritten += n
+    }
+    path
+  }
+
   /** min-of-2 wall time: a single measurement at this runtime length is
     * hostage to one unlucky full GC or JIT recompilation — the r9 curve
     * and a r10 re-run disagreed 2x on single-shot points while their
@@ -410,6 +431,25 @@ object ScaleCurve {
         val (_, repl, tot) = graft.operators.Lakehouse.upsertByKey(spark,
           path, ups, Seq("t"), files = 4,
           pruneRanges = Seq(("t", lo, lo + 999)))
+        repl + tot
+      },
+      // the SAME fixed-band merge through the shuffle-side largeBatch
+      // path: probe semi-join shuffled, matched keys distributed, one
+      // extra key-pruned scan of the affected files — the exponent must
+      // stay in the broadcast path's family (affected bytes, not table
+      // bytes), pinning that opting out of the broadcast contract does
+      // not change the mutation's scale story
+      "lakehouse_upsert_large" -> { n =>
+        val path = lakehouseUplPath(spark, n * 20)
+        val lo = lakehouseUplBand.getAndIncrement() * 1000L
+        val ups = spark.range(lo, lo + 1000).select(
+          pmod(xxhash64(col("id")), lit(1000)).as("k"),
+          col("id").as("t"),
+          concat_ws("", transform(sequence(lit(0), lit(14)), i =>
+            hex(xxhash64(col("id") * 16 + i + 7)))).as("payload"))
+        val (_, repl, tot) = graft.operators.Lakehouse.upsertByKey(spark,
+          path, ups, Seq("t"), files = 4,
+          pruneRanges = Seq(("t", lo, lo + 999)), largeBatch = true)
         repl + tot
       })
 
