@@ -167,11 +167,18 @@ object LakehouseIngest {
     * FIRST ([[graft.operators.Cdc.latestByKey]]): a CDC micro-batch can
     * carry several updates for one key, and upsert semantics would land
     * them all. Leave empty only when the source is already key-unique
-    * per batch. */
+    * per batch.
+    *
+    * `largeBatch` passes through to [[Lakehouse.upsertByKey]]: a CDC
+    * stream whose micro-batches can exceed the broadcast-probe
+    * distinct-key contract (a bursty backfill replay, a coarse
+    * trigger) merges shuffle-side instead of dying on the cap — same
+    * semantics, no driver-size dependence. */
   def processMergeBatch(batch: DataFrame, batchId: Long, path: String,
       keyCols: Seq[String], zCols: Seq[String], filesPerBatch: Int,
       streamId: String, versionCol: String = "",
-      maintenance: Option[Maintenance] = None): Unit = {
+      maintenance: Option[Maintenance] = None,
+      largeBatch: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val b =
@@ -182,7 +189,7 @@ object LakehouseIngest {
         streamId = streamId, batchId = batchId)
     else if (batchId > Lakehouse.lastCommittedBatch(spark, path, streamId))
       Lakehouse.upsertByKey(spark, path, b, keyCols, filesPerBatch,
-        streamId = streamId, batchId = batchId)
+        streamId = streamId, batchId = batchId, largeBatch = largeBatch)
     else {
       log.warn(s"lakehouse merge ingest: batch $batchId of stream " +
         s"'$streamId' already committed at $path — fenced, skipping " +
@@ -198,14 +205,15 @@ object LakehouseIngest {
       zCols: Seq[String], filesPerBatch: Int, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       streamId: String = "", versionCol: String = "",
-      maintenance: Option[Maintenance] = None): StreamingQuery = {
+      maintenance: Option[Maintenance] = None,
+      largeBatch: Boolean = false): StreamingQuery = {
     val sid = if (streamId.nonEmpty) streamId else checkpoint
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processMergeBatch(batch, batchId, path, keyCols, zCols,
-          filesPerBatch, sid, versionCol, maintenance)
+          filesPerBatch, sid, versionCol, maintenance, largeBatch)
       }
       .start()
   }

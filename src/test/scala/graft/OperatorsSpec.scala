@@ -2465,10 +2465,15 @@ class OperatorsSpec extends AnyFunSuite {
             val fresh = freshRows(rnd.nextInt(15))
             val batch = existing ++ fresh
             if (batch.nonEmpty) {
+              // coin-flip the probe mode: broadcast CDC path vs the
+              // shuffle-side largeBatch path — the model accepts no
+              // difference between them under any op interleaving
+              val lb = rnd.nextBoolean()
               Lakehouse.upsertByKey(spark, dir, toDf(batch), Seq("k"),
-                files = 2)
+                files = 2, largeBatch = lb)
               model ++= batch
-              opLog += s"upsert(${existing.size}u+${fresh.size}i)"
+              opLog += s"upsert(${existing.size}u+${fresh.size}i" +
+                (if (lb) ",lb)" else ")")
             }
           case 2 => // delete a key band
             val lo = rnd.nextLong(math.max(1L, nextKey))

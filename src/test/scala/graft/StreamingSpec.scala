@@ -735,6 +735,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.exceptAll(expect).isEmpty && expect.exceptAll(replayed).isEmpty)
   }
 
+  test("streaming MERGE ingest: largeBatch mode merges shuffle-side under the same fence") {
+    import graft.operators.Lakehouse
+    import graft.streaming.LakehouseIngest
+    // processMergeBatch is foreachBatch's body — driving it directly
+    // exercises the largeBatch pass-through without a file-source stream
+    val dir = Files.createTempDirectory("graft-lhmrg-lb").toString
+    def mk(lo: Long, hi: Long, salt: Int) = spark.range(lo, hi).select(
+      col("id").as("k"), lit(salt.toLong).as("ver"),
+      (col("id") * 10 + salt).cast("double").as("v"))
+    val sid = "lb-merge-spec"
+    LakehouseIngest.processMergeBatch(mk(0, 100, 0), 0, dir, Seq("k"),
+      Seq("k", "ver"), 2, sid, largeBatch = true)           // creates
+    LakehouseIngest.processMergeBatch(mk(50, 150, 1), 1, dir, Seq("k"),
+      Seq("k", "ver"), 2, sid, largeBatch = true)           // merges
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    val expect = mk(0, 50, 0).unionByName(mk(50, 150, 1))
+    assert(live.exceptAll(expect).isEmpty && expect.exceptAll(live).isEmpty,
+      "largeBatch streaming merge drifted from the batch expectation")
+    // the fence holds in this mode too: re-delivery is a strict no-op
+    val v = Lakehouse.latestVersion(spark, dir)
+    LakehouseIngest.processMergeBatch(mk(50, 150, 1), 1, dir, Seq("k"),
+      Seq("k", "ver"), 2, sid, largeBatch = true)
+    assert(Lakehouse.latestVersion(spark, dir) === v,
+      "re-delivered largeBatch merge committed a new version")
+  }
+
   test("lakehouse ingest fences a re-delivered batch — exactly-once crash replay") {
     import graft.operators.Lakehouse
     import graft.streaming.LakehouseIngest
