@@ -2101,6 +2101,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Lakehouse.lastProbeScannedFiles < 8,
       "upsert probe ignored pruneRanges")
     assert(insU === 10L && replU === 0L)
+    // pruning reaches the SHUFFLE-side probe too: the largeBatch path
+    // builds its candidate set from the same manifest selection, so
+    // opting out of the broadcast contract must not forfeit file skipping
+    val ups2 = mk(0, 8000).filter(col("k") === 43).limit(10)
+      .withColumn("t", col("t") + 2000000L)
+    val (_, replL, insL) = Lakehouse.upsertByKey(spark, dirB,
+      ups2.localCheckpoint(), Seq("k", "t"), files = 1,
+      pruneRanges = Seq(("k", 43, 43)), largeBatch = true)
+    assert(Lakehouse.lastProbeScannedFiles < 8,
+      "largeBatch upsert probe ignored pruneRanges")
+    assert(insL === 10L && replL === 0L)
   }
 
   test("lakehouse: vacuum survives a retention window that re-widens past pruned manifests") {
