@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
  *     inside the driver's 2000-char tail-capture window).
  *   - "noise": max/min spread of the sentinel across passes — >1.5 means
  *     the box was loaded during the run and raw seconds are suspect.
+ *   - "sentinel_units" (file copy only): per-query times normalized by a
+ *     ~100ms FIXED-WORK probe run immediately BEFORE the pass that
+ *     produced each query's minimum — box drift measured AT the query it
+ *     contaminates, not once per run. Three rounds of watch items
+ *     (q23 -> classify_nb/text_perplexity -> the dedup_ngram family)
+ *     closed as box oscillation that a run-level sentinel could only
+ *     suggest; adjacent-probe units settle that per query. The probe's
+ *     own stats ride in "probe" (min sec + per-pass list).
  *
  * SPARK_GRAFT_BENCH_ONLY=<csv of names> restricts to a subset (local
  * iteration); the sentinel always runs.
@@ -78,6 +86,21 @@ object Bench {
     }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // The fixed-work drift probe: a constant Spark job (~100ms on an idle
+    // box) run immediately before every query measurement. Its wall time
+    // moves with whatever contaminates the NEXT measurement — scheduler
+    // load, CPU steal, JIT pauses — so query_sec / adjacent_probe_sec is
+    // a per-query box-independent unit, where the run-level sentinel can
+    // only say "somewhere in these 85 seconds the box drifted".
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 32L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("sum(id * 3 + 1) as s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // warm the probe's own codegen out of pass 1
+    val probes = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
     // A pass that throws records NO time (r12 recorded five broken queries
     // at their time-to-throw, ~0.06s, which read as absurdly-fast results);
     // queries with ZERO successful passes surface in a "failed" list — a
@@ -85,10 +108,12 @@ object Bench {
     // stays out of the list (the per-pass stderr line still records it).
     for (pass <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
+      val p = probeOnce()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        probes(name) = probes(name) :+ p
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
       }
@@ -174,9 +199,28 @@ object Bench {
       else ""
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // per-query adjacent-probe units (file copy only): each query's min
+    // divided by the probe run immediately before the pass that PRODUCED
+    // that min — the drift estimate local to that measurement
+    val sentinelUnits = mins.flatMap { case (n, mn) =>
+      val idx = times(n).indexOf(mn)
+      val ps = probes(n)
+      if (idx >= 0 && idx < ps.size && ps(idx) > 0) Some(n -> mn / ps(idx))
+      else None
+    }
+    val su =
+      if (sentinelUnits.isEmpty) ""
+      else sentinelUnits.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }
+        .mkString(""","sentinel_units":{""", ",", "}")
+    val allProbes = names.flatMap(probes(_))
+    val pr =
+      if (allProbes.isEmpty) ""
+      else s""","probe":{"sec":${fmt6(allProbes.min)}""" +
+        s""","max":${fmt6(allProbes.max)},"n":${allProbes.size}}"""
     val full = render(fmt6, mins, 0, withNorm = true)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (full.dropRight(1) + scale + "}\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full.dropRight(1) + su + pr + scale + "}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

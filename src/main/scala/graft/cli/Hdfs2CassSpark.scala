@@ -137,11 +137,26 @@ object Hdfs2CassSpark {
       // (CassandraPartitioner.java:58-60 + CassandraParams.java:291-293),
       // so both modes emit the same sorted-run format — random runs just
       // span the full token range and stream to all replicas
+      val wantSalt = params.saltAuto || params.saltBuckets.nonEmpty
+      require(!wantSalt || (!params.distributeRandomly &&
+        info.partitionerClass == graft.core.CassandraParams.Murmur3Partitioner),
+        "saltbuckets= needs the Murmur3 partitioner and no " +
+          "distributerandomly — salting IS the ring-preserving alternative " +
+          "to distributerandomly")
+      val salts =
+        if (params.saltAuto)
+          BulkSink.planSalts(projected, Seq("rowkey"), params.reducers)
+        else params.saltBuckets
       val manifests =
-        BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir,
-          partitionerClass = info.partitionerClass,
-          compression = params.compressionClass,
-          distributeRandomly = params.distributeRandomly)
+        if (wantSalt && salts.nonEmpty)
+          BulkSink.writeSortedSalted(projected, Seq("rowkey"),
+            params.reducers, args.sinkDir, salts,
+            compression = params.compressionClass)
+        else
+          BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir,
+            partitionerClass = info.partitionerClass,
+            compression = params.compressionClass,
+            distributeRandomly = params.distributeRandomly)
       // with ring metadata present, also emit the stream plan the loader
       // would execute (file -> replica endpoints). Compressed runs plan
       // and stream like any other since chunked compression landed: the

@@ -147,7 +147,15 @@ final case class CassandraParams(
     compressionClass: Option[String],
     rpcPort: Option[Int],
     replication: Option[Int],
-    clusterInfo: ClusterInfo
+    clusterInfo: ClusterInfo,
+    /** Hot-range salting (`saltbuckets=` URI param, beyond the
+      * reference's grammar): explicit `bucket:subBuckets[,...]` pairs.
+      * The reference's only skew escape, `distributerandomly`, forfeits
+      * ring alignment for every range; salting splits just the hot ones
+      * and the sink k-way-merges them back to one sorted run per range. */
+    saltBuckets: Map[Int, Int] = Map.empty,
+    /** `saltbuckets=auto`: detect hot ranges from a sample at write time. */
+    saltAuto: Boolean = false
 ) {
   def buildInsertStatement(cols: Seq[String]): String = {
     val qs = cols.map(_ => "?").mkString(", ")
@@ -214,9 +222,28 @@ object CassandraParams {
         require(n >= 1, s"replication= must be >= 1, got $v")
         n
       },
-      clusterInfo = clusterInfo
+      clusterInfo = clusterInfo,
+      saltBuckets = q.get("saltbuckets").filter(_ != "auto")
+        .map(parseSaltBuckets).getOrElse(Map.empty),
+      saltAuto = q.get("saltbuckets").contains("auto")
     )
   }
+
+  /** `saltbuckets=3:4,7:2` -> Map(3 -> 4, 7 -> 2); anything else fails
+    * loudly (a typo must not silently write an unsalted layout). */
+  def parseSaltBuckets(spec: String): Map[Int, Int] =
+    spec.split(",").iterator.filter(_.nonEmpty).map { pair =>
+      pair.split(":") match {
+        case Array(b, k) if b.forall(_.isDigit) && k.forall(_.isDigit) &&
+            b.nonEmpty && k.nonEmpty =>
+          val kk = k.toInt
+          require(kk >= 2, s"saltbuckets: subBuckets must be >= 2 in '$pair'")
+          b.toInt -> kk
+        case _ => throw new IllegalArgumentException(
+          s"saltbuckets: expected 'bucket:subBuckets' pairs, got '$pair' " +
+            "(e.g. saltbuckets=3:4,7:2 or saltbuckets=auto)")
+      }
+    }.toMap
 }
 
 /**

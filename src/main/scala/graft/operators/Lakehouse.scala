@@ -61,12 +61,23 @@ import org.apache.spark.sql.functions._
  * disjoint from the compaction's read set (compaction-vs-append is
  * commutative: it removes only files it read, adds files nobody else
  * references — Delta's file-set conflict resolution for the same pair),
- * so in-stream maintenance survives a nightly backfill appender. Every
- * OTHER rewrite op ([[deleteWhere]], [[upsertByKey]],
- * [[replaceClustered]], [[writeClustered]], and compact racing a
- * non-append) stays single-writer fail-loud: a lost race throws before
- * anything becomes visible, since replaying a rewrite against a moved
- * base could resurrect or double rows.
+ * so in-stream maintenance survives a nightly backfill appender.
+ * [[deleteWhere]] and [[upsertByKey]] racing a pure append are NOT
+ * blindly commutative — an appended row could match the delete
+ * predicate or carry an update key — but the manifest already holds
+ * per-file min/max stats, so the provably-safe case rebases too: when
+ * EVERY interloper is a pure append whose new files' stat ranges are
+ * DISJOINT from the delete's `pruneRanges` (resp. the upsert batch's
+ * key bounds), no appended row can be affected by the rewrite, and the
+ * commit rebuilds against the new head exactly like compact (the
+ * stats-disjointness argument Delta uses to avoid
+ * ConcurrentAppendException). Overlapping, stats-less, or unprovable
+ * appends (a delete without `pruneRanges`, an upsert whose key columns
+ * carry no manifest stats) stay fail-loud. Every OTHER rewrite race
+ * ([[replaceClustered]], [[writeClustered]], compact/delete/upsert
+ * racing a non-append) stays single-writer fail-loud: a lost race
+ * throws before anything becomes visible, since replaying a rewrite
+ * against a moved base could resurrect or double rows.
  * (On an object store without atomic rename the same caveat applies as
  * to Delta-on-S3: the final rename needs the store's conditional-put —
  * out of scope here.)
@@ -89,6 +100,12 @@ import org.apache.spark.sql.functions._
  * most files before a byte of data is read.
  */
 object Lakehouse {
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Lakehouse")
+
+  /** Default [[upsertByKey]] small-batch contract cap. */
+  val DefaultMaxProbeKeys: Long = 1000000L
 
   // ------------------------------------------------------------------
   // log protocol
@@ -410,6 +427,133 @@ object Lakehouse {
     -1L // unreachable
   }
 
+  /** Test seam: invoked before a COW rewrite's ([[deleteWhere]] /
+    * [[upsertByKey]]) first commit attempt — lets a spec interleave a
+    * concurrent commit deterministically into the rebase race window. */
+  private[graft] var onRewriteBeforeCommit: () => Unit = () => ()
+
+  /**
+   * The REWRITE-commit loop with stats-disjoint append rebase, shared by
+   * [[deleteWhere]] and [[upsertByKey]]. A lost race is retried ONLY
+   * when every interleaved commit is a pure `append` that provably
+   * cannot interact with this rewrite:
+   *
+   *  - the interlopers' ops are all `append` (anything else may have
+   *    rewritten or dropped files this op read — fail loud, as compact
+   *    does);
+   *  - the table schema did not move (this op's files were written
+   *    under the base schema; committing them under a marker recording
+   *    that schema would silently narrow a widened table);
+   *  - this op's read set (`affected`) is still fully referenced by the
+   *    new live manifest (appends never de-reference — defense in
+   *    depth);
+   *  - `appendOverlap(appendedManifestRows)` returns None: the op-
+   *    specific stats proof that NO appended row can match the delete
+   *    predicate / carry an update key. Some(diagnostic) — overlap, or
+   *    no bound to reason with — fails loud with the diagnostic.
+   *
+   * On rebase the replacement manifest is rebuilt against the NEW live
+   * manifest (the appended rows ride along untouched) and the commit
+   * retries at the new head. Carries the same ambiguous-rename
+   * writer-token defense as [[commitAdditive]]/[[compact]]. Driver
+   * work per retry: #files-row manifest replays plus whatever the
+   * overlap callback runs (one manifest-sized job).
+   */
+  private def commitRewrite(spark: SparkSession, path: String, op: String,
+      streamId: String, batchId: Long, base0: Long, m0: DataFrame,
+      affected: Seq[String], newStats: Option[DataFrame],
+      insertFiles: Seq[String], postimageFiles: Seq[String],
+      deleteFiles: Seq[String], fence: () => Unit,
+      appendOverlap: DataFrame => Option[String],
+      maxAttempts: Int): Long = {
+    val fs = fsOf(spark, path)
+    val token = java.util.UUID.randomUUID().toString
+    val baseSchema = dataSchemaAt(spark, path, base0)
+    var base = base0
+    var live = m0
+    var attempt = 0
+    onRewriteBeforeCommit()
+    while (true) {
+      attempt += 1
+      val kept =
+        if (affected.isEmpty) live
+        else live.filter(!col("file").isin(affected: _*))
+      val next = newStats match {
+        case Some(s) => kept.unionByName(s.select(kept.columns.map(col): _*))
+        case None => kept
+      }
+      try {
+        return commitVersion(spark, path, next, op, streamId, batchId, base,
+          insertFiles = insertFiles, dataSchema = baseSchema,
+          postimageFiles = postimageFiles, deleteFiles = deleteFiles,
+          writerToken = token)
+      } catch {
+        case e: CommitConflictException =>
+          // ambiguous rename: our commit may have landed with the error
+          // reported client-side only — never re-commit our own rows
+          if (ownsSlot(fs, path, base + 1, token)) return base + 1
+          // a concurrent commit may have advanced this stream's batch
+          // high-water mark — re-fence before reasoning about a rebase
+          fence()
+          val newBase = latestVersion(spark, path)
+          val interlopers = committedVersions(spark, path)
+            .filter(v => v > base && v <= newBase)
+            .map(v => (v, readCommit(fs, path, v).op))
+          val nonAppend = interlopers.filter(_._2 != "append")
+          if (nonAppend.nonEmpty) throw new CommitConflictException(
+            s"lakehouse log at $path: $op lost the race to non-append " +
+              s"commit(s) ${nonAppend.map(p =>
+                s"v${p._1}:${p._2}").mkString(", ")} — they may have " +
+              "rewritten files this op read; re-run against the new head")
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"lakehouse log at $path: $op lost $maxAttempts commit races " +
+              "in a row — giving up", e)
+          if (dataSchemaAt(spark, path, newBase) != baseSchema)
+            throw new CommitConflictException(
+              s"lakehouse log at $path: $op lost the race to an append " +
+                "that widened the table schema — this op's rewrite files " +
+                "were written under the old schema; re-run against the " +
+                "new head")
+          val newLive = manifestAt(spark, path, newBase)
+          val liveFiles = newLive.select(col("file")).collect()
+            .map(r => pathKey(r.getString(0))).toSet
+          val missing = affected.filterNot(f => liveFiles(pathKey(f)))
+          if (missing.nonEmpty) throw new CommitConflictException(
+            s"lakehouse log at $path: $op's read set lost ${missing.size} " +
+              s"file(s) (e.g. ${missing.head}) from the live manifest " +
+              "during an append-only interleave — refusing to commit " +
+              "against it")
+          // the interlopers' new files: referenced by the new live
+          // manifest, absent from the manifest this op read (our own
+          // staged files are in neither — the commit failed)
+          val appended = newLive.join(
+            live.select(col("file")), Seq("file"), "left_anti")
+          appendOverlap(appended).foreach(diag =>
+            throw new CommitConflictException(
+              s"lakehouse log at $path: $op lost the race to a concurrent " +
+                s"append that is not provably disjoint from the $op's " +
+                s"scope — $diag; re-run against the new head"))
+          base = newBase
+          live = newLive
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Releases the cached blocks behind a `localCheckpoint()`ed frame.
+    * The checkpoint persists its RDD at the executor storage layer (a
+    * Dataset-level `unpersist` cannot see it), and a long-running
+    * caller — a streaming MERGE ingest checkpointing per micro-batch —
+    * would otherwise accumulate dead blocks until the driver GC'd the
+    * frames. Best-effort: an already-released or non-checkpoint frame
+    * is a no-op. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(false); ()
+      case _ => ()
+    } catch { case _: Exception => () }
+
   // ------------------------------------------------------------------
   // writes
   // ------------------------------------------------------------------
@@ -684,9 +828,12 @@ object Lakehouse {
     // times (bounds agg + range sampling + write), and the small files
     // — bounded bytes by the minRows selection — should be scanned
     // once, not thrice
-    val newFiles = writeBatch(spark, path,
-      readData(spark, path, base0, small).localCheckpoint(), zCols,
-      files, bits)
+    val newFiles = {
+      val input = readData(spark, path, base0, small).localCheckpoint()
+      try writeBatch(spark, path, input, zCols, files, bits)
+      finally releaseCheckpoint(input) // the in-stream maintenance loop
+      // compacts every few batches — dead blocks must not accumulate
+    }
     val newStats = statsOf(spark.read.parquet(newFiles: _*), zCols)
     onCompactBeforeCommit()
     val fs = fsOf(spark, path)
@@ -872,24 +1019,51 @@ object Lakehouse {
    * by the batch — which is why it is opt-in, not the default: the CDC
    * small-batch shape should keep its zero-shuffle broadcast plan. A
    * WHOLE-table rewrite is still better served by [[replaceClustered]].
+   * `maxProbeKeys` does not apply in this mode (nothing driver-sized is
+   * bounded by it) — a non-default cap combined with `largeBatch` logs
+   * a warning so the dead parameter is visible.
+   *
+   * CONCURRENCY: a lost commit race against PURE APPENDS is rebased
+   * when the appended files' manifest stats prove no appended row can
+   * carry an update key — every key column must be a clustered stats
+   * column whose appended [min, max] is disjoint from the batch's key
+   * bounds on at least one column (see the class doc; the same
+   * stats-disjointness argument Delta uses). Overlapping, stats-less,
+   * or non-append interlopers stay fail-loud
+   * [[CommitConflictException]]; `maxAttempts` bounds the retries.
+   * Every intermediate frame this merge `localCheckpoint`s (the batch,
+   * the large-batch matched keys and splits, the survivors) is
+   * RELEASED on exit — success or failure — so a streaming MERGE
+   * ingest does not accumulate dead executor blocks micro-batch over
+   * micro-batch.
    */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], files: Int = 4, bits: Int = 16,
       pruneRanges: Seq[(String, Double, Double)] = Nil,
       streamId: String = "", batchId: Long = -1L,
-      maxProbeKeys: Long = 1000000L,
-      largeBatch: Boolean = false): (Int, Long, Long) = {
+      maxProbeKeys: Long = DefaultMaxProbeKeys,
+      largeBatch: Boolean = false, maxAttempts: Int = 10): (Int, Long, Long) = {
     require(keyCols.nonEmpty, "upsertByKey: need at least one key column")
+    if (largeBatch && maxProbeKeys != DefaultMaxProbeKeys)
+      log.warn(s"upsertByKey: maxProbeKeys=$maxProbeKeys is IGNORED with " +
+        "largeBatch=true — the shuffle-side path has no driver-sized " +
+        "state for the cap to bound")
     // the txn fence, same contract as appendClustered's: a re-delivered
     // batchId throws; skip-not-throw callers (LakehouseIngest) check
-    // lastCommittedBatch first
-    if (streamId.nonEmpty &&
-        batchId <= lastCommittedBatch(spark, path, streamId))
-      throw new IllegalStateException(
-        s"upsertByKey: batch $batchId of stream '$streamId' is already " +
-          s"committed at $path — a re-delivered batch must be skipped, " +
-          "not re-merged")
+    // lastCommittedBatch first. Re-runs on every rebase retry — a
+    // concurrent commit may have advanced the stream's high-water mark.
+    def fence(): Unit =
+      if (streamId.nonEmpty &&
+          batchId <= lastCommittedBatch(spark, path, streamId))
+        throw new IllegalStateException(
+          s"upsertByKey: batch $batchId of stream '$streamId' is already " +
+            s"committed at $path — a re-delivered batch must be skipped, " +
+            "not re-merged")
+    fence()
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val u = updates.localCheckpoint()
+    toRelease += u
+    try {
     if (u.isEmpty) return (0, 0L, 0L)
     val base = latestVersion(spark, path)
     require(base >= 0, s"no committed lakehouse log at $path")
@@ -897,19 +1071,46 @@ object Lakehouse {
     val zCols = m.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
+    // the rebase's disjointness proof: an appended file can carry an
+    // update key only if its stats overlap the batch's key bounds on
+    // EVERY key column that has manifest stats; null file stats (an
+    // all-null key column — SQL equality never matches a null key) and
+    // null batch bounds both fall out of the overlap naturally
+    def keyAppendOverlap(appended: DataFrame): Option[String] = {
+      val keyStatCols = keyCols.filter(c => m.columns.contains(s"min_$c"))
+      if (keyStatCols.isEmpty)
+        return Some(s"no key column (${keyCols.mkString(", ")}) carries " +
+          "manifest stats, so nothing bounds the appended rows' keys — " +
+          "cluster on a key column (zCols) to enable the rebase")
+      val aggs = keyStatCols.flatMap(c =>
+        Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+      val bounds = u.agg(aggs.head, aggs.tail: _*).head()
+      val overlap = keyStatCols.zipWithIndex.map { case (c, i) =>
+        col(s"max_$c") >= lit(bounds.get(2 * i)) &&
+          col(s"min_$c") <= lit(bounds.get(2 * i + 1))
+      }.reduce(_ && _)
+      val hit = appended.filter(overlap).select(col("file")).limit(1).collect()
+      if (hit.isEmpty) None
+      else Some(s"appended file ${hit(0).getString(0)}'s key-column " +
+        "stats overlap the update batch's key bounds")
+    }
     val fileRows = m.select(col("file"), col("n_rows")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val allFiles = fileRows.keys.toSeq
     if (allFiles.isEmpty) {
       // empty table: nothing to probe or replace — insert-all, and every
-      // written file feeds the changes feed; the batch defines the schema
+      // written file feeds the changes feed; the batch defines the
+      // schema. Still rebase-guarded: an append interleaving the commit
+      // could introduce rows carrying batch keys, which this insert-all
+      // decision assumed absent
       lastProbeScannedFiles = 0
       val newFiles = writeBatch(spark, path, u, zCols, files, bits)
-      val next = m.unionByName(
-        statsOf(spark.read.parquet(newFiles: _*), zCols)
-          .select(m.columns.map(col): _*))
-      commitVersion(spark, path, next, "upsert", streamId, batchId, base,
-        insertFiles = newFiles, dataSchema = Some(u.schema))
+      commitRewrite(spark, path, "upsert", streamId, batchId, base, m,
+        affected = Nil,
+        newStats = Some(statsOf(spark.read.parquet(newFiles: _*), zCols)),
+        insertFiles = newFiles, postimageFiles = Nil, deleteFiles = Nil,
+        fence = () => fence(), appendOverlap = keyAppendOverlap,
+        maxAttempts = maxAttempts)
       return (0, 0L, u.count())
     }
     val data = readData(spark, path, base, allFiles)
@@ -936,14 +1137,15 @@ object Lakehouse {
     // checkpointed distributed frame) and whether joins may shuffle.
     val (probe, matchedKeys) = if (!largeBatch) {
       // the small-batch contract, enforced: this path broadcasts `keys`
-      // and collects matched key tuples driver-side — counted here (one
-      // agg over the already-materialized checkpoint) so an
-      // over-contract batch fails AT the boundary, loudly, instead of
-      // as a driver OOM halfway through the rewrite
-      val nKeys = keys.count()
-      require(nKeys <= maxProbeKeys,
-        s"upsertByKey: the update batch carries $nKeys distinct keys, " +
-          s"over the maxProbeKeys=$maxProbeKeys contract — the broadcast " +
+      // and collects matched key tuples driver-side — probed here with a
+      // limit(cap + 1) count over the already-materialized checkpoint
+      // (the guard's work is O(cap) regardless of batch size, never a
+      // full-batch aggregation) so an over-contract batch fails AT the
+      // boundary, loudly, instead of as a driver OOM mid-rewrite
+      val capProbe = math.min(maxProbeKeys, Int.MaxValue - 1L).toInt
+      require(keys.limit(capProbe + 1).count() <= maxProbeKeys,
+        s"upsertByKey: the update batch carries more than " +
+          s"maxProbeKeys=$maxProbeKeys distinct keys — the broadcast " +
           "probe and driver-side matched-key collection are sized by the " +
           "batch's distinct keys (the CDC small-batch shape); split the " +
           "batch into smaller merges, raise maxProbeKeys deliberately, " +
@@ -985,23 +1187,34 @@ object Lakehouse {
       val aff = allFiles.filter(counts.contains)
       val mk =
         if (aff.isEmpty) keys.limit(0)
-        else keys.join(
-          readData(spark, path, base, aff).select(keyCols.map(col): _*),
-          keyCols, "left_semi").localCheckpoint()
+        else {
+          val c = keys.join(
+            readData(spark, path, base, aff).select(keyCols.map(col): _*),
+            keyCols, "left_semi").localCheckpoint()
+          toRelease += c
+          c
+        }
       (counts, mk)
     }
     val affected = allFiles.filter(probe.contains)
     val replaced = probe.values.sum
-    // under the CDC contract these splits are broadcast semi/anti joins
-    // over the checkpointed batch — cheap to re-evaluate in writeBatch's
-    // three passes; the large-batch splits are SHUFFLE joins, so they
-    // materialize once instead of shuffling the batch three times each
-    def split(how: String) = {
-      val j = u.join(matchedKeys, keyCols, how)
-      if (largeBatch) j.localCheckpoint() else j
-    }
-    val upd = split("left_semi")
-    val ins = split("left_anti")
+    // no affected files ⇒ matchedKeys is provably empty: the splits are
+    // known without running a join job (the all-insert case skips the
+    // wasted shuffle/checkpoint). Otherwise, under the CDC contract the
+    // splits are broadcast semi/anti joins over the checkpointed batch —
+    // cheap to re-evaluate in writeBatch's three passes; the large-batch
+    // splits are SHUFFLE joins, so they materialize once instead of
+    // shuffling the batch three times each
+    val (upd, ins) =
+      if (affected.isEmpty) (u.limit(0), u)
+      else {
+        def split(how: String) = {
+          val j = u.join(matchedKeys, keyCols, how)
+          if (largeBatch) { val c = j.localCheckpoint(); toRelease += c; c }
+          else j
+        }
+        (split("left_semi"), split("left_anti"))
+      }
     val affectedRows = affected.map(fileRows).sum
     // survivors materialize ONCE (localCheckpoint) before the z-write's
     // three input evaluations — the affected files (the merge's most
@@ -1013,10 +1226,12 @@ object Lakehouse {
     val survivorKeys = if (largeBatch) keys else broadcast(keys)
     val survivorFiles =
       if (affected.isEmpty || replaced == affectedRows) Seq.empty[String]
-      else writeBatch(spark, path,
-        readData(spark, path, base, affected)
-          .join(survivorKeys, keyCols, "left_anti").localCheckpoint(),
-        zCols, files, bits)
+      else {
+        val surv = readData(spark, path, base, affected)
+          .join(survivorKeys, keyCols, "left_anti").localCheckpoint()
+        toRelease += surv
+        writeBatch(spark, path, surv, zCols, files, bits)
+      }
     val postimageFiles =
       if (affected.isEmpty) Seq.empty[String]
       else writeBatch(spark, path, upd, zCols, files, bits)
@@ -1025,17 +1240,14 @@ object Lakehouse {
       else writeBatch(spark, path, ins, zCols, files, bits)
     val newFiles = survivorFiles ++ postimageFiles ++ insertFiles
     require(newFiles.nonEmpty, "upsertByKey: the rewrite added no files")
-    val kept =
-      if (affected.isEmpty) m
-      else m.filter(!col("file").isin(affected: _*))
-    val next = kept.unionByName(
-      statsOf(spark.read.parquet(newFiles: _*), zCols)
-        .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, next, "upsert", streamId, batchId, base,
-      insertFiles = insertFiles,
-      dataSchema = dataSchemaAt(spark, path, base),
-      postimageFiles = postimageFiles)
+    commitRewrite(spark, path, "upsert", streamId, batchId, base, m,
+      affected = affected,
+      newStats = Some(statsOf(spark.read.parquet(newFiles: _*), zCols)),
+      insertFiles = insertFiles, postimageFiles = postimageFiles,
+      deleteFiles = Nil, fence = () => fence(),
+      appendOverlap = keyAppendOverlap, maxAttempts = maxAttempts)
     (affected.size, replaced, u.count())
+    } finally toRelease.foreach(releaseCheckpoint)
   }
 
   /**
@@ -1053,11 +1265,21 @@ object Lakehouse {
    * same refusal Delta's DELETE makes.
    *
    * `pruneRanges` (optional) pre-prunes the PROBE scan through the
-   * manifest — correctness contract: every row `pred` can match must lie
-   * inside the ranges (rows outside are never probed, so a match out
-   * there survives). Use it when `pred` bounds a clustered column; a
-   * spec pins that the probe then scans fewer files than the table
-   * holds.
+   * manifest — correctness contract: `pred` must IMPLY the ranges (any
+   * row, current or future, that `pred` can match lies inside them;
+   * rows outside are never probed, so a match out there survives). Use
+   * it when `pred` bounds a clustered column; a spec pins that the
+   * probe then scans fewer files than the table holds.
+   *
+   * CONCURRENCY: a lost commit race against PURE APPENDS is rebased
+   * when the appended files' manifest stats are disjoint from
+   * `pruneRanges` — the ranges bound everything `pred` can match, so a
+   * disjoint append provably contains no doomed row and the delete
+   * commits against the new head with the appended rows riding along
+   * (class doc; Delta's stats-disjointness argument). A delete WITHOUT
+   * `pruneRanges` has no bound to reason with and stays fail-loud on
+   * any race, as do overlapping appends and non-append interlopers;
+   * `maxAttempts` bounds the retries.
    *
    * SQL DELETE semantics: a row is removed iff `pred` is TRUE — rows
    * where it evaluates null are kept. The affected-file probe is one
@@ -1078,7 +1300,7 @@ object Lakehouse {
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column, files: Int = 4, bits: Int = 16,
       pruneRanges: Seq[(String, Double, Double)] = Nil,
-      cdf: Boolean = true): (Int, Long) = {
+      cdf: Boolean = true, maxAttempts: Int = 10): (Int, Long) = {
     val base = latestVersion(spark, path)
     require(base >= 0, s"no committed lakehouse log at $path")
     val m = manifestAt(spark, path, base)
@@ -1117,6 +1339,7 @@ object Lakehouse {
     // counting filesystem: the whole delete opens the affected files at
     // most twice — probe + this materialization)
     val affFrame = readData(spark, path, base, affected).localCheckpoint()
+    try {
     val survivors = affFrame.filter(!(pred <=> lit(true)))
     val anySurvivor = !survivors.isEmpty
     val newFiles =
@@ -1138,16 +1361,31 @@ object Lakehouse {
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
           .map(s => fs.makeQualified(s.getPath).toUri.toString)
       }
-    val kept = m.filter(!col("file").isin(affected: _*))
-    val next =
-      if (newFiles.isEmpty) kept
-      else kept.unionByName(
-        statsOf(spark.read.parquet(newFiles: _*), zCols)
-          .select(kept.columns.map(col): _*))
-    commitVersion(spark, path, next, "delete", "", -1L, base,
-      dataSchema = dataSchemaAt(spark, path, base),
-      deleteFiles = deleteFiles)
+    // the rebase's disjointness proof: `pred` implies `pruneRanges` (the
+    // documented contract), so an appended file whose stats are disjoint
+    // from the ranges provably holds no row this delete should remove.
+    // selectFilesIn IS the overlap test (a file survives pruning iff it
+    // overlaps every range); no ranges ⇒ no bound ⇒ not provable.
+    def deleteAppendOverlap(appended: DataFrame): Option[String] = {
+      if (pruneRanges.isEmpty)
+        return Some("the delete carries no pruneRanges, so no stats " +
+          "bound exists to prove appended rows cannot match the " +
+          "predicate (pass pruneRanges to enable the rebase)")
+      val (overlapping, _) = selectFilesIn(appended, path, pruneRanges)
+      if (overlapping.isEmpty) None
+      else Some(s"${overlapping.size} appended file(s) (e.g. " +
+        s"${overlapping.head}) overlap the delete's pruneRanges")
+    }
+    commitRewrite(spark, path, "delete", "", -1L, base, m,
+      affected = affected,
+      newStats =
+        if (newFiles.isEmpty) None
+        else Some(statsOf(spark.read.parquet(newFiles: _*), zCols)),
+      insertFiles = Nil, postimageFiles = Nil, deleteFiles = deleteFiles,
+      fence = () => (), appendOverlap = deleteAppendOverlap,
+      maxAttempts = maxAttempts)
     (affected.size, hits.values.sum)
+    } finally releaseCheckpoint(affFrame)
   }
 
   /**
@@ -1662,6 +1900,64 @@ object Lakehouse {
           at.filter(col("_change_type") === "insert").select(dataCols: _*))
       next
     }
+  }
+
+  /**
+   * [[applyChangeFeed]] with CONSTANT plan depth for the KEY-UNIQUE
+   * case: the feed window folds to its final state per key (the change
+   * with the highest `_version` wins) and applies as ONE merge — drop
+   * every mirror row carrying a touched key, then add the final
+   * non-delete rows — instead of 3 ops × #versions. A consumer catching
+   * up over hundreds of versions gets an O(1)-deep plan (spec-pinned)
+   * where the per-version replay would build a hundreds-deep
+   * except/anti/union chain before its first checkpoint.
+   *
+   * GUARD — the collapse is exact only when `keyCols` is a UNIQUE key
+   * of the table (every key holds at most one live row, the
+   * [[upsertByKey]]-maintained shape), because it retracts deletes BY
+   * KEY where the general path retracts by whole row with multiplicity.
+   * The feed-observable part of that contract is checked here — any
+   * null-keyed change row, or a key changed twice within one version
+   * (a multi-row-per-key upsert batch), falls back to the per-version
+   * replay automatically (one window-sized guard job). The
+   * table-uniqueness half is the caller's declaration, same as handing
+   * `keyCols` to [[upsertByKey]].
+   *
+   * A key touched in several versions folds correctly by construction:
+   * version order is total, so the max-version change IS the final
+   * state (insert-then-delete retracts, delete-then-reinsert lands the
+   * reinsert, postimage chains land the last postimage).
+   */
+  def applyChangeFeedCollapsed(snapshot: DataFrame, feed: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(feed.columns.contains("_change_type") &&
+      feed.columns.contains("_version"),
+      "applyChangeFeedCollapsed: feed must come from changesDetailed " +
+        "(_change_type/_version columns missing)")
+    require(keyCols.nonEmpty, "applyChangeFeedCollapsed: need key columns")
+    val dataCols = feed.columns.filterNot(c =>
+      c == "_change_type" || c == "_version").map(col).toSeq
+    // the feed-side guard, one window-sized job: null keys cannot merge
+    // by key (SQL equality), and two changes to one key inside one
+    // version have an intra-version order the fold cannot see
+    val unsafe = feed
+      .groupBy((keyCols.map(col) :+ col("_version")): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 ||
+        keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).count() > 0
+    if (unsafe) return applyChangeFeed(snapshot, feed, keyCols)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_version").desc)
+    val last = feed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    // one anti-join + one union, whatever the window's version count;
+    // the touched-key frame is window-sized — no broadcast hint, AQE
+    // broadcasts small windows and shuffles a month-long catch-up
+    snapshot.join(last.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(
+        last.filter(col("_change_type") =!= "delete").select(dataCols: _*))
   }
 
   // ------------------------------------------------------------------

@@ -209,6 +209,254 @@ object BulkSink {
     manifests
   }
 
+  /**
+   * Ring-bucket partitioner with per-bucket SALTING for hot token
+   * ranges: bucket `b` expands to `salts(b)` sub-buckets, rows route to
+   * a sub-bucket by a seeded hash of the PARTITION-KEY bytes (a pure
+   * function of the key — Spark may recompute map tasks on fetch
+   * failure, so per-record randomness would corrupt the shuffle; and
+   * same-pk rows stay in ONE sub-bucket, so the k-way merge never has
+   * to interleave equal keys from two runs and same-key rows remain
+   * contiguous, the newRow-on-key-change contract). The sub-bucket hash
+   * is Scala's Murmur3 x86 under its own seed — uncorrelated with the
+   * Cassandra x64_128 ring token that keys the SORT. The slot
+   * permutation applies over the TOTAL sub-bucket count, so a hot
+   * range's sub-buckets spread across reducers like adjacent ranges do.
+   *
+   * This is the answer SURVEY §7.4 risk 5 asks for: the reference's
+   * only hot-range escape (`distributerandomly`,
+   * CassandraPartitioner.java:58-60) forfeits ring alignment for EVERY
+   * range; salting splits only the hot ones and [[writeSortedSalted]]'s
+   * sink-side merge restores the one-sorted-run-per-range contract.
+   */
+  final class SaltedRingPartitioner(n: Int, salts: Map[Int, Int],
+      seed: Long = DefaultSlotSeed) extends Partitioner {
+    require(n > 0)
+    require(salts.forall { case (b, k) => b >= 0 && b < n && k >= 1 },
+      s"saltBuckets must map bucket in [0, $n) -> subBuckets >= 1: $salts")
+    private[sinks] val kOf = Array.tabulate(n)(b => salts.getOrElse(b, 1))
+    private[sinks] val offsets = kOf.scanLeft(0)(_ + _) // length n+1
+    /** Total shuffle partitions: n plus the extra sub-buckets. */
+    val total: Int = offsets(n)
+    private val perm = slotPermutation(total, seed)
+    override def numPartitions: Int = total
+    override def getPartition(key: Any): Int = key match {
+      case (token: Long, pk: Array[Byte]) =>
+        val b = CassandraTokens.bucketOfToken(token, n)
+        val k = kOf(b)
+        val sub =
+          if (k == 1) 0
+          else scala.math.floorMod(
+            scala.util.hashing.MurmurHash3.bytesHash(pk, 0x5a17ed), k)
+        perm(offsets(b) + sub)
+      case other => throw new IllegalArgumentException(s"bad key: $other")
+    }
+  }
+
+  /** Test observability: per SALTED bucket, the phase-1 sub-run row
+    * counts of the last [[writeSortedSalted]] call — lets a spec pin
+    * that a planted hot range actually spread across its sub-buckets. */
+  @volatile private[graft] var lastSaltSubRows: Map[Int, Seq[Long]] = Map.empty
+
+  /**
+   * [[writeSorted]] with hot-range salting (Murmur3 partitioner only):
+   * each bucket in `saltBuckets` shuffles as `k` salted sub-buckets —
+   * `k` reducers share the hot range's rows and sort-spill in parallel,
+   * instead of one reducer owning the whole range
+   * (CassandraPartitioner.java:57-72's one-range-one-reducer shape) —
+   * and the sink then K-WAY MERGES each hot range's `k` sorted sub-runs
+   * back into ONE globally decorated-key-sorted run, so the output
+   * layout is indistinguishable from an unsalted write: one sorted run
+   * per ring bucket, manifest `partition` = bucket id. Unsalted buckets
+   * write final-form runs in one pass (their files just move into
+   * place).
+   *
+   * Scale shape: the merge is one task per HOT range (a handful), each
+   * streaming `k` sorted runs through a k-element heap — sequential
+   * I/O, constant memory, no re-sort; the hot range's bytes are read
+   * once more than the unsalted path would, the price of removing the
+   * straggler reducer. Like the rest of this sink, `outDir` must be a
+   * filesystem every executor and the driver can reach.
+   */
+  def writeSortedSalted(df: DataFrame, keyCols: Seq[String],
+      numBuckets: Int, outDir: String, saltBuckets: Map[Int, Int],
+      indexInterval: Int = 128, compression: Option[String] = None,
+      chunkSize: Int = SortedRunWriter.DefaultChunkSize)
+      : Seq[PartitionManifest] = {
+    require(keyCols.nonEmpty)
+    val codec = compression.map(SortedRunWriter.normalizeCodec)
+    require(chunkSize >= 1024, s"chunkSize must be >= 1 KiB, got $chunkSize")
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val serializers: Array[Row => Array[Byte]] =
+      schema.fields.map(f => rowSerializer(f, schema.fieldIndex(f.name)))
+    Files.createDirectories(Paths.get(outDir))
+    val tmpPath = new java.io.File(outDir, "_salt-tmp").getAbsolutePath
+    Files.createDirectories(Paths.get(tmpPath))
+
+    val partitioner = new SaltedRingPartitioner(numBuckets, saltBuckets)
+    val kOf = partitioner.kOf
+    val offsets = partitioner.offsets
+    // a task derives which (bucket, sub) it owns by inverting the slot
+    // permutation (same seed -> same bijection, no config channel)
+    val perm = slotPermutation(partitioner.total)
+    val inv = new Array[Int](perm.length)
+    perm.zipWithIndex.foreach { case (p, s) => inv(p) = s }
+
+    val keyed = df.rdd.map { row =>
+      val comps = keyIdx.map(i => serializers(i)(row))
+      val pk = if (comps.length == 1) comps(0) else CqlValueCodec.composite(comps)
+      ((CassandraTokens.token(pk), pk), encodeRow(row, serializers))
+    }
+    val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
+    // phase 1: every shuffle partition writes a sorted run into the
+    // staging dir — unsalted buckets final-form (index + codec, they
+    // only need a rename), salted sub-runs plain (the merge re-reads
+    // them anyway and re-encodes once, in the final writer)
+    val phase1: Seq[(Int, Int, PartitionManifest)] =
+      aligned.mapPartitionsWithIndex { (pid, it) =>
+        val sub = inv(pid)
+        var b = java.util.Arrays.binarySearch(offsets, sub)
+        if (b < 0) b = -b - 2
+        val m =
+          if (kOf(b) == 1)
+            writePartition(tmpPath, pid, it, indexInterval, codec, chunkSize)
+          else
+            writePartition(tmpPath, pid, it, indexInterval, None, chunkSize)
+        Iterator.single((b, sub - offsets(b), m))
+      }.collect().toSeq
+
+    val byBucket = phase1.groupBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PartitionManifest]
+    // unsalted buckets: rename the final-form files into place under the
+    // bucket's pid (driver-side, #buckets renames, no data read)
+    byBucket.toSeq.filter { case (b, _) => kOf(b) == 1 }.foreach {
+      case (b, group) =>
+        val m = group.head._3
+        def mv(name: String, newName: String): String = {
+          Files.move(Paths.get(tmpPath, name), Paths.get(outDir, newName))
+          newName
+        }
+        val data = mv(m.dataFile, f"graft-$b%05d-Data.db")
+        val idx =
+          if (m.indexFile.isEmpty) ""
+          else mv(m.indexFile, f"graft-$b%05d-Index.db")
+        if (m.chunks > 0)
+          mv(m.dataFile.replace("-Data.db", "-Chunks.db"),
+            f"graft-$b%05d-Chunks.db")
+        out += m.copy(partition = b, dataFile = data, indexFile = idx)
+    }
+    // salted buckets: one merge task per hot range, distributed
+    val saltedGroups = byBucket.toSeq.collect {
+      case (b, group) if kOf(b) > 1 =>
+        (b, group.sortBy(_._2).map(_._3.dataFile))
+    }
+    lastSaltSubRows = byBucket.collect {
+      case (b, group) if kOf(b) > 1 =>
+        b -> group.sortBy(_._2).map(_._3.rows)
+    }.toMap
+    if (saltedGroups.nonEmpty) {
+      val sc = df.sparkSession.sparkContext
+      out ++= sc.parallelize(saltedGroups, saltedGroups.size).map {
+        case (b, dataFiles) =>
+          mergeSubRuns(tmpPath, outDir, b, dataFiles, indexInterval,
+            codec, chunkSize)
+      }.collect()
+    }
+    // staging (sub-runs, their throwaway indexes) is no longer needed
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(tmpPath))
+    val manifests = out.sortBy(_.partition).toSeq
+    val json = manifests.map(manifestJson).mkString("[", ",", "]")
+    Files.write(Paths.get(outDir, "_MANIFEST.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    manifests
+  }
+
+  /** Streaming cursor over one sub-run's record frames (2-byte key len +
+    * key + 4-byte value len + value); tokens recompute from the key —
+    * the run format stores none. */
+  private final class RunCursor(file: java.io.File) {
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file), 1 << 16))
+    var token: Long = 0L
+    var key: Array[Byte] = _
+    var value: Array[Byte] = _
+    def advance(): Boolean =
+      try {
+        val klen = in.readUnsignedShort()
+        key = new Array[Byte](klen); in.readFully(key)
+        val vlen = in.readInt()
+        value = new Array[Byte](vlen); in.readFully(value)
+        token = CassandraTokens.token(key)
+        true
+      } catch { case _: java.io.EOFException => close(); false }
+    def close(): Unit = try in.close() catch { case _: Exception => () }
+  }
+
+  /** K-way merge of one hot range's sorted sub-runs into its final
+    * decorated-key-sorted run: a k-element min-heap streams the runs —
+    * sequential reads, O(k) memory — and the writer's own sorted-input
+    * check re-verifies global order at write time (any heap or routing
+    * bug fails loudly, never ships an unsorted run). */
+  private def mergeSubRuns(tmpDir: String, outDir: String, bucket: Int,
+      dataFiles: Seq[String], indexInterval: Int, codec: Option[String],
+      chunkSize: Int): PartitionManifest = {
+    val writer = new SortedRunWriter(outDir, bucket, indexInterval, codec,
+      chunkSize = chunkSize)
+    val cursors = dataFiles.map(f => new RunCursor(new java.io.File(tmpDir, f)))
+    try {
+      val heap = new java.util.PriorityQueue[RunCursor](
+        math.max(1, cursors.size),
+        (a: RunCursor, b: RunCursor) =>
+          CassandraTokens.compareDecorated(a.token, a.key, b.token, b.key))
+      cursors.foreach(c => if (c.advance()) { heap.add(c); () })
+      while (!heap.isEmpty) {
+        val c = heap.poll()
+        writer.add(c.token, c.key, c.value)
+        if (c.advance()) { heap.add(c); () }
+      }
+      writer.close()
+    } catch { case e: Throwable => writer.abort(); throw e }
+    finally cursors.foreach(_.close())
+  }
+
+  /**
+   * Hot-range detection for [[writeSortedSalted]]: estimates each ring
+   * bucket's row share from one seeded sample pass and proposes
+   * `ceil(share / mean)` sub-buckets (capped at `maxSalt`) for every
+   * bucket whose share exceeds `hotFactor`× the mean. Driver state is
+   * #buckets counters; empty result means the ring is balanced and the
+   * plain [[writeSorted]] is the right call.
+   */
+  def planSalts(df: DataFrame, keyCols: Seq[String], numBuckets: Int,
+      sampleFraction: Double = 0.01, hotFactor: Double = 2.0,
+      maxSalt: Int = 16): Map[Int, Int] = {
+    require(keyCols.nonEmpty)
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val serializers: Array[Row => Array[Byte]] =
+      schema.fields.map(f => rowSerializer(f, schema.fieldIndex(f.name)))
+    val counts = df.sample(withReplacement = false, sampleFraction,
+        seed = DefaultSlotSeed)
+      .rdd.map { row =>
+        val comps = keyIdx.map(i => serializers(i)(row))
+        val pk = if (comps.length == 1) comps(0)
+          else CqlValueCodec.composite(comps)
+        CassandraTokens.bucketOfToken(CassandraTokens.token(pk), numBuckets)
+      }.countByValue()
+    val totalN = counts.values.sum.toDouble
+    if (totalN == 0) return Map.empty
+    val mean = totalN / numBuckets
+    counts.collect {
+      case (b, c) if c > hotFactor * mean =>
+        b -> math.min(maxSalt, math.ceil(c / mean).toInt)
+    }.toMap
+  }
+
   /** One manifest entry as JSON (shared by the RDD and DSv2 sinks). The
     * hex token-range fields appear only for RandomPartitioner runs. */
   def manifestJson(m: PartitionManifest): String = {

@@ -1673,6 +1673,260 @@ class OperatorsSpec extends AnyFunSuite {
       s"manifest drifted: ${files.length} files")
   }
 
+  test("lakehouse: deleteWhere rebases through a stats-disjoint append — both land") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-drb").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 4) // v0
+    // a pure append whose key range [5000, 6000) is provably disjoint
+    // from the delete's pruneRanges [100, 299] steals the slot inside
+    // the rewrite's race window — the delete must REBASE and commit
+    // with the appended rows riding along, not die
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => () // fire once
+        Lakehouse.appendClustered(mk(5000, 6000), dir, Seq("k", "t"),
+          files = 1)                                                    // v1
+      }
+      val (fw, nd) = Lakehouse.deleteWhere(spark, dir,
+        col("k") >= 100 && col("k") < 300,
+        pruneRanges = Seq(("k", 100, 299)))                             // v2
+      assert(nd === 200L, s"deleted $nd rows")
+      assert(fw >= 1)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+    // BOTH landed, on a linear log
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getLong(0)).toSeq === (0L to 2L) &&
+      h.map(_.getString(1)).toSeq === Seq("create", "append", "delete"),
+      s"history drifted: ${h.map(r =>
+        s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")}")
+    // union exact: base minus the deleted band plus the appended rows
+    val truth = mk(0, 100).unionByName(mk(300, 1000))
+      .unionByName(mk(5000, 6000))
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "delete-vs-append rebase lost or duplicated rows")
+    // the CDF sidecar survived the rebase: the feed retracts exactly
+    // the deleted band
+    val dels = Lakehouse.changesDetailed(spark, dir, 1)
+      .filter(col("_change_type") === "delete")
+    assert(dels.count() === 200L, "rebased delete's CDF drifted")
+    // an OVERLAPPING append (keys inside the delete's ranges) stays
+    // fail-loud: it could carry rows the predicate matches
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        Lakehouse.appendClustered(mk(5050, 5060), dir, Seq("k", "t"),
+          files = 1)                                                    // v3
+      }
+      val e = intercept[Lakehouse.CommitConflictException](
+        Lakehouse.deleteWhere(spark, dir,
+          col("k") >= 5000 && col("k") < 5100,
+          pruneRanges = Seq(("k", 5000, 5099))))
+      assert(e.getMessage.contains("not provably disjoint"), e.getMessage)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+    // and a delete WITHOUT pruneRanges has no bound to reason with:
+    // fail-loud even though this append is in fact disjoint
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        Lakehouse.appendClustered(mk(9000, 9100), dir, Seq("k", "t"),
+          files = 1)
+      }
+      val e = intercept[Lakehouse.CommitConflictException](
+        Lakehouse.deleteWhere(spark, dir, col("k") === 1L))
+      assert(e.getMessage.contains("pruneRanges"), e.getMessage)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+  }
+
+  test("lakehouse: upsertByKey rebases through a key-disjoint append — both land") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-urb").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 4) // v0
+    // batch keys span [500, 1200): 500 replaced + 200 inserted; the
+    // interloping append's keys [5000, 6000) are provably outside that
+    // bound, so no appended row can carry an update key — rebase
+    val ups = mk(500, 1200).withColumn("v", col("v") * -1)
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        Lakehouse.appendClustered(mk(5000, 6000), dir, Seq("k", "t"),
+          files = 1)                                                    // v1
+      }
+      val (rw, repl, ins) = Lakehouse.upsertByKey(spark, dir, ups,
+        Seq("k"))                                                       // v2
+      assert(repl === 500L && ins === 700L,
+        s"upsert drifted through the rebase: ($rw, $repl, $ins)")
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getLong(0)).toSeq === (0L to 2L) &&
+      h.map(_.getString(1)).toSeq === Seq("create", "append", "upsert"),
+      s"history drifted: ${h.map(r =>
+        s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")}")
+    val truth = mk(0, 500).unionByName(ups).unionByName(mk(5000, 6000))
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "upsert-vs-append rebase lost or duplicated rows")
+    // the feed survived the rebase: the upsert's inserts are exactly
+    // the keys absent from the base table
+    val fed = Lakehouse.changesDetailed(spark, dir, 1)
+      .filter(col("_change_type") === "insert" && col("_version") === 2L)
+    assert(fed.count() === 200L, "rebased upsert's insert feed drifted")
+    // an append whose keys OVERLAP the batch's key bounds stays
+    // fail-loud: it could carry a key this merge decided to insert
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        Lakehouse.appendClustered(mk(5500, 5510), dir, Seq("k", "t"),
+          files = 1)                                                    // v3
+      }
+      val e = intercept[Lakehouse.CommitConflictException](
+        Lakehouse.upsertByKey(spark, dir,
+          mk(5400, 5600).withColumn("v", lit(0.0)), Seq("k")))
+      assert(e.getMessage.contains("not provably disjoint"), e.getMessage)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+    // a key column with NO manifest stats (not a zCol) has no bound at
+    // all: fail-loud with the cluster-on-a-key-column diagnostic
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        Lakehouse.appendClustered(mk(9000, 9100), dir, Seq("k", "t"),
+          files = 1)
+      }
+      val e = intercept[Lakehouse.CommitConflictException](
+        Lakehouse.upsertByKey(spark, dir,
+          mk(0, 10).withColumn("v", lit(-1.0)), Seq("v")))
+      assert(e.getMessage.contains("manifest stats"), e.getMessage)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+  }
+
+  test("lakehouse: applyChangeFeedCollapsed — identical mirror, constant plan depth over a 50-version catch-up") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-clps").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 100), dir, Seq("k", "t"), files = 1) // v0
+    val snapshot0 = Lakehouse.prunedReadAt(spark, dir, 0, "k", 0, 1e9)
+      .localCheckpoint()
+    // 50 commits: appends of fresh key ranges, keyed upserts (postimages
+    // + inserts), periodic deletes — the key stays UNIQUE throughout
+    // (the collapse's contract). Mostly appends: the point is the
+    // VERSION COUNT (plan depth), not per-commit weight
+    (1 to 50).foreach { i =>
+      if (i % 25 == 0)
+        Lakehouse.deleteWhere(spark, dir,
+          col("k") >= (i - 5) * 100L && col("k") < (i - 5) * 100L + 30,
+          files = 1)
+      else if (i % 8 == 0)
+        Lakehouse.upsertByKey(spark, dir,
+          mk(i * 100L - 50, i * 100L + 100).withColumn("v", col("v") * -1),
+          Seq("k"), files = 1)
+      else
+        Lakehouse.appendClustered(mk(i * 100L, i * 100L + 100), dir,
+          Seq("k", "t"), files = 1)
+    }
+    val feed = Lakehouse.changesDetailed(spark, dir, 0)
+    val general = Lakehouse.applyChangeFeed(snapshot0, feed, Seq("k"))
+    val collapsed = Lakehouse.applyChangeFeedCollapsed(snapshot0, feed,
+      Seq("k"))
+    // identical mirrors, and both equal the live table
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(collapsed.exceptAll(general).isEmpty &&
+      general.exceptAll(collapsed).isEmpty,
+      "collapsed path diverged from the per-version replay")
+    assert(collapsed.exceptAll(live).isEmpty &&
+      live.exceptAll(collapsed).isEmpty,
+      "collapsed mirror diverged from the live table")
+    // CONSTANT plan depth: the general path chains one
+    // except/anti-join/union group per version (50 versions deep); the
+    // collapse is ONE anti-join + ONE window + ONE union over the feed,
+    // however many versions the window spans
+    import org.apache.spark.sql.catalyst.plans.logical.{Except, Join}
+    def merges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case j: Join => j
+        case e: Except => e
+      }.size
+    val cm = merges(collapsed)
+    val gm = merges(general)
+    assert(cm <= 2,
+      s"collapsed plan carries $cm join/except nodes — depth is not " +
+        "constant in the window's version count")
+    assert(gm >= 8, s"general path unexpectedly shallow ($gm) — the " +
+      "comparison no longer pins anything")
+    // the guard: a multi-row-per-key postimage batch (same key changed
+    // twice within one version) must fall back to the per-version
+    // replay, not mis-fold — pinned on a small fresh table
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-lh-clpf").toString
+    Lakehouse.writeClustered(mk(0, 20), dir2, Seq("k", "t"), files = 1)
+    val snap2 = Lakehouse.prunedReadAt(spark, dir2, 0, "k", 0, 1e9)
+      .localCheckpoint()
+    Lakehouse.upsertByKey(spark, dir2,
+      mk(0, 1).unionByName(mk(0, 1).withColumn("v", lit(7.0))), Seq("k"),
+      files = 1)
+    val feed2 = Lakehouse.changesDetailed(spark, dir2, 0)
+    val g2 = Lakehouse.applyChangeFeed(snap2, feed2, Seq("k"))
+    val c2 = Lakehouse.applyChangeFeedCollapsed(snap2, feed2, Seq("k"))
+    assert(c2.exceptAll(g2).isEmpty && g2.exceptAll(c2).isEmpty,
+      "fallback path diverged on a duplicate-key-within-version feed")
+    assert(merges(c2) === merges(g2),
+      "the duplicate-key feed did not fall back to the per-version replay")
+  }
+
+  test("lakehouse: vacuum never reclaims a live appender's just-renamed files") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-vrace").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("t"))
+    Lakehouse.writeClustered(mk(0, 100), dir, Seq("k", "t"), files = 1)
+    // an appender thread lands 20 batches while the main thread runs a
+    // vacuum loop with a production-sized orphan grace: a mid-commit
+    // appender's just-renamed (not yet manifest-referenced) data files
+    // look exactly like crashed debris, and ONLY the grace cutoff
+    // protects them — any reclaim here surfaces as lost rows or a
+    // FileNotFound at the final read
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit =
+        (0 until 20).foreach { i =>
+          Lakehouse.appendClustered(mk(100L + i * 100, 200L + i * 100),
+            dir, Seq("k", "t"), files = 1, maxAttempts = 50)
+        }
+    })
+    var vacuums = 0
+    while (!appender.isDone || vacuums < 20) {
+      Lakehouse.vacuum(spark, dir, retainVersions = 1,
+        orphanGraceMs = 600000L)
+      vacuums += 1
+      // breathe: an unthrottled vacuum loop starves the appender's jobs
+      // on the shared local scheduler without exercising anything more
+      Thread.sleep(50L)
+    }
+    appender.get()
+    pool.shutdown()
+    assert(vacuums >= 20, s"only $vacuums vacuum iterations ran")
+    // nothing lost: every batch's rows are live, and every
+    // manifest-referenced file still exists on disk
+    val truth = mk(0, 2100)
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 99)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      s"vacuum racing $vacuums iterations against a live appender lost " +
+        "or duplicated rows")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Lakehouse.readManifest(spark, dir).select(col("file")).collect()
+      .foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+        assert(fs.exists(p), s"vacuum reclaimed live file $p")
+      }
+  }
+
   test("lakehouse: upsertByKey refuses an over-contract update batch at the boundary") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-cap").toString

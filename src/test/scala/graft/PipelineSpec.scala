@@ -160,6 +160,106 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows === m0.rows)
   }
 
+  test("writeSortedSalted: a planted hot range splits across sub-buckets and merges back to one globally sorted run") {
+    val numBuckets = 4
+    def bucketOf(s: String): Int = CassandraTokens.bucketOfToken(
+      CassandraTokens.token(CqlValueCodec.serializeString(s)), numBuckets)
+    // plant the skew the reference's one-range-one-reducer shape chokes
+    // on: 8000 distinct keys all landing in ONE ring bucket, plus a
+    // balanced background
+    val hotBucket = 1
+    val hotKeys = Iterator.from(0).map(i => s"hot-$i")
+      .filter(k => bucketOf(k) == hotBucket).take(8000).toSeq
+    val bgKeys = (0 until 1200).map(i => s"bg-$i")
+    val df = (hotKeys ++ bgKeys).toDF("rowkey")
+      .withColumn("v", length(col("rowkey")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-salt").toString
+    val manifests = BulkSink.writeSortedSalted(df, Seq("rowkey"),
+      numBuckets, dir, Map(hotBucket -> 4))
+    // final layout: ONE run per ring bucket, pid = bucket, range inside it
+    assert(manifests.length === numBuckets)
+    assert(manifests.map(_.rows).sum === 8000L + 1200L)
+    manifests.filter(_.rows > 0).foreach { m =>
+      assert(CassandraTokens.bucketOfToken(m.minToken, numBuckets)
+        === m.partition)
+      assert(CassandraTokens.bucketOfToken(m.maxToken, numBuckets)
+        === m.partition)
+      assert(m.sorted)
+    }
+    val hot = manifests.find(_.partition == hotBucket).get
+    assert(hot.rows >= 8000L)
+    // balance: the hot range's rows really spread across its 4 sub-runs
+    // (binomial over distinct pks — max sub-run well under 2x the mean)
+    val subRows = BulkSink.lastSaltSubRows(hotBucket)
+    assert(subRows.size === 4, s"sub-runs: $subRows")
+    assert(subRows.sum === hot.rows)
+    assert(subRows.min > 0 &&
+      subRows.max <= 2L * (subRows.sum / subRows.size),
+      s"hot range did not balance across sub-buckets: $subRows")
+    // the staging dir is gone; the manifest round-trips
+    assert(!new java.io.File(dir, "_salt-tmp").exists())
+    val reread = BulkSink.readManifests(new java.io.File(dir))
+    assert(reread.map(m => (m.partition, m.rows)).sortBy(_._1)
+      === manifests.map(m => (m.partition, m.rows)).sortBy(_._1))
+    // property: the MERGED hot run is globally decorated-key-sorted
+    // (re-parse, independent of the writer's own check)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(new java.io.File(dir, hot.dataFile))))
+    var rows = 0L
+    var prevTok = Long.MinValue
+    var prevKey: Array[Byte] = null
+    try {
+      while (in.available() > 0) {
+        val klen = in.readUnsignedShort()
+        val key = new Array[Byte](klen); in.readFully(key)
+        val vlen = in.readInt()
+        in.skipBytes(vlen)
+        val tok = CassandraTokens.token(key)
+        if (prevKey != null)
+          assert(CassandraTokens.compareDecorated(
+            prevTok, prevKey, tok, key) <= 0,
+            s"merged run out of decorated order at row $rows")
+        prevTok = tok; prevKey = key
+        rows += 1
+      }
+    } finally in.close()
+    assert(rows === hot.rows)
+    // and the merged output is BYTE-IDENTICAL to the unsalted write's
+    // run for the same bucket: same rows, same order, same framing —
+    // the sorted-run contract survived the salt+merge round trip
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-salt0").toString
+    val plain = BulkSink.writeSorted(df, Seq("rowkey"), numBuckets, dir2)
+    val perm = BulkSink.slotPermutation(numBuckets)
+    val plainHot = plain.find(_.partition == perm(hotBucket)).get
+    assert(plainHot.rows === hot.rows && plainHot.bytes === hot.bytes)
+    val a = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, hot.dataFile))
+    val b = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, plainHot.dataFile))
+    assert(java.util.Arrays.equals(a, b),
+      "salted+merged run bytes differ from the unsalted run")
+  }
+
+  test("planSalts detects the planted hot bucket and only it") {
+    val numBuckets = 4
+    def bucketOf(s: String): Int = CassandraTokens.bucketOfToken(
+      CassandraTokens.token(CqlValueCodec.serializeString(s)), numBuckets)
+    val hotBucket = 2
+    val hotKeys = Iterator.from(0).map(i => s"h2-$i")
+      .filter(k => bucketOf(k) == hotBucket).take(4000).toSeq
+    val bgKeys = (0 until 1200).map(i => s"bg2-$i")
+    val df = (hotKeys ++ bgKeys).toDF("rowkey")
+    val salts = BulkSink.planSalts(df, Seq("rowkey"), numBuckets,
+      sampleFraction = 1.0)
+    assert(salts.keySet === Set(hotBucket), s"salts: $salts")
+    assert(salts(hotBucket) >= 2 && salts(hotBucket) <= 16)
+    // and the plan feeds straight into the salted write
+    val dir = java.nio.file.Files.createTempDirectory("graft-saltp").toString
+    val manifests = BulkSink.writeSortedSalted(df, Seq("rowkey"),
+      numBuckets, dir, salts)
+    assert(manifests.map(_.rows).sum === 5200L)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -306,6 +306,55 @@ class KernelSpec extends AnyFunSuite {
     assert(q === Map("a" -> "1", "flag" -> "true", "b" -> "x=y"))
   }
 
+  test("saltbuckets= URI grammar: explicit pairs, auto, typos fail loudly") {
+    val info = StaticClusterInfo(numClusterNodes = 5)
+    val p = CassandraParams.parse(
+      "cql://h/ks/t?reducers=8&saltbuckets=3:4,7:2", info)
+    assert(p.saltBuckets === Map(3 -> 4, 7 -> 2) && !p.saltAuto)
+    val auto = CassandraParams.parse("cql://h/ks/t?saltbuckets=auto", info)
+    assert(auto.saltAuto && auto.saltBuckets.isEmpty)
+    val none = CassandraParams.parse("cql://h/ks/t", info)
+    assert(!none.saltAuto && none.saltBuckets.isEmpty)
+    intercept[IllegalArgumentException](
+      CassandraParams.parse("cql://h/ks/t?saltbuckets=3-4", info))
+    intercept[IllegalArgumentException]( // k=1 salt is a typo, not a no-op
+      CassandraParams.parse("cql://h/ks/t?saltbuckets=3:1", info))
+  }
+
+  test("SaltedRingPartitioner: same pk same partition, sub-slots stay inside the bucket") {
+    import graft.sinks.BulkSink
+    val n = 8
+    val salts = Map(2 -> 4, 5 -> 3)
+    val p = new BulkSink.SaltedRingPartitioner(n, salts)
+    assert(p.total === n + 3 + 2)
+    // invert the permutation to recover each partition's (bucket, sub)
+    val kOf = Array.tabulate(n)(b => salts.getOrElse(b, 1))
+    val offsets = kOf.scanLeft(0)(_ + _)
+    val perm = BulkSink.slotPermutation(p.total)
+    val inv = new Array[Int](perm.length)
+    perm.zipWithIndex.foreach { case (q, s) => inv(q) = s }
+    (0 until 5000).foreach { i =>
+      val pk = s"key-$i".getBytes("UTF-8")
+      val tok = CassandraTokens.token(pk)
+      val b = CassandraTokens.bucketOfToken(tok, n)
+      val part = p.getPartition((tok, pk))
+      // routing is a pure function of the key (shuffle-retry safety)
+      assert(part === p.getPartition((tok, pk)))
+      // and the sub-slot belongs to the key's ring bucket
+      val sub = inv(part)
+      assert(sub >= offsets(b) && sub < offsets(b + 1),
+        s"key $i routed outside its ring bucket")
+    }
+    // every sub-slot of a salted bucket receives SOME keys (balance is
+    // pinned end-to-end in PipelineSpec; here just non-degeneracy)
+    val hits = (0 until 20000).map { i =>
+      val pk = s"k$i".getBytes("UTF-8")
+      inv(p.getPartition((CassandraTokens.token(pk), pk)))
+    }.toSet
+    assert((offsets(2) until offsets(3)).forall(hits.contains),
+      "a salted sub-bucket never received a key")
+  }
+
   test("insert statement synthesis") {
     val p = CassandraParams.parse("cql://h/ks/t", StaticClusterInfo())
     assert(p.buildInsertStatement(Seq("a", "b")) ===
