@@ -119,6 +119,46 @@ class IntegrationSpec extends AnyFunSuite {
     } finally cluster.stop()
   }
 
+  test("CLI saltbuckets= splits hot ranges and still emits one run per ring bucket") {
+    val out = Files.createTempDirectory("graft-cli-salt").toString
+    val manifests = Hdfs2CassSpark.run(spark, Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://localhost/ks/orders?reducers=4&saltbuckets=0:2,2:3",
+      "--rowkey", "o_orderkey",
+      "--sink-dir", out)), StaticClusterInfo())
+    assert(manifests.length === 4)
+    assert(manifests.map(_.rows).sum === 1500)
+    // pid = ring bucket; each merged run stays inside its bucket's range
+    manifests.filter(_.rows > 0).foreach { m =>
+      assert(graft.core.CassandraTokens.bucketOfToken(m.minToken, 4)
+        === m.partition)
+      assert(graft.core.CassandraTokens.bucketOfToken(m.maxToken, 4)
+        === m.partition)
+      assert(m.sorted)
+    }
+    // the salted layout reads back through the manifest-aware read path
+    val back = spark.read.format("graft-bulk").option("path", out).load()
+    assert(back.count() === 1500)
+    // auto mode on a balanced ring degrades to the plain write, same totals
+    val out2 = Files.createTempDirectory("graft-cli-salta").toString
+    val m2 = Hdfs2CassSpark.run(spark, Hdfs2CassSpark.parseArgs(Seq(
+      "--input", "/root/testdata/sf0.001/orders.parquet",
+      "--output", "cql://localhost/ks/orders?reducers=4&saltbuckets=auto",
+      "--rowkey", "o_orderkey",
+      "--sink-dir", out2)), StaticClusterInfo())
+    assert(m2.map(_.rows).sum === 1500)
+    // salting IS the ring-preserving alternative to distributerandomly —
+    // combining them is a contradiction, refused loudly
+    val e = intercept[IllegalArgumentException](
+      Hdfs2CassSpark.run(spark, Hdfs2CassSpark.parseArgs(Seq(
+        "--input", "/root/testdata/sf0.001/orders.parquet",
+        "--output", "cql://localhost/ks/orders?reducers=4&saltbuckets=0:2&distributerandomly=true",
+        "--rowkey", "o_orderkey",
+        "--sink-dir", Files.createTempDirectory("graft-cli-saltx").toString)),
+        StaticClusterInfo()))
+    assert(e.getMessage.contains("saltbuckets"), e.getMessage)
+  }
+
   test("CLI distributerandomly emits sorted runs that span the ring, not parquet") {
     // reference semantics: random routing changes ONLY the reducer
     // assignment (CassandraPartitioner.java:58-60); the sort comparator
