@@ -1761,6 +1761,12 @@ object Lakehouse {
    * whole (`readData` of the live manifest / [[prunedReadMulti]]), and
    * resume the feed from that version. Never skip the failed window and
    * continue — the mirror would silently diverge.
+   *
+   * A KEY-UNIQUE mirror catching up over many versions should apply
+   * each window with [[applyChangeFeedCollapsed]] instead — one merge
+   * of the window's final state per key, constant plan depth — falling
+   * back to [[applyChangeFeed]] automatically where the collapse's
+   * guard cannot hold.
    */
   def changesDetailed(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {

@@ -1805,6 +1805,58 @@ class OperatorsSpec extends AnyFunSuite {
     } finally Lakehouse.onRewriteBeforeCommit = () => ()
   }
 
+  test("lakehouse: deleteWhere races a live disjoint-appender thread — both land, union exact") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-tdrb").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 4)
+    // unlike the seam-driven spec, this is a REAL race: an appender
+    // thread lands 3 batches (keys 10000+, provably outside the
+    // delete's pruneRanges) while the delete runs — whatever the
+    // schedule, the delete must rebase through every interleaved
+    // append and ALL 4 commits land
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        gate.await()
+        (0 until 3).foreach { i =>
+          val lo = 10000L + i * 1000
+          Lakehouse.appendClustered(mk(lo, lo + 1000), dir, Seq("k", "t"),
+            files = 1, maxAttempts = 50)
+        }
+      }
+    })
+    val deleter = pool.submit(new java.util.concurrent.Callable[(Int, Long)] {
+      def call(): (Int, Long) = {
+        gate.await()
+        Lakehouse.deleteWhere(spark, dir,
+          col("k") >= 100 && col("k") < 300,
+          pruneRanges = Seq(("k", 100, 299)), maxAttempts = 50)
+      }
+    })
+    gate.countDown()
+    appender.get()
+    val (_, nd) = deleter.get()
+    pool.shutdown()
+    assert(nd === 200L, s"deleted $nd rows")
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    val hDump = h.map(r =>
+      s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")
+    assert(h.map(_.getLong(0)).toSeq === (0L to 4L),
+      s"log is not linear — history: $hDump")
+    assert(h.count(_.getString(1) == "append") === 3 &&
+      h.count(_.getString(1) == "delete") === 1,
+      s"a raced commit was lost — history: $hDump")
+    val truth = mk(0, 100).unionByName(mk(300, 1000))
+      .unionByName(mk(10000, 13000))
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      s"delete-vs-append thread race lost or duplicated rows — $hDump")
+  }
+
   test("lakehouse: applyChangeFeedCollapsed — identical mirror, constant plan depth over a 50-version catch-up") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-clps").toString

@@ -240,6 +240,40 @@ class PipelineSpec extends AnyFunSuite {
       "salted+merged run bytes differ from the unsalted run")
   }
 
+  test("writeSortedSalted with compression: merged runs are chunked and read back") {
+    val numBuckets = 4
+    def bucketOf(s: String): Int = CassandraTokens.bucketOfToken(
+      CassandraTokens.token(CqlValueCodec.serializeString(s)), numBuckets)
+    val hotBucket = 3
+    val hotKeys = Iterator.from(0).map(i => s"hz-$i")
+      .filter(k => bucketOf(k) == hotBucket).take(3000).toSeq
+    val df = (hotKeys ++ (0 until 600).map(i => s"bgz-$i")).toDF("rowkey")
+      .withColumn("v", md5(col("rowkey")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-saltz").toString
+    val manifests = BulkSink.writeSortedSalted(df, Seq("rowkey"),
+      numBuckets, dir, Map(hotBucket -> 3),
+      compression = Some("ZstdCompressor"), chunkSize = 4096)
+    assert(manifests.map(_.rows).sum === 3600L)
+    assert(manifests.forall(_.codec === "zstd"))
+    // every non-empty run — merged hot one and moved cold ones alike —
+    // carries its chunk map and a usable index
+    manifests.filter(_.rows > 0).foreach { m =>
+      assert(m.chunks > 0, s"${m.dataFile} not chunked")
+      assert(graft.sinks.SortedRunWriter.chunksFileFor(
+        new java.io.File(dir, m.dataFile)).exists())
+      assert(m.indexFile.nonEmpty)
+      assert(m.physicalBytes > 0 && m.physicalBytes < m.bytes,
+        s"${m.dataFile}: physical ${m.physicalBytes} vs logical ${m.bytes}")
+    }
+    // the compressed salted layout reads back through the manifest-aware
+    // DSv2 path, token pruning included
+    val back = spark.read.format("graft-bulk").option("path", dir).load()
+    assert(back.count() === 3600L)
+    val hot = manifests.find(_.partition == hotBucket).get
+    assert(back.filter(col("token") >= hot.minToken &&
+      col("token") <= hot.maxToken).count() >= hot.rows)
+  }
+
   test("planSalts detects the planted hot bucket and only it") {
     val numBuckets = 4
     def bucketOf(s: String): Int = CassandraTokens.bucketOfToken(
