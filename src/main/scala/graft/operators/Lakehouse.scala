@@ -56,28 +56,31 @@ import org.apache.spark.sql.functions._
  * purely ADDITIVE: re-deriving "fresh live + my new rows" is always
  * correct whatever landed in between. Two interleaved appenders (a
  * stream plus a nightly backfill — the normal production shape) both
- * land, on a linear log. [[compact]] additionally retries a lost race
- * when every interleaved commit is a PURE APPEND whose files are
- * disjoint from the compaction's read set (compaction-vs-append is
- * commutative: it removes only files it read, adds files nobody else
- * references — Delta's file-set conflict resolution for the same pair),
- * so in-stream maintenance survives a nightly backfill appender.
- * [[deleteWhere]] and [[upsertByKey]] racing a pure append are NOT
- * blindly commutative — an appended row could match the delete
- * predicate or carry an update key — but the manifest already holds
- * per-file min/max stats, so the provably-safe case rebases too: when
- * EVERY interloper is a pure append whose new files' stat ranges are
- * DISJOINT from the delete's `pruneRanges` (resp. the upsert batch's
- * key bounds), no appended row can be affected by the rewrite, and the
- * commit rebuilds against the new head exactly like compact (the
- * stats-disjointness argument Delta uses to avoid
- * ConcurrentAppendException). Overlapping, stats-less, or unprovable
- * appends (a delete without `pruneRanges`, an upsert whose key columns
- * carry no manifest stats) stay fail-loud. Every OTHER rewrite race
- * ([[replaceClustered]], [[writeClustered]], compact/delete/upsert
- * racing a non-append) stays single-writer fail-loud: a lost race
- * throws before anything becomes visible, since replaying a rewrite
- * against a moved base could resurrect or double rows.
+ * land, on a linear log.
+ *
+ * The REWRITE ops resolve lost races with FILE-SET conflict detection
+ * (the Delta model). [[compact]] removes only files it read and adds
+ * files nobody else references, so it commutes with ANY interleaved
+ * commit — append, delete, upsert, another compact — that left its
+ * read set fully referenced by the new live manifest; it rebuilds
+ * against the new head and retries (in-stream maintenance survives a
+ * nightly backfill appender AND a concurrent CDC merge on other
+ * files). [[deleteWhere]] and [[upsertByKey]] additionally need the
+ * interlopers' ADDED files to be provably unable to interact — an
+ * added row could match the delete predicate or carry an update key —
+ * and the manifest's per-file min/max stats give the proof: when every
+ * concurrently-added file's stat ranges are DISJOINT from the delete's
+ * `pruneRanges` (resp. the upsert batch's key bounds), and the op's
+ * read set is still live, the rewrite rebases exactly like compact
+ * (the stats-disjointness argument Delta uses to avoid
+ * ConcurrentAppendException); removals OUTSIDE the read set are safe
+ * by construction (see `commitRewrite`'s doc for the argument).
+ * Overlapping or unprovable cases (a delete without `pruneRanges`, an
+ * upsert whose key columns carry no manifest stats, an interloper that
+ * rewrote a file this op read) stay fail-loud, as does any race with a
+ * whole-table [[replaceClustered]]; [[writeClustered]] is destructive
+ * create-table and participates in no race resolution. A lost race
+ * that cannot rebase throws BEFORE anything becomes visible.
  * (On an object store without atomic rename the same caveat applies as
  * to Delta-on-S3: the final rename needs the store's conditional-put —
  * out of scope here.)
@@ -433,38 +436,55 @@ object Lakehouse {
   private[graft] var onRewriteBeforeCommit: () => Unit = () => ()
 
   /**
-   * The REWRITE-commit loop with stats-disjoint append rebase, shared by
-   * [[deleteWhere]] and [[upsertByKey]]. A lost race is retried ONLY
-   * when every interleaved commit is a pure `append` that provably
-   * cannot interact with this rewrite:
+   * The REWRITE-commit loop with FILE-SET conflict resolution (the
+   * Delta model), shared by [[deleteWhere]] and [[upsertByKey]]. A
+   * lost race is rebased — the replacement manifest rebuilt against
+   * the new live manifest, the interlopers' work riding along — ONLY
+   * when the interleaved commits provably cannot interact with this
+   * rewrite:
    *
-   *  - the interlopers' ops are all `append` (anything else may have
-   *    rewritten or dropped files this op read — fail loud, as compact
-   *    does);
+   *  - no interloper is a whole-table REPLACE (nothing computed
+   *    against the old table survives one);
    *  - the table schema did not move (this op's files were written
    *    under the base schema; committing them under a marker recording
    *    that schema would silently narrow a widened table);
-   *  - this op's read set (`affected`) is still fully referenced by the
-   *    new live manifest (appends never de-reference — defense in
-   *    depth);
-   *  - `appendOverlap(appendedManifestRows)` returns None: the op-
-   *    specific stats proof that NO appended row can match the delete
-   *    predicate / carry an update key. Some(diagnostic) — overlap, or
-   *    no bound to reason with — fails loud with the diagnostic.
+   *  - this op's READ SET (`affected`) is still fully referenced by
+   *    the new live manifest — the primary gate: any interloper that
+   *    rewrote or dropped a file this op read (a delete/upsert/compact
+   *    touching the same files) fails here, while one that touched
+   *    only OTHER files passes (its removals cannot affect rows this
+   *    op never read);
+   *  - `addedOverlap(addedManifestRows)` returns None over EVERY file
+   *    the interlopers ADDED (append batches, upsert postimage/insert
+   *    files, delete survivor re-files, compaction outputs): the
+   *    op-specific stats proof that NO added row can match the delete
+   *    predicate / carry an update key. Some(diagnostic) — overlap,
+   *    or no bound to reason with — fails loud with the diagnostic.
+   *    (A compaction re-files rows from inside this op's range
+   *    without changing them; its output overlaps the stats bound and
+   *    fails CONSERVATIVELY — correct, just not maximally permissive.)
    *
-   * On rebase the replacement manifest is rebuilt against the NEW live
-   * manifest (the appended rows ride along untouched) and the commit
-   * retries at the new head. Carries the same ambiguous-rename
-   * writer-token defense as [[commitAdditive]]/[[compact]]. Driver
-   * work per retry: #files-row manifest replays plus whatever the
-   * overlap callback runs (one manifest-sized job).
+   * Why removals outside the read set are safe: for a delete, an
+   * interloper's removal can only take rows AWAY — it cannot create a
+   * predicate match; for an upsert, every row carrying a matched
+   * update key lives in this op's read set by the probe's construction
+   * (pruneRanges contract included), so a removal touching such a row
+   * necessarily touches the read set and trips the liveness gate, and
+   * keys absent from the table (our inserts) have no rows to remove —
+   * an interloper INSERTING one of our keys is caught by the
+   * added-files proof instead.
+   *
+   * Carries the same ambiguous-rename writer-token defense as
+   * [[commitAdditive]]/[[compact]]. Driver work per retry: #files-row
+   * manifest replays plus whatever the overlap callback runs (one
+   * manifest-sized job).
    */
   private def commitRewrite(spark: SparkSession, path: String, op: String,
       streamId: String, batchId: Long, base0: Long, m0: DataFrame,
       affected: Seq[String], newStats: Option[DataFrame],
       insertFiles: Seq[String], postimageFiles: Seq[String],
       deleteFiles: Seq[String], fence: () => Unit,
-      appendOverlap: DataFrame => Option[String],
+      addedOverlap: DataFrame => Option[String],
       maxAttempts: Int): Long = {
     val fs = fsOf(spark, path)
     val token = java.util.UUID.randomUUID().toString
@@ -499,12 +519,14 @@ object Lakehouse {
           val interlopers = committedVersions(spark, path)
             .filter(v => v > base && v <= newBase)
             .map(v => (v, readCommit(fs, path, v).op))
-          val nonAppend = interlopers.filter(_._2 != "append")
-          if (nonAppend.nonEmpty) throw new CommitConflictException(
-            s"lakehouse log at $path: $op lost the race to non-append " +
-              s"commit(s) ${nonAppend.map(p =>
-                s"v${p._1}:${p._2}").mkString(", ")} — they may have " +
-              "rewritten files this op read; re-run against the new head")
+          // a REPLACE swapped the whole table — nothing this op computed
+          // survives (the liveness check below would also catch it; the
+          // explicit gate gives the honest diagnostic)
+          val replaced = interlopers.filter(_._2 == "replace")
+          if (replaced.nonEmpty) throw new CommitConflictException(
+            s"lakehouse log at $path: $op lost the race to whole-table " +
+              s"REPLACE commit(s) ${replaced.map(p =>
+                s"v${p._1}").mkString(", ")} — re-run against the new head")
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"lakehouse log at $path: $op lost $maxAttempts commit races " +
               "in a row — giving up", e)
@@ -520,19 +542,22 @@ object Lakehouse {
           val missing = affected.filterNot(f => liveFiles(pathKey(f)))
           if (missing.nonEmpty) throw new CommitConflictException(
             s"lakehouse log at $path: $op's read set lost ${missing.size} " +
-              s"file(s) (e.g. ${missing.head}) from the live manifest " +
-              "during an append-only interleave — refusing to commit " +
-              "against it")
+              s"file(s) (e.g. ${missing.head}) from the live manifest — " +
+              s"concurrent commit(s) ${interlopers.map(p =>
+                s"v${p._1}:${p._2}").mkString(", ")} rewrote or dropped " +
+              "files this op read; re-run against the new head")
           // the interlopers' new files: referenced by the new live
           // manifest, absent from the manifest this op read (our own
           // staged files are in neither — the commit failed)
-          val appended = newLive.join(
+          val added = newLive.join(
             live.select(col("file")), Seq("file"), "left_anti")
-          appendOverlap(appended).foreach(diag =>
+          addedOverlap(added).foreach(diag =>
             throw new CommitConflictException(
-              s"lakehouse log at $path: $op lost the race to a concurrent " +
-                s"append that is not provably disjoint from the $op's " +
-                s"scope — $diag; re-run against the new head"))
+              s"lakehouse log at $path: $op lost the race to concurrent " +
+                s"commit(s) ${interlopers.map(p =>
+                  s"v${p._1}:${p._2}").mkString(", ")} whose added files " +
+                s"are not provably disjoint from the $op's scope — " +
+                s"$diag; re-run against the new head"))
           base = newBase
           live = newLive
       }
@@ -796,20 +821,20 @@ object Lakehouse {
    * consistent, complete snapshot. [[vacuum]] reclaims the superseded
    * bytes once no retained version references them.
    *
-   * CONCURRENCY: compaction-vs-append is logically COMMUTATIVE —
+   * CONCURRENCY — file-set conflict detection (the Delta model):
    * compaction removes only files it read and adds files nobody else
-   * references — so a lost commit race against PURE APPENDS is resolved
-   * the Delta way (file-set conflict detection): if every interleaved
-   * commit is an `append` and the compaction's read set is still fully
-   * referenced by the new live manifest, the replacement manifest is
-   * rebuilt against that manifest (the appended rows ride along
-   * untouched) and the commit retries at the new head — the in-stream
-   * maintenance + nightly-backfill shape, where both writers land. Any
-   * OTHER interloper (upsert/delete/replace/another compact — ops that
-   * may have rewritten or dropped files this compaction read) stays
-   * fail-loud [[CommitConflictException]]: replaying against a moved
-   * base could resurrect rows. The already-written compacted files are
-   * reused across retries — only the #files-row manifest commit repeats.
+   * references, so it is COMMUTATIVE with any interleaved commit that
+   * left its read set alone. On a lost commit race, if every file this
+   * compaction read is still referenced by the new live manifest, the
+   * replacement is rebuilt against that manifest (the interlopers'
+   * work — appended batches, another range's delete or CDC merge —
+   * rides along untouched) and the commit retries at the new head.
+   * An interloper that rewrote or dropped a read-set file (a
+   * delete/upsert/compact overlapping the same small files), or a
+   * whole-table replace, stays fail-loud [[CommitConflictException]]:
+   * replaying against those could resurrect rows. The already-written
+   * compacted files are reused across retries — only the #files-row
+   * manifest commit repeats.
    */
   def compact(spark: SparkSession, path: String, zCols: Seq[String],
       minRows: Long, files: Int, bits: Int = 16,
@@ -861,28 +886,33 @@ object Lakehouse {
           val interlopers = committedVersions(spark, path)
             .filter(v => v > base && v <= newBase)
             .map(v => (v, readCommit(fs, path, v).op))
-          val nonAppend = interlopers.filter(_._2 != "append")
-          if (nonAppend.nonEmpty) throw new CommitConflictException(
+          // a REPLACE swapped the whole table — the read set is gone by
+          // definition (the liveness gate below would also catch it;
+          // the explicit check gives the honest diagnostic)
+          val replaced = interlopers.filter(_._2 == "replace")
+          if (replaced.nonEmpty) throw new CommitConflictException(
             s"lakehouse log at $path: compaction lost the race to " +
-              s"non-append commit(s) ${nonAppend.map(p =>
-                s"v${p._1}:${p._2}").mkString(", ")} — they may have " +
-              "rewritten files this compaction read; re-run against " +
-              "the new head")
+              s"whole-table REPLACE commit(s) ${replaced.map(p =>
+                s"v${p._1}").mkString(", ")} — re-run against the new head")
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"lakehouse log at $path: compaction lost $maxAttempts " +
               "commit races in a row — giving up", e)
           val newLive = manifestAt(spark, path, newBase)
-          // defense-in-depth: appends never de-reference files, so the
-          // read set must still be live; anything else means an op this
-          // loop cannot reason about touched the manifest — fail loud
+          // THE gate — file-set conflict detection: compaction removes
+          // only files it read and adds files nobody else references,
+          // so it commutes with ANY interleaved commit (append, delete,
+          // upsert, another compact) that left its read set fully live;
+          // an interloper that rewrote or dropped a file this compaction
+          // read fails here
           val liveFiles = newLive.select(col("file")).collect()
             .map(r => pathKey(r.getString(0))).toSet
           val missing = small.filterNot(f => liveFiles(pathKey(f)))
           if (missing.nonEmpty) throw new CommitConflictException(
             s"lakehouse log at $path: compaction's read set lost " +
               s"${missing.size} file(s) (e.g. ${missing.head}) from the " +
-              "live manifest during an append-only interleave — " +
-              "refusing to commit against it")
+              s"live manifest — concurrent commit(s) ${interlopers.map(p =>
+                s"v${p._1}:${p._2}").mkString(", ")} rewrote or dropped " +
+              "files this compaction read; re-run against the new head")
           base = newBase
           m = newLive
       }
@@ -1023,13 +1053,16 @@ object Lakehouse {
    * bounded by it) — a non-default cap combined with `largeBatch` logs
    * a warning so the dead parameter is visible.
    *
-   * CONCURRENCY: a lost commit race against PURE APPENDS is rebased
-   * when the appended files' manifest stats prove no appended row can
-   * carry an update key — every key column must be a clustered stats
-   * column whose appended [min, max] is disjoint from the batch's key
-   * bounds on at least one column (see the class doc; the same
-   * stats-disjointness argument Delta uses). Overlapping, stats-less,
-   * or non-append interlopers stay fail-loud
+   * CONCURRENCY — file-set conflict detection (the Delta model): a
+   * lost commit race is rebased when (a) every file this merge read is
+   * still live in the new manifest (an interloper rewriting one stays
+   * fail-loud) and (b) the interlopers' ADDED files' manifest stats
+   * prove no added row can carry an update key — every key column must
+   * be a clustered stats column whose added [min, max] is disjoint
+   * from the batch's key bounds on at least one column (the same
+   * stats-disjointness argument Delta uses). Appends, deletes, merges,
+   * and compactions on OTHER key ranges all rebase; overlapping or
+   * stats-less cases and whole-table replaces stay fail-loud
    * [[CommitConflictException]]; `maxAttempts` bounds the retries.
    * Every intermediate frame this merge `localCheckpoint`s (the batch,
    * the large-batch matched keys and splits, the survivors) is
@@ -1071,16 +1104,18 @@ object Lakehouse {
     val zCols = m.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
-    // the rebase's disjointness proof: an appended file can carry an
-    // update key only if its stats overlap the batch's key bounds on
-    // EVERY key column that has manifest stats; null file stats (an
-    // all-null key column — SQL equality never matches a null key) and
-    // null batch bounds both fall out of the overlap naturally
-    def keyAppendOverlap(appended: DataFrame): Option[String] = {
+    // the rebase's disjointness proof: a file added by a concurrent
+    // commit (an append batch, another upsert's postimages/inserts, a
+    // delete's survivor re-files) can carry an update key only if its
+    // stats overlap the batch's key bounds on EVERY key column that has
+    // manifest stats; null file stats (an all-null key column — SQL
+    // equality never matches a null key) and null batch bounds both
+    // fall out of the overlap naturally
+    def keyAddedOverlap(added: DataFrame): Option[String] = {
       val keyStatCols = keyCols.filter(c => m.columns.contains(s"min_$c"))
       if (keyStatCols.isEmpty)
         return Some(s"no key column (${keyCols.mkString(", ")}) carries " +
-          "manifest stats, so nothing bounds the appended rows' keys — " +
+          "manifest stats, so nothing bounds the added rows' keys — " +
           "cluster on a key column (zCols) to enable the rebase")
       val aggs = keyStatCols.flatMap(c =>
         Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
@@ -1089,9 +1124,9 @@ object Lakehouse {
         col(s"max_$c") >= lit(bounds.get(2 * i)) &&
           col(s"min_$c") <= lit(bounds.get(2 * i + 1))
       }.reduce(_ && _)
-      val hit = appended.filter(overlap).select(col("file")).limit(1).collect()
+      val hit = added.filter(overlap).select(col("file")).limit(1).collect()
       if (hit.isEmpty) None
-      else Some(s"appended file ${hit(0).getString(0)}'s key-column " +
+      else Some(s"added file ${hit(0).getString(0)}'s key-column " +
         "stats overlap the update batch's key bounds")
     }
     val fileRows = m.select(col("file"), col("n_rows")).collect()
@@ -1109,7 +1144,7 @@ object Lakehouse {
         affected = Nil,
         newStats = Some(statsOf(spark.read.parquet(newFiles: _*), zCols)),
         insertFiles = newFiles, postimageFiles = Nil, deleteFiles = Nil,
-        fence = () => fence(), appendOverlap = keyAppendOverlap,
+        fence = () => fence(), addedOverlap = keyAddedOverlap,
         maxAttempts = maxAttempts)
       return (0, 0L, u.count())
     }
@@ -1245,7 +1280,7 @@ object Lakehouse {
       newStats = Some(statsOf(spark.read.parquet(newFiles: _*), zCols)),
       insertFiles = insertFiles, postimageFiles = postimageFiles,
       deleteFiles = Nil, fence = () => fence(),
-      appendOverlap = keyAppendOverlap, maxAttempts = maxAttempts)
+      addedOverlap = keyAddedOverlap, maxAttempts = maxAttempts)
     (affected.size, replaced, u.count())
     } finally toRelease.foreach(releaseCheckpoint)
   }
@@ -1271,15 +1306,18 @@ object Lakehouse {
    * it when `pred` bounds a clustered column; a spec pins that the
    * probe then scans fewer files than the table holds.
    *
-   * CONCURRENCY: a lost commit race against PURE APPENDS is rebased
-   * when the appended files' manifest stats are disjoint from
-   * `pruneRanges` — the ranges bound everything `pred` can match, so a
-   * disjoint append provably contains no doomed row and the delete
-   * commits against the new head with the appended rows riding along
-   * (class doc; Delta's stats-disjointness argument). A delete WITHOUT
-   * `pruneRanges` has no bound to reason with and stays fail-loud on
-   * any race, as do overlapping appends and non-append interlopers;
-   * `maxAttempts` bounds the retries.
+   * CONCURRENCY — file-set conflict detection (the Delta model): a
+   * lost commit race is rebased when (a) every file this delete read
+   * is still live in the new manifest and (b) the interlopers' ADDED
+   * files' manifest stats are disjoint from `pruneRanges` — the ranges
+   * bound everything `pred` can match, so a disjoint added file
+   * provably contains no doomed row; interloper REMOVALS outside the
+   * read set only take rows away and cannot create a match. Appends,
+   * merges, deletes, and compactions on OTHER ranges all rebase. A
+   * delete WITHOUT `pruneRanges` has no bound to reason with and stays
+   * fail-loud on any race, as do overlapping added files, read-set
+   * rewrites, and whole-table replaces; `maxAttempts` bounds the
+   * retries.
    *
    * SQL DELETE semantics: a row is removed iff `pred` is TRUE — rows
    * where it evaluates null are kept. The affected-file probe is one
@@ -1362,18 +1400,18 @@ object Lakehouse {
           .map(s => fs.makeQualified(s.getPath).toUri.toString)
       }
     // the rebase's disjointness proof: `pred` implies `pruneRanges` (the
-    // documented contract), so an appended file whose stats are disjoint
-    // from the ranges provably holds no row this delete should remove.
-    // selectFilesIn IS the overlap test (a file survives pruning iff it
-    // overlaps every range); no ranges ⇒ no bound ⇒ not provable.
-    def deleteAppendOverlap(appended: DataFrame): Option[String] = {
+    // documented contract), so a concurrently-added file whose stats are
+    // disjoint from the ranges provably holds no row this delete should
+    // remove. selectFilesIn IS the overlap test (a file survives pruning
+    // iff it overlaps every range); no ranges ⇒ no bound ⇒ not provable.
+    def deleteAddedOverlap(added: DataFrame): Option[String] = {
       if (pruneRanges.isEmpty)
         return Some("the delete carries no pruneRanges, so no stats " +
-          "bound exists to prove appended rows cannot match the " +
-          "predicate (pass pruneRanges to enable the rebase)")
-      val (overlapping, _) = selectFilesIn(appended, path, pruneRanges)
+          "bound exists to prove concurrently-added rows cannot match " +
+          "the predicate (pass pruneRanges to enable the rebase)")
+      val (overlapping, _) = selectFilesIn(added, path, pruneRanges)
       if (overlapping.isEmpty) None
-      else Some(s"${overlapping.size} appended file(s) (e.g. " +
+      else Some(s"${overlapping.size} added file(s) (e.g. " +
         s"${overlapping.head}) overlap the delete's pruneRanges")
     }
     commitRewrite(spark, path, "delete", "", -1L, base, m,
@@ -1382,7 +1420,7 @@ object Lakehouse {
         if (newFiles.isEmpty) None
         else Some(statsOf(spark.read.parquet(newFiles: _*), zCols)),
       insertFiles = Nil, postimageFiles = Nil, deleteFiles = deleteFiles,
-      fence = () => (), appendOverlap = deleteAppendOverlap,
+      fence = () => (), addedOverlap = deleteAddedOverlap,
       maxAttempts = maxAttempts)
     (affected.size, hits.values.sum)
     } finally releaseCheckpoint(affFrame)

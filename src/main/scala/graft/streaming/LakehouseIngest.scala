@@ -91,12 +91,15 @@ object LakehouseIngest {
   private val skippedCycles =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** The in-stream maintenance pass. [[Lakehouse.compact]] retries a
-    * lost race against pure appends internally (the nightly-backfill
-    * shape), so a [[Lakehouse.CommitConflictException]] reaching here
-    * means a NON-APPEND writer (or an exhausted retry budget) — still a
-    * legitimate race, so the cycle SKIPS (warn, retry at the next
-    * `every`-th batch) instead of killing the stream. But only
+  /** The in-stream maintenance pass. [[Lakehouse.compact]] resolves a
+    * lost race internally with file-set conflict detection (any
+    * interloper that left its read set live — appends, other-range
+    * deletes/merges — rebases), so a
+    * [[Lakehouse.CommitConflictException]] reaching here means a writer
+    * REWROTE files this compaction read, a whole-table replace, or an
+    * exhausted retry budget — still a legitimate race, so the cycle
+    * SKIPS (warn, retry at the next `every`-th batch) instead of
+    * killing the stream. But only
     * `maxConsecutiveSkips` times in a row: a genuinely persistent
     * conflict (a stuck rewriter, a misconfiguration making every commit
     * fail as a "race") must surface as the failure it is, not be

@@ -1597,8 +1597,9 @@ class OperatorsSpec extends AnyFunSuite {
     // the interleaved append's file rode along; the 3 compacted
     // originals are dereferenced (2 files live: append's + compacted)
     assert(Lakehouse.readManifest(spark, dir).count() === 2)
-    // a NON-append interloper (here a delete, which may rewrite files
-    // compaction read) stays fail-loud
+    // an interloper that rewrites a file compaction READ (here a
+    // delete hitting the compacted file) stays fail-loud via the
+    // read-set liveness gate — the file-set conflict, detected
     try {
       Lakehouse.onCompactBeforeCommit = () => {
         Lakehouse.onCompactBeforeCommit = () => ()
@@ -1607,7 +1608,7 @@ class OperatorsSpec extends AnyFunSuite {
       val e = intercept[Lakehouse.CommitConflictException](
         Lakehouse.compact(spark, dir, Seq("k", "t"),
           minRows = 1000, files = 1))
-      assert(e.getMessage.contains("non-append"), e.getMessage)
+      assert(e.getMessage.contains("rewrote or dropped"), e.getMessage)
     } finally Lakehouse.onCompactBeforeCommit = () => ()
   }
 
@@ -1802,6 +1803,132 @@ class OperatorsSpec extends AnyFunSuite {
         Lakehouse.upsertByKey(spark, dir,
           mk(0, 10).withColumn("v", lit(-1.0)), Seq("v")))
       assert(e.getMessage.contains("manifest stats"), e.getMessage)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+  }
+
+  test("lakehouse: file-set conflicts — compact rebases through a delete on OTHER files") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-cxd").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    // one big file (the delete's target) + two small files (compaction's
+    // read set) — the file sets are disjoint by construction
+    Lakehouse.writeClustered(mk(0, 5000), dir, Seq("k", "t"), files = 1) // v0
+    Lakehouse.appendClustered(mk(5000, 5200), dir, Seq("k", "t"), files = 1) // v1
+    Lakehouse.appendClustered(mk(5200, 5400), dir, Seq("k", "t"), files = 1) // v2
+    try {
+      Lakehouse.onCompactBeforeCommit = () => {
+        Lakehouse.onCompactBeforeCommit = () => ()
+        // rewrites ONLY the big file — compaction's small files stay live
+        val (fw, nd) = Lakehouse.deleteWhere(spark, dir,
+          col("k") >= 100 && col("k") < 200, files = 1)          // v3
+        assert(fw === 1 && nd === 100L)
+      }
+      val (c, w) = Lakehouse.compact(spark, dir, Seq("k", "t"),
+        minRows = 1000, files = 1)                               // v4
+      assert(c === 2 && w === 1, s"compacted $c -> $w")
+    } finally Lakehouse.onCompactBeforeCommit = () => ()
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getString(1)).toSeq ===
+      Seq("create", "append", "append", "delete", "compact"),
+      s"history drifted: ${h.map(r =>
+        s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")}")
+    val truth = mk(0, 100).unionByName(mk(200, 5400))
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "compact-vs-delete interleave lost or duplicated rows")
+  }
+
+  test("lakehouse: file-set conflicts — delete and upsert rebase through rewrites on OTHER files") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-xop").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    // two append batches -> file sets split cleanly at k = 500
+    Lakehouse.writeClustered(mk(0, 500), dir, Seq("k", "t"), files = 2)  // v0
+    Lakehouse.appendClustered(mk(500, 1000), dir, Seq("k", "t"),
+      files = 2)                                                         // v1
+    // an upsert of keys [0, 100) rebases through an interloping DELETE
+    // of [600, 700): disjoint read sets (different append batches),
+    // and the delete's survivor re-files carry k >= 500 — provably
+    // outside the upsert's key bounds
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        val (_, nd) = Lakehouse.deleteWhere(spark, dir,
+          col("k") >= 600 && col("k") < 700,
+          pruneRanges = Seq(("k", 600, 699)), files = 1)          // v2
+        assert(nd === 100L)
+      }
+      val (_, repl, tot) = Lakehouse.upsertByKey(spark, dir,
+        mk(0, 100).withColumn("v", col("v") * -1), Seq("k"),
+        files = 1)                                                // v3
+      assert(repl === 100L && tot === 100L)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getString(1)).toSeq ===
+      Seq("create", "append", "delete", "upsert"),
+      s"history drifted: ${h.map(r =>
+        s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")}")
+    val truth = mk(0, 100).withColumn("v", col("v") * -1)
+      .unionByName(mk(100, 600)).unionByName(mk(700, 1000))
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "upsert-vs-delete interleave lost or duplicated rows")
+    // a delete rebases through an interloping COMPACT of other files:
+    // plant two small low-range batches, then delete a high band while
+    // compaction merges the low files — the compaction output's stats
+    // (k < 100) are provably outside the delete's ranges
+    Lakehouse.appendClustered(mk(0, 50).withColumn("k", col("k") + 10000),
+      dir, Seq("k", "t"), files = 1)                              // v4
+    Lakehouse.appendClustered(mk(50, 100).withColumn("k", col("k") + 10000),
+      dir, Seq("k", "t"), files = 1)                              // v5
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        val (c, w) = Lakehouse.compact(spark, dir, Seq("k", "t"),
+          minRows = 60, files = 1)                                // v6
+        assert(c === 2 && w === 1, s"compacted $c -> $w")
+      }
+      val (_, nd) = Lakehouse.deleteWhere(spark, dir,
+        col("k") >= 800 && col("k") < 900,
+        pruneRanges = Seq(("k", 800, 899)), files = 1)            // v7
+      assert(nd === 100L)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+    val h2 = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h2.map(_.getString(1)).drop(4).toSeq ===
+      Seq("append", "append", "compact", "delete"),
+      s"history drifted: ${h2.map(r =>
+        s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")}")
+    // an interloping upsert INSERTING keys that overlap OUR insert
+    // bounds stays fail-loud: both merges decided those keys were
+    // absent — committing both would duplicate them
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        Lakehouse.upsertByKey(spark, dir,
+          mk(0, 50).withColumn("k", col("k") + 20050), Seq("k"))
+      }
+      val e = intercept[Lakehouse.CommitConflictException](
+        Lakehouse.upsertByKey(spark, dir,
+          mk(0, 100).withColumn("k", col("k") + 20000), Seq("k")))
+      assert(e.getMessage.contains("not provably disjoint"), e.getMessage)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+    // and an interloper that rewrites a file THIS op read fails via the
+    // read-set liveness gate, whatever its added files look like
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        // rewrites the low-range file the outer delete also probed
+        Lakehouse.deleteWhere(spark, dir, col("k") === 10001L, files = 1)
+      }
+      val e = intercept[Lakehouse.CommitConflictException](
+        Lakehouse.deleteWhere(spark, dir,
+          col("k") >= 10000 && col("k") < 10010,
+          pruneRanges = Seq(("k", 10000, 10009)), files = 1))
+      assert(e.getMessage.contains("rewrote or dropped"), e.getMessage)
     } finally Lakehouse.onRewriteBeforeCommit = () => ()
   }
 
