@@ -36,6 +36,15 @@ import graft.sinks.{BulkSink, SortedRunWriter}
  * global _MANIFEST.json; abort()/failed tasks delete their partial files.
  * Speculative-execution double-writes are prevented by the commit
  * coordinator (useCommitCoordinator default true).
+ *
+ * HOT RINGS: this writer clusters one ring bucket per task, so a hot
+ * token range is one straggler task (the reference's
+ * one-range-one-reducer shape). For skewed rings use
+ * [[graft.sinks.BulkSink.writeSortedSalted]] instead — it splits hot
+ * buckets across salted sub-buckets and k-way-merges them back to one
+ * sorted run per range, producing the SAME layout this sink's read
+ * path consumes ([[graft.sinks.BulkSink.planSalts]] detects the hot
+ * buckets from a sample).
  */
 class GraftBulkProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-bulk"

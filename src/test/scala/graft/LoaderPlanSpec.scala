@@ -59,6 +59,35 @@ class LoaderPlanSpec extends AnyFunSuite {
     assert(plan2.values.forall(_.size >= 2))
   }
 
+  test("planStreams over a salted layout equals the unsalted plan (same ranges, same replicas)") {
+    // writeSortedSalted's k-way merge restores one run per ring bucket
+    // with the SAME token span the unsalted write produces, so stream
+    // planning must be indistinguishable — only the partition ids (and
+    // file names) differ
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val keys = (0 until 4000).map(i => s"lp-$i")
+    val df = keys.toDF("rowkey").withColumn("v", length(col("rowkey")).cast("long"))
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-lp-plain").toString
+    val saltDir = java.nio.file.Files.createTempDirectory("graft-lp-salt").toString
+    val plain = graft.sinks.BulkSink.writeSorted(df, Seq("rowkey"), 4, plainDir)
+    val salted = graft.sinks.BulkSink.writeSortedSalted(df, Seq("rowkey"), 4,
+      saltDir, Map(0 -> 3, 2 -> 2))
+    val planPlain = LoaderPlan.planStreams(plain, nodes, rf = 2)
+    val planSalt = LoaderPlan.planStreams(salted, nodes, rf = 2)
+    // same number of planned runs, and the replica set of each salted
+    // run equals the replica set of the unsalted run covering the same
+    // ring bucket
+    assert(planSalt.size === planPlain.size)
+    val perm = graft.sinks.BulkSink.slotPermutation(4)
+    salted.filter(_.rows > 0).foreach { s =>
+      val p = plain.find(_.partition == perm(s.partition)).get
+      assert(planSalt(s.dataFile) === planPlain(p.dataFile),
+        s"bucket ${s.partition}: salted run streams to different replicas")
+    }
+  }
+
   test("planStreams plans compressed runs like any other (chunked format streams)") {
     // pre-r9 this was refused; chunked compression ships the chunk map in
     // the session so the receiver can verify the logical stream

@@ -1984,6 +1984,56 @@ class OperatorsSpec extends AnyFunSuite {
       s"delete-vs-append thread race lost or duplicated rows — $hDump")
   }
 
+  test("lakehouse: upsertByKey races a live disjoint-appender thread — both land, union exact") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-turb").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 4)
+    // a REAL race: 3 appends of keys [10000, 13000) — provably outside
+    // the merge's key bounds [0, 1200) — land while the upsert runs;
+    // every schedule must end with all 4 commits on a linear log
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        gate.await()
+        (0 until 3).foreach { i =>
+          val lo = 10000L + i * 1000
+          Lakehouse.appendClustered(mk(lo, lo + 1000), dir, Seq("k", "t"),
+            files = 1, maxAttempts = 50)
+        }
+      }
+    })
+    val ups = mk(500, 1200).withColumn("v", col("v") * -1)
+    val merger = pool.submit(
+      new java.util.concurrent.Callable[(Int, Long, Long)] {
+        def call(): (Int, Long, Long) = {
+          gate.await()
+          Lakehouse.upsertByKey(spark, dir, ups, Seq("k"), maxAttempts = 50)
+        }
+      })
+    gate.countDown()
+    appender.get()
+    val (_, repl, tot) = merger.get()
+    pool.shutdown()
+    assert(repl === 500L && tot === 700L,
+      s"raced upsert drifted: ($repl, $tot)")
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    val hDump = h.map(r =>
+      s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")
+    assert(h.map(_.getLong(0)).toSeq === (0L to 4L),
+      s"log is not linear — history: $hDump")
+    assert(h.count(_.getString(1) == "append") === 3 &&
+      h.count(_.getString(1) == "upsert") === 1,
+      s"a raced commit was lost — history: $hDump")
+    val truth = mk(0, 500).unionByName(ups).unionByName(mk(10000, 13000))
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      s"upsert-vs-append thread race lost or duplicated rows — $hDump")
+  }
+
   test("lakehouse: applyChangeFeedCollapsed — identical mirror, constant plan depth over a 50-version catch-up") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-clps").toString
