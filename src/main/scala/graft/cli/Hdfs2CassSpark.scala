@@ -143,17 +143,23 @@ object Hdfs2CassSpark {
         "saltbuckets= needs the Murmur3 partitioner and no " +
           "distributerandomly — salting IS the ring-preserving alternative " +
           "to distributerandomly")
+      // auto mode adds a sample pass over the projected input (sampling
+      // still READS every row), so the frame materializes once and both
+      // the salt plan and the write consume the checkpoint — not two
+      // full scans + CQL serializations of a multi-TB load
+      val toWrite =
+        if (params.saltAuto) projected.localCheckpoint() else projected
       val salts =
         if (params.saltAuto)
-          BulkSink.planSalts(projected, Seq("rowkey"), params.reducers)
+          BulkSink.planSalts(toWrite, Seq("rowkey"), params.reducers)
         else params.saltBuckets
       val manifests =
         if (wantSalt && salts.nonEmpty)
-          BulkSink.writeSortedSalted(projected, Seq("rowkey"),
+          BulkSink.writeSortedSalted(toWrite, Seq("rowkey"),
             params.reducers, args.sinkDir, salts,
             compression = params.compressionClass)
         else
-          BulkSink.writeSorted(projected, Seq("rowkey"), params.reducers, args.sinkDir,
+          BulkSink.writeSorted(toWrite, Seq("rowkey"), params.reducers, args.sinkDir,
             partitionerClass = info.partitionerClass,
             compression = params.compressionClass,
             distributeRandomly = params.distributeRandomly)

@@ -230,9 +230,11 @@ object CassandraParams {
   }
 
   /** `saltbuckets=3:4,7:2` -> Map(3 -> 4, 7 -> 2); anything else fails
-    * loudly (a typo must not silently write an unsalted layout). */
-  def parseSaltBuckets(spec: String): Map[Int, Int] =
-    spec.split(",").iterator.filter(_.nonEmpty).map { pair =>
+    * loudly (a typo must not silently write an unsalted layout) —
+    * including a DUPLICATED bucket id, which `.toMap` would otherwise
+    * silently last-wins into the wrong salt factor. */
+  def parseSaltBuckets(spec: String): Map[Int, Int] = {
+    val pairs = spec.split(",").toSeq.filter(_.nonEmpty).map { pair =>
       pair.split(":") match {
         case Array(b, k) if b.forall(_.isDigit) && k.forall(_.isDigit) &&
             b.nonEmpty && k.nonEmpty =>
@@ -243,7 +245,13 @@ object CassandraParams {
           s"saltbuckets: expected 'bucket:subBuckets' pairs, got '$pair' " +
             "(e.g. saltbuckets=3:4,7:2 or saltbuckets=auto)")
       }
-    }.toMap
+    }
+    val dups = pairs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"saltbuckets: bucket(s) ${dups.mkString(", ")} given more than " +
+        "once — ambiguous salt factors")
+    pairs.toMap
+  }
 }
 
 /**

@@ -485,10 +485,19 @@ object Lakehouse {
       insertFiles: Seq[String], postimageFiles: Seq[String],
       deleteFiles: Seq[String], fence: () => Unit,
       addedOverlap: DataFrame => Option[String],
-      maxAttempts: Int): Long = {
+      maxAttempts: Int,
+      // the schema the commit RECORDS — defaults to the base snapshot's
+      // (a rewrite re-files existing rows); the empty-table insert-all
+      // path overrides it with the batch's schema (the batch DEFINES
+      // the table there). The schema-STABILITY race check below always
+      // compares against the base snapshot's schema regardless.
+      commitSchema: Option[org.apache.spark.sql.types.StructType] = null)
+      : Long = {
     val fs = fsOf(spark, path)
     val token = java.util.UUID.randomUUID().toString
     val baseSchema = dataSchemaAt(spark, path, base0)
+    val recordSchema =
+      if (commitSchema == null) baseSchema else commitSchema
     var base = base0
     var live = m0
     var attempt = 0
@@ -504,7 +513,7 @@ object Lakehouse {
       }
       try {
         return commitVersion(spark, path, next, op, streamId, batchId, base,
-          insertFiles = insertFiles, dataSchema = baseSchema,
+          insertFiles = insertFiles, dataSchema = recordSchema,
           postimageFiles = postimageFiles, deleteFiles = deleteFiles,
           writerToken = token)
       } catch {
@@ -548,18 +557,27 @@ object Lakehouse {
               "files this op read; re-run against the new head")
           // the interlopers' new files: referenced by the new live
           // manifest, absent from the manifest this op read (our own
-          // staged files are in neither — the commit failed)
+          // staged files are in neither — the commit failed). A
+          // pure-removal interleave (a delete with no survivors) adds
+          // NOTHING — then there is nothing to prove and even a
+          // no-bound op (a delete without pruneRanges) rebases safely
           val added = newLive.join(
             live.select(col("file")), Seq("file"), "left_anti")
-          addedOverlap(added).foreach(diag =>
-            throw new CommitConflictException(
-              s"lakehouse log at $path: $op lost the race to concurrent " +
-                s"commit(s) ${interlopers.map(p =>
-                  s"v${p._1}:${p._2}").mkString(", ")} whose added files " +
-                s"are not provably disjoint from the $op's scope — " +
-                s"$diag; re-run against the new head"))
+          if (!added.isEmpty)
+            addedOverlap(added).foreach(diag =>
+              throw new CommitConflictException(
+                s"lakehouse log at $path: $op lost the race to concurrent " +
+                  s"commit(s) ${interlopers.map(p =>
+                    s"v${p._1}:${p._2}").mkString(", ")} whose added files " +
+                  s"are not provably disjoint from the $op's scope — " +
+                  s"$diag; re-run against the new head"))
           base = newBase
           live = newLive
+          // jittered backoff (the commitAdditive idiom): two symmetric
+          // rewriters retrying in lockstep would otherwise burn the
+          // whole attempt budget colliding on the same slots
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(5L, 50L))
       }
     }
     -1L // unreachable
@@ -1145,7 +1163,8 @@ object Lakehouse {
         newStats = Some(statsOf(spark.read.parquet(newFiles: _*), zCols)),
         insertFiles = newFiles, postimageFiles = Nil, deleteFiles = Nil,
         fence = () => fence(), addedOverlap = keyAddedOverlap,
-        maxAttempts = maxAttempts)
+        maxAttempts = maxAttempts,
+        commitSchema = Some(u.schema)) // the batch DEFINES the schema here
       return (0, 0L, u.count())
     }
     val data = readData(spark, path, base, allFiles)

@@ -309,91 +309,109 @@ object BulkSink {
       ((CassandraTokens.token(pk), pk), encodeRow(row, serializers))
     }
     val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
-    // phase 1: every shuffle partition writes a sorted run into the
-    // staging dir — unsalted buckets final-form (index + codec, they
-    // only need a rename), salted sub-runs plain (the merge re-reads
-    // them anyway and re-encodes once, in the final writer)
-    val phase1: Seq[(Int, Int, PartitionManifest)] =
-      aligned.mapPartitionsWithIndex { (pid, it) =>
-        val sub = inv(pid)
-        var b = java.util.Arrays.binarySearch(offsets, sub)
-        if (b < 0) b = -b - 2
-        val m =
-          if (kOf(b) == 1)
-            writePartition(tmpPath, pid, it, indexInterval, codec, chunkSize)
-          else
-            writePartition(tmpPath, pid, it, indexInterval, None, chunkSize)
-        Iterator.single((b, sub - offsets(b), m))
-      }.collect().toSeq
-
-    val byBucket = phase1.groupBy(_._1)
-    val out = scala.collection.mutable.ArrayBuffer.empty[PartitionManifest]
-    // unsalted buckets: rename the final-form files into place under the
-    // bucket's pid (driver-side, #buckets renames, no data read)
-    byBucket.toSeq.filter { case (b, _) => kOf(b) == 1 }.foreach {
-      case (b, group) =>
-        val m = group.head._3
-        def mv(name: String, newName: String): String = {
-          Files.move(Paths.get(tmpPath, name), Paths.get(outDir, newName))
-          newName
-        }
-        val data = mv(m.dataFile, f"graft-$b%05d-Data.db")
-        val idx =
-          if (m.indexFile.isEmpty) ""
-          else mv(m.indexFile, f"graft-$b%05d-Index.db")
-        if (m.chunks > 0)
-          mv(m.dataFile.replace("-Data.db", "-Chunks.db"),
-            f"graft-$b%05d-Chunks.db")
-        out += m.copy(partition = b, dataFile = data, indexFile = idx)
-    }
-    // salted buckets: one merge task per hot range, distributed
-    val saltedGroups = byBucket.toSeq.collect {
-      case (b, group) if kOf(b) > 1 =>
-        (b, group.sortBy(_._2).map(_._3.dataFile))
-    }
-    lastSaltSubRows = byBucket.collect {
-      case (b, group) if kOf(b) > 1 =>
-        b -> group.sortBy(_._2).map(_._3.rows)
-    }.toMap
-    if (saltedGroups.nonEmpty) {
-      val sc = df.sparkSession.sparkContext
-      out ++= sc.parallelize(saltedGroups, saltedGroups.size).map {
-        case (b, dataFiles) =>
-          mergeSubRuns(tmpPath, outDir, b, dataFiles, indexInterval,
-            codec, chunkSize)
-      }.collect()
-    }
-    // staging (sub-runs, their throwaway indexes) is no longer needed
+    // staging is reclaimed on EVERY exit: a failed phase-1 task or merge
+    // must not strand a hot range's worth of sub-run bytes under the
+    // output dir across retries
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree))
       f.delete(); ()
     }
-    rmTree(new java.io.File(tmpPath))
-    val manifests = out.sortBy(_.partition).toSeq
-    val json = manifests.map(manifestJson).mkString("[", ",", "]")
-    Files.write(Paths.get(outDir, "_MANIFEST.json"),
-      json.getBytes(StandardCharsets.UTF_8))
-    manifests
+    try {
+      // phase 1: every shuffle partition writes a sorted run into the
+      // staging dir — unsalted buckets final-form (index + codec, they
+      // only need a rename), salted sub-runs plain (the merge re-reads
+      // them anyway and re-encodes once, in the final writer)
+      val phase1: Seq[(Int, Int, PartitionManifest)] =
+        aligned.mapPartitionsWithIndex { (pid, it) =>
+          val sub = inv(pid)
+          var b = java.util.Arrays.binarySearch(offsets, sub)
+          if (b < 0) b = -b - 2
+          val m =
+            if (kOf(b) == 1)
+              writePartition(tmpPath, pid, it, indexInterval, codec, chunkSize)
+            else
+              writePartition(tmpPath, pid, it, indexInterval, None, chunkSize)
+          Iterator.single((b, sub - offsets(b), m))
+        }.collect().toSeq
+
+      val byBucket = phase1.groupBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PartitionManifest]
+      // unsalted buckets: rename the final-form files into place under the
+      // bucket's pid (driver-side, #buckets renames, no data read)
+      byBucket.toSeq.filter { case (b, _) => kOf(b) == 1 }.foreach {
+        case (b, group) =>
+          val m = group.head._3
+          def mv(name: String, newName: String): String = {
+            Files.move(Paths.get(tmpPath, name), Paths.get(outDir, newName))
+            newName
+          }
+          val data = mv(m.dataFile, f"graft-$b%05d-Data.db")
+          val idx =
+            if (m.indexFile.isEmpty) ""
+            else mv(m.indexFile, f"graft-$b%05d-Index.db")
+          if (m.chunks > 0)
+            mv(m.dataFile.replace("-Data.db", "-Chunks.db"),
+              f"graft-$b%05d-Chunks.db")
+          out += m.copy(partition = b, dataFile = data, indexFile = idx)
+      }
+      // salted buckets: one merge task per hot range, distributed; each
+      // merge must reproduce its phase-1 row total exactly
+      val saltedGroups = byBucket.toSeq.collect {
+        case (b, group) if kOf(b) > 1 =>
+          (b, group.sortBy(_._2).map(_._3.dataFile),
+            group.map(_._3.rows).sum)
+      }
+      lastSaltSubRows = byBucket.collect {
+        case (b, group) if kOf(b) > 1 =>
+          b -> group.sortBy(_._2).map(_._3.rows)
+      }.toMap
+      if (saltedGroups.nonEmpty) {
+        val sc = df.sparkSession.sparkContext
+        out ++= sc.parallelize(saltedGroups, saltedGroups.size).map {
+          case (b, dataFiles, expRows) =>
+            mergeSubRuns(tmpPath, outDir, b, dataFiles, expRows,
+              indexInterval, codec, chunkSize)
+        }.collect()
+      }
+      val manifests = out.sortBy(_.partition).toSeq
+      val json = manifests.map(manifestJson).mkString("[", ",", "]")
+      Files.write(Paths.get(outDir, "_MANIFEST.json"),
+        json.getBytes(StandardCharsets.UTF_8))
+      manifests
+    } finally rmTree(new java.io.File(tmpPath))
   }
 
   /** Streaming cursor over one sub-run's record frames (2-byte key len +
     * key + 4-byte value len + value); tokens recompute from the key —
-    * the run format stores none. */
+    * the run format stores none. EOF is clean ONLY at a record boundary:
+    * an EOF inside a record means a truncated sub-run (partial flush,
+    * partial visibility on a shared filesystem) and fails LOUDLY — a
+    * silent early stop would undercount the merged output. */
   private final class RunCursor(file: java.io.File) {
     private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       new java.io.FileInputStream(file), 1 << 16))
     var token: Long = 0L
     var key: Array[Byte] = _
     var value: Array[Byte] = _
-    def advance(): Boolean =
+    def advance(): Boolean = {
+      val klen =
+        try in.readUnsignedShort()
+        catch { case _: java.io.EOFException => close(); return false }
       try {
-        val klen = in.readUnsignedShort()
         key = new Array[Byte](klen); in.readFully(key)
         val vlen = in.readInt()
         value = new Array[Byte](vlen); in.readFully(value)
-        token = CassandraTokens.token(key)
-        true
-      } catch { case _: java.io.EOFException => close(); false }
+      } catch {
+        case e: java.io.EOFException =>
+          close()
+          throw new IllegalStateException(
+            s"sub-run $file is truncated mid-record — refusing to merge " +
+              "a partial run (the merged output would silently " +
+              "undercount)", e)
+      }
+      token = CassandraTokens.token(key)
+      true
+    }
     def close(): Unit = try in.close() catch { case _: Exception => () }
   }
 
@@ -401,9 +419,12 @@ object BulkSink {
     * decorated-key-sorted run: a k-element min-heap streams the runs —
     * sequential reads, O(k) memory — and the writer's own sorted-input
     * check re-verifies global order at write time (any heap or routing
-    * bug fails loudly, never ships an unsorted run). */
-  private def mergeSubRuns(tmpDir: String, outDir: String, bucket: Int,
-      dataFiles: Seq[String], indexInterval: Int, codec: Option[String],
+    * bug fails loudly, never ships an unsorted run). `expectedRows`
+    * (the phase-1 manifests' sum) is REQUIRED to match the merged
+    * count — belt over the cursor's truncation check. */
+  private[graft] def mergeSubRuns(tmpDir: String, outDir: String,
+      bucket: Int, dataFiles: Seq[String], expectedRows: Long,
+      indexInterval: Int, codec: Option[String],
       chunkSize: Int): PartitionManifest = {
     val writer = new SortedRunWriter(outDir, bucket, indexInterval, codec,
       chunkSize = chunkSize)
@@ -419,7 +440,12 @@ object BulkSink {
         writer.add(c.token, c.key, c.value)
         if (c.advance()) { heap.add(c); () }
       }
-      writer.close()
+      val m = writer.close()
+      require(m.rows == expectedRows,
+        s"merged run for bucket $bucket carries ${m.rows} rows, " +
+          s"phase-1 sub-runs declared $expectedRows — a sub-run was " +
+          "truncated or foreign; refusing the undercounted merge")
+      m
     } catch { case e: Throwable => writer.abort(); throw e }
     finally cursors.foreach(_.close())
   }

@@ -1932,6 +1932,64 @@ class OperatorsSpec extends AnyFunSuite {
     } finally Lakehouse.onRewriteBeforeCommit = () => ()
   }
 
+  test("lakehouse: insert-all into an emptied table records the BATCH's schema") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-eschema").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 100), dir, Seq("k", "t"), files = 1) // v0
+    Lakehouse.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.lit(true), files = 1)             // v1: empty
+    // the insert-all path: the batch DEFINES the schema — a widened
+    // batch's added column must survive into the marker and every read
+    val ups = mk(0, 50).withColumn("w", col("k") * 2)
+    Lakehouse.upsertByKey(spark, dir, ups, Seq("k"), files = 1)        // v2
+    val sch = Lakehouse.dataSchema(spark, dir).get
+    assert(sch.fieldNames.contains("w"),
+      s"marker schema lost the batch's added column: ${sch.simpleString}")
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.columns.contains("w"))
+    assert(live.count() === 50 &&
+      live.filter(col("w") === col("k") * 2).count() === 50,
+      "the added column's values did not survive the read")
+  }
+
+  test("lakehouse: a no-bound delete rebases through a pure-removal interleave") {
+    import graft.operators.Lakehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lh-prm").toString
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 7).as("t"),
+      (col("id") * 10).cast("double").as("v"))
+    Lakehouse.writeClustered(mk(0, 1000), dir, Seq("k", "t"), files = 2) // v0
+    Lakehouse.appendClustered(mk(2000, 2100), dir, Seq("k", "t"),
+      files = 1)                                                         // v1
+    // the interloper removes the v1 file WHOLE (no survivors, no CDF
+    // sidecar in the manifest): it ADDS nothing — so even a delete with
+    // no pruneRanges (no stats bound at all) can rebase: liveness covers
+    // the removal, and there are no added rows to reason about
+    try {
+      Lakehouse.onRewriteBeforeCommit = () => {
+        Lakehouse.onRewriteBeforeCommit = () => ()
+        val (fw, nd) = Lakehouse.deleteWhere(spark, dir,
+          col("k") >= 2000, files = 1, cdf = false)                // v2
+        assert(fw === 1 && nd === 100L)
+      }
+      val (_, nd) = Lakehouse.deleteWhere(spark, dir, col("k") === 5L,
+        files = 1)                                                 // v3
+      assert(nd === 1L)
+    } finally Lakehouse.onRewriteBeforeCommit = () => ()
+    val h = Lakehouse.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getString(1)).toSeq ===
+      Seq("create", "append", "delete", "delete"),
+      s"history drifted: ${h.map(r =>
+        s"v${r.getLong(0)}:${r.getString(1)}").mkString(", ")}")
+    val truth = mk(0, 5).unionByName(mk(6, 1000))
+    val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+    assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+      "pure-removal rebase lost or duplicated rows")
+  }
+
   test("lakehouse: deleteWhere races a live disjoint-appender thread — both land, union exact") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-tdrb").toString

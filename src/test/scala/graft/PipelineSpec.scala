@@ -274,6 +274,44 @@ class PipelineSpec extends AnyFunSuite {
       col("token") <= hot.maxToken).count() >= hot.rows)
   }
 
+  test("mergeSubRuns refuses truncated sub-runs and row-count drift") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mrg-tmp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-mrg-out").toString
+    // two well-formed sub-runs, decorated-key-sorted each
+    def writeRun(pid: Int, keys: Seq[String]): (String, Long) = {
+      val w = new graft.sinks.SortedRunWriter(tmp, pid)
+      keys.map(k => (CassandraTokens.token(CqlValueCodec.serializeString(k)),
+          CqlValueCodec.serializeString(k)))
+        .sortWith((a, b) =>
+          CassandraTokens.compareDecorated(a._1, a._2, b._1, b._2) < 0)
+        .foreach { case (t, pk) => w.add(t, pk, Array[Byte](1, 2, 3)) }
+      val m = w.close()
+      (m.dataFile, m.rows)
+    }
+    val (f1, n1) = writeRun(0, (0 until 200).map(i => s"mg-a-$i"))
+    val (f2, n2) = writeRun(1, (0 until 200).map(i => s"mg-b-$i"))
+    // the happy path merges exactly
+    val merged = graft.sinks.BulkSink.mergeSubRuns(tmp, out, 0,
+      Seq(f1, f2), n1 + n2, 128, None, 64 * 1024)
+    assert(merged.rows === n1 + n2)
+    // a WRONG declared total is refused (the phase-1/merge belt)
+    val out2 = java.nio.file.Files.createTempDirectory("graft-mrg-o2").toString
+    val eCount = intercept[IllegalArgumentException](
+      graft.sinks.BulkSink.mergeSubRuns(tmp, out2, 0,
+        Seq(f1, f2), n1 + n2 + 5, 128, None, 64 * 1024))
+    assert(eCount.getMessage.contains("declared"), eCount.getMessage)
+    // a sub-run truncated MID-RECORD fails loudly, never a silent
+    // undercount
+    val raf = new java.io.RandomAccessFile(new java.io.File(tmp, f2), "rw")
+    raf.setLength(raf.length() - 3)
+    raf.close()
+    val out3 = java.nio.file.Files.createTempDirectory("graft-mrg-o3").toString
+    val eTrunc = intercept[IllegalStateException](
+      graft.sinks.BulkSink.mergeSubRuns(tmp, out3, 0,
+        Seq(f1, f2), n1 + n2, 128, None, 64 * 1024))
+    assert(eTrunc.getMessage.contains("truncated"), eTrunc.getMessage)
+  }
+
   test("planSalts detects the planted hot bucket and only it") {
     val numBuckets = 4
     def bucketOf(s: String): Int = CassandraTokens.bucketOfToken(

@@ -319,6 +319,9 @@ class KernelSpec extends AnyFunSuite {
       CassandraParams.parse("cql://h/ks/t?saltbuckets=3-4", info))
     intercept[IllegalArgumentException]( // k=1 salt is a typo, not a no-op
       CassandraParams.parse("cql://h/ks/t?saltbuckets=3:1", info))
+    val eDup = intercept[IllegalArgumentException]( // last-wins would be silent
+      CassandraParams.parse("cql://h/ks/t?saltbuckets=3:8,3:2", info))
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
   }
 
   test("SaltedRingPartitioner: same pk same partition, sub-slots stay inside the bucket") {
