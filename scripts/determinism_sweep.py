@@ -46,6 +46,10 @@ def main():
                     if ra != rb:
                         print(f"  first differing row: {ra} vs {rb}")
                         break
+                else:
+                    # one sorted row list is a strict prefix of the other:
+                    # no zipped pair differs, so say the counts
+                    print(f"  row counts: {len(ca[2])} vs {len(cb[2])}")
         else:
             print(f"[ok] {q}: {len(ca[2])} rows")
     print(f"\n{len(qs_a) - bad}/{len(qs_a)} query dirs bit-identical")

@@ -22,6 +22,47 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /**
+   * Scan-parallelism restore for UNDER-SPLIT inputs — the bounded-file
+   * analog of the optimization guide's "one huge unsplittable file"
+   * (§2.5, fix: repartition immediately after the read): a single-file /
+   * single-row-group parquet layout plans 1-3 scan tasks no matter the
+   * core count (the 4 MB openCost floor caps splits, and one row group
+   * means one EFFECTIVE reader), so every per-row kernel and partial
+   * aggregation before the first exchange runs ~single-threaded. When
+   * the planned scan has fewer partitions than half the session
+   * parallelism, ONE round-robin exchange of the (column-pruned) rows
+   * restores full width for the downstream kernels; the 10 MB shuffle
+   * costs milliseconds against the serialized md5/shingle/percentile
+   * work it parallelizes (measured per query in OPTIMIZATION_r20.md).
+   *
+   * Scale-adaptive by construction, not a local[32] constant: at a
+   * production layout (#splits >= cores) the gate makes this the
+   * IDENTITY — no exchange is added and the at-scale plan is unchanged.
+   * Call it on a bare scan (optionally projected/filtered) only — the
+   * partition probe reflects the file-split planning, and column
+   * pruning/filter pushdown reach the scan through the repartition.
+   */
+  // A/B + opt-out knob (default on). Read PER CALL (system property
+  // first, then env) so a same-JVM harness can interleave off/on passes
+  // — the only A/B shape that survives this box's load oscillation.
+  private def widenEnabled: Boolean =
+    !sys.props.get("graft.widen")
+      .orElse(sys.env.get("SPARK_GRAFT_WIDEN")).contains("off")
+
+  /** `key`: a deterministic, well-distributed column (the row's id) —
+    * hash repartitioning by it avoids BOTH the per-partition input sort
+    * a round-robin repartition pays for retry determinism (SPARK-23207,
+    * single-threaded here by the same file-layout limit being fixed)
+    * and the duplicated/lost-rows-under-retry hazard of rand-derived
+    * keys (guide §2.5: derive the synthetic key deterministically). */
+  private def widenScan(df: DataFrame, key: Column): DataFrame = {
+    if (!widenEnabled) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target, key)
+  }
+
   // -------------------------------------------------------------------
   // Shared intermediates for COMPOSITION queries. Verify and Bench
   // evaluate every query in one session; the compositions that derive
@@ -672,7 +713,8 @@ object SparkEntry {
     // the explicit scale-path cap (bounded candidates; identical-set
     // copies rescued) — the API default is exhaustive.
     "dedup_ngram" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "documents"))
+      val d = widenScan(s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"), col("source")), col("doc_id"))
       graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", 0.5,
         maxDf = 100)
     }),
@@ -680,7 +722,8 @@ object SparkEntry {
     // Asymmetric containment |A∩B| / min(|A|,|B|): catches short docs
     // quoted inside long ones, where Jaccard dilutes toward 0
     "dedup_containment" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "documents"))
+      val d = widenScan(s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"), col("source")), col("doc_id"))
       graft.operators.Dedup.containmentPairs(d, "doc_id", "text", "source",
         0.6, maxDf = 100)
     }),
@@ -1010,7 +1053,8 @@ object SparkEntry {
     // out of tolerance breaks the hash match
     "q13_approx_distinct" -> ((s, dir) => {
       val rsd = 0.05 // approx_count_distinct default relative stddev
-      s.read.parquet(t(dir, "lineitem"))
+      widenScan(s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_returnflag"), col("l_orderkey")), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
@@ -1570,7 +1614,8 @@ object SparkEntry {
     // array), NON-distinct — frequency needs the multiset.
     "corpus_heavy_ngrams" -> ((s, dir) => {
       import graft.functions.FreqAgg.topk_freq
-      val grams = s.read.parquet(t(dir, "documents"))
+      val grams = widenScan(s.read.parquet(t(dir, "documents"))
+          .select(col("text")), col("text"))
         .withColumn("_w", graft.operators.TextAnalysis.tokens(col("text")))
         .select(explode(expr(
           "filter(transform(_w, (x, i) -> IF(i + 2 < size(_w), " +
@@ -1591,7 +1636,9 @@ object SparkEntry {
     // use q20b's approx_percentile path, whose GK-sketch state is bounded
     // by `accuracy` no matter the data volume.
     "q20_percentiles" -> ((s, dir) => {
-      s.read.parquet(t(dir, "lineitem"))
+      widenScan(s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+          col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.25)"), 2).as("p25_qty"),
@@ -1863,7 +1910,8 @@ object SparkEntry {
     // score (term-text tie-break) — one (doc,term) exchange, a
     // vocabulary-sized df broadcast, per-doc windows
     "text_tfidf_terms" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "documents"))
+      val d = widenScan(s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text")), col("doc_id"))
       graft.operators.Search.tfidfTopTerms(d, "doc_id", "text", k = 3)
     }),
 
@@ -1921,7 +1969,8 @@ object SparkEntry {
     // corpus-wide, survivors stitched back per doc — two content-sized
     // exchanges, exact-string decisions, no floats
     "corpus_segment_dedup" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "documents"))
+      val d = widenScan(s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text")), col("doc_id"))
       graft.operators.Dedup.segmentDedup(d, "doc_id", "text", segTokens = 8)
     }),
 
@@ -2062,7 +2111,8 @@ object SparkEntry {
     // distinct 3-gram sets, computed via bounded source-set aggregation
     // (never a shingle self-join)
     "source_overlap" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "documents"))
+      val d = widenScan(s.read.parquet(t(dir, "documents"))
+        .select(col("source"), col("text")), col("text"))
       graft.operators.Curate.sourceOverlap(d, "source", "text")
     }),
 

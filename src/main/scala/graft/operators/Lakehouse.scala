@@ -563,7 +563,29 @@ object Lakehouse {
           // no-bound op (a delete without pruneRanges) rebases safely
           val added = newLive.join(
             live.select(col("file")), Seq("file"), "left_anti")
-          if (!added.isEmpty)
+          if (!added.isEmpty) {
+            // A commitSchema override (the empty-table insert-all path)
+            // records the BATCH's schema — legal only while the batch is
+            // the sole content. An interloper's added rows were written
+            // under the base schema; rebasing a diverging batch schema
+            // over them would silently narrow/retype their columns on
+            // every recorded-schema read (the stability gate above only
+            // proves the TABLE schema didn't move, not that the override
+            // is compatible with it). Divergence is (name, type) SHAPE —
+            // the same contract upsertByKey's own schema gate uses;
+            // nullability/metadata differences (parquet round-trips are
+            // always nullable) are benign.
+            def shapeOf(o: Option[org.apache.spark.sql.types.StructType]) =
+              o.map(_.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq)
+            if (commitSchema != null && shapeOf(recordSchema) != shapeOf(baseSchema))
+              throw new CommitConflictException(
+                s"lakehouse log at $path: $op lost the race to concurrent " +
+                  s"commit(s) ${interlopers.map(p =>
+                    s"v${p._1}:${p._2}").mkString(", ")} that added files " +
+                  "while this op would record the batch's own schema " +
+                  s"(${recordSchema.map(_.simpleString)} != base " +
+                  s"${baseSchema.map(_.simpleString)}) over the added rows — " +
+                  "re-run against the new head")
             addedOverlap(added).foreach(diag =>
               throw new CommitConflictException(
                 s"lakehouse log at $path: $op lost the race to concurrent " +
@@ -571,6 +593,7 @@ object Lakehouse {
                     s"v${p._1}:${p._2}").mkString(", ")} whose added files " +
                   s"are not provably disjoint from the $op's scope — " +
                   s"$diag; re-run against the new head"))
+          }
           base = newBase
           live = newLive
           // jittered backoff (the commitAdditive idiom): two symmetric

@@ -394,9 +394,21 @@ object BulkSink {
     var key: Array[Byte] = _
     var value: Array[Byte] = _
     def advance(): Boolean = {
-      val klen =
-        try in.readUnsignedShort()
-        catch { case _: java.io.EOFException => close(); return false }
+      // the 2-byte key-length prefix is read byte-wise: readUnsignedShort
+      // throws the SAME EOFException whether 0 or 1 of its bytes remain,
+      // which would silently drop a record torn mid-prefix — only a clean
+      // EOF BEFORE the first byte is end-of-run
+      val b0 = in.read()
+      if (b0 < 0) { close(); return false }
+      val b1 = in.read()
+      if (b1 < 0) {
+        close()
+        throw new IllegalStateException(
+          s"sub-run $file is truncated mid-record (EOF inside the key-" +
+            "length prefix) — refusing to merge a partial run (the " +
+            "merged output would silently undercount)")
+      }
+      val klen = (b0 << 8) | b1
       try {
         key = new Array[Byte](klen); in.readFully(key)
         val vlen = in.readInt()

@@ -122,7 +122,15 @@ object LakehouseIngest {
         }
         skippedCycles.remove(path)
       } catch {
-        case e: Lakehouse.CommitConflictException =>
+        // budget exhaustion surfaces as IllegalStateException CAUSED BY
+        // the last CommitConflictException ("lost N commit races in a
+        // row") — still a legitimate race outcome, so it takes the same
+        // skip path; an IllegalStateException with any other cause is a
+        // real failure and propagates
+        case e @ (_: Lakehouse.CommitConflictException |
+                  _: IllegalStateException)
+            if e.isInstanceOf[Lakehouse.CommitConflictException] ||
+              e.getCause.isInstanceOf[Lakehouse.CommitConflictException] =>
           val n: Int = skippedCycles.merge(path, 1, (a, b) => a + b)
           if (n >= m.maxConsecutiveSkips) {
             skippedCycles.remove(path)

@@ -1955,6 +1955,60 @@ class OperatorsSpec extends AnyFunSuite {
       "the added column's values did not survive the read")
   }
 
+  test("lakehouse: empty-table insert-all racing an append fails loud iff the batch schema diverges") {
+    import graft.operators.Lakehouse
+    def mk(dir: String) = {
+      def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        col("id").as("k"), (col("id") % 7).as("t"),
+        (col("id") * 10).cast("double").as("v"))
+      Lakehouse.writeClustered(rows(0, 100), dir, Seq("k", "t"), files = 1)
+      Lakehouse.deleteWhere(spark, dir,
+        org.apache.spark.sql.functions.lit(true), files = 1) // empty table
+      rows _
+    }
+    // DIVERGING batch schema (extra column, legal against the empty
+    // table) + a concurrent append of base-schema rows: rebasing would
+    // record the batch's schema over the appended rows — must fail loud
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lh-esr1").toString
+      val rows = mk(dir)
+      try {
+        Lakehouse.onRewriteBeforeCommit = () => {
+          Lakehouse.onRewriteBeforeCommit = () => ()
+          Lakehouse.appendClustered(rows(5000, 5100), dir, Seq("k", "t"),
+            files = 1)
+        }
+        val ups = rows(0, 50).withColumn("w", col("k") * 2)
+        val e = intercept[Lakehouse.CommitConflictException](
+          Lakehouse.upsertByKey(spark, dir, ups, Seq("k"), files = 1))
+        assert(e.getMessage.contains("schema"), e.getMessage)
+      } finally Lakehouse.onRewriteBeforeCommit = () => ()
+      // the appended rows survive under their own (base) schema
+      val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+      assert(live.count() === 100 && !live.columns.contains("w"))
+    }
+    // SAME batch schema: the race rebases (keys disjoint from the
+    // appended file's stats), both land
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lh-esr2").toString
+      val rows = mk(dir)
+      try {
+        Lakehouse.onRewriteBeforeCommit = () => {
+          Lakehouse.onRewriteBeforeCommit = () => ()
+          Lakehouse.appendClustered(rows(5000, 5100), dir, Seq("k", "t"),
+            files = 1)
+        }
+        val (rw, repl, ins) =
+          Lakehouse.upsertByKey(spark, dir, rows(0, 50), Seq("k"), files = 1)
+        assert(rw === 0 && repl === 0L && ins === 50L, s"($rw, $repl, $ins)")
+      } finally Lakehouse.onRewriteBeforeCommit = () => ()
+      val truth = rows(0, 50).unionByName(rows(5000, 5100))
+      val live = Lakehouse.prunedRead(spark, dir, "k", 0, 1e9)
+      assert(live.exceptAll(truth).isEmpty && truth.exceptAll(live).isEmpty,
+        "same-schema insert-all rebase lost or duplicated rows")
+    }
+  }
+
   test("lakehouse: a no-bound delete rebases through a pure-removal interleave") {
     import graft.operators.Lakehouse
     val dir = java.nio.file.Files.createTempDirectory("graft-lh-prm").toString

@@ -310,6 +310,17 @@ class PipelineSpec extends AnyFunSuite {
       graft.sinks.BulkSink.mergeSubRuns(tmp, out3, 0,
         Seq(f1, f2), n1 + n2, 128, None, 64 * 1024))
     assert(eTrunc.getMessage.contains("truncated"), eTrunc.getMessage)
+    // a run torn MID-PREFIX (only 1 of the 2 key-length bytes present)
+    // must raise the same truncated-run error, not read as a clean EOF
+    // that silently drops the torn record
+    val fos = new java.io.FileOutputStream(new java.io.File(tmp, f1), true)
+    fos.write(0); fos.close()
+    val out4 = java.nio.file.Files.createTempDirectory("graft-mrg-o4").toString
+    val ePrefix = intercept[IllegalStateException](
+      graft.sinks.BulkSink.mergeSubRuns(tmp, out4, 0,
+        Seq(f1), n1, 128, None, 64 * 1024))
+    assert(ePrefix.getMessage.contains("truncated") &&
+      ePrefix.getMessage.contains("prefix"), ePrefix.getMessage)
   }
 
   test("planSalts detects the planted hot bucket and only it") {
