@@ -508,6 +508,77 @@ object TextHash {
     h
   }
 
+  /**
+   * |distinct(a) ∩ distinct(b)| of two ASC-SORTED arrays (`sort_array`
+   * order — nulls first) by one two-pointer merge: no per-row hash set,
+   * no materialized intersection array. Equal to
+   * `size(array_intersect(a, b))` whenever both inputs are sorted
+   * (duplicates skipped via the prev guard; a null element common to
+   * both sides counts once, matching array_intersect).
+   */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    var c = if (i > 0 && j > 0) 1 else 0
+    var prevSet = false
+    var prev = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        if (!prevSet || prev != x) { c += 1; prev = x; prevSet = true }
+        i += 1; j += 1
+      }
+    }
+    c
+  }
+
+  /** Int-element variant of [[sortedIntersectCountLong]]. */
+  def sortedIntersectCountInt(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    var c = if (i > 0 && j > 0) 1 else 0
+    var prevSet = false
+    var prev = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        if (!prevSet || prev != x) { c += 1; prev = x; prevSet = true }
+        i += 1; j += 1
+      }
+    }
+    c
+  }
+
+  /** String-element variant of [[sortedIntersectCountLong]] (UTF8String
+    * binary order — the order `sort_array` uses). */
+  def sortedIntersectCountString(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    var c = if (i > 0 && j > 0) 1 else 0
+    var prev: UTF8String = null
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      val cmp = x.compareTo(y)
+      if (cmp < 0) i += 1
+      else if (cmp > 0) j += 1
+      else {
+        if (prev == null || prev.compareTo(x) != 0) { c += 1; prev = x }
+        i += 1; j += 1
+      }
+    }
+    c
+  }
+
   /** k-min signature over 32-bit hashes with the permutation constants. */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
     val as = MinhashA

@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e) => MaxTokenCountExpr(e) })
     register(ext, "array_sum_long", "sum of array<bigint> elements",
       { case Seq(e) => ArraySumLongExpr(e) })
+    register(ext, "sorted_intersect_count",
+      "distinct-intersection size of two ASC-sorted arrays (two-pointer)",
+      { case Seq(a, b) => SortedIntersectCountExpr(a, b) })
     register(ext, "simhash_tokens", "in-row SimHash signature of a token array",
       { case Seq(e, bits) => SimhashExpr(e, foldToInt(bits, "simhash_tokens(expr, bits)")) })
     register(ext, "word_grams", "overlapping n-word shingles of whitespace-split text",

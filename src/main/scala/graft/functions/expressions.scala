@@ -802,3 +802,53 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** |distinct ∩| of two ASC-sorted arrays (long/int/string elements),
+  * codegen'd two-pointer merge — replaces `size(array_intersect(a, b))`
+  * where both sides are already `sort_array`'d (the triangle census's
+  * adjacency lists): the generic ArrayIntersect hash-builds AND
+  * MATERIALIZES every per-row intersection array just to take its size,
+  * at O(E^1.5) rows the hottest loop of the whole census. Inputs MUST be
+  * ascending-sorted (sort_array order); result matches array_intersect's
+  * distinct semantics, including the both-sides-null-element case. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _)) if lt == rt &&
+          (lt == LongType || lt == IntegerType || lt == StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_count expects two arrays with the same " +
+          s"long/int/string element type, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  private def method: String =
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType => "sortedIntersectCountLong"
+      case IntegerType => "sortedIntersectCountInt"
+      case StringType => "sortedIntersectCountString"
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType => graft.core.TextHash.sortedIntersectCountLong(aa, bb)
+      case IntegerType => graft.core.TextHash.sortedIntersectCountInt(aa, bb)
+      case StringType => graft.core.TextHash.sortedIntersectCountString(aa, bb)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.TextHash.$method($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

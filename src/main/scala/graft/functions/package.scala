@@ -83,6 +83,11 @@ package object functions {
   /** Sum of array<bigint> (codegen'd; null elements skipped). */
   def array_sum_long(arr: Column): Column = col(ArraySumLongExpr(expr(arr)))
 
+  /** |distinct ∩| of two ASC-sorted arrays (two-pointer, codegen'd) —
+    * `size(array_intersect(a, b))` without materializing the array. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    col(SortedIntersectCountExpr(expr(a), expr(b)))
+
   /** Distinct overlapping word n-grams (codegen'd byte-level pass). */
   def word_grams(s: Column, n: Int): Column = col(WordGramsExpr(expr(s), n))
 

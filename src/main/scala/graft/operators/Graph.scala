@@ -135,7 +135,13 @@ object Graph {
         col("u") === col("_a"))
       .join(adj.select(col("u").as("_b"), col("nbrs").as("nb")).hint("shuffle_hash"),
         col("v") === col("_b"))
-      .select(size(array_intersect(col("na"), col("nb"))).cast(LongType).as("c"))
+      // both neighbor lists are sort_array'd: the codegen'd two-pointer
+      // count replaces size(array_intersect(..)), which hash-built and
+      // MATERIALIZED every per-edge intersection array just to size it —
+      // the O(E^1.5)-row hot loop of the census (QProfile r20: the probe
+      // stage was 4.2s of the query's 9.5s before this swap)
+      .select(graft.functions.sorted_intersect_count(col("na"), col("nb"))
+        .cast(LongType).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val nodesEdges = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),

@@ -182,4 +182,39 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vo.getLong(0) === 2L && vo.getSeq[Double](1) === Seq(4.0, 7.0))
     assert(vo.getSeq[Double](2) === Seq(10.0, 17.0, 17.0, 29.0))
   }
+
+  test("sorted_intersect_count == size(array_intersect) on sorted inputs (codegen-only)") {
+    val spark = freshSession(_
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .withExtensions(new GraftExtensions))
+    import spark.implicits._
+    // deterministic pseudo-random sorted arrays WITH duplicates: the
+    // kernel's contract is exact equality with array_intersect's
+    // distinct semantics whenever both sides are sort_array'd
+    val rnd = new scala.util.Random(20L)
+    def arr(): Seq[Long] =
+      Seq.fill(rnd.nextInt(12))(rnd.nextInt(10).toLong).sorted
+    val longs = Seq.fill(300)((arr(), arr())).toDF("a", "b")
+    val badL = longs.select(
+        sorted_intersect_count(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(badL === 0L, "long kernel diverges from array_intersect")
+    def sarr(): Seq[String] =
+      Seq.fill(rnd.nextInt(10))(s"w${rnd.nextInt(8)}").sorted
+    val strs = Seq.fill(300)((sarr(), sarr())).toDF("a", "b")
+    val badS = strs.select(
+        sorted_intersect_count(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(badS === 0L, "string kernel diverges from array_intersect")
+    // empty/disjoint edges + SQL registration with the same value
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L,2L,2L,5L), array(2L,3L,5L)) AS c,
+        |       sorted_intersect_count(array(1L), array(2L)) AS d,
+        |       sorted_intersect_count(CAST(array() AS array<bigint>), array(1L)) AS e
+        |""".stripMargin).head()
+    assert(r.getInt(0) === 2 && r.getInt(1) === 0 && r.getInt(2) === 0)
+  }
 }
