@@ -1917,18 +1917,28 @@ object SparkEntry {
 
     // PageRank (5 iterations, d = 0.85) over the symmetrized
     // customer-supplier interaction graph: edges+outdeg checkpointed
-    // once, 2 O(edges) exchanges per iteration, rank mass conserved
+    // once, 2 O(edges) exchanges per iteration, rank mass conserved.
+    // Node ids ride through the loop as LONGS — the bijective encoding
+    // c<k> -> 2k, s<k> -> 2k+1 (customer and supplier key spaces are
+    // disjoint by parity) decodes back to the contract's string form
+    // AFTER the loop, so the 5 iterations hash/compare/checkpoint 8-byte
+    // keys instead of strings (QProfile r20: the string-keyed loop
+    // re-read a 121MB checkpoint per iteration; long keys shrink the
+    // cached edge rows and every per-iteration exchange/probe with them)
     "graph_pagerank" -> ((s, dir) => {
       val o = s.read.parquet(t(dir, "orders"))
         .select(col("o_orderkey"), col("o_custkey"))
       val l = s.read.parquet(t(dir, "lineitem"))
         .select(col("l_orderkey"), col("l_suppkey"))
       val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(shiftleft(col("o_custkey"), 1).as("src"),
+          (shiftleft(col("l_suppkey"), 1) + 1).as("dst"))
       graft.operators.Graph.pageRank(e, "src", "dst",
           iterations = 5, damping = 0.85, symmetrize = true)
-        .select(col("node"), round(col("r"), 6).as("rank"))
+        .select(when(col("node") % 2 === 0,
+            concat(lit("c"), shiftright(col("node"), 1)))
+          .otherwise(concat(lit("s"), shiftright(col("node"), 1))).as("node"),
+          round(col("r"), 6).as("rank"))
     }),
 
     // Triangle census of the part co-occurrence graph (parts bought in
@@ -1938,11 +1948,16 @@ object SparkEntry {
     // Graph.coOccurrenceEdges: ONE shuffle + in-row pair expansion with
     // an ENFORCED maxBasket hub cap (Dedup's maxDf contract); TPC-H
     // baskets hold ≤7 items, so the cap is far above every real basket
-    // and the census is identical to the exhaustive build (spec-pinned)
+    // and the census is identical to the exhaustive build (spec-pinned).
+    // The widen keys on the GROUPING column, so the basket aggregation
+    // reuses the widening exchange (zero added shuffles) — without it
+    // the collect_set partials and the in-row pair explode run on the
+    // scan's 1-3 effective tasks (QProfile r20: 14s of the census's 19s)
     "graph_triangles" -> ((s, dir) => {
       val edges = graft.operators.Graph.coOccurrenceEdges(
-        s.read.parquet(t(dir, "lineitem")), "l_orderkey", "l_partkey",
-        maxBasket = 64)
+        widenScan(s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+        "l_orderkey", "l_partkey", maxBasket = 64)
       graft.operators.Graph.triangleStats(edges, "a", "b")
     }),
 
