@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "sorted_intersect_count",
       "distinct-intersection size of two ASC-sorted arrays (two-pointer)",
       { case Seq(a, b) => SortedIntersectCountExpr(a, b) })
+    register(ext, "pack_sorted_longs",
+      "delta-varint binary pack of an ASC-sorted null-free long/int array",
+      { case Seq(e) => PackSortedLongsExpr(e) })
+    register(ext, "packed_intersect_count",
+      "distinct-intersection size of two pack_sorted_longs sets",
+      { case Seq(a, b) => PackedIntersectCountExpr(a, b) })
     register(ext, "simhash_tokens", "in-row SimHash signature of a token array",
       { case Seq(e, bits) => SimhashExpr(e, foldToInt(bits, "simhash_tokens(expr, bits)")) })
     register(ext, "word_grams", "overlapping n-word shingles of whitespace-split text",

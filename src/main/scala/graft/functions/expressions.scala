@@ -852,3 +852,67 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Delta-varint pack of an ASC-sorted, null-free long/int array (the
+  * `sort_array(collect_list(..))` shape) into BINARY — clustered id lists
+  * pack to ~1-3 bytes per element instead of the flat 8 an
+  * UnsafeArrayData long costs through every downstream exchange. Consumed
+  * by [[PackedIntersectCountExpr]] without re-materializing the array. */
+case class PackSortedLongsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pack_sorted_longs expects array<bigint> or array<int>, got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_sorted_longs"
+
+  private def method: String = child.dataType match {
+    case ArrayType(LongType, _) => "packSortedLongs"
+    case _ => "packSortedInts"
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    child.dataType match {
+      case ArrayType(LongType, _) => graft.core.TextHash.packSortedLongs(arr)
+      case _ => graft.core.TextHash.packSortedInts(arr)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.$method($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** |distinct ∩| of two [[PackSortedLongsExpr]]-packed sorted sets: one
+  * two-pointer merge over the encoded bytes, varints decoded
+  * incrementally — equal to `sorted_intersect_count` on the arrays that
+  * were packed, with the array never rebuilt. */
+case class PackedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"packed_intersect_count expects two binary columns, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "packed_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.TextHash.packedIntersectCount(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.TextHash.packedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -88,6 +88,17 @@ package object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCountExpr(expr(a), expr(b)))
 
+  /** Delta-varint pack of an ASC-sorted null-free long/int array into
+    * binary (codegen'd) — the exchange-compact adjacency-list form
+    * [[packed_intersect_count]] consumes. */
+  def pack_sorted_longs(arr: Column): Column =
+    col(PackSortedLongsExpr(expr(arr)))
+
+  /** |distinct ∩| of two pack_sorted_longs sets over the encoded bytes
+    * (codegen'd) — sorted_intersect_count without unpacking. */
+  def packed_intersect_count(a: Column, b: Column): Column =
+    col(PackedIntersectCountExpr(expr(a), expr(b)))
+
   /** Distinct overlapping word n-grams (codegen'd byte-level pass). */
   def word_grams(s: Column, n: Int): Column = col(WordGramsExpr(expr(s), n))
 

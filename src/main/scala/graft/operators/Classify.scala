@@ -56,41 +56,58 @@ object Classify {
     require(alpha > 0, "alpha must be positive (unseen words need mass)")
     val toks = TextAnalysis.tokens(col(textCol))
 
+    // The model table and the tokenized corpus each feed MULTIPLE
+    // consumers (lw -> label totals + |V| + the evidence join; the doc
+    // tokens -> the evidence explode + the per-doc length) — without a
+    // persist each consumer re-runs the tokenizer over its whole input
+    // (measured r20: the two corpus-sized scans were ~2/3 of this
+    // operator's wall time). lw is vocab*labels-bounded; docTok is one
+    // token-array row per corpus row — the same O(corpus) cache the
+    // dedup pair engine holds for its shingle frame. Both release in the
+    // finally; the result is localCheckpoint'd (O(docs) rows) first so
+    // the caller never recomputes through the unpersisted lineage.
     val trainTok = train.select(col(labelCol).as("_l"), explode(toks).as("_w"))
     val lw = trainTok.groupBy(col("_l"), col("_w"))
       .agg(count(lit(1)).as("_clw"))
-    val lTotals = lw.groupBy(col("_l")).agg(sum(col("_clw")).as("_cl"))
-    // |V| and the training doc total: two count jobs, plan literals
-    val vocab = lw.select(col("_w")).distinct().count().toDouble
-    require(vocab > 0, "training corpus has no tokens")
-    val priors = train.groupBy(col(labelCol).as("_l"))
-      .agg(count(lit(1)).as("_nd"))
-    val totalDocs = train.count().toDouble
+      .persist()
+    val docTok = docs.select(col(idCol), toks.as("_toks")).persist()
+    try {
+      val lTotals = lw.groupBy(col("_l")).agg(sum(col("_clw")).as("_cl"))
+      // |V| and the training doc total: two count jobs, plan literals
+      val vocab = lw.select(col("_w")).distinct().count().toDouble
+      require(vocab > 0, "training corpus has no tokens")
+      val priors = train.groupBy(col(labelCol).as("_l"))
+        .agg(count(lit(1)).as("_nd"))
+      val totalDocs = train.count().toDouble
 
-    // evidence: Σ ln((c_lw + a)/a) over tokens the label has seen
-    val evidence = docs.select(col(idCol), explode(toks).as("_w"))
-      .join(lw, "_w")
-      .groupBy(col(idCol), col("_l"))
-      .agg(sum(log((col("_clw").cast(DoubleType) + lit(alpha)) / lit(alpha)))
-        .as("_s"))
+      // evidence: Σ ln((c_lw + a)/a) over tokens the label has seen
+      val evidence = docTok
+        .select(col(idCol), explode(col("_toks")).as("_w"))
+        .join(lw, "_w")
+        .groupBy(col(idCol), col("_l"))
+        .agg(sum(log((col("_clw").cast(DoubleType) + lit(alpha)) / lit(alpha)))
+          .as("_s"))
 
-    // every (doc, label) frame row: prior + per-token floor
-    val labels = priors.join(lTotals, "_l")
-    val frame = docs.select(col(idCol), size(toks).cast(DoubleType).as("_n"))
-      .crossJoin(broadcast(labels))
+      // every (doc, label) frame row: prior + per-token floor
+      val labels = priors.join(lTotals, "_l")
+      val frame = docTok
+        .select(col(idCol), size(col("_toks")).cast(DoubleType).as("_n"))
+        .crossJoin(broadcast(labels))
 
-    val score = round(
-      log(col("_nd").cast(DoubleType) / lit(totalDocs)) +
-        col("_n") * (log(lit(alpha)) -
-          log(col("_cl").cast(DoubleType) + lit(alpha * vocab))) +
-        coalesce(col("_s"), lit(0.0)), 4)
+      val score = round(
+        log(col("_nd").cast(DoubleType) / lit(totalDocs)) +
+          col("_n") * (log(lit(alpha)) -
+            log(col("_cl").cast(DoubleType) + lit(alpha * vocab))) +
+          coalesce(col("_s"), lit(0.0)), 4)
 
-    frame.join(evidence, Seq(idCol, "_l"), "left")
-      .select(col(idCol), col("_l"), score.as("_score"))
-      // argmax with min-struct: min(-score) = max(score), ties -> min label
-      .groupBy(col(idCol))
-      .agg(min(struct((-col("_score")).as("_ns"), col("_l").as("_lbl"))).as("_b"))
-      .select(col(idCol), col("_b._lbl").as("pred_label"),
-        round(-col("_b._ns"), 4).as("score"))
+      frame.join(evidence, Seq(idCol, "_l"), "left")
+        .select(col(idCol), col("_l"), score.as("_score"))
+        // argmax with min-struct: min(-score) = max(score), ties -> min label
+        .groupBy(col(idCol))
+        .agg(min(struct((-col("_score")).as("_ns"), col("_l").as("_lbl"))).as("_b"))
+        .select(col(idCol), col("_b._lbl").as("pred_label"),
+          round(-col("_b._ns"), 4).as("score"))
+        .localCheckpoint()
+    } finally { lw.unpersist(); docTok.unpersist(); () }
   }
 }

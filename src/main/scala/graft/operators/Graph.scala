@@ -101,11 +101,23 @@ object Graph {
       reliableCheckpoint: Boolean = false): DataFrame = {
     val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s") =!= col("d"))
+    // integral node ids take the PACKED adjacency path below: neighbor
+    // lists ride the probe exchanges as delta-varint binary (~1-3 B per
+    // id instead of a flat 8) and intersect directly over the encoding —
+    // the census's dominant shuffle is the per-edge list attach, so the
+    // packing is worth a kernel (other key types keep the array form)
+    val packed = raw.schema("s").dataType match {
+      case LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
     val e = ckpt(raw.select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b")).distinct(),
       reliableCheckpoint) // reused 4x: degrees, orientation, close join
-    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // deg feeds the orientation join AND the wedge aggregation; without
+    // its own checkpoint the second consumer re-runs the full union+agg
+    // over the edge cache (two more whole-e reads, measured r20)
+    val deg = ckpt(e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg")), reliableCheckpoint)
     // orient a<b edge toward the (deg, id)-greater endpoint; carry both
     // endpoints' ranks so the wedge join can order neighbors without
     // another degree lookup
@@ -128,8 +140,10 @@ object Graph {
     // edge stream (and its attached neighbor arrays) twice; hashing the
     // #nodes-row adjacency build side skips both sorts and, unlike a
     // broadcast, stays safe when the node set outgrows one executor
+    val nbrs = sort_array(collect_list(col("v")))
     val adj = oriented.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .agg((if (packed) graft.functions.pack_sorted_longs(nbrs) else nbrs)
+        .as("nbrs"))
     val nTri = oriented
       .join(adj.select(col("u").as("_a"), col("nbrs").as("na")).hint("shuffle_hash"),
         col("u") === col("_a"))
@@ -139,8 +153,11 @@ object Graph {
       // count replaces size(array_intersect(..)), which hash-built and
       // MATERIALIZED every per-edge intersection array just to size it —
       // the O(E^1.5)-row hot loop of the census (QProfile r20: the probe
-      // stage was 4.2s of the query's 9.5s before this swap)
-      .select(graft.functions.sorted_intersect_count(col("na"), col("nb"))
+      // stage was 4.2s of the query's 9.5s before this swap). On the
+      // packed path the same merge runs over the varint encoding.
+      .select((if (packed)
+          graft.functions.packed_intersect_count(col("na"), col("nb"))
+        else graft.functions.sorted_intersect_count(col("na"), col("nb")))
         .cast(LongType).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val nodesEdges = e.agg(count(lit(1)).as("n_edges"))

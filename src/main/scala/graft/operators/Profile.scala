@@ -128,9 +128,11 @@ object Profile {
    * bucketing scan as plan literals. Bucket b covers
    * (q_b, q_{b+1}]; the last bucket is open above. `hi_bound` is the
    * bucket's upper boundary (null for the last). Nulls drop. Two scans
-   * total; note exact percentile keeps per-group sorted state — at
-   * 100 TB swap the boundary pass to approx_percentile and accept
-   * sketch-dependent boundaries (the q20/q20b trade).
+   * total; boundaries come from [[exactQuantiles]] — the distributed
+   * value-at-rank form — so no task holds the full distinct-value state
+   * the `percentile` aggregate's single reducer kept (still O(distinct
+   * values) total work; [[equiHeightHistogramSampled]] remains the form
+   * that bounds even that).
    */
   def equiHeightHistogram(df: DataFrame, valueCol: String, bins: Int = 4,
       roundTo: Int = 2): DataFrame = {
@@ -138,11 +140,7 @@ object Profile {
     val v = col(valueCol).cast("double")
     val d = df.filter(v.isNotNull)
     val ps = (1 until bins).map(i => i.toDouble / bins)
-    val row = d.agg(
-      expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))")).head()
-    require(!row.isNullAt(0),
-      s"equi-height histogram: column '$valueCol' has no non-null values")
-    val bounds = row.getSeq[Double](0).map(x =>
+    val bounds = exactQuantiles(d, valueCol, ps).map(x =>
       BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
     // duplicate rounded boundaries would make the when-chain skip a bin
     // entirely — a data card silently missing buckets. Fail loudly: the
@@ -160,6 +158,74 @@ object Profile {
     d.select(bin.as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       .withColumn("hi_bound", hi)
+  }
+
+  /**
+   * Exact quantiles with Spark `percentile` semantics (linear
+   * interpolation at rank p*(N-1) over the ascending multiset), computed
+   * DISTRIBUTED instead of through the aggregate's single-reducer
+   * value→count map: (1) one map-side-combinable groupBy(value) count,
+   * (2) a range repartition of the DISTINCT values, (3) a two-phase
+   * prefix sum (per-partition masses → driver offsets → straddling-value
+   * pick), so no single task ever holds or sorts the full distinct-value
+   * state — the scaling hazard the old boundary pass documented. Driver
+   * state is #partitions longs + 2·|ps| picked values (the same
+   * bounded-collect contract as the bulk sink's manifest gathers).
+   * Interpolation reproduces Percentile.getPercentile arithmetic exactly
+   * (pinned ulp-for-ulp against the aggregate in OperatorsSpec).
+   */
+  private[graft] def exactQuantiles(df: DataFrame, valueCol: String,
+      ps: Seq[Double]): Seq[Double] = {
+    require(ps.nonEmpty, "exactQuantiles needs at least one percentage")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val cnt = df.filter(v.isNotNull).select(v.as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    // localCheckpoint: the sorted runs feed two passes (mass, pick);
+    // without it each pass would re-shuffle and re-sort the values
+    val sorted = cnt.repartitionByRange(parts, col("_v"))
+      .sortWithinPartitions(col("_v"))
+      .localCheckpoint()
+    val masses = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val total = masses.sum
+    require(total > 0,
+      s"equi-height histogram: column '$valueCol' has no non-null values")
+    val offsets = masses.scanLeft(0L)(_ + _)
+    val positions = ps.map(_ * (total - 1)) // Percentile's 0-based rank
+    val needed = positions
+      .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
+      .distinct.sorted.toArray
+    val found = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      var k = {
+        val s = java.util.Arrays.binarySearch(needed, cum)
+        if (s >= 0) s else -s - 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (it.hasNext && k < needed.length) {
+        val r = it.next()
+        val c = r.getLong(1)
+        while (k < needed.length && needed(k) < cum + c) {
+          out += ((needed(k), r.getDouble(0)))
+          k += 1
+        }
+        cum += c
+      }
+      out.iterator
+    }.collect().toMap
+    positions.map { pos =>
+      val lower = math.floor(pos).toLong
+      val higher = math.ceil(pos).toLong
+      if (higher == lower) found(lower)
+      // Percentile.getPercentile's exact expression (term order matters
+      // only in the last ulp — and the spec pins even that)
+      else (higher - pos) * found(lower) + (pos - lower) * found(higher)
+    }
   }
 
   /** The boundary pass of [[equiHeightHistogramSampled]], exposed so

@@ -39,38 +39,45 @@ object Search {
     require(terms.nonEmpty, "need at least one query term")
     require(k > 0, "k must be positive")
     val toks = TextAnalysis.tokens(col(textCol))
+    // tokenize ONCE: the stats pass and the scoring pass both consume the
+    // persisted token arrays instead of re-running the tokenizer over the
+    // corpus (the naiveBayes/dedup-pair-engine cache pattern); the k-row
+    // result is localCheckpoint'd before the unpersist so the caller
+    // never recomputes through the released cache
     val base = docs.select(col(idCol), toks.as("_toks"),
-      size(toks).cast("long").as("_len"))
+      size(toks).cast("long").as("_len")).persist()
+    try {
+      // one corpus-stats pass: N, token total, df per term — all map-side
+      // combinable longs, so the exchange carries one row per partition
+      val statCols = Seq(count(lit(1)).as("_n"), sum(col("_len")).as("_tok")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          count_if(array_contains(col("_toks"), t)).as(s"_df_$i") }
+      val stats = base.agg(statCols.head, statCols.tail: _*).head()
+      val n = stats.getLong(0)
+      val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
+      val idf = terms.indices.map { i =>
+        val df = stats.getLong(2 + i).toDouble
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      }
 
-    // one corpus-stats pass: N, token total, df per term — all map-side
-    // combinable longs, so the exchange carries one row per partition
-    val statCols = Seq(count(lit(1)).as("_n"), sum(col("_len")).as("_tok")) ++
-      terms.zipWithIndex.map { case (t, i) =>
-        count_if(array_contains(col("_toks"), t)).as(s"_df_$i") }
-    val stats = base.agg(statCols.head, statCols.tail: _*).head()
-    val n = stats.getLong(0)
-    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
-    val idf = terms.indices.map { i =>
-      val df = stats.getLong(2 + i).toDouble
-      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-    }
+      // scan-stage scoring: tf per term is the codegen'd in-row counter
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = graft.functions.array_count_in(col("_toks"), Seq(t)).cast("double")
+        lit(idf(i)) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len").cast("double") / lit(avgdl)))
+      }.reduce(_ + _)
 
-    // scan-stage scoring: tf per term is the codegen'd in-row counter
-    val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = graft.functions.array_count_in(col("_toks"), Seq(t)).cast("double")
-      lit(idf(i)) * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len").cast("double") / lit(avgdl)))
-    }.reduce(_ + _)
-
-    val scored = base.select(col(idCol), round(score, 4).as("bm25"))
-      .filter(col("bm25") > 0)
-    // bounded top-k: heap-reduce per partition before the single exchange
-    // (the orderBy+limit form is equivalent here but rankTopK's TopKAgg
-    // pattern keeps the shuffle k-bounded at any corpus size)
-    scored.agg(graft.functions.TopKAgg.topk_agg(
-        col("bm25"), col(idCol).cast("long"), k).as("_top"))
-      .select(explode(col("_top")).as("_e"))
-      .select(col("_e.c_id").as(idCol), col("_e.sim").as("bm25"))
+      val scored = base.select(col(idCol), round(score, 4).as("bm25"))
+        .filter(col("bm25") > 0)
+      // bounded top-k: heap-reduce per partition before the single exchange
+      // (the orderBy+limit form is equivalent here but rankTopK's TopKAgg
+      // pattern keeps the shuffle k-bounded at any corpus size)
+      scored.agg(graft.functions.TopKAgg.topk_agg(
+          col("bm25"), col(idCol).cast("long"), k).as("_top"))
+        .select(explode(col("_top")).as("_e"))
+        .select(col("_e.c_id").as(idCol), col("_e.sim").as("bm25"))
+        .localCheckpoint()
+    } finally { base.unpersist(); () }
   }
 
   /**

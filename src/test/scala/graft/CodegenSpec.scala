@@ -217,4 +217,53 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         |""".stripMargin).head()
     assert(r.getInt(0) === 2 && r.getInt(1) === 0 && r.getInt(2) === 0)
   }
+
+  test("packed_intersect_count over pack_sorted_longs == array_intersect (codegen-only)") {
+    val spark = freshSession(_
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .withExtensions(new GraftExtensions))
+    import spark.implicits._
+    // randomized sorted arrays with duplicates AND negatives (the zigzag
+    // first-value case) plus wide gaps (multi-byte varint deltas): the
+    // packed merge must equal array_intersect's distinct count whenever
+    // both sides are sort_array'd and null-free
+    val rnd = new scala.util.Random(21L)
+    def arr(): Seq[Long] = Seq.fill(rnd.nextInt(14))(
+      rnd.nextInt(40).toLong - 10L + (if (rnd.nextInt(5) == 0) 1000000L else 0L)
+    ).sorted
+    val longs = Seq.fill(400)((arr(), arr())).toDF("a", "b")
+    val badL = longs.select(
+        packed_intersect_count(
+          pack_sorted_longs(col("a")), pack_sorted_longs(col("b"))).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(badL === 0L, "packed long kernel diverges from array_intersect")
+    // int-element arrays pack into the same byte format
+    def iarr(): Seq[Int] = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20) - 5).sorted
+    val ints = Seq.fill(300)((iarr(), iarr())).toDF("a", "b")
+    val badI = ints.select(
+        packed_intersect_count(
+          pack_sorted_longs(col("a")), pack_sorted_longs(col("b"))).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(badI === 0L, "packed int kernel diverges from array_intersect")
+    // empty sides, singletons, Long extremes + SQL registration
+    val r = spark.sql(
+      """SELECT packed_intersect_count(pack_sorted_longs(array(1L,2L,2L,5L)),
+        |                              pack_sorted_longs(array(2L,3L,5L))) AS c,
+        |       packed_intersect_count(pack_sorted_longs(CAST(array() AS array<bigint>)),
+        |                              pack_sorted_longs(array(1L))) AS d,
+        |       packed_intersect_count(
+        |         pack_sorted_longs(array(-9223372036854775808L, 0L, 9223372036854775807L)),
+        |         pack_sorted_longs(array(-9223372036854775808L, 9223372036854775807L))) AS e
+        |""".stripMargin).head()
+    assert(r.getInt(0) === 2 && r.getInt(1) === 0 && r.getInt(2) === 2)
+    // an unsorted input must fail loudly, never mis-count
+    val mex = intercept[Exception] {
+      spark.sql("SELECT pack_sorted_longs(array(5L, 1L)) AS p").head()
+    }
+    assert(SparkSuite.causeMessages(mex).exists(_.contains("not ascending-sorted")),
+      SparkSuite.causeMessages(mex).mkString("; "))
+  }
 }

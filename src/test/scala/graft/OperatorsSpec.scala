@@ -508,6 +508,18 @@ class OperatorsSpec extends AnyFunSuite {
       "a", "b").collect()(0).toSeq
     assert(production === exhaustive,
       "maxBasket=64 changed the TPC-H census — the cap must be inert here")
+    // the packed-adjacency path (integral node ids ride the probe joins
+    // as delta-varint binary) must census identically to the generic
+    // array path (string ids): same random multigraph, ids long vs "n"+id
+    val rnd = new scala.util.Random(7L)
+    val rawEdges = Seq.fill(600)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val longCensus = Graph.triangleStats(
+      rawEdges.toDF("s", "d"), "s", "d").collect()(0).toSeq
+    val strCensus = Graph.triangleStats(
+      rawEdges.map { case (a, b) => (s"n$a", s"n$b") }.toDF("s", "d"),
+      "s", "d").collect()(0).toSeq
+    assert(longCensus === strCensus,
+      "packed (long) and generic (string) census paths disagree")
   }
 
   test("pageRank: regular graphs stay at 1.0, hubs outrank leaves, mass conserved") {
@@ -3264,6 +3276,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2) === ((2L, Some(6.25))))
     assert(out(3) === ((2L, None)), "last bucket open above")
     assert(out.values.map(_._1).sum === 8L, "null row must not be counted")
+  }
+
+  test("exactQuantiles == percentile aggregate, bit-exact, on random multisets") {
+    import graft.operators.Profile
+    // the distributed value-at-rank boundary pass must reproduce the
+    // percentile aggregate's interpolation ULP-FOR-ULP (===, no
+    // tolerance): duplicates, skewed masses, negative values, and sizes
+    // that land ranks both on and between values
+    val rnd = new scala.util.Random(31L)
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0 / 3.0)
+    for (n <- Seq(1, 2, 7, 1000)) {
+      val vals = Seq.fill(n)(
+        (rnd.nextInt(50) - 20) * (if (rnd.nextBoolean()) 0.37 else 1.0))
+      val df = vals.toDF("v")
+      val dist = Profile.exactQuantiles(df, "v", ps)
+      val agg = df.agg(expr(s"percentile(v, array(${ps.mkString(", ")}))"))
+        .head().getSeq[Double](0)
+      assert(dist === agg, s"n=$n: $dist != $agg")
+    }
   }
 
   test("equiHeightHistogram guards: empty input and colliding boundaries fail loudly") {

@@ -6,6 +6,32 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Plans of EVERY execution a query construction triggers, plus the
+    * result's own: operators that materialize an internal frame (the
+    * eager localCheckpoint in naiveBayes/bm25TopK — their returned plan
+    * is a truncated ExistingRDD scan) run those jobs through
+    * `Dataset.withAction`, so a QueryExecutionListener observes the full
+    * pre-checkpoint physical plan the shape pins are about. */
+  private def plansDuring(name: String): String = {
+    val plans = new java.lang.StringBuilder
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans.append(qe.executedPlan.toString).append('\n'); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val p = plan(name)
+      Thread.sleep(1500) // the listener bus delivers asynchronously
+      plans.synchronized(plans.append(p))
+      plans.toString
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("s1: filter and projection pushed to parquet scan") {
     val p = plan("s1_scan_project")
     println(p.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema")).mkString("\n"))
@@ -163,7 +189,9 @@ class PlanSpec extends AnyFunSuite {
     // tf is the in-row array_count_in kernel and ranking is the partial
     // topk aggregate: a Window or any Join here means scoring fell back
     // to explode-and-rank
-    val p = plan("text_bm25")
+    // bm25TopK materializes through an eager localCheckpoint, so the
+    // shapes live in the INTERNAL execution's plan (plansDuring)
+    val p = plansDuring("text_bm25")
     assert(!p.contains("Window"), s"bm25 ranks via a window:\n${p.take(2000)}")
     assert(!p.contains("Join"), s"bm25 acquired a join:\n${p.take(2000)}")
     assert(p.contains("partial_topk_agg"), s"no bounded-heap partial:\n${p.take(2000)}")
@@ -457,7 +485,9 @@ class PlanSpec extends AnyFunSuite {
     // the argmax must be the min-struct aggregate (map-side partial),
     // never a row_number window over doc × label scores; the only
     // intended fan-out is the broadcast #labels frame
-    val p = plan("classify_nb")
+    // naiveBayes materializes through an eager localCheckpoint — the
+    // argmax shape lives in the internal execution's plan (plansDuring)
+    val p = plansDuring("classify_nb")
     assert(!p.contains("Window"), s"argmax via window shuffle:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n${p.take(2000)}")
     assert(p.contains("partial_min"), s"no map-side argmax partial:\n${p.take(2000)}")
