@@ -560,7 +560,11 @@ object SparkEntry {
     }),
 
     "text_winnow" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "documents"))
+      // widen: the winnow kernel (char-gram hashes + sliding min) is the
+      // heaviest pure-map scan in the suite — one pruned-row exchange
+      // buys 32-way kernel execution (identity at production layouts)
+      val d = widenScan(s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text")), col("doc_id"))
       d.select(col("doc_id"),
           graft.operators.TextAnalysis.winnowingFingerprints(
             col("text"), k = 8, w = 4).as("fps"))
@@ -942,9 +946,16 @@ object SparkEntry {
     // answer. Organic-corpus recall is spec'd in OperatorsSpec.
     "embed_i8_topk" -> ((s, dir) => {
       // localCheckpoint as in embed_lsh_topk: the 64-branch construction
-      // must not re-inline into the quantize + dot expressions
-      val e = s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
-        graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
+      // must not re-inline into the quantize + dot expressions. Widened
+      // (unlike the k-means-training siblings, where 32-partition
+      // checkpoints multiplied per-job scheduling across dozens of tiny
+      // driver jobs and A/B'd 1.25-1.43x LOSS): quantizedTopK is a pure
+      // coarse scan + re-rank, so the parallel checkpoint feeds its one
+      // corpus-sized stage (A/B 0.66x WIN)
+      val e = widenScan(s.read.parquet(t(dir, "embeddings"))
+          .select(col("vec_id")), col("vec_id"))
+        .select(col("vec_id"),
+          graft.operators.Similarity.plantedClusterVector(col("vec_id")).as("embedding"))
         .localCheckpoint()
       graft.operators.Similarity.quantizedTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),

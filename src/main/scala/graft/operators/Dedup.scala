@@ -593,24 +593,32 @@ object Dedup {
   def simhashBandPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, s"4 bands over 60 bits are exact only for hamming <= 3, got $maxHamming")
-    val sims = withSimhash60(df, idCol, textCol)
-    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
-      shiftright(col("simhash60"), b * 15).bitwiseAND(lit(0x7FFFL)).as("v")))
-    val bands = sims.select(struct(col("doc_id"), col("simhash60")).as("d"),
-      explode(array(bandCols: _*)).as("bv"))
-      .select(col("d"), col("bv.band").as("band"), col("bv.v").as("v"))
-    val capped =
-      if (maxBucket == Int.MaxValue) bands
-      else bands.withColumn("n", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("v"))))
-        .filter(col("n") <= maxBucket).drop("n")
-    val left = capped.select(col("band"), col("v"), col("d").as("a"))
-    val right = capped.select(col("band"), col("v"), col("d").as("b"))
-    left.join(right, Seq("band", "v"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash60").bitwiseXOR(col("b.simhash60"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a close pair can agree on several bands
+    // both sides of the band self-join derive from the signature frame —
+    // persist it so the tokenize+simhash kernel runs ONCE over the corpus
+    // instead of once per side (16 bytes/row of cache; the threshold-
+    // bounded pair result is localCheckpoint'd before the release, the
+    // ngram pair engine's pattern)
+    val sims = withSimhash60(df, idCol, textCol).persist()
+    try {
+      val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash60"), b * 15).bitwiseAND(lit(0x7FFFL)).as("v")))
+      val bands = sims.select(struct(col("doc_id"), col("simhash60")).as("d"),
+        explode(array(bandCols: _*)).as("bv"))
+        .select(col("d"), col("bv.band").as("band"), col("bv.v").as("v"))
+      val capped =
+        if (maxBucket == Int.MaxValue) bands
+        else bands.withColumn("n", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("v"))))
+          .filter(col("n") <= maxBucket).drop("n")
+      val left = capped.select(col("band"), col("v"), col("d").as("a"))
+      val right = capped.select(col("band"), col("v"), col("d").as("b"))
+      left.join(right, Seq("band", "v"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash60").bitwiseXOR(col("b.simhash60"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct() // a close pair can agree on several bands
+        .localCheckpoint()
+    } finally { sims.unpersist(); () }
   }
 }

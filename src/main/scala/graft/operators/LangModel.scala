@@ -67,23 +67,31 @@ object LangModel {
     // unigram counts over ALL training tokens (not just bigram-left
     // positions): the simpler, equally-standard denominator — documented
     // so the oracle mirrors it exactly
+    // uni feeds BOTH the |V| count and the scoring join — persist the
+    // vocab-bounded table so the second consumer doesn't re-tokenize the
+    // training slice (the naiveBayes/bm25 cache pattern); the O(docs)
+    // result is localCheckpoint'd before the release
     val uni = train
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("_c1"))
-    val big = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_c2"))
-    // vocabulary size: one count job, folded into the plan as a literal
-    val vocab = uni.count().toDouble
-    require(vocab > 0, "training corpus has no tokens")
+      .persist()
+    try {
+      val big = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_c2"))
+      // vocabulary size: one count job, folded into the plan as a literal
+      val vocab = uni.count().toDouble
+      require(vocab > 0, "training corpus has no tokens")
 
-    val logp = log((coalesce(col("_c2"), lit(0L)).cast(DoubleType) + lit(alpha)) /
-      (coalesce(col("_c1"), lit(0L)).cast(DoubleType) + lit(alpha * vocab)))
-    val nll = round(-sum(col("_lp")) / count(lit(1)), 4)
-    bigrams(docs, Seq(idCol), textCol)
-      .join(big, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
-      .select(col(idCol), logp.as("_lp"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), nll.as("nll"))
-      .withColumn("ppl", round(exp(col("nll")), 2))
+      val logp = log((coalesce(col("_c2"), lit(0L)).cast(DoubleType) + lit(alpha)) /
+        (coalesce(col("_c1"), lit(0L)).cast(DoubleType) + lit(alpha * vocab)))
+      val nll = round(-sum(col("_lp")) / count(lit(1)), 4)
+      bigrams(docs, Seq(idCol), textCol)
+        .join(big, Seq("w1", "w2"), "left")
+        .join(uni, Seq("w1"), "left")
+        .select(col(idCol), logp.as("_lp"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"), nll.as("nll"))
+        .withColumn("ppl", round(exp(col("nll")), 2))
+        .localCheckpoint()
+    } finally { uni.unpersist(); () }
   }
 }

@@ -496,8 +496,10 @@ class PlanSpec extends AnyFunSuite {
   test("text_perplexity: count tables broadcast back onto the bigram stream") {
     // at oracle scale the two LM count tables are broadcast (AQE picks
     // shuffle-hash at web scale — the shape to avoid is a sort-merge of
-    // the full bigram stream) and the per-doc NLL aggregates partially
-    val p = plan("text_perplexity")
+    // the full bigram stream) and the per-doc NLL aggregates partially;
+    // bigramScore materializes through an eager localCheckpoint, so the
+    // shapes live in the internal execution's plan
+    val p = plansDuring("text_perplexity")
     assert(!p.contains("SortMergeJoin"),
       s"bigram stream sort-merges against tiny count tables:\n${p.take(2000)}")
     assert(p.contains("HashAggregate"), s"no hash aggregation:\n${p.take(2000)}")
