@@ -20,6 +20,17 @@ def main(before_path, after_path, thr=1.3):
         else "queries_norm"
     ua, ub = a[key], b[key]
     common = sorted(set(ua) & set(ub))
+    # never drop silently: name queries present on only one side, and any
+    # zero-valued before entry the ratio loop below cannot rank
+    only_a, only_b = sorted(set(ua) - set(ub)), sorted(set(ub) - set(ua))
+    if only_a:
+        print(f"only in before ({len(only_a)}): {', '.join(only_a)}")
+    if only_b:
+        print(f"only in after ({len(only_b)}): {', '.join(only_b)}")
+    zeros = [q for q in common if ua[q] <= 0]
+    if zeros:
+        print(f"before-value <= 0, excluded from ratios ({len(zeros)}): "
+              + ", ".join(f"{q} (after={ub[q]:.2f})" for q in zeros))
     print(f"units={key}  queries={len(common)}")
     print(f"before: total={a['value']:.1f}s sentinel={a['sentinel']['sec']:.3f} "
           f"noise={a['noise']:.2f}")

@@ -661,7 +661,21 @@ object TextHash {
    * reconstructs an array. Distinct semantics match
    * [[sortedIntersectCountLong]] on the arrays that were packed.
    */
-  def packedIntersectCount(a: Array[Byte], b: Array[Byte]): Int = {
+  def packedIntersectCount(a: Array[Byte], b: Array[Byte]): Int =
+    try packedIntersectCountImpl(a, b)
+    catch {
+      // a truncated blob runs a varint off the array end — surface it as
+      // the same loud malformed-input error the bloom kernel raises, not
+      // a raw index crash. (A FOREIGN byte string that happens to parse
+      // as varints is not detectable — the format is header-free by
+      // design; this function's contract is pack_sorted_longs output.)
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          "packed_intersect_count: malformed blob (truncated varint) — " +
+            "inputs must be pack_sorted_longs output")
+    }
+
+  private def packedIntersectCountImpl(a: Array[Byte], b: Array[Byte]): Int = {
     val la = a.length; val lb = b.length
     if (la == 0 || lb == 0) return 0
     // varint decode is inlined at each advance site (no nested defs:

@@ -70,15 +70,19 @@ object Classify {
     val lw = trainTok.groupBy(col("_l"), col("_w"))
       .agg(count(lit(1)).as("_clw"))
       .persist()
+    // priors also has two consumers (the labels join AND the doc total —
+    // a separate train.count() was a third full pass over the training
+    // input); the #labels-row cache serves both
+    val priors = train.groupBy(col(labelCol).as("_l"))
+      .agg(count(lit(1)).as("_nd")).persist()
     val docTok = docs.select(col(idCol), toks.as("_toks")).persist()
     try {
       val lTotals = lw.groupBy(col("_l")).agg(sum(col("_clw")).as("_cl"))
       // |V| and the training doc total: two count jobs, plan literals
       val vocab = lw.select(col("_w")).distinct().count().toDouble
       require(vocab > 0, "training corpus has no tokens")
-      val priors = train.groupBy(col(labelCol).as("_l"))
-        .agg(count(lit(1)).as("_nd"))
-      val totalDocs = train.count().toDouble
+      val totalDocs = priors.agg(coalesce(sum(col("_nd")), lit(0L)))
+        .head().getLong(0).toDouble
 
       // evidence: Σ ln((c_lw + a)/a) over tokens the label has seen
       val evidence = docTok
@@ -108,6 +112,6 @@ object Classify {
         .select(col(idCol), col("_b._lbl").as("pred_label"),
           round(-col("_b._ns"), 4).as("score"))
         .localCheckpoint()
-    } finally { lw.unpersist(); docTok.unpersist(); () }
+    } finally { lw.unpersist(); docTok.unpersist(); priors.unpersist(); () }
   }
 }

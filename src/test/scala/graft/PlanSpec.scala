@@ -23,10 +23,15 @@ class PlanSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
+    // drain stragglers from PRIOR tests before registering (their late
+    // events would otherwise land in this listener and pollute the
+    // negative assertions), and drain deterministically after the run —
+    // a fixed sleep made the positive pins flaky under load
+    org.apache.spark.GraftTestHooks.drainListenerBus(spark.sparkContext)
     spark.listenerManager.register(l)
     try {
       val p = plan(name)
-      Thread.sleep(1500) // the listener bus delivers asynchronously
+      org.apache.spark.GraftTestHooks.drainListenerBus(spark.sparkContext)
       plans.synchronized(plans.append(p))
       plans.toString
     } finally spark.listenerManager.unregister(l)
