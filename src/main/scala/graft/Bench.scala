@@ -50,23 +50,14 @@ object Bench {
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = SparkSession.builder()
+    // Engine defaults (AQE coalescing floor included) come from the ONE
+    // shared Sessions builder — the bench measures the engine's config,
+    // not its own (VERDICT r20 #2). Master/parallelism stay here: they
+    // are the bench's measurement parameters, not engine defaults.
+    val spark = Sessions.withEngineDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // AQE's coalescing floor (default 1m) assumes post-shuffle cost is
-      // proportional to bytes; explode-amplified stages (posting-list /
-      // pair expansion) and kernel-heavy aggregations violate that by
-      // 10-40x, and at this suite's shuffle sizes the 1m floor coalesces
-      // their stages down to a handful of tasks on 32 cores (measured
-      // 0.76-0.88x per-query wins at 64k, ABConf r20). Parameterized:
-      // production shuffles sit far above either floor, where the
-      // setting is inert — this is a small-shuffle parallelism floor,
-      // not a cluster tuning.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
