@@ -1942,8 +1942,11 @@ object SparkEntry {
       val l = s.read.parquet(t(dir, "lineitem"))
         .select(col("l_orderkey"), col("l_suppkey"))
       val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(shiftleft(col("o_custkey"), 1).as("src"),
-          (shiftleft(col("l_suppkey"), 1) + 1).as("dst"))
+        // cast to long BEFORE the shift: shiftleft preserves int width,
+        // so an IntegerType key column would silently overflow at 2^30
+        // keys — width-safe for any key magnitude this way
+        .select(shiftleft(col("o_custkey").cast("long"), 1).as("src"),
+          (shiftleft(col("l_suppkey").cast("long"), 1) + 1).as("dst"))
       graft.operators.Graph.pageRank(e, "src", "dst",
           iterations = 5, damping = 0.85, symmetrize = true)
         .select(when(col("node") % 2 === 0,

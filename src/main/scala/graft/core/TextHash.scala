@@ -655,6 +655,58 @@ object TextHash {
   }
 
   /**
+   * Inverse of [[packSortedLongs]]: decode a delta-varint blob back to
+   * the ascending long array it packed (wrapping adds reconstruct values
+   * mod 2^64, matching the encoder's wrapping deltas). Used where a
+   * packed adjacency list must fan back out into rows (the pagerank
+   * contribution explode) — the array is transient in-row, so the
+   * exchange/cache still carries the ~1-3 B/id encoding.
+   */
+  def unpackSortedLongs(blob: Array[Byte]): ArrayData = {
+    val len = blob.length
+    if (len == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    // a blob ending mid-varint (continuation bit set on the last byte)
+    // is truncated — the terminator-count pass below would silently
+    // decode one element short instead of running off the end
+    if ((blob(len - 1) & 0x80) != 0)
+      throw new IllegalArgumentException(
+        "unpack_sorted_longs: malformed blob (truncated varint) — " +
+          "input must be pack_sorted_longs output")
+    try {
+      // pass 1: element count = number of varint terminator bytes
+      var n = 0
+      var i = 0
+      while (i < len) { if ((blob(i) & 0x80) == 0) n += 1; i += 1 }
+      val out = new Array[Long](n)
+      var pos = 0
+      var k = 0
+      var prev = 0L
+      while (k < n) {
+        var x = 0L; var s = 0; var m = 0L
+        while ({ m = blob(pos); pos += 1; (m & 0x80) != 0 }) {
+          x |= (m & 0x7fL) << s; s += 7
+        }
+        x |= (m & 0x7fL) << s
+        prev =
+          if (k == 0) (x >>> 1) ^ -(x & 1L) // zigzag: only the first value
+          else prev + x // wrapping add mirrors the encoder's wrapping delta
+        out(k) = prev
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } catch {
+      // a truncated blob runs a varint off the array end — same loud
+      // malformed-input contract as packedIntersectCount
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          "unpack_sorted_longs: malformed blob (truncated varint) — " +
+            "input must be pack_sorted_longs output")
+    }
+  }
+
+  /**
    * |distinct(a) ∩ distinct(b)| of two [[packSortedLongs]]-packed sets by
    * one two-pointer merge over the ENCODED bytes — varints decode
    * incrementally as each side advances, so the intersect never

@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "packed_intersect_count",
       "distinct-intersection size of two pack_sorted_longs sets",
       { case Seq(a, b) => PackedIntersectCountExpr(a, b) })
+    register(ext, "unpack_sorted_longs",
+      "inverse of pack_sorted_longs: binary -> the packed array<bigint>",
+      { case Seq(e) => UnpackSortedLongsExpr(e) })
     register(ext, "simhash_tokens", "in-row SimHash signature of a token array",
       { case Seq(e, bits) => SimhashExpr(e, foldToInt(bits, "simhash_tokens(expr, bits)")) })
     register(ext, "word_grams", "overlapping n-word shingles of whitespace-split text",

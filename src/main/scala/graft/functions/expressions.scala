@@ -889,6 +889,31 @@ case class PackSortedLongsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Inverse of [[PackSortedLongsExpr]]: binary -> array<bigint>, the
+  * ascending long array the blob packed (codegen'd). For the sites where
+  * a packed adjacency list must fan back out into rows (generator input)
+  * — the decoded array is transient in-row, so caches and exchanges keep
+  * the ~1-3 B/id encoding. */
+case class UnpackSortedLongsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unpack_sorted_longs expects binary, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unpack_sorted_longs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextHash.unpackSortedLongs(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.unpackSortedLongs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** |distinct ∩| of two [[PackSortedLongsExpr]]-packed sorted sets: one
   * two-pointer merge over the encoded bytes, varints decoded
   * incrementally — equal to `sorted_intersect_count` on the arrays that

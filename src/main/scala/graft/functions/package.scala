@@ -99,6 +99,11 @@ package object functions {
   def packed_intersect_count(a: Column, b: Column): Column =
     col(PackedIntersectCountExpr(expr(a), expr(b)))
 
+  /** Inverse of [[pack_sorted_longs]]: binary -> array<bigint>
+    * (codegen'd) — for fanning a packed list back out into rows. */
+  def unpack_sorted_longs(blob: Column): Column =
+    col(UnpackSortedLongsExpr(expr(blob)))
+
   /** Distinct overlapping word n-grams (codegen'd byte-level pass). */
   def word_grams(s: Column, n: Int): Column = col(WordGramsExpr(expr(s), n))
 

@@ -183,14 +183,18 @@ object Graph {
    * so a graph already containing both directions is not double-counted)
    * — the undirected form used for bipartite interaction graphs.
    *
-   * Scale shape: edges+outdeg are computed ONCE and lazily
-   * localCheckpoint'ed (the iteration loop re-reads materialized shuffle
-   * blocks, not the upstream plan); each iteration is one shuffled join
-   * (ranks onto edge sources) and one aggregation (contributions by
-   * destination) — 2 exchanges per iteration, each O(edges), nothing
-   * accumulating on the driver and no lineage growth (per-iteration
-   * lazy checkpoints, same pattern as Dedup.dupClusters). Hub skew is
-   * bounded by max in-degree and lands in the AQE-covered aggregation.
+   * Scale shape: the iteration state is a packed per-src ADJACENCY
+   * (sorted neighbor blob + out-degree, one aggregation reusing the edge
+   * exchange's partitioning), computed ONCE and lazily
+   * localCheckpoint'ed; each iteration joins the #nodes-row ranks onto
+   * the #nodes-row adjacency (no exchange on either side — both sit
+   * hash-partitioned on the key), fans contributions out IN-ROW with a
+   * generator over the blob, and partially aggregates them into ONE
+   * O(edges) exchange (contributions by destination). Nothing
+   * accumulates on the driver and there is no lineage growth
+   * (per-iteration lazy checkpoints, same pattern as Dedup.dupClusters).
+   * Hub skew is bounded by max in-degree and lands in the AQE-covered
+   * aggregation.
    *
    * `reliableCheckpoint` picks the lineage-truncation durability (see
    * [[ckpt]]): the default localCheckpoint is the fail-and-rerun trade
@@ -225,24 +229,50 @@ object Graph {
     // own — one full-edge shuffle total, output still partitioned by src
     val e = ckpt(undirected.repartition(col("src")).distinct(),
       reliableCheckpoint)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = ckpt(e.join(deg, "src"), reliableCheckpoint)
-    // same partition-reuse trick for the rank-update join: nodes sit
-    // hash-partitioned on the join key, and contribs arrives already
-    // hash-partitioned on dst from its aggregation exchange, so the
-    // left join adds NO exchange on either side. On a symmetrized graph
-    // every node appears as a src — the dst-side union (which costs
-    // another full-edge distinct) is only needed for directed sinks.
-    val nodes0 =
-      if (symmetrize) e.select(col("src").as("node"))
-      else e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
-    val nodes = ckpt(nodes0.distinct().repartition(col("node")),
+    // The iteration state is a PACKED ADJACENCY, not the edge list: one
+    // row per src carrying its sorted neighbor ids as a delta-varint
+    // blob (~1-3 B/id; long-keyed graphs) plus the out-degree — built by
+    // ONE aggregation that reuses e's hash partitioning (no join, no
+    // extra exchange; the old form joined a separate degree aggregate
+    // back onto the full edge list and checkpointed THAT). Each of the
+    // `iterations` loop rounds then reads #nodes blob rows instead of
+    // #edges (src, dst, outdeg) rows — QProfile r20/r21: the per-
+    // iteration read of the checkpointed edge blocks (~103 MB at sf0.1)
+    // was the loop's dominant cost; the packed adjacency is ~3 MB.
+    // Contributions fan back out IN-ROW (explode over the decoded blob)
+    // ahead of the same partially-aggregated groupBy(dst) exchange.
+    // Non-long node ids keep a plain array<dst> adjacency — same
+    // algorithm, flat 8+ B/id rows (still #nodes-row iteration state).
+    val packed = e.schema("dst").dataType == LongType &&
+      e.schema("src").dataType == LongType
+    val nbrsAgg =
+      if (packed) graft.functions.pack_sorted_longs(
+        sort_array(collect_list(col("dst"))))
+      else collect_list(col("dst"))
+    val adj = ckpt(e.groupBy(col("src"))
+      .agg(nbrsAgg.as("nbrs"), count(lit(1)).as("outdeg")),
       reliableCheckpoint)
+    def nbrsOut = if (packed)
+      graft.functions.unpack_sorted_longs(col("nbrs")) else col("nbrs")
+    // rank-update join partition reuse: nodes sit hash-partitioned on
+    // the join key, and contribs arrives already hash-partitioned on dst
+    // from its aggregation exchange, so the left join adds NO exchange
+    // on either side. On a symmetrized graph every node appears as a src
+    // — the adjacency's group keys ARE the distinct node set, already
+    // partitioned by src (the dst-side union with its full-edge distinct
+    // is only needed for directed sinks).
+    val nodes0 =
+      if (symmetrize) adj.select(col("src").as("node"))
+      else adj.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .repartition(col("node"))
+    val nodes = ckpt(nodes0, reliableCheckpoint)
     var ranks = nodes.withColumn("r", lit(1.0))
     for (_ <- 1 to iterations) {
-      val contribs = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
-        .select(col("dst"), (col("r") / col("outdeg").cast("double")).as("c"))
+      val contribs = adj
+        .join(ranks, adj("src") === ranks("node"))
+        .withColumn("c", col("r") / col("outdeg").cast("double"))
+        .select(explode(nbrsOut).as("dst"), col("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")

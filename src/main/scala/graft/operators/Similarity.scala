@@ -247,15 +247,29 @@ object Similarity {
    */
   def ivfIndexFrames(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, seed: Long = 42L,
-      maxTrainRows: Long = 100000L): (DataFrame, DataFrame) = {
+      maxTrainRows: Long = 100000L): (DataFrame, DataFrame) =
+    ivfIndexFramesSampled(corpus, None, idCol, vecCol, nlist, seed, maxTrainRows)
+
+  /** [[ivfIndexFrames]] with an optional PRE-DRAWN training sample (the
+    * (idCol, vecCol) projection of `trainSample(corpus)`) so compositions
+    * training several models over one corpus ([[ivfPqIndexFrames]]) pay
+    * the sample's count-probe job once. Sampling commutes with the
+    * per-row projections (same partitions, same seed, same row picks),
+    * so the trained model is identical to the unshared form. */
+  private def ivfIndexFramesSampled(corpus: DataFrame,
+      sampled: Option[DataFrame], idCol: String, vecCol: String,
+      nlist: Int, seed: Long, maxTrainRows: Long): (DataFrame, DataFrame) = {
     Ids.requireIntegral(corpus, idCol, "ivfIndexFrames")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .withColumn("features", array_to_vector(col("c_vec").cast("array<double>")))
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+        .withColumn("features", array_to_vector(col("c_vec").cast("array<double>")))
+    val c = prep(corpus)
+    val train = sampled.map(prep).getOrElse(trainSample(c, maxTrainRows, seed))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("bucket")
-      .fit(trainSample(c, maxTrainRows, seed))
+      .fit(train)
     val assigned = model.transform(c).select(col("c_id"), col("c_vec"), col("bucket"))
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -403,21 +417,37 @@ object Similarity {
    */
   def pqIndexFrames(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 64, seed: Long = 42L,
-      maxTrainRows: Long = 100000L): (DataFrame, DataFrame) = {
+      maxTrainRows: Long = 100000L): (DataFrame, DataFrame) =
+    pqIndexFramesSampled(corpus, None, idCol, vecCol, m, ksub, seed,
+      maxTrainRows)
+
+  /** [[pqIndexFrames]] with an optional pre-drawn training sample — the
+    * [[ivfIndexFramesSampled]] contract. */
+  private def pqIndexFramesSampled(corpus: DataFrame,
+      sampled: Option[DataFrame], idCol: String, vecCol: String,
+      m: Int, ksub: Int, seed: Long,
+      maxTrainRows: Long): (DataFrame, DataFrame) = {
     Ids.requireIntegral(corpus, idCol, "pqIndexFrames")
     require(m >= 1 && ksub >= 1, s"need m >= 1 and ksub >= 1, got m=$m ksub=$ksub")
-    val c = corpus.select(col(idCol).as("c_id"),
+    def prep(df: DataFrame): DataFrame = df.select(col(idCol).as("c_id"),
       col(vecCol).cast("array<double>").as("c_vec"))
+    val c = prep(corpus)
     val dims = c.select(size(col("c_vec")).as("d")).limit(1).collect()
     require(dims.nonEmpty, "pqIndexFrames: empty corpus")
     val dim = dims.head.getInt(0)
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val dsub = dim / m
 
-    val sample = trainSample(c, maxTrainRows, seed)
+    val sample = sampled.map(prep).getOrElse(trainSample(c, maxTrainRows, seed))
     val svAll = sample.select(posexplode(array((0 until m).map(j =>
       slice(col("c_vec"), j * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
-    val svDistinct = svAll.distinct().localCheckpoint()
+    // ONE persisted distinct-subvector frame serves both driver reads
+    // (counts, exact words): the count collect materializes the cache in
+    // its own job and the words collect reads blocks — one fewer
+    // driver-sequenced job than the r20 eager-checkpoint form, and the
+    // cache releases in the finally instead of pinning for the session
+    val svDistinct = svAll.distinct().persist()
+    try {
     val distinctPerSub = svDistinct.groupBy("sub").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
@@ -449,6 +479,9 @@ object Similarity {
       words.zipWithIndex.map { case (w, k) => (j, k, w) }
     }.toDF("sub", "code", "centroid")
     (codes, codebooks)
+    // the codebook is driver-side data by here; nothing downstream reads
+    // the distinct-subvector cache
+    } finally { svDistinct.unpersist(); () }
   }
 
   /**
@@ -562,10 +595,17 @@ object Similarity {
   def ivfPqIndexFrames(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 64, seed: Long = 42L,
       maxTrainRows: Long = 100000L): (DataFrame, DataFrame, DataFrame) = {
-    val (assigned, centroids) =
-      ivfIndexFrames(corpus, idCol, vecCol, nlist, seed, maxTrainRows)
-    val (codes, codebooks) =
-      pqIndexFrames(corpus, idCol, vecCol, m, ksub, seed, maxTrainRows)
+    // ONE training sample serves both trainings: sampling commutes with
+    // the per-row projections each trainer applies (same partitions,
+    // same seed, same row picks — models identical to the unshared
+    // form), so the coarse quantizer and the PQ codebooks stop paying
+    // the count-probe + sample derivation twice over the same corpus.
+    val sampled = Some(trainSample(
+      corpus.select(col(idCol), col(vecCol)), maxTrainRows, seed))
+    val (assigned, centroids) = ivfIndexFramesSampled(
+      corpus, sampled, idCol, vecCol, nlist, seed, maxTrainRows)
+    val (codes, codebooks) = pqIndexFramesSampled(
+      corpus, sampled, idCol, vecCol, m, ksub, seed, maxTrainRows)
     val index = assigned.select(col("c_id"), col("bucket")).join(codes, "c_id")
     (index, centroids, codebooks)
   }

@@ -16,6 +16,14 @@ import graft.functions._
 class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def freshSession(b: SparkSession.Builder => SparkSession.Builder): SparkSession = {
+    // Touch the JVM-shared suite session FIRST: if this suite's builder
+    // is the one that CREATES the shared SparkContext, its strict confs
+    // (CODEGEN_ONLY, fallback=false) land in the context's SparkConf and
+    // become inherited session defaults for every later suite — which
+    // hard-fails tests that rely on graceful codegen fallback (the PQ
+    // codebook-literal plan) depending on suite ORDER. With the context
+    // pre-created by the clean builder, these confs stay session-scoped.
+    val _ = SparkSuite.spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     b(SparkSession.builder()
@@ -265,5 +273,42 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(SparkSuite.causeMessages(mex).exists(_.contains("not ascending-sorted")),
       SparkSuite.causeMessages(mex).mkString("; "))
+  }
+
+  test("unpack_sorted_longs inverts pack_sorted_longs (codegen-only)") {
+    val spark = freshSession(_
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .withExtensions(new GraftExtensions))
+    import spark.implicits._
+    // randomized sorted arrays with duplicates, negatives (zigzag first
+    // value), wide gaps (multi-byte varint deltas), and Long extremes
+    // (wrapping min -> positive spans): unpack(pack(x)) must be x exactly
+    val rnd = new scala.util.Random(2121L)
+    def arr(): Seq[Long] = rnd.nextInt(6) match {
+      case 0 => Seq.empty
+      case 1 => Seq(Long.MinValue, rnd.nextLong().abs - 1, Long.MaxValue).sorted
+      case _ => Seq.fill(rnd.nextInt(14))(
+        rnd.nextInt(40).toLong - 10L + (if (rnd.nextInt(5) == 0) 1000000L else 0L)
+      ).sorted
+    }
+    val bad = Seq.fill(400)(Tuple1(arr())).toDF("a")
+      .select(col("a"),
+        unpack_sorted_longs(pack_sorted_longs(col("a"))).as("rt"))
+      .filter(not(col("a") <=> col("rt"))).count()
+    assert(bad === 0L, "unpack_sorted_longs is not pack's inverse")
+    // SQL registration + int-element pack unpacks to the same values as longs
+    val r = spark.sql(
+      """SELECT unpack_sorted_longs(pack_sorted_longs(array(-3, 0, 7))) AS a,
+        |       unpack_sorted_longs(pack_sorted_longs(
+        |         CAST(array() AS array<bigint>))) AS b
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0) === Seq(-3L, 0L, 7L) && r.getSeq[Long](1).isEmpty)
+    // a truncated blob must fail loudly
+    val mex2 = intercept[Exception] {
+      spark.sql("SELECT unpack_sorted_longs(X'80') AS p").head()
+    }
+    assert(SparkSuite.causeMessages(mex2).exists(_.contains("malformed blob")),
+      SparkSuite.causeMessages(mex2).mkString("; "))
   }
 }

@@ -22,6 +22,11 @@ class KernelEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   // only clears the active/default slots so the strict-codegen confs
   // cannot leak into other suites.
   private lazy val spark: SparkSession = {
+    // ensure the shared SparkContext is created by the CLEAN suite
+    // builder — if THIS builder creates it, the strict codegen confs
+    // below land in the context SparkConf and leak into every later
+    // suite's sessions as inherited defaults (see CodegenSpec)
+    val _ = SparkSuite.spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     SparkSession.builder()
