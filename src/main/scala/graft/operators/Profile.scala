@@ -182,50 +182,58 @@ object Profile {
     val cnt = df.filter(v.isNotNull).select(v.as("_v"))
       .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
     val parts = math.max(2, spark.sparkContext.defaultParallelism)
-    // localCheckpoint: the sorted runs feed two passes (mass, pick);
-    // without it each pass would re-shuffle and re-sort the values
+    // ONE persisted RDD instance serves both passes (mass, pick) — the
+    // packBlocks pattern: the mass pass materializes the cache in ITS
+    // job (one fewer driver-sequenced job than the r20 eager-checkpoint
+    // form), the pick pass reads blocks, and the cache is released
+    // deterministically in the finally instead of pinning checkpoint
+    // blocks for the session. A single RDD instance also guarantees both
+    // passes see the SAME range-partition boundaries (they come from
+    // sampling).
     val sorted = cnt.repartitionByRange(parts, col("_v"))
       .sortWithinPartitions(col("_v"))
-      .localCheckpoint()
-    val masses = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(1))
-      Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val total = masses.sum
-    require(total > 0,
-      s"equi-height histogram: column '$valueCol' has no non-null values")
-    val offsets = masses.scanLeft(0L)(_ + _)
-    val positions = ps.map(_ * (total - 1)) // Percentile's 0-based rank
-    val needed = positions
-      .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
-      .distinct.sorted.toArray
-    val found = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cum = offsets(pid)
-      var k = {
-        val s = java.util.Arrays.binarySearch(needed, cum)
-        if (s >= 0) s else -s - 1
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-      while (it.hasNext && k < needed.length) {
-        val r = it.next()
-        val c = r.getLong(1)
-        while (k < needed.length && needed(k) < cum + c) {
-          out += ((needed(k), r.getDouble(0)))
-          k += 1
+      .rdd.persist()
+    try {
+      val masses = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(1))
+        Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val total = masses.sum
+      require(total > 0,
+        s"equi-height histogram: column '$valueCol' has no non-null values")
+      val offsets = masses.scanLeft(0L)(_ + _)
+      val positions = ps.map(_ * (total - 1)) // Percentile's 0-based rank
+      val needed = positions
+        .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
+        .distinct.sorted.toArray
+      val found = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var cum = offsets(pid)
+        var k = {
+          val s = java.util.Arrays.binarySearch(needed, cum)
+          if (s >= 0) s else -s - 1
         }
-        cum += c
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        while (it.hasNext && k < needed.length) {
+          val r = it.next()
+          val c = r.getLong(1)
+          while (k < needed.length && needed(k) < cum + c) {
+            out += ((needed(k), r.getDouble(0)))
+            k += 1
+          }
+          cum += c
+        }
+        out.iterator
+      }.collect().toMap
+      positions.map { pos =>
+        val lower = math.floor(pos).toLong
+        val higher = math.ceil(pos).toLong
+        if (higher == lower) found(lower)
+        // Percentile.getPercentile's exact expression (term order matters
+        // only in the last ulp — and the spec pins even that)
+        else (higher - pos) * found(lower) + (pos - lower) * found(higher)
       }
-      out.iterator
-    }.collect().toMap
-    positions.map { pos =>
-      val lower = math.floor(pos).toLong
-      val higher = math.ceil(pos).toLong
-      if (higher == lower) found(lower)
-      // Percentile.getPercentile's exact expression (term order matters
-      // only in the last ulp — and the spec pins even that)
-      else (higher - pos) * found(lower) + (pos - lower) * found(higher)
-    }
+    } finally { sorted.unpersist(); () }
   }
 
   /** The boundary pass of [[equiHeightHistogramSampled]], exposed so
